@@ -1,0 +1,226 @@
+"""Shared, declarative configuration for the transcript-extraction engine.
+
+This module holds the *constants* (regex pattern strings, thresholds, label
+vocabularies, boilerplate rules, business-rule quirks) that BOTH the pure-Python
+oracle (`invoice_extraction_ray.oracle`) and the Ray Data engine
+(`invoice_extraction_ray.stages.*`) consume.  The two implementations share no
+logic — only this config — so pytest equality between them is a meaningful check.
+
+Semantics are the transcript-domain analogues of the reference invoice pipeline
+(see SURVEY.md §7.1):
+
+- boilerplate header/footer strip   <- layout regions, reference ocr.py:280-306
+- key-value anchor regexes          <- field extractors, reference extractors.py:41-65
+- consensus merge thresholds        <- OCR consensus,   reference ocr.py:134-179
+- master-data lookup rules          <- validators,      reference validators.py:134-341
+  (fuzzy >=0.90 entity match, exact code match, +/-5% numeric ranges — documented
+   oracle semantics in reference sample_output/README.md:74-95)
+- forced region_b present           <- forced stamp.present=True, validators.py:113-130
+- confidence caps 97/95             <- reference confidence.py:36-41
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# Normalization (reference preprocess.py:15-70 analogue).
+# Applied in this exact order by both oracle and engine.  All regexes are
+# written in the RE2-compatible subset (no lookaround) so the engine can run
+# them through pyarrow.compute while the oracle uses Python `re`.
+# ---------------------------------------------------------------------------
+
+# (pattern, replacement) applied with re.sub / pc.replace_substring_regex
+NORMALIZE_REGEX_STEPS: list[tuple[str, str]] = [
+    (r"\r\n|\r", "\n"),                  # newline unification
+    (r"[\x00-\x08\x0b\x0c\x0e-\x1f]", ""),  # control chars except \n, \t
+    (r"(?m)[ \t]+$", ""),                # per-line trailing whitespace
+    (r"\n{3,}", "\n\n"),                 # collapse 3+ blank lines
+]
+
+# literal HTML entities decoded before the regex steps run
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+]
+
+# ---------------------------------------------------------------------------
+# Boilerplate strip (reference _detect_layout_regions, ocr.py:280-306).
+# Header = first HEADER_FRAC of lines, footer = last FOOTER_FRAC; body always
+# kept.  Within header/footer, lines matching these patterns are dropped.
+# ---------------------------------------------------------------------------
+
+HEADER_FRAC = 0.20
+FOOTER_FRAC = 0.15
+
+GREETING_RE = r"(?i)^(hi|hello|dear|greetings|hey)\b"
+SIGNOFF_RE = r"(?i)^(regards|best regards|warm regards|thanks|thank you|sincerely|cheers)[,.!]?\s*$"
+DISCLAIMER_RE = r"(?i)(confidential|do not distribute|disclaimer|auto-generated)"
+SEPARATOR_RE = r"^[-_=*]{3,}\s*$"
+# a short line directly after a dropped signoff line (signature name) is dropped too
+SIGNATURE_MAX_LEN = 40
+
+# ---------------------------------------------------------------------------
+# Span detectors (reference extractors.py:94-311 analogues).
+# Each entry: (label, pattern, confidence, method).  Group 1 = value.
+# Detector priority for consensus tie-breaks is METHOD_PRIORITY below.
+# ---------------------------------------------------------------------------
+
+ANCHOR_PATTERNS: list[tuple[str, str, float, str]] = [
+    ("entity", r"(?im)^[> \t]*(?:dealer|vendor|supplier|agent)\s*[:=]\s*([A-Za-z][A-Za-z0-9 &.'\-]{2,60}?)\s*$",
+     0.80, "anchor_regex"),
+    ("code", r"(?i)(?:model|code|sku|part)\s*[:=]\s*([A-Z]{2,4}[ \-]?\d{3,5}[A-Z]?)\b",
+     0.85, "anchor_regex"),
+    ("code", r"\b([A-Z]{2,4}-\d{3,5}[A-Z]?)\b",
+     0.75, "pattern"),
+    ("power", r"(?i)\b(\d{1,3}(?:\.\d+)?)\s*(?:hp|kw)\b",
+     0.90, "unit_regex"),
+    ("amount", r"(?i)(?:total|amount|cost|price)\s*[:=]?\s*(?:₹|rs\.?|inr|\$)?\s*(\d[\d,]*(?:\.\d+)?)\b",
+     0.90, "label_regex"),
+    ("amount", r"(?:₹|\$)\s*(\d[\d,]*(?:\.\d+)?)\b",
+     0.70, "currency"),
+]
+
+# heuristic second-pass detectors (reference's spaCy-NER / TitleCase-in-header
+# fallbacks, extractors.py:111-135): applied per line, only when the line has a
+# keyword but NO ':'/'=' anchor (those are covered by ANCHOR_PATTERNS).
+HEURISTIC_ENTITY_KEYWORD_RE = r"(?i)\b(dealer|vendor|supplier)\b"
+HEURISTIC_TITLECASE_RE = r"\b((?:[A-Z][a-z]+ )+[A-Z][a-z]+)\b"
+HEURISTIC_ENTITY_CONF = 0.65
+HEURISTIC_POWER_RE = r"(?i)\bpower\b\D{0,20}?(\d{1,3}(?:\.\d+)?)\b"
+HEURISTIC_POWER_CONF = 0.75
+
+# detector priority when merging (reference prefer-easyocr tiebreak, ocr.py:215-233)
+METHOD_PRIORITY: dict[str, int] = {
+    "anchor_regex": 0,
+    "label_regex": 1,
+    "unit_regex": 2,
+    "pattern": 3,
+    "currency": 4,
+    "proximity": 5,
+    "heuristic": 6,
+    "fence": 0,
+    "grid": 1,
+    "quote": 2,
+    "json": 0,
+    "json_recovered": 1,
+}
+
+# ---------------------------------------------------------------------------
+# Region detection (reference vision.py:44-110, extractors.py:313-331 analogues)
+# ---------------------------------------------------------------------------
+
+REGION_CODE_CONF = 0.95      # ``` fenced block
+REGION_TABLE_CONF = 0.85     # pipe-grid block (table/line-item segmentation)
+REGION_QUOTE_CONF = 0.80     # quoted-reply chain
+REGION_JSON_CONF = 0.90      # valid JSON tool payload
+REGION_JSON_RECOVERED_CONF = 0.60
+TABLE_MIN_PIPES = 2          # a table line has >= 2 '|'
+TABLE_MIN_LINES = 2
+# smart-quote cleanup for JSON recovery (reference extractor.py:153-165)
+JSON_RECOVERY_TRANS = {
+    "‘": "'", "’": "'", "“": '"', "”": '"', "`": '"',
+}
+
+# ---------------------------------------------------------------------------
+# Consensus merge (reference ocr.py:134-233 analogue)
+# ---------------------------------------------------------------------------
+
+MERGE_IOU_THRESHOLD = 0.5      # interval IoU on [start,end)
+MERGE_TEXT_SIM_THRESHOLD = 0.8  # difflib ratio on lowercased values
+CONF_ROUND_DECIMALS = 4
+
+# ---------------------------------------------------------------------------
+# Validation / master-data lookups (reference validators.py semantics)
+# ---------------------------------------------------------------------------
+
+FUZZY_ENTITY_THRESHOLD = 0.90       # validators.py:134-163 (>=90 ratio)
+ENTITY_BLOCKLIST = {"do not reply", "internal use", "system notice"}
+CODE_MIN_LEN, CODE_MAX_LEN = 2, 20  # validators.py:71-75 analogue
+POWER_GLOBAL_RANGE = (10.0, 500.0)  # validators.py:77-88 / 202-238
+AMOUNT_GLOBAL_RANGE = (100.0, 100_000_000.0)  # validators.py:90-98 / 240-276
+RANGE_TOLERANCE = 0.05              # +/-5% model-specific tolerance
+
+# forced-present business rule (reference validators.py:113-130: stamp always
+# present).  region_b (table region) is always reported present.
+FORCE_REGION_B_PRESENT = True
+
+# ---------------------------------------------------------------------------
+# Confidence scoring (reference confidence.py:6-73)
+# ---------------------------------------------------------------------------
+
+FIELD_ORDER = ["entity", "code", "power", "amount", "region_a", "region_b"]
+CONF_CAP_ALL = 97    # 6/6 fields -> 97
+CONF_CAP_MOST = 95   # >=5/6 -> 95
+NOTES_ALL = "All fields extracted successfully."
+NOTES_MISSING_FMT = "Missing fields: {missing}. Extraction partially successful."
+
+# ---------------------------------------------------------------------------
+# Output schema (FIXTURES.md F3)
+# ---------------------------------------------------------------------------
+
+
+def span_type():
+    import pyarrow as pa
+
+    return pa.list_(
+        pa.struct(
+            [
+                ("label", pa.string()),
+                ("start", pa.int32()),
+                ("end", pa.int32()),
+                ("value", pa.string()),
+                ("conf", pa.float32()),
+                ("method", pa.string()),
+            ]
+        )
+    )
+
+
+def fields_type():
+    import pyarrow as pa
+
+    region = pa.struct([("present", pa.bool_()), ("span", pa.list_(pa.int32()))])
+    return pa.struct(
+        [
+            ("entity", pa.string()),
+            ("code", pa.string()),
+            ("power", pa.float64()),
+            ("amount", pa.float64()),
+            ("region_a", region),
+            ("region_b", region),
+        ]
+    )
+
+
+def output_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("extracted_text", pa.string()),
+            ("spans", span_type()),
+            ("fields", fields_type()),
+            ("confidence", pa.float32()),
+            ("notes", pa.string()),
+        ]
+    )
+
+
+def input_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )

@@ -1,0 +1,371 @@
+"""TurnClassifier — the stateful actor-pool extraction stage.
+
+The engine-side implementation of stages 2-7 of the per-turn extraction
+(boilerplate strip, region detection, anchor detection, consensus merge,
+master-data validation, confidence scoring).  Semantics are the transcript
+analogues of the reference invoice pipeline (see SURVEY.md §2 / §7.1 and the
+docstring of ``invoice_extraction_ray.oracle``, which is the row-at-a-time
+reference this class is pytest-verified against — the two share only the
+constants in ``config``).
+
+Ray Data usage:  ``ds.map_batches(TurnClassifier, batch_format="pyarrow",
+concurrency=(min,max), batch_size=B, fn_constructor_kwargs={...})``.
+State built ONCE per actor in ``__init__`` (compiled pattern bank, broadcast
+master-data lookup tables, fuzzy-match memo caches — the reference loads its
+models per-process the same way, reference ocr.py:17-33, vision.py:16-42);
+``__call__`` does row-local work only, so the stage needs no shuffle and is
+embarrassingly parallel across blocks.
+"""
+
+from __future__ import annotations
+
+import difflib
+import json
+import math
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from .. import config as C
+
+# ---------------------------------------------------------------------------
+# Module-level compiled pattern bank — cheap state shared by every actor in a
+# worker process (reference extractors.py:26-65 compiles its banks the same
+# way; module-level compile keeps stateless-task fallbacks cheap too).
+# ---------------------------------------------------------------------------
+
+_ANCHORS = [
+    (label, re.compile(pat), conf, method)
+    for label, pat, conf, method in C.ANCHOR_PATTERNS
+]
+_GREETING = re.compile(C.GREETING_RE)
+_SIGNOFF = re.compile(C.SIGNOFF_RE)
+_DISCLAIMER = re.compile(C.DISCLAIMER_RE)
+_SEPARATOR = re.compile(C.SEPARATOR_RE)
+_COLLAPSE = re.compile(r"\n{3,}")
+_H_ENT_KEY = re.compile(C.HEURISTIC_ENTITY_KEYWORD_RE)
+_H_TITLECASE = re.compile(C.HEURISTIC_TITLECASE_RE)
+_H_POWER = re.compile(C.HEURISTIC_POWER_RE)
+_CODE_NORM = re.compile(r"^([A-Z]{2,4})[ -]?(\d{3,5}[A-Z]?)$")
+_WS = re.compile(r"\s+")
+
+_PRIO = C.METHOD_PRIORITY
+
+
+def _ratio(a: str, b: str) -> float:
+    return difflib.SequenceMatcher(None, a, b).ratio()
+
+
+class TurnClassifier:
+    """Callable class for ``map_batches``; one instance per pool actor."""
+
+    def __init__(self, master=None, master_ref=None):
+        import ray
+
+        if master is None:
+            if master_ref is not None:
+                master = ray.get(master_ref)  # broadcast side input, fetched once
+            else:
+                from ..fixtures import master_data
+
+                master = master_data()
+        self.entities: list[str] = list(master["entities"])
+        self.entities_lower = [e.lower() for e in self.entities]
+        self.code_set = set(master["codes"])
+        self.ranges = master["numeric_ranges"]
+        # memo caches: candidate values repeat heavily across turns, and the
+        # fuzzy scan is O(|entities|) difflib calls — amortize per actor.
+        self._ent_cache: dict[str, str | None] = {}
+        self._code_cache: dict[str, tuple[str | None, bool]] = {}
+
+    # -- per-row pieces ----------------------------------------------------
+
+    def _scan_lines(self, norm: str, role):
+        """One pass over lines: boilerplate strip + line-block regions."""
+        lines = norm.split("\n")
+        n = len(lines)
+        offs = np.empty(n, dtype=np.int64)
+        pos = 0
+        for i, ln in enumerate(lines):
+            offs[i] = pos
+            pos += len(ln) + 1
+
+        # --- boilerplate strip (header/footer layout, ocr.py:280-306 analogue)
+        h = math.ceil(C.HEADER_FRAC * n)
+        f = math.ceil(C.FOOTER_FRAC * n)
+        kept = []
+        prev_signoff_dropped = False
+        for i, ln in enumerate(lines):
+            drop = False
+            if i < h or i >= n - f:
+                if (
+                    _GREETING.search(ln)
+                    or _SIGNOFF.search(ln)
+                    or _DISCLAIMER.search(ln)
+                    or _SEPARATOR.search(ln)
+                ):
+                    drop = True
+                elif (
+                    i >= n - f
+                    and prev_signoff_dropped
+                    and 0 < len(ln.strip()) <= C.SIGNATURE_MAX_LEN
+                ):
+                    drop = True
+            prev_signoff_dropped = drop and bool(_SIGNOFF.search(ln))
+            if not drop:
+                kept.append(ln)
+        extracted = _COLLAPSE.sub("\n\n", "\n".join(kept)).strip("\n")
+
+        # --- line-block regions
+        spans = []  # (label, start, end, value, conf, method)
+
+        def _end(i):
+            return int(offs[i]) + len(lines[i])
+
+        fence_rows = [i for i, ln in enumerate(lines) if ln.startswith("```")]
+        for k in range(0, len(fence_rows) - 1, 2):
+            a, b = fence_rows[k], fence_rows[k + 1]
+            spans.append(("region_code", int(offs[a]), _end(b), "", C.REGION_CODE_CONF, "fence"))
+
+        start = -1
+        for i in range(n + 1):
+            tbl = i < n and lines[i].count("|") >= C.TABLE_MIN_PIPES
+            if tbl and start < 0:
+                start = i
+            elif not tbl and start >= 0:
+                if i - start >= C.TABLE_MIN_LINES:
+                    spans.append(
+                        ("region_table", int(offs[start]), _end(i - 1), "", C.REGION_TABLE_CONF, "grid")
+                    )
+                start = -1
+
+        start = -1
+        for i in range(n + 1):
+            q = i < n and (lines[i].startswith("> ") or lines[i] == ">")
+            if q and start < 0:
+                start = i
+            elif not q and start >= 0:
+                spans.append(
+                    ("region_quote", int(offs[start]), _end(i - 1), "", C.REGION_QUOTE_CONF, "quote")
+                )
+                start = -1
+
+        if role == "tool":
+            a = norm.find("{")
+            b = norm.rfind("}")
+            if 0 <= a < b:
+                blob = norm[a : b + 1]
+                try:
+                    json.loads(blob)
+                    spans.append(("region_json", a, b + 1, "", C.REGION_JSON_CONF, "json"))
+                except ValueError:
+                    for bad, good in C.JSON_RECOVERY_TRANS.items():
+                        blob = blob.replace(bad, good)
+                    try:
+                        json.loads(blob)
+                        spans.append(
+                            ("region_json", a, b + 1, "", C.REGION_JSON_RECOVERED_CONF, "json_recovered")
+                        )
+                    except ValueError:
+                        pass
+
+        # --- heuristic entity detector (keyword line w/o ':'/'=' anchors)
+        for i, ln in enumerate(lines):
+            if _H_ENT_KEY.search(ln) and ":" not in ln and "=" not in ln:
+                m = _H_TITLECASE.search(ln)
+                if m:
+                    o = int(offs[i])
+                    spans.append(
+                        ("entity", o + m.start(1), o + m.end(1), m.group(1),
+                         C.HEURISTIC_ENTITY_CONF, "heuristic")
+                    )
+        return extracted, spans
+
+    @staticmethod
+    def _merge(cands):
+        """Consensus merge in canonical order (ocr.py:134-233 analogue)."""
+        cands.sort(key=lambda c: (c[1], c[2], _PRIO[c[5]], c[0]))
+        groups = []
+        for c in cands:
+            for g in groups:
+                r = g[0]
+                if r[0] != c[0]:
+                    continue
+                inter = min(r[2], c[2]) - max(r[1], c[1])
+                union = max(r[2], c[2]) - min(r[1], c[1])
+                if (union > 0 and inter / union > C.MERGE_IOU_THRESHOLD) or (
+                    r[3]
+                    and c[3]
+                    and _ratio(r[3].lower(), c[3].lower()) > C.MERGE_TEXT_SIM_THRESHOLD
+                ):
+                    g.append(c)
+                    break
+            else:
+                groups.append([c])
+        out = []
+        for g in groups:
+            best = min(g, key=lambda c: (-c[4], c[1], c[2] - c[1], _PRIO[c[5]]))
+            conf = round(sum(c[4] for c in g) / len(g), C.CONF_ROUND_DECIMALS)
+            out.append((best[0], best[1], best[2], best[3], conf, best[5]))
+        out.sort(key=lambda s: (s[1], s[2], s[0]))
+        return out
+
+    # -- validation lookups (broadcast-join semantics, validators.py:134-341)
+
+    def _lookup_entity(self, raw: str):
+        hit = self._ent_cache.get(raw)
+        if raw in self._ent_cache:
+            return hit
+        v = _WS.sub(" ", raw.strip())
+        if v.lower() in C.ENTITY_BLOCKLIST:
+            res = None
+        else:
+            vl = v.lower()
+            best_i, best_r = -1, -1.0
+            for i, el in enumerate(self.entities_lower):
+                r = _ratio(vl, el)
+                if r > best_r:
+                    best_i, best_r = i, r
+            res = self.entities[best_i] if best_r >= C.FUZZY_ENTITY_THRESHOLD else v
+        self._ent_cache[raw] = res
+        return res
+
+    def _lookup_code(self, raw: str):
+        hit = self._code_cache.get(raw)
+        if raw in self._code_cache:
+            return hit
+        v = _WS.sub(" ", raw.strip()).upper()
+        m = _CODE_NORM.match(v)
+        norm = f"{m.group(1)}-{m.group(2)}" if m else v
+        if norm in self.code_set:
+            res = (norm, True)
+        elif C.CODE_MIN_LEN <= len(v) <= C.CODE_MAX_LEN:
+            res = (v, False)
+        else:
+            res = (None, False)
+        self._code_cache[raw] = res
+        return res
+
+    def _check_range(self, x: float, code, code_valid: bool, kind: str, global_range):
+        if code_valid and code in self.ranges:
+            r = self.ranges[code][kind]
+            lo, hi = r["min"] * (1 - C.RANGE_TOLERANCE), r["max"] * (1 + C.RANGE_TOLERANCE)
+        else:
+            lo, hi = global_range
+        return x if lo <= x <= hi else None
+
+    # -- the batch entry point ----------------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        norms = batch.column("norm_text").to_pylist()
+        roles = batch.column("role").to_pylist()
+        n_rows = len(norms)
+
+        extracted_col: list[str] = []
+        spans_col: list[list[dict]] = []
+        fields_col: list[dict] = []
+        notes_col: list[str] = []
+        n_filled = np.empty(n_rows, dtype=np.int64)
+
+        for i in range(n_rows):
+            norm = norms[i]
+            if norm:
+                extracted, cands = self._scan_lines(norm, roles[i])
+                for label, pat, conf, method in _ANCHORS:
+                    for m in pat.finditer(norm):
+                        cands.append((label, m.start(1), m.end(1), m.group(1), conf, method))
+                for m in _H_POWER.finditer(norm):
+                    cands.append(
+                        ("power", m.start(1), m.end(1), m.group(1), C.HEURISTIC_POWER_CONF, "proximity")
+                    )
+                merged = self._merge(cands)
+            else:
+                extracted, merged = "", []
+
+            # best candidate per field label: (-conf, start, width) argmin
+            best: dict[str, tuple] = {}
+            first_region: dict[str, tuple] = {}
+            for s in merged:
+                lbl = s[0]
+                if lbl in ("entity", "code", "power", "amount"):
+                    k = (-s[4], s[1], s[2] - s[1])
+                    if lbl not in best or k < best[lbl][0]:
+                        best[lbl] = (k, s)
+                elif lbl in ("region_code", "region_table") and lbl not in first_region:
+                    first_region[lbl] = s  # merged is start-sorted
+
+            code, code_valid = (None, False)
+            if "code" in best:
+                code, code_valid = self._lookup_code(best["code"][1][3])
+            entity = self._lookup_entity(best["entity"][1][3]) if "entity" in best else None
+            power = amount = None
+            if "power" in best:
+                try:
+                    power = self._check_range(
+                        float(best["power"][1][3]), code, code_valid, "power", C.POWER_GLOBAL_RANGE
+                    )
+                except ValueError:
+                    power = None
+            if "amount" in best:
+                try:
+                    amount = self._check_range(
+                        float(best["amount"][1][3].replace(",", "")),
+                        code, code_valid, "amount", C.AMOUNT_GLOBAL_RANGE,
+                    )
+                except ValueError:
+                    amount = None
+
+            ra = first_region.get("region_code")
+            rb = first_region.get("region_table")
+            fields = {
+                "entity": entity,
+                "code": code,
+                "power": power,
+                "amount": amount,
+                "region_a": {"present": ra is not None, "span": [ra[1], ra[2]] if ra else None},
+                "region_b": {
+                    "present": True if C.FORCE_REGION_B_PRESENT else rb is not None,
+                    "span": [rb[1], rb[2]] if rb else None,
+                },
+            }
+            flags = {
+                "entity": entity is not None,
+                "code": code is not None,
+                "power": power is not None,
+                "amount": amount is not None,
+                "region_a": ra is not None,
+                "region_b": fields["region_b"]["present"],
+            }
+            n_filled[i] = sum(flags.values())
+            missing = [f for f in C.FIELD_ORDER if not flags[f]]
+            notes_col.append(
+                C.NOTES_MISSING_FMT.format(missing=", ".join(missing)) if missing else C.NOTES_ALL
+            )
+            extracted_col.append(extracted)
+            spans_col.append(
+                [
+                    {"label": s[0], "start": s[1], "end": s[2], "value": s[3],
+                     "conf": s[4], "method": s[5]}
+                    for s in merged
+                ]
+            )
+            fields_col.append(fields)
+
+        # vectorized confidence (confidence.py:6-41 analogue, caps 97/95)
+        pct = np.rint(n_filled / 6 * 100)
+        cap = np.where(n_filled == 6, C.CONF_CAP_ALL, np.where(n_filled >= 5, C.CONF_CAP_MOST, 100))
+        confidence = (np.minimum(pct, cap) / 100.0).astype(np.float32)
+
+        return pa.Table.from_arrays(
+            [
+                batch.column("conv_id"),
+                batch.column("turn_idx"),
+                pa.array(extracted_col, type=pa.string()),
+                pa.array(spans_col, type=C.span_type()),
+                pa.array(fields_col, type=C.fields_type()),
+                pa.array(confidence),
+                pa.array(notes_col, type=pa.string()),
+            ],
+            schema=C.output_schema(),
+        )

@@ -1,0 +1,49 @@
+"""Seal-stage properties: salting invariance + within-conversation ordering."""
+
+import ray
+
+from invoice_extraction_ray import fixtures as F
+from invoice_extraction_ray.pipelines.extract import build_pipeline, to_dataset
+from invoice_extraction_ray.stages.seal import compute_hot_convs
+
+from .conftest import assert_tables_equal, dataset_to_sorted_table
+
+
+def test_hot_conv_census():
+    t = F.gen_transcripts(400, seed=42)
+    counts = {}
+    for c in t.column("conv_id").to_pylist():
+        counts[c] = counts.get(c, 0) + 1
+    expected = {c for c, n in counts.items() if n >= 50}
+    assert expected, "fixture should contain hot conversations at this scale"
+    got = compute_hot_convs(to_dataset(t), 50)
+    assert got == expected
+
+
+def test_salting_invariance():
+    t = F.gen_transcripts(200, seed=42)
+    # force salting for everything vs no salting at all
+    salted = dataset_to_sorted_table(build_pipeline(t, hot_threshold=1, salt_block=8))
+    unsalted = dataset_to_sorted_table(build_pipeline(t, hot_threshold=10**9))
+    assert_tables_equal(unsalted, salted)
+
+
+def test_groups_are_turn_sorted():
+    salt_block = 16
+    t = F.gen_transcripts(100, seed=7)
+    ds = build_pipeline(t, hot_threshold=40, salt_block=salt_block)
+    # ordering guarantee is per seal group: within a contiguous run of the same
+    # (conv_id, turn_idx // salt_block), turn_idx is non-decreasing.  (A salted
+    # hot conversation is split across groups whose relative order is free.)
+    seen_any = False
+    for ref in ds.to_arrow_refs():
+        blk = ray.get(ref)
+        rows = blk.select(["conv_id", "turn_idx"]).to_pylist()
+        for a, b in zip(rows, rows[1:]):
+            if (
+                a["conv_id"] == b["conv_id"]
+                and a["turn_idx"] // salt_block == b["turn_idx"] // salt_block
+            ):
+                assert a["turn_idx"] <= b["turn_idx"]
+                seen_any = True
+    assert seen_any
