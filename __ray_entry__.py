@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcript-extraction pipeline at sf0.001 scale.
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (plus the training-data-pipeline operators); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible one (the rest are
+rows-only checks: the transcript pipeline is verified against its own
+pure-Python oracle in tests/, and near-dup/ANN/langid are non-relational).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(or in the library) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +16,208 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+FLAT_COLUMNS = ["conv_id", "turn_idx", "extracted_text", "confidence", "notes"]
+
+
+def _flagship(sf_dir: str):
+    """Extraction pipeline over the deterministic transcript corpus matched to
+    sf_dir's scale; flat projection (nested spans/fields stay in pytest)."""
+    from invoice_extraction_ray.corpus import transcripts_for
+    from invoice_extraction_ray.pipelines.extract import build_pipeline
+
+    paths = transcripts_for(sf_dir)
+    ds = build_pipeline(paths)
+    return ds.select_columns(FLAT_COLUMNS)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale; driver checks rows>=0."""
+    return _flagship("/root/testdata/sf0.001")
+
+
+def _extract_metrics(sf_dir: str):
+    from invoice_extraction_ray.corpus import transcripts_for
+    from invoice_extraction_ray.pipelines.extract import build_pipeline
+    from invoice_extraction_ray.pipelines.metrics import field_coverage
+
+    ds = build_pipeline(transcripts_for(sf_dir), seal=False)
+    return field_coverage(ds)
+
+
+def _error_categories(sf_dir: str):
+    from invoice_extraction_ray.corpus import transcripts_for
+    from invoice_extraction_ray.pipelines.extract import build_pipeline
+    from invoice_extraction_ray.pipelines.metrics import error_categories
+
+    ds = build_pipeline(transcripts_for(sf_dir), seal=False)
+    return error_categories(ds)
+
+
+def _minhash_neardup(sf_dir: str):
+    """Near-dup detection needs actual near-duplicates: plant perturbed copies
+    of every 25th document (deterministic), then find them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.dedup import minhash_neardup
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    dup_ids, dup_texts = [], []
+    for i, (d, s) in enumerate(zip(ids, texts)):
+        if i % 25 == 0 and s:
+            toks = s.split()
+            # drop one token near the middle: a true near-duplicate
+            del toks[len(toks) // 2]
+            dup_ids.append(d + 10_000_000)
+            dup_texts.append(" ".join(toks))
+    planted = pa.table(
+        {
+            "doc_id": pa.array(ids + dup_ids, pa.int64()),
+            "text": pa.array(texts + dup_texts, pa.string()),
+        }
+    )
+    return minhash_neardup(planted, jaccard_threshold=0.8)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from invoice_extraction_ray.ops import ann, dedup, relational, text
+    from invoice_extraction_ray.ops.multimodal import media_metadata
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship transcript extraction (rows-only; oracle = tests/ pytest)
+        "extract_turns": _flagship,
+        "extract_field_coverage": _extract_metrics,
+        "extract_error_categories": _error_categories,
+        # relational operator library (all SQL-oracled)
+        "coverage_summary": relational.coverage_summary,
+        "groupby_stats": relational.groupby_stats,
+        "severity_rollup": relational.severity_rollup,
+        "value_bins": relational.value_bins,
+        "topk_docs": relational.topk_docs,
+        "pricing_summary": relational.pricing_summary,
+        "orders_by_segment": relational.orders_by_segment,
+        "lineitem_order_priority": relational.lineitem_order_priority,
+        "exact_dedup": relational.exact_dedup,
+        "distinct_lang_source": relational.distinct_lang_source,
+        "hourly_rollup": relational.hourly_rollup,
+        "sessionize": relational.sessionize,
+        "price_in_band": relational.price_in_band,
+        "union_lang_counts": relational.union_lang_counts,
+        # text analysis
+        "token_count": text.token_count,               # SQL-oracled
+        "langid": text.langid,                          # rows-only (heuristic)
+        "quality_features": text.quality_features,      # rows-only
+        "doc_fingerprints": text.doc_fingerprints,      # rows-only
+        # dedup family
+        "minhash_neardup": _minhash_neardup,            # rows-only
+        "simhashes": dedup.simhashes,                   # rows-only
+        "embedding_neardup": lambda sf: dedup.embedding_neardup(sf, threshold=0.3),  # SQL-oracled
+        # similarity search
+        "ann_topk": ann.ann_topk,                       # SQL-oracled
+        "lsh_ann_topk": ann.lsh_topk,                   # rows-only (approximate)
+        # multimodal plumbing (stubbed decode)
+        "media_metadata": media_metadata,               # rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from invoice_extraction_ray.ops.relational import (
+        BIN_EDGES,
+        Q6_CUTOFF,
+        SESSION_GAP_MIN,
+    )
+
+    return {
+        "coverage_summary": (
+            "SELECT count(*) AS total, count(text) AS n_text, "
+            "CAST(round(avg(n_chars) * 10000) AS BIGINT) AS avg_chars FROM documents"
+        ),
+        "groupby_stats": (
+            "SELECT event_type, count(*) AS n, CAST(round(sum(value)*100) AS BIGINT) AS sum_value, "
+            "CAST(round(avg(value)*10000) AS BIGINT) AS avg_value, "
+            "CAST(round(stddev_samp(value)*10000) AS BIGINT) AS std_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "severity_rollup": (
+            "SELECT CASE WHEN event_type IN ('error','purchase') THEN 'high' "
+            "WHEN event_type = 'signup' THEN 'medium' ELSE 'low' END AS severity, "
+            "count(*) AS n, CAST(round(sum(value)*100) AS BIGINT) AS sum_value FROM events GROUP BY 1"
+        ),
+        "value_bins": (
+            f"SELECT CASE WHEN value < {BIN_EDGES[0]} THEN 'b0_lt50' "
+            f"WHEN value < {BIN_EDGES[1]} THEN 'b1_lt100' "
+            f"WHEN value < {BIN_EDGES[2]} THEN 'b2_lt200' ELSE 'b3_ge200' END AS bin, "
+            "count(*) AS n, CAST(round(avg(value)*10000) AS BIGINT) AS avg_value FROM events GROUP BY 1"
+        ),
+        "topk_docs": (
+            "SELECT doc_id, n_chars, lang FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, CAST(round(sum(l_quantity)*100) AS BIGINT) AS sum_qty, "
+            "CAST(round(sum(l_extendedprice)*100) AS BIGINT) AS sum_base_price, "
+            "CAST(round(sum(l_extendedprice * (1 - l_discount))*100) AS BIGINT) AS sum_disc_price, "
+            "CAST(round(avg(l_quantity)*10000) AS BIGINT) AS avg_qty, count(*) AS n FROM lineitem "
+            f"WHERE l_shipdate <= TIMESTAMP '{Q6_CUTOFF}' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_by_segment": (
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "CAST(round(sum(o_totalprice)*100) AS BIGINT) AS sum_totalprice "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "lineitem_order_priority": (
+            "SELECT o_orderpriority, count(*) AS n_items, "
+            "CAST(round(sum(l_extendedprice)*100) AS BIGINT) AS sum_price "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
+        ),
+        "exact_dedup": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_copies "
+            "FROM documents GROUP BY text"
+        ),
+        "distinct_lang_source": "SELECT DISTINCT lang, source FROM documents",
+        "hourly_rollup": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, "
+            "CAST(round(sum(value)*100) AS BIGINT) AS sum_value FROM events GROUP BY 1, 2"
+        ),
+        "sessionize": (
+            "SELECT user_id, count(*) AS n_events, "
+            "CAST(sum(is_new) AS BIGINT) AS n_sessions FROM ("
+            "  SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL "
+            f"  OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE "
+            "  THEN 1 ELSE 0 END AS is_new FROM events "
+            "  WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+            ") GROUP BY user_id"
+        ),
+        "price_in_band": (
+            "SELECT p_brand, count(*) AS n_total, "
+            "CAST(sum(CASE WHEN l_extendedprice "
+            "BETWEEN 0.5 * p_retailprice AND 1.5 * p_retailprice "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_in_band "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"
+        ),
+        "union_lang_counts": (
+            "SELECT lang, count(*) AS n FROM ("
+            "  SELECT lang FROM documents WHERE lang = 'en' "
+            "  UNION ALL SELECT lang FROM documents WHERE n_chars > 300"
+            ") GROUP BY lang"
+        ),
+        "token_count": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "AS n_tokens FROM documents"
+        ),
+        "embedding_neardup": (
+            "SELECT a.vec_id AS a_id, b.vec_id AS b_id "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.3"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, CAST(round(list_cosine_similarity(e.embedding, q.qe) * 10000) AS BIGINT) AS sim_e4 "
+            "FROM embeddings e, q "
+            "ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id LIMIT 10"
+        ),
+    }

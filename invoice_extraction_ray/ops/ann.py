@@ -1,0 +1,122 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``ann_topk``: brute-force cosine top-k — the exactness baseline.  The query
+  matrix is broadcast once (ray.put) and every batch does one numpy matmul;
+  global top-k via sort + limit (SQL-oracled with list_cosine_similarity).
+- ``lsh_topk``: the scale path — random-hyperplane LSH bucketing; queries probe
+  only matching buckets (multi-probe over Hamming-1 neighbors).  Approximate by
+  design; tests measure recall vs the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _load_query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    idx = tbl.column("vec_id").to_pylist().index(vec_id)
+    return np.asarray(tbl.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+def ann_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> ray.data.Dataset:
+    """Exact cosine top-k of every vector vs the query (vec_id=0's embedding)."""
+    q = _load_query_vec(sf_dir, query_vec_id)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    q_ref = ray.put(qn)
+
+    class Score:
+        def __init__(self, r):
+            self.q = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+            norms = np.maximum(np.linalg.norm(m, axis=1), 1e-30)
+            sims = (m @ self.q) / norms
+            return pa.table({"vec_id": t.column("vec_id"), "sim": pa.array(sims)})
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    scored = ds.map_batches(
+        Score, fn_constructor_kwargs={"r": q_ref}, batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
+
+    def to_e4(t: pa.Table) -> pa.Table:
+        # fixed-point 1e-4 units: float round-trips differ between engines
+        e4 = pc.cast(
+            pc.round(
+                pc.multiply(t.column("sim"), 10_000.0),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table({"vec_id": t.column("vec_id"), "sim_e4": e4})
+
+    return top.map_batches(to_e4, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed variant (scale path)
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 6
+_plane_rng = np.random.RandomState(987654321)  # fixed model parameters
+
+
+def _planes(dim: int) -> np.ndarray:
+    rng = np.random.RandomState(987654321)
+    return rng.normal(size=(_N_PLANES, dim))
+
+
+def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes.T) > 0
+    return (bits.astype(np.int64) * (1 << np.arange(_N_PLANES, dtype=np.int64))).sum(axis=1)
+
+
+def lsh_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> ray.data.Dataset:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    Hamming distance 1 of the query's bucket (multi-probe)."""
+    q = _load_query_vec(sf_dir, query_vec_id)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    planes = _planes(q.shape[0])
+    q_bucket = int(_bucket_of(qn[None, :], planes)[0])
+    probe = {q_bucket} | {q_bucket ^ (1 << i) for i in range(_N_PLANES)}
+    state_ref = ray.put((qn, planes, probe))
+
+    class ProbeScore:
+        def __init__(self, r):
+            self.q, self.planes, self.probe = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+            vid = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+            norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            mn = m / norms
+            buckets = _bucket_of(mn, self.planes)
+            mask = np.isin(buckets, list(self.probe))
+            sims = mn[mask] @ self.q
+            return pa.table(
+                {
+                    "vec_id": pa.array(vid[mask]),
+                    "sim_e4": pa.array(np.floor(sims * 10_000.0 + 0.5).astype(np.int64)),
+                }
+            )
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    scored = ds.map_batches(
+        ProbeScore, fn_constructor_kwargs={"r": state_ref}, batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return scored.sort(["sim_e4", "vec_id"], descending=[True, False]).limit(k)

@@ -1,0 +1,260 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, embedding-cosine.
+
+Exact dedup lives in ops.relational (hash-partition + per-group first).  The
+near-dup family here follows the ray_guide sketch pattern: per-batch sketching
+(vectorized numpy), explode to (band, band_hash, doc_id) rows, shuffle ONLY
+those tiny sketch rows (never the documents), group by band bucket, emit
+candidate pairs, then verify with true Jaccard.
+
+Scale notes: the shuffled payload is O(docs x bands x 8 bytes); verification
+fetches texts for candidate pairs only.  At test scale we broadcast the text
+column (documents is a small table); at 100 TB the verify step becomes a
+hash-partitioned join of pair rows against the corpus on doc_id — the
+candidate-pair generation is unchanged.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+# deterministic universal-hash parameters for minhash permutations
+_MH_PRIME = (1 << 61) - 1
+N_PERM = 64
+N_BANDS = 16  # 16 bands x 4 rows
+ROWS_PER_BAND = N_PERM // N_BANDS
+_rng = np.random.RandomState(1234567)  # fixed seed: parameters, not data
+_MH_A = _rng.randint(1, _MH_PRIME, size=N_PERM, dtype=np.int64)
+_MH_B = _rng.randint(0, _MH_PRIME, size=N_PERM, dtype=np.int64)
+
+SHINGLE_W = 3  # word 3-grams
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def shingle_hashes(text: str) -> np.ndarray:
+    toks = (text or "").split()
+    if len(toks) < SHINGLE_W:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + SHINGLE_W]) for i in range(len(toks) - SHINGLE_W + 1)]
+    if not grams:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(
+        np.array([zlib.crc32(g.encode()) for g in grams], dtype=np.int64)
+    )
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    h = shingle_hashes(text)
+    if h.size == 0:
+        return np.full(N_PERM, _MH_PRIME - 1, dtype=np.int64)
+    # (a*x + b) mod p for all perms x all shingles, min per perm — vectorized
+    vals = (np.multiply.outer(_MH_A, h) + _MH_B[:, None]) % _MH_PRIME
+    return vals.min(axis=1)
+
+
+def jaccard(a: str, b: str) -> float:
+    ha, hb = set(shingle_hashes(a).tolist()), set(shingle_hashes(b).tolist())
+    if not ha and not hb:
+        return 1.0
+    inter = len(ha & hb)
+    union = len(ha | hb)
+    return inter / union if union else 0.0
+
+
+class MinHasher:
+    """Actor stage: text -> exploded (band, band_hash, doc_id) sketch rows."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out_doc, out_band, out_hash = [], [], []
+        for d, s in zip(doc_ids, texts):
+            sig = minhash_signature(s)
+            for b in range(N_BANDS):
+                chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+                bh = zlib.crc32(chunk.tobytes())
+                out_doc.append(d)
+                out_band.append(b)
+                out_hash.append(bh)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.int64()),
+            }
+        )
+
+
+def minhash_candidate_pairs(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """LSH bucketing: docs sharing any band bucket become candidate pairs."""
+    sketches = docs.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 4))
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        ids = sorted(set(t.column("doc_id").to_pylist()))
+        a_ids, b_ids = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_ids.append(ids[i])
+                b_ids.append(ids[j])
+        return pa.table(
+            {"a_id": pa.array(a_ids, pa.int64()), "b_id": pa.array(b_ids, pa.int64())}
+        )
+
+    pairs = (
+        sketches.groupby(["band", "band_hash"])
+        .map_groups(emit_pairs, batch_format="pyarrow")
+    )
+    # distinct pairs (a doc pair can collide in many bands)
+    from ray.data.aggregate import Count
+
+    return (
+        pairs.groupby(["a_id", "b_id"])
+        .aggregate(Count(alias_name="n_bands"))
+        .select_columns(["a_id", "b_id"])
+    )
+
+
+def minhash_neardup(
+    source, jaccard_threshold: float = 0.8
+) -> ray.data.Dataset:
+    """Near-duplicate pairs with verified Jaccard >= threshold.
+
+    ``source``: a Dataset or pa.Table with (doc_id, text).  Texts for
+    verification are broadcast via ray.put (small corpus); see module
+    docstring for the at-scale join variant.
+    """
+    if isinstance(source, pa.Table):
+        docs_tbl = source
+        docs = ray.data.from_arrow(source)
+    else:
+        docs = source
+        refs = source.to_arrow_refs()
+        docs_tbl = pa.concat_tables([ray.get(r) for r in refs])
+    text_of = dict(
+        zip(docs_tbl.column("doc_id").to_pylist(), docs_tbl.column("text").to_pylist())
+    )
+    text_ref = ray.put(text_of)
+
+    class Verify:
+        def __init__(self, ref, thr):
+            self.text_of = ray.get(ref)
+            self.thr = thr
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            a = t.column("a_id").to_pylist()
+            b = t.column("b_id").to_pylist()
+            ja = [
+                round(jaccard(self.text_of.get(x, ""), self.text_of.get(y, "")), 4)
+                for x, y in zip(a, b)
+            ]
+            out = pa.table(
+                {
+                    "a_id": t.column("a_id"),
+                    "b_id": t.column("b_id"),
+                    "jaccard": pa.array(ja, pa.float64()),
+                }
+            )
+            import pyarrow.compute as pc
+
+            return out.filter(pc.greater_equal(out.column("jaccard"), self.thr))
+
+    pairs = minhash_candidate_pairs(docs)
+    return pairs.map_batches(
+        Verify,
+        fn_constructor_kwargs={"ref": text_ref, "thr": jaccard_threshold},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) — near-dup signature; Hamming-close signatures ~ similar docs
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    toks = (text or "").split()
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in toks:
+        h = zlib.crc32(tok.encode()) | (zlib.crc32(tok[::-1].encode()) << 32)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    # wrap to signed int64 for Arrow
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def simhashes(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        hs = pa.array(
+            [simhash64(s) for s in t.column("text").to_pylist()], pa.int64()
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "simhash": hs})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (blockwise matmul against broadcast matrix)
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
+    """Pairs (a_id < b_id) with cosine similarity > threshold.
+
+    The full (small) embedding matrix is broadcast once; each batch computes
+    its block of the similarity matrix with one matmul.  At larger scale the
+    broadcast side becomes LSH/IVF buckets (see ops.ann).
+    """
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    ref = ray.put((ids, mat))
+
+    class Block:
+        def __init__(self, r, thr):
+            self.ids, self.mat = ray.get(r)
+            self.thr = thr
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            bid = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+            bm = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+            bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-30)
+            sims = bm @ self.mat.T  # |batch| x |corpus|
+            bi, cj = np.nonzero(sims > self.thr)
+            a = bid[bi]
+            b = self.ids[cj]
+            keep = a < b  # each unordered pair once, no self-pairs
+            return pa.table(
+                {
+                    "a_id": pa.array(a[keep]),
+                    "b_id": pa.array(b[keep]),
+                }
+            )
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        Block,
+        fn_constructor_kwargs={"r": ref, "thr": threshold},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+    )

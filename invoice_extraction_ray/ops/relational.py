@@ -1,0 +1,467 @@
+"""Generic relational operator library over the testdata tables.
+
+Each function takes ``sf_dir`` (a /root/testdata/sf* directory) and returns a
+lazy ``ray.data.Dataset`` (or a small pyarrow Table for global aggregates).
+Every function here has a DuckDB oracle in ``__ray_entry__.oracle_sql()`` —
+the driver's correctness gate — and maps to a SURVEY.md §2 operator family
+(noted per function).
+
+Scale discipline (SURVEY.md §4, ray_guide):
+- column pruning at the read (``read_parquet(columns=...)``)
+- vectorized Arrow kernels inside ``map_batches`` — no per-row Python in hot paths
+- partial aggregation before every groupby where the key space is small
+- broadcast (``ray.put`` / closure capture) for small sides instead of shuffles
+- ``Dataset.join`` (hash-partitioned) only when both sides are genuinely large
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _fixed_point(ds, cols: dict[str, int]):
+    """Convert float columns to fixed-point int64 (col -> scale, e.g. 100 =
+    cents).  Fractional doubles rounded to N digits land on *adjacent* doubles
+    depending on the engine (pc.round vs DuckDB ROUND), so value-hash
+    comparison of float aggregates is unstable — integers are exact.  Round
+    mode half_towards_infinity == DuckDB's ROUND (half away from zero)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        for c, scale in cols.items():
+            i = t.column_names.index(c)
+            v = pc.round(
+                pc.multiply(pc.cast(t.column(c), pa.float64()), float(scale)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            )
+            t = t.set_column(i, c, pc.cast(v, pa.int64()))
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# A1: global coverage summary (partial-per-batch + tiny final combine;
+#     reference executable.py:155-181)
+# ---------------------------------------------------------------------------
+
+
+def coverage_summary(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["text", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "total": pa.array([t.num_rows], pa.int64()),
+                "n_text": pa.array([t.num_rows - t.column("text").null_count], pa.int64()),
+                "sum_chars": pa.array(
+                    [pc.sum(t.column("n_chars")).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    total = sum(p["total"] for p in parts)
+    n_text = sum(p["n_text"] for p in parts)
+    sum_chars = sum(p["sum_chars"] for p in parts)
+    return pa.table(
+        {
+            "total": pa.array([total], pa.int64()),
+            "n_text": pa.array([n_text], pa.int64()),
+            "avg_chars": pa.array([int(sum_chars / total * 10_000 + 0.5)], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7: grouped stats (groupby + Mean/Std/Count; reference EDA notebook)
+# ---------------------------------------------------------------------------
+
+
+def groupby_stats(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value"),
+        Mean("value", alias_name="avg_value"),
+        Std("value", ddof=1, alias_name="std_value"),
+    )
+    return _fixed_point(out, {"sum_value": 100, "avg_value": 10_000, "std_value": 10_000})
+
+
+# ---------------------------------------------------------------------------
+# A3: dimension-lookup + severity rollup (reference error_analysis.py:159-200)
+# ---------------------------------------------------------------------------
+
+SEVERITY_MAP = {
+    "error": "high",
+    "purchase": "high",
+    "signup": "medium",
+    "click": "low",
+    "view": "low",
+}
+
+
+def severity_rollup(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
+
+    def add_sev(t: pa.Table) -> pa.Table:
+        # tiny-dimension lookup, map-side (broadcast semantics; no shuffle)
+        et = t.column("event_type")
+        sev = pc.case_when(
+            pc.make_struct(
+                pc.is_in(et, value_set=pa.array(["error", "purchase"])),
+                pc.is_in(et, value_set=pa.array(["signup"])),
+            ),
+            "high",
+            "medium",
+            "low",
+        )
+        return t.append_column("severity", sev)
+
+    out = (
+        ds.map_batches(add_sev, batch_format="pyarrow")
+        .groupby("severity")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    return _fixed_point(out, {"sum_value": 100})
+
+
+# ---------------------------------------------------------------------------
+# A4: bucketize + per-bin aggregate (reference error_analysis.py:288-335)
+# ---------------------------------------------------------------------------
+
+BIN_EDGES = [50.0, 100.0, 200.0]  # bins: <50, <100, <200, >=200
+
+
+def value_bins(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["value"])
+
+    def add_bin(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        b = pc.case_when(
+            pc.make_struct(
+                pc.less(v, BIN_EDGES[0]),
+                pc.less(v, BIN_EDGES[1]),
+                pc.less(v, BIN_EDGES[2]),
+            ),
+            "b0_lt50",
+            "b1_lt100",
+            "b2_lt200",
+            "b3_ge200",
+        )
+        return t.append_column("bin", b)
+
+    out = (
+        ds.map_batches(add_bin, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Count(alias_name="n"), Mean("value", alias_name="avg_value"))
+    )
+    return _fixed_point(out, {"avg_value": 10_000})
+
+
+# ---------------------------------------------------------------------------
+# A8/O3: top-k with deterministic tie-break (sort + limit)
+# ---------------------------------------------------------------------------
+
+
+def topk_docs(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "documents"), columns=["doc_id", "n_chars", "lang"]
+    )
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# M-layer + A1: filter -> computed column -> grouped aggregate (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+Q6_CUTOFF = "1997-01-01"
+
+
+def pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+    cutoff = pa.scalar(Q6_CUTOFF).cast(pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
+        disc = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(1.0, t.column("l_discount"))
+        )
+        return t.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="n"),
+        )
+    )
+    return _fixed_point(
+        out,
+        {"sum_qty": 100, "sum_base_price": 100, "sum_disc_price": 100, "avg_qty": 10_000},
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J2: broadcast hash join (small dimension shipped once via ray.put;
+#     reference validators.py:134-200 lookup-join semantics)
+# ---------------------------------------------------------------------------
+
+
+def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup = dict(
+        zip(
+            cust.column("c_custkey").to_pylist(),
+            cust.column("c_mktsegment").to_pylist(),
+        )
+    )
+    lookup_ref = ray.put(lookup)  # broadcast once; tasks read from object store
+
+    class SegmentJoiner:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+            self.keys = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            seg = pa.array([self.lookup.get(int(k)) for k in ck], pa.string())
+            return t.append_column("c_mktsegment", seg)
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+    out = (
+        ds.map_batches(
+            SegmentJoiner,
+            fn_constructor_kwargs={"ref": lookup_ref},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_totalprice"))
+    )
+    return _fixed_point(out, {"sum_totalprice": 100})
+
+
+# ---------------------------------------------------------------------------
+# J-layer: large x large hash-partitioned join (Dataset.join)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_order_priority(sf_dir: str, num_partitions: int = 16) -> ray.data.Dataset:
+    li = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice"]
+    )
+    orders = ray.data.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    out = joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_items"), Sum("l_extendedprice", alias_name="sum_price")
+    )
+    return _fixed_point(out, {"sum_price": 100})
+
+
+# ---------------------------------------------------------------------------
+# D-layer: exact dedup (hash-partition + per-group first; ray_guide pattern)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        hs = pa.array(
+            [
+                hashlib.sha256((s or "").encode()).hexdigest()
+                for s in t.column("text").to_pylist()
+            ],
+            pa.string(),
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "h": hs})
+
+    out = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+    )
+    return out.select_columns(["doc_id", "n_copies"])
+
+
+# ---------------------------------------------------------------------------
+# A10: distinct over a composite key
+# ---------------------------------------------------------------------------
+
+
+def distinct_lang_source(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["lang", "source"])
+
+    # per-batch distinct first (partial), then the tiny global groupby
+    def local_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["lang", "source"]).aggregate([])
+
+    return (
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["lang", "source"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 streaming analogue: event-time tumbling window rollup
+# ---------------------------------------------------------------------------
+
+
+def hourly_rollup(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["ts", "event_type", "value"]
+    )
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        return t.append_column("hour", pc.floor_temporal(t.column("ts"), unit="hour"))
+
+    out = (
+        ds.map_batches(add_hour, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    return _fixed_point(out, {"sum_value": 100})
+
+
+# ---------------------------------------------------------------------------
+# §2.9 streaming analogue: sessionization via per-key ordered map_groups
+# (partitioning assumption: one group = one user_id, sorted by ts inside)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize(sf_dir: str) -> ray.data.Dataset:
+    import pandas as pd
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new_session = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": pd.array([len(g)], dtype="int64"),
+                "n_sessions": pd.array([int(new_session.sum())], dtype="int64"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# J3/J4: range predicate against a broadcast dimension (band join)
+# ---------------------------------------------------------------------------
+
+
+def price_in_band(sf_dir: str) -> ray.data.Dataset:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        _pq(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_retailprice"]
+    )
+    brand_of = dict(
+        zip(part.column("p_partkey").to_pylist(), part.column("p_brand").to_pylist())
+    )
+    retail_of = dict(
+        zip(
+            part.column("p_partkey").to_pylist(),
+            part.column("p_retailprice").to_pylist(),
+        )
+    )
+    ref = ray.put((brand_of, retail_of))
+
+    class BandJoin:
+        def __init__(self, r):
+            self.brand_of, self.retail_of = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            brands = [self.brand_of[int(k)] for k in pk]
+            retail = np.array([self.retail_of[int(k)] for k in pk])
+            in_band = (price >= 0.5 * retail) & (price <= 1.5 * retail)
+            return pa.table(
+                {
+                    "p_brand": pa.array(brands, pa.string()),
+                    "in_band": pa.array(in_band.astype("int64")),
+                }
+            )
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_partkey", "l_extendedprice"]
+    )
+    return (
+        ds.map_batches(
+            BandJoin, fn_constructor_kwargs={"r": ref}, batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .groupby("p_brand")
+        .aggregate(Count(alias_name="n_total"), Sum("in_band", alias_name="n_in_band"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# set ops: union + rollup
+# ---------------------------------------------------------------------------
+
+
+def union_lang_counts(sf_dir: str) -> ray.data.Dataset:
+    a = ray.data.read_parquet(
+        _pq(sf_dir, "documents"),
+        columns=["lang", "n_chars"],
+        filter=(pc.field("lang") == "en"),
+    )
+    b = ray.data.read_parquet(
+        _pq(sf_dir, "documents"),
+        columns=["lang", "n_chars"],
+        filter=(pc.field("n_chars") > 300),
+    )
+    return a.union(b).groupby("lang").aggregate(Count(alias_name="n"))

@@ -1,0 +1,158 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Token counting, language-ID (stopword/char-profile heuristic), quality
+scoring, and document fingerprinting — each over the ``documents`` table,
+vectorized per batch, embarrassingly parallel (no shuffles).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_TOKEN_RE = r"\S+"
+_WORD_RE = re.compile(r"[a-zA-Z']+")
+
+# tiny per-language stopword profiles (public common-word lists)
+LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "los", "se", "no"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"},
+    "fr": {"le", "la", "de", "et", "les", "des", "est", "un", "une", "que"},
+}
+CJK_RANGE = (0x4E00, 0x9FFF)
+STOPWORDS_EN = LANG_PROFILES["en"]
+
+# 64-bit rolling-hash parameters (deterministic, no RNG)
+_FP_BASE = 1_000_003
+_FP_MOD = (1 << 61) - 1
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def token_count(sf_dir: str) -> ray.data.Dataset:
+    """doc_id, n_tokens — count of \\S+ runs (SQL-oracled via
+    regexp_extract_all)."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(pc.fill_null(t.column("text"), ""), _TOKEN_RE),
+            pa.int64(),
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "n_tokens": n})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _predict_lang(text: str) -> str:
+    if not text:
+        return "und"
+    cjk = sum(1 for ch in text if CJK_RANGE[0] <= ord(ch) <= CJK_RANGE[1])
+    if cjk / max(1, len(text)) > 0.2:
+        return "zh"
+    words = _WORD_RE.findall(text.lower())
+    if not words:
+        return "und"
+    best_lang, best_hits = "und", 0
+    for lang in sorted(LANG_PROFILES):  # sorted: deterministic tie-break
+        hits = sum(1 for w in words if w in LANG_PROFILES[lang])
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang
+
+
+class LangId:
+    """Actor-pool language-ID stage (profiles are per-actor state)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds = pa.array(
+            [_predict_lang(s) for s in t.column("text").to_pylist()], pa.string()
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "lang_pred": preds})
+
+
+def langid(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def quality_features(sf_dir: str) -> ray.data.Dataset:
+    """doc_id + length/punctuation/stopword/uppercase ratios + composite score
+    (reference confidence-scoring analogue, vectorized with Arrow kernels)."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column("text"), "")
+        n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+        n_tokens = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.float64())
+        n_punct = pc.cast(
+            pc.count_substring_regex(text, r"[.,;:!?]"), pa.float64()
+        )
+        n_upper = pc.cast(pc.count_substring_regex(text, r"[A-Z]"), pa.float64())
+        # stopword hits need tokenization — do it in numpy/python per batch
+        stop_ratio = np.array(
+            [
+                (
+                    sum(1 for w in _WORD_RE.findall(s.lower()) if w in STOPWORDS_EN)
+                    / max(1, len(_WORD_RE.findall(s.lower())))
+                )
+                for s in text.to_pylist()
+            ]
+        )
+        denom = pc.max_element_wise(n_chars, pa.scalar(1.0))
+        punct_ratio = pc.round(pc.divide(n_punct, denom), ndigits=4)
+        upper_ratio = pc.round(pc.divide(n_upper, denom), ndigits=4)
+        stop_r = pa.array(np.round(stop_ratio, 4))
+        score = pc.round(
+            pc.add(
+                pc.multiply(pa.array(stop_ratio), 0.5),
+                pc.add(
+                    pc.multiply(pc.min_element_wise(pc.divide(n_tokens, 100.0), pa.scalar(1.0)), 0.4),
+                    pc.multiply(pc.subtract(1.0, pc.min_element_wise(punct_ratio, pa.scalar(1.0))), 0.1),
+                ),
+            ),
+            ndigits=4,
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": pc.cast(n_chars, pa.int64()),
+                "n_tokens": pc.cast(n_tokens, pa.int64()),
+                "punct_ratio": punct_ratio,
+                "upper_ratio": upper_ratio,
+                "stop_ratio": stop_r,
+                "quality_score": score,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def fingerprint64(text: str) -> int:
+    """Deterministic rolling hash over whitespace tokens (mod 2^61-1)."""
+    h = 0
+    for tok in (text or "").split():
+        th = 0
+        for b in tok.encode("utf-8"):
+            th = (th * 131 + b) % _FP_MOD
+        h = (h * _FP_BASE + th + 1) % _FP_MOD
+    return h
+
+
+def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        fps = pa.array(
+            [fingerprint64(s) for s in t.column("text").to_pylist()], pa.int64()
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "fp": fps})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

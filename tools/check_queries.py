@@ -1,0 +1,99 @@
+"""Driver-style correctness check: run each __ray_entry__ query at a given sf
+and compare to its DuckDB oracle (row count + column names + order-insensitive
+values).  Usage: PYTHONPATH=. python tools/check_queries.py [sf_dir] [names...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+import ray
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    ray.init(
+        address="local", num_cpus=8, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, ".")
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            res = canon(to_pandas(fn(sf_dir)))
+        except Exception as ex:
+            failures.append(name)
+            print(f"[ERR ] {name}: {type(ex).__name__}: {ex}")
+            continue
+        if name not in oracles:
+            print(f"[rows] {name}: {len(res)} rows, cols={list(res.columns)}")
+            continue
+        exp = canon(con.sql(oracles[name]).df())
+        ok_rows = len(res) == len(exp)
+        ok_cols = list(res.columns) == list(exp.columns)
+        ok_vals = False
+        if ok_rows and ok_cols:
+            try:
+                pd.testing.assert_frame_equal(
+                    res, exp, check_dtype=False, check_exact=True
+                )
+                ok_vals = True
+            except AssertionError as ex:
+                msg = str(ex).splitlines()
+                print(f"[DIFF] {name}:", *msg[:6], sep="\n   ")
+        status = "OK  " if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        if status == "FAIL":
+            failures.append(name)
+            print(
+                f"[{status}] {name}: rows {len(res)}/{len(exp)} cols "
+                f"{list(res.columns)} vs {list(exp.columns)}"
+            )
+        else:
+            print(f"[{status}] {name}: {len(res)} rows")
+    ray.shutdown()
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("ALL OK")
+
+
+if __name__ == "__main__":
+    main()
