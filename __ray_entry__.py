@@ -21,12 +21,16 @@ FLAT_COLUMNS = ["conv_id", "turn_idx", "extracted_text", "confidence", "notes"]
 
 def _flagship(sf_dir: str):
     """Extraction pipeline over the deterministic transcript corpus matched to
-    sf_dir's scale; flat projection (nested spans/fields stay in pytest)."""
+    sf_dir's scale; flat projection (nested spans/fields stay in pytest).
+
+    seal_strategy="aligned": the corpus writer guarantees every conversation
+    is contained in one shard, so the zero-shuffle per-shard seal applies
+    (general inputs use the default global sort — see build_pipeline)."""
     from invoice_extraction_ray.corpus import transcripts_for
     from invoice_extraction_ray.pipelines.extract import build_pipeline
 
     paths = transcripts_for(sf_dir)
-    ds = build_pipeline(paths)
+    ds = build_pipeline(paths, seal_strategy="aligned")
     return ds.select_columns(FLAT_COLUMNS)
 
 
@@ -53,13 +57,12 @@ def _error_categories(sf_dir: str):
     return error_categories(ds)
 
 
-def _minhash_neardup(sf_dir: str):
-    """Near-dup detection needs actual near-duplicates: plant perturbed copies
-    of every 25th document (deterministic), then find them."""
+def _planted_docs(sf_dir: str):
+    """Documents + planted near-duplicates: a perturbed copy of every 25th
+    document (one token dropped near the middle — deterministic), so the
+    near-dup operators have true positives to find."""
     import pyarrow as pa
     import pyarrow.parquet as pq
-
-    from invoice_extraction_ray.ops.dedup import minhash_neardup
 
     docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ids = docs.column("doc_id").to_pylist()
@@ -68,17 +71,54 @@ def _minhash_neardup(sf_dir: str):
     for i, (d, s) in enumerate(zip(ids, texts)):
         if i % 25 == 0 and s:
             toks = s.split()
-            # drop one token near the middle: a true near-duplicate
             del toks[len(toks) // 2]
             dup_ids.append(d + 10_000_000)
             dup_texts.append(" ".join(toks))
-    planted = pa.table(
+    return pa.table(
         {
             "doc_id": pa.array(ids + dup_ids, pa.int64()),
             "text": pa.array(texts + dup_texts, pa.string()),
         }
     )
-    return minhash_neardup(planted, jaccard_threshold=0.8)
+
+
+def _minhash_neardup(sf_dir: str):
+    from invoice_extraction_ray.ops.dedup import minhash_neardup
+
+    return minhash_neardup(_planted_docs(sf_dir), jaccard_threshold=0.8)
+
+
+def _simhash_neardup(sf_dir: str):
+    from invoice_extraction_ray.ops.dedup import simhash_neardup
+
+    return simhash_neardup(_planted_docs(sf_dir), max_hamming=3)
+
+
+def _pseudo_labels(sf_dir: str):
+    from invoice_extraction_ray.corpus import transcripts_for
+    from invoice_extraction_ray.pipelines.extract import build_pipeline
+    from invoice_extraction_ray.pipelines.metrics import pseudo_labels
+
+    ds = build_pipeline(transcripts_for(sf_dir), seal=False)
+    return pseudo_labels(ds)
+
+
+def _confidence_bins(sf_dir: str):
+    from invoice_extraction_ray.corpus import transcripts_for
+    from invoice_extraction_ray.pipelines.extract import build_pipeline
+    from invoice_extraction_ray.pipelines.metrics import confidence_bins
+
+    ds = build_pipeline(transcripts_for(sf_dir), seal=False)
+    return confidence_bins(ds)
+
+
+def _worst_turns(sf_dir: str):
+    from invoice_extraction_ray.corpus import transcripts_for
+    from invoice_extraction_ray.pipelines.extract import build_pipeline
+    from invoice_extraction_ray.pipelines.metrics import worst_turns
+
+    ds = build_pipeline(transcripts_for(sf_dir), seal=False)
+    return worst_turns(ds)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -90,6 +130,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_turns": _flagship,
         "extract_field_coverage": _extract_metrics,
         "extract_error_categories": _error_categories,
+        "extract_pseudo_labels": _pseudo_labels,
+        "extract_confidence_bins": _confidence_bins,
+        "extract_worst_turns": _worst_turns,
         # relational operator library (all SQL-oracled)
         "coverage_summary": relational.coverage_summary,
         "groupby_stats": relational.groupby_stats,
@@ -113,10 +156,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "minhash_neardup": _minhash_neardup,            # rows-only
         "simhashes": dedup.simhashes,                   # rows-only
+        "simhash_neardup": _simhash_neardup,            # rows-only
         "embedding_neardup": lambda sf: dedup.embedding_neardup(sf, threshold=0.3),  # SQL-oracled
         # similarity search
         "ann_topk": ann.ann_topk,                       # SQL-oracled
         "lsh_ann_topk": ann.lsh_topk,                   # rows-only (approximate)
+        "ivf_ann_topk": ann.ivf_topk,                   # rows-only (approximate)
         # multimodal plumbing (stubbed decode)
         "media_metadata": media_metadata,               # rows-only
     }

@@ -17,6 +17,10 @@ SF_CONVS = {
     "sf0.001": 150,
     "sf0.01": 1500,
     "sf0.1": 15000,
+    # dedicated --scaling corpus: ~8x sf0.1 (~1.1M turns) so the job carries
+    # enough compute to amortize fixed costs (actor startup, sort sampling)
+    # at both parallelism levels
+    "scaling": 120000,
 }
 SEED = 42
 CACHE_ROOT = os.environ.get("IER_CORPUS_CACHE", "/tmp/ier_transcripts")

@@ -320,10 +320,12 @@ def write_transcripts_parquet(
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    paths = []
-    shard = 0
-    for lo in range(0, n_convs, convs_per_file):
-        hi = min(lo + convs_per_file, n_convs)
+    shards = [
+        (shard, lo, min(lo + convs_per_file, n_convs))
+        for shard, lo in enumerate(range(0, n_convs, convs_per_file))
+    ]
+
+    def _write_shard(shard: int, lo: int, hi: int) -> str:
         rows: list[dict] = []
         for i in range(lo, hi):
             rows.extend(gen_conversation(seed, i, mean_turns))
@@ -333,6 +335,18 @@ def write_transcripts_parquet(
         rows = [rows[i] for i in order]
         path = os.path.join(out_dir, f"transcripts-{shard:05d}.parquet")
         pq.write_table(rows_to_table(rows), path)
-        paths.append(path)
-        shard += 1
-    return paths
+        return path
+
+    # fan shard generation out over Ray when a session exists and the corpus
+    # is big enough to matter — each shard is a pure function of its inputs,
+    # so parallel and serial generation are bit-identical
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(shards) > 1
+    except ImportError:  # pragma: no cover
+        use_ray = False
+    if use_ray:
+        gen_task = ray.remote(_write_shard)
+        return ray.get([gen_task.remote(s, lo, hi) for s, lo, hi in shards])
+    return [_write_shard(s, lo, hi) for s, lo, hi in shards]

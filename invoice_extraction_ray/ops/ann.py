@@ -85,6 +85,72 @@ def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return (bits.astype(np.int64) * (1 << np.arange(_N_PLANES, dtype=np.int64))).sum(axis=1)
 
 
+def _kmeans_lite(mat: np.ndarray, n_list: int, iters: int = 8) -> np.ndarray:
+    """Deterministic mini k-means for IVF coarse centroids (seeded init from
+    evenly-spaced sample rows; no RNG over data)."""
+    idx = np.linspace(0, len(mat) - 1, n_list).astype(np.int64)
+    cents = mat[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)  # cosine on unit vectors
+        for c in range(n_list):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-30)
+    return cents
+
+
+def ivf_topk(
+    sf_dir: str,
+    k: int = 10,
+    query_vec_id: int = 0,
+    n_list: int = 16,
+    n_probe: int = 4,
+) -> ray.data.Dataset:
+    """IVF (inverted-file) ANN: coarse k-means centroids partition the corpus;
+    queries score only vectors whose nearest centroid is among the query's
+    ``n_probe`` closest centroids.  The centroid model is trained once on the
+    driver from a bounded sample and broadcast; each batch does two matmuls
+    (assign + score).  At 100 TB the training sample stays bounded
+    (reservoir-style) and assignment is the same per-batch map."""
+    import pyarrow.parquet as pq_mod
+
+    tbl = pq_mod.read_table(_pq(sf_dir, "embeddings"), columns=["embedding"])
+    sample = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    cents = _kmeans_lite(sample, n_list)
+
+    q = _load_query_vec(sf_dir, query_vec_id)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    probe = set(np.argsort(-(cents @ qn))[:n_probe].tolist())
+    state_ref = ray.put((qn, cents, probe))
+
+    class IvfScore:
+        def __init__(self, r):
+            self.q, self.cents, self.probe = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+            vid = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            assign = np.argmax(mn @ self.cents.T, axis=1)
+            mask = np.isin(assign, list(self.probe))
+            sims = mn[mask] @ self.q
+            return pa.table(
+                {
+                    "vec_id": pa.array(vid[mask]),
+                    "sim_e4": pa.array(np.floor(sims * 10_000.0 + 0.5).astype(np.int64)),
+                }
+            )
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    scored = ds.map_batches(
+        IvfScore, fn_constructor_kwargs={"r": state_ref}, batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return scored.sort(["sim_e4", "vec_id"], descending=[True, False]).limit(k)
+
+
 def lsh_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> ray.data.Dataset:
     """Approximate top-k: score only vectors whose LSH bucket is within
     Hamming distance 1 of the query's bucket (multi-probe)."""
@@ -92,7 +158,13 @@ def lsh_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> ray.data.Datase
     qn = q / max(np.linalg.norm(q), 1e-30)
     planes = _planes(q.shape[0])
     q_bucket = int(_bucket_of(qn[None, :], planes)[0])
-    probe = {q_bucket} | {q_bucket ^ (1 << i) for i in range(_N_PLANES)}
+    # multi-probe out to Hamming radius 2 (~1/3 of buckets): random-vector
+    # corpora have near-orthogonal neighbors, so radius-1 probing misses badly
+    probe = {q_bucket}
+    for i in range(_N_PLANES):
+        probe.add(q_bucket ^ (1 << i))
+        for j in range(i + 1, _N_PLANES):
+            probe.add(q_bucket ^ (1 << i) ^ (1 << j))
     state_ref = ray.put((qn, planes, probe))
 
     class ProbeScore:

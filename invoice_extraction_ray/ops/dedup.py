@@ -209,6 +209,73 @@ def simhashes(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+SIMHASH_BANDS = 4  # 4 x 16-bit bands: any pair with Hamming <= 3 shares a band
+
+
+def simhash_neardup(source, max_hamming: int = 3) -> ray.data.Dataset:
+    """Near-duplicate pairs by SimHash: pigeonhole-banded candidate generation
+    (a pair within Hamming distance ``max_hamming`` < SIMHASH_BANDS must agree
+    exactly on at least one 16-bit band), then exact popcount verification.
+    Shuffles only (band, band_val, doc_id, simhash) sketch rows — never text.
+
+    ``source``: Dataset or pa.Table with (doc_id, text).
+    """
+    if isinstance(source, pa.Table):
+        docs = ray.data.from_arrow(source)
+    else:
+        docs = source
+
+    def sketch(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        hs = [simhash64(s) for s in t.column("text").to_pylist()]
+        out = {"doc_id": [], "band": [], "band_val": [], "simhash": []}
+        for d, h in zip(ids, hs):
+            u = h & ((1 << 64) - 1)
+            for b in range(SIMHASH_BANDS):
+                out["doc_id"].append(d)
+                out["band"].append(b)
+                out["band_val"].append((u >> (16 * b)) & 0xFFFF)
+                out["simhash"].append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "band": pa.array(out["band"], pa.int32()),
+                "band_val": pa.array(out["band_val"], pa.int32()),
+                "simhash": pa.array(out["simhash"], pa.int64()),
+            }
+        )
+
+    def emit_verified(t: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(t.column("doc_id").to_pylist(), t.column("simhash").to_pylist())
+        )
+        a_ids, b_ids, dists = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d = int.bit_count((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1))
+                if d <= max_hamming and rows[i][0] != rows[j][0]:
+                    a_ids.append(rows[i][0])
+                    b_ids.append(rows[j][0])
+                    dists.append(d)
+        return pa.table(
+            {
+                "a_id": pa.array(a_ids, pa.int64()),
+                "b_id": pa.array(b_ids, pa.int64()),
+                "hamming": pa.array(dists, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    pairs = (
+        docs.map_batches(sketch, batch_format="pyarrow")
+        .groupby(["band", "band_val"])
+        .map_groups(emit_verified, batch_format="pyarrow")
+    )
+    # a pair can agree on several bands — keep each once
+    return pairs.groupby(["a_id", "b_id"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (blockwise matmul against broadcast matrix)
 # ---------------------------------------------------------------------------

@@ -185,3 +185,14 @@ def worst_turns(out_ds: ray.data.Dataset, k: int = 10) -> ray.data.Dataset:
     return slim.sort(
         ["confidence", "conv_id", "turn_idx"], descending=[False, False, False]
     ).limit(k)
+
+
+PSEUDO_LABEL_MIN_CONF = 0.85
+
+
+def pseudo_labels(out_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """E18 analogue (reference consensus.py:196-222): high-confidence rows
+    become training pseudo-labels — a filtered side-output dataset."""
+    return out_ds.filter(
+        expr=f"confidence >= {PSEUDO_LABEL_MIN_CONF}"
+    ).select_columns(["conv_id", "turn_idx", "extracted_text", "confidence"])

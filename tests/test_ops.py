@@ -1,0 +1,157 @@
+"""Operator-library tests over the driver testdata (sf0.001) — recall and
+determinism properties for the dedup / ANN / text-analysis families.  The
+SQL-oracled operators are additionally verified against DuckDB by the driver
+(tools/check_queries.py replays that locally)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _planted(docs: pa.Table, every: int = 10):
+    """Plant a near-duplicate (one mid token dropped) of every Nth doc."""
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    dup_ids, dup_texts, expected = [], [], set()
+    for i, (d, s) in enumerate(zip(ids, texts)):
+        if i % every == 0 and s:
+            toks = s.split()
+            del toks[len(toks) // 2]
+            nd = d + 10_000_000
+            dup_ids.append(nd)
+            dup_texts.append(" ".join(toks))
+            expected.add((d, nd))
+    return (
+        pa.table(
+            {
+                "doc_id": pa.array(ids + dup_ids, pa.int64()),
+                "text": pa.array(texts + dup_texts, pa.string()),
+            }
+        ),
+        expected,
+    )
+
+
+def test_minhash_neardup_finds_planted_pairs():
+    from invoice_extraction_ray.ops.dedup import jaccard, minhash_neardup
+
+    planted, expected = _planted(_docs())
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_neardup(planted, jaccard_threshold=0.8).take_all()
+    }
+    # every expected pair truly above threshold must be found (banding with
+    # 16 bands x 4 rows has ~100% recall at j>=0.9; planted pairs are ~0.95)
+    text_of = dict(
+        zip(planted.column("doc_id").to_pylist(), planted.column("text").to_pylist())
+    )
+    truly_similar = {
+        (a, b) for a, b in expected if jaccard(text_of[a], text_of[b]) >= 0.8
+    }
+    assert truly_similar, "fixture must contain true near-duplicates"
+    assert truly_similar <= got
+    # and everything returned must verify
+    for a, b in got:
+        assert jaccard(text_of[a], text_of[b]) >= 0.8
+
+
+def test_simhash_neardup_finds_planted_pairs():
+    from invoice_extraction_ray.ops.dedup import simhash64, simhash_neardup
+
+    planted, expected = _planted(_docs())
+    text_of = dict(
+        zip(planted.column("doc_id").to_pylist(), planted.column("text").to_pylist())
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in simhash_neardup(planted, max_hamming=3).take_all()
+    }
+    truly_close = {
+        (a, b)
+        for a, b in expected
+        if int.bit_count(
+            (simhash64(text_of[a]) ^ simhash64(text_of[b])) & ((1 << 64) - 1)
+        )
+        <= 3
+    }
+    assert truly_close, "fixture must contain Hamming-close pairs"
+    # pigeonhole banding guarantees 100% recall at hamming <= bands-1
+    assert truly_close <= set(got)
+    for (a, b), h in got.items():
+        d = int.bit_count(
+            (simhash64(text_of[a]) ^ simhash64(text_of[b])) & ((1 << 64) - 1)
+        )
+        assert d == h <= 3
+
+
+def _brute_force_topk(k: int = 10) -> list[int]:
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl.column("vec_id").to_pylist())
+    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    q = mat[list(ids).index(0)]
+    sims = mat @ q
+    order = np.lexsort((ids, -sims))
+    return ids[order][:k].tolist()
+
+
+def test_ann_topk_matches_brute_force():
+    from invoice_extraction_ray.ops.ann import ann_topk
+
+    got = [r["vec_id"] for r in ann_topk(SF, k=10).take_all()]
+    assert got == _brute_force_topk(10)
+
+
+@pytest.mark.parametrize("variant", ["lsh", "ivf"])
+def test_approx_ann_recall(variant):
+    from invoice_extraction_ray.ops.ann import ivf_topk, lsh_topk
+
+    fn = lsh_topk if variant == "lsh" else ivf_topk
+    got = {r["vec_id"] for r in fn(SF, k=10).take_all()}
+    exact = set(_brute_force_topk(10))
+    # approximate by design: require the query itself + >=50% overlap
+    assert 0 in got
+    assert len(got & exact) >= 5
+
+
+def test_fingerprints_deterministic_and_distinct():
+    from invoice_extraction_ray.ops.text import fingerprint64
+
+    texts = [t for t in _docs().column("text").to_pylist() if t][:50]
+    fps = [fingerprint64(t) for t in texts]
+    assert fps == [fingerprint64(t) for t in texts]
+    assert len(set(fps)) == len(set(texts))
+    assert fingerprint64("a b c") != fingerprint64("c b a")  # order-sensitive
+
+
+def test_langid_english_corpus():
+    from invoice_extraction_ray.ops.text import langid
+
+    rows = langid(SF).take_all()
+    langs = {r["lang_pred"] for r in rows}
+    assert langs <= {"en", "es", "de", "fr", "zh", "und"}
+    n_en = sum(1 for r in rows if r["lang_pred"] == "en")
+    assert n_en >= 0.5 * len(rows)  # corpus is English-dominant
+
+
+def test_media_metadata_schema_and_determinism():
+    from invoice_extraction_ray.ops.multimodal import media_metadata
+
+    a = sorted(media_metadata(SF).take_all(), key=lambda r: r["doc_id"])
+    b = sorted(media_metadata(SF).take_all(), key=lambda r: r["doc_id"])
+    assert a == b
+    assert all(len(r["sha256"]) == 64 and r["width"] >= 64 for r in a)
+
+
+def test_stub_decoder_real_mode_raises():
+    from invoice_extraction_ray.ops.multimodal import StubDecoder
+
+    with pytest.raises(NotImplementedError):
+        StubDecoder(real=True)._decode(b"xx")

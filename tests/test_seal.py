@@ -23,15 +23,52 @@ def test_hot_conv_census():
 def test_salting_invariance():
     t = F.gen_transcripts(200, seed=42)
     # force salting for everything vs no salting at all
-    salted = dataset_to_sorted_table(build_pipeline(t, hot_threshold=1, salt_block=8))
-    unsalted = dataset_to_sorted_table(build_pipeline(t, hot_threshold=10**9))
+    salted = dataset_to_sorted_table(
+        build_pipeline(t, seal_strategy="groupby", hot_threshold=1, salt_block=8)
+    )
+    unsalted = dataset_to_sorted_table(
+        build_pipeline(t, seal_strategy="groupby", hot_threshold=10**9)
+    )
     assert_tables_equal(unsalted, salted)
+
+
+def test_sort_strategy_equals_groupby_strategy():
+    t = F.gen_transcripts(150, seed=9)
+    by_sort = dataset_to_sorted_table(build_pipeline(t, seal_strategy="sort"))
+    by_groupby = dataset_to_sorted_table(
+        build_pipeline(t, seal_strategy="groupby", hot_threshold=30, salt_block=16)
+    )
+    assert_tables_equal(by_sort, by_groupby)
+
+
+def test_aligned_strategy_equals_sort_strategy(tmp_path):
+    # multi-file corpus with the writer's conversation-disjoint layout
+    from invoice_extraction_ray.fixtures import write_transcripts_parquet
+
+    paths = write_transcripts_parquet(str(tmp_path / "in"), 120, convs_per_file=30, seed=5)
+    assert len(paths) == 4
+    by_aligned = dataset_to_sorted_table(build_pipeline(paths, seal_strategy="aligned"))
+    by_sort = dataset_to_sorted_table(build_pipeline(paths, seal_strategy="sort"))
+    assert_tables_equal(by_sort, by_aligned)
+
+
+def test_sort_strategy_is_globally_ordered():
+    t = F.gen_transcripts(80, seed=3)
+    ds = build_pipeline(t, seal_strategy="sort")
+    keys = [
+        (r["conv_id"], r["turn_idx"])
+        for b in ds.iter_batches(batch_size=256, batch_format="pyarrow")
+        for r in b.select(["conv_id", "turn_idx"]).to_pylist()
+    ]
+    assert keys == sorted(keys)
 
 
 def test_groups_are_turn_sorted():
     salt_block = 16
     t = F.gen_transcripts(100, seed=7)
-    ds = build_pipeline(t, hot_threshold=40, salt_block=salt_block)
+    ds = build_pipeline(
+        t, seal_strategy="groupby", hot_threshold=40, salt_block=salt_block
+    )
     # ordering guarantee is per seal group: within a contiguous run of the same
     # (conv_id, turn_idx // salt_block), turn_idx is non-decreasing.  (A salted
     # hot conversation is split across groups whose relative order is free.)
