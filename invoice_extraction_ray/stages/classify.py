@@ -43,6 +43,19 @@ _GREETING = re.compile(C.GREETING_RE)
 _SIGNOFF = re.compile(C.SIGNOFF_RE)
 _DISCLAIMER = re.compile(C.DISCLAIMER_RE)
 _SEPARATOR = re.compile(C.SEPARATOR_RE)
+# one-pass alternation: a line is boilerplate iff ANY of the four patterns
+# matches, so the common (non-matching) case costs one search instead of four
+# (global (?i) flags become scoped (?i:...) groups to allow joining)
+def _scoped(p: str) -> str:
+    return f"(?i:{p[4:]})" if p.startswith("(?i)") else f"(?:{p})"
+
+
+_BOILERPLATE = re.compile(
+    "|".join(
+        _scoped(p)
+        for p in (C.GREETING_RE, C.SIGNOFF_RE, C.DISCLAIMER_RE, C.SEPARATOR_RE)
+    )
+)
 _COLLAPSE = re.compile(r"\n{3,}")
 _H_ENT_KEY = re.compile(C.HEURISTIC_ENTITY_KEYWORD_RE)
 _H_TITLECASE = re.compile(C.HEURISTIC_TITLECASE_RE)
@@ -99,12 +112,7 @@ class TurnClassifier:
         for i, ln in enumerate(lines):
             drop = False
             if i < h or i >= n - f:
-                if (
-                    _GREETING.search(ln)
-                    or _SIGNOFF.search(ln)
-                    or _DISCLAIMER.search(ln)
-                    or _SEPARATOR.search(ln)
-                ):
+                if _BOILERPLATE.search(ln):
                     drop = True
                 elif (
                     i >= n - f
@@ -171,7 +179,12 @@ class TurnClassifier:
                         pass
 
         # --- heuristic entity detector (keyword line w/o ':'/'=' anchors)
+        # cheap substring precheck before the word-boundary regex: C-level
+        # str.find on the lowercased line skips the regex for ~95% of lines
         for i, ln in enumerate(lines):
+            ll = ln.lower()
+            if "dealer" not in ll and "vendor" not in ll and "supplier" not in ll:
+                continue
             if _H_ENT_KEY.search(ln) and ":" not in ln and "=" not in ln:
                 m = _H_TITLECASE.search(ln)
                 if m:
@@ -263,10 +276,26 @@ class TurnClassifier:
         n_rows = len(norms)
 
         extracted_col: list[str] = []
-        spans_col: list[list[dict]] = []
-        fields_col: list[dict] = []
         notes_col: list[str] = []
         n_filled = np.empty(n_rows, dtype=np.int64)
+        # columnar span builders (flat values + list offsets): ~3x cheaper to
+        # convert to Arrow than a per-row list of python dicts
+        sp_off = [0]
+        sp_label: list[str] = []
+        sp_start: list[int] = []
+        sp_end: list[int] = []
+        sp_value: list[str] = []
+        sp_conf: list[float] = []
+        sp_method: list[str] = []
+        # columnar fields builders
+        f_entity: list = []
+        f_code: list = []
+        f_power: list = []
+        f_amount: list = []
+        f_ra_present: list = []
+        f_ra_span: list = []
+        f_rb_present: list = []
+        f_rb_span: list = []
 
         for i in range(n_rows):
             norm = norms[i]
@@ -318,24 +347,22 @@ class TurnClassifier:
 
             ra = first_region.get("region_code")
             rb = first_region.get("region_table")
-            fields = {
-                "entity": entity,
-                "code": code,
-                "power": power,
-                "amount": amount,
-                "region_a": {"present": ra is not None, "span": [ra[1], ra[2]] if ra else None},
-                "region_b": {
-                    "present": True if C.FORCE_REGION_B_PRESENT else rb is not None,
-                    "span": [rb[1], rb[2]] if rb else None,
-                },
-            }
+            rb_present = True if C.FORCE_REGION_B_PRESENT else rb is not None
+            f_entity.append(entity)
+            f_code.append(code)
+            f_power.append(power)
+            f_amount.append(amount)
+            f_ra_present.append(ra is not None)
+            f_ra_span.append([ra[1], ra[2]] if ra else None)
+            f_rb_present.append(rb_present)
+            f_rb_span.append([rb[1], rb[2]] if rb else None)
             flags = {
                 "entity": entity is not None,
                 "code": code is not None,
                 "power": power is not None,
                 "amount": amount is not None,
                 "region_a": ra is not None,
-                "region_b": fields["region_b"]["present"],
+                "region_b": rb_present,
             }
             n_filled[i] = sum(flags.values())
             missing = [f for f in C.FIELD_ORDER if not flags[f]]
@@ -343,27 +370,58 @@ class TurnClassifier:
                 C.NOTES_MISSING_FMT.format(missing=", ".join(missing)) if missing else C.NOTES_ALL
             )
             extracted_col.append(extracted)
-            spans_col.append(
-                [
-                    {"label": s[0], "start": s[1], "end": s[2], "value": s[3],
-                     "conf": s[4], "method": s[5]}
-                    for s in merged
-                ]
-            )
-            fields_col.append(fields)
+            for s in merged:
+                sp_label.append(s[0])
+                sp_start.append(s[1])
+                sp_end.append(s[2])
+                sp_value.append(s[3])
+                sp_conf.append(s[4])
+                sp_method.append(s[5])
+            sp_off.append(len(sp_label))
 
         # vectorized confidence (confidence.py:6-41 analogue, caps 97/95)
         pct = np.rint(n_filled / 6 * 100)
         cap = np.where(n_filled == 6, C.CONF_CAP_ALL, np.where(n_filled >= 5, C.CONF_CAP_MOST, 100))
         confidence = (np.minimum(pct, cap) / 100.0).astype(np.float32)
 
+        span_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(sp_label, pa.string()),
+                pa.array(sp_start, pa.int32()),
+                pa.array(sp_end, pa.int32()),
+                pa.array(sp_value, pa.string()),
+                pa.array(sp_conf, pa.float32()),
+                pa.array(sp_method, pa.string()),
+            ],
+            names=["label", "start", "end", "value", "conf", "method"],
+        )
+        spans_arr = pa.ListArray.from_arrays(pa.array(sp_off, pa.int32()), span_struct)
+        span_list_t = pa.list_(pa.int32())
+        region_names = ["present", "span"]
+        fields_arr = pa.StructArray.from_arrays(
+            [
+                pa.array(f_entity, pa.string()),
+                pa.array(f_code, pa.string()),
+                pa.array(f_power, pa.float64()),
+                pa.array(f_amount, pa.float64()),
+                pa.StructArray.from_arrays(
+                    [pa.array(f_ra_present, pa.bool_()), pa.array(f_ra_span, span_list_t)],
+                    names=region_names,
+                ),
+                pa.StructArray.from_arrays(
+                    [pa.array(f_rb_present, pa.bool_()), pa.array(f_rb_span, span_list_t)],
+                    names=region_names,
+                ),
+            ],
+            names=["entity", "code", "power", "amount", "region_a", "region_b"],
+        )
         return pa.Table.from_arrays(
             [
                 batch.column("conv_id"),
                 batch.column("turn_idx"),
                 pa.array(extracted_col, type=pa.string()),
-                pa.array(spans_col, type=C.span_type()),
-                pa.array(fields_col, type=C.fields_type()),
+                spans_arr,
+                fields_arr,
                 pa.array(confidence),
                 pa.array(notes_col, type=pa.string()),
             ],
