@@ -121,6 +121,12 @@ def _worst_turns(sf_dir: str):
     return worst_turns(ds)
 
 
+def _interval_overlap(sf_dir: str):
+    from invoice_extraction_ray.ops.interval import event_interval_overlaps
+
+    return event_interval_overlaps(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from invoice_extraction_ray.ops import ann, dedup, relational, text
     from invoice_extraction_ray.ops.multimodal import media_metadata
@@ -148,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": relational.sessionize,
         "price_in_band": relational.price_in_band,
         "union_lang_counts": relational.union_lang_counts,
+        "interval_overlap": _interval_overlap,
         # text analysis
         "token_count": text.token_count,               # SQL-oracled
         "langid": text.langid,                          # rows-only (heuristic)
@@ -249,6 +256,15 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT lang FROM documents WHERE lang = 'en' "
             "  UNION ALL SELECT lang FROM documents WHERE n_chars > 300"
             ") GROUP BY lang"
+        ),
+        "interval_overlap": (
+            "WITH a AS (SELECT user_id AS key, event_id AS id, value AS s, "
+            "value + 25 AS e FROM events WHERE event_type = 'error'), "
+            "b AS (SELECT user_id AS key, event_id AS id, value AS s, "
+            "value + 25 AS e FROM events WHERE event_type = 'purchase') "
+            "SELECT a.key, a.id AS a_id, b.id AS b_id, "
+            "CAST(round(greatest(a.s, b.s) * 10000) AS BIGINT) AS ov_start_e4 "
+            "FROM a JOIN b ON a.key = b.key AND a.s < b.e AND b.s < a.e"
         ),
         "token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "

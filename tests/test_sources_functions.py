@@ -1,0 +1,110 @@
+"""Sources (schema-validated readers), scalar-function library, and the
+interval-overlap join."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from invoice_extraction_ray.functions.scalar import (
+    clamp_span,
+    collapse_ws,
+    collapse_ws_col,
+    parse_amount,
+    strip_non_numeric_col,
+)
+from invoice_extraction_ray.ops.interval import interval_join
+from invoice_extraction_ray.sources.readers import (
+    SchemaError,
+    read_transcripts,
+    validate_schema,
+)
+
+
+def test_read_transcripts_validates(tmp_path):
+    from invoice_extraction_ray.fixtures import write_transcripts_parquet
+
+    paths = write_transcripts_parquet(str(tmp_path / "ok"), 20, seed=3)
+    ds = read_transcripts(paths)
+    assert ds.count() > 0
+
+    import pyarrow.parquet as pq
+
+    bad = str(tmp_path / "bad.parquet")
+    pq.write_table(pa.table({"conv_id": ["a"], "turn_idx": [1]}), bad)
+    with pytest.raises(SchemaError, match="missing columns"):
+        read_transcripts([bad])
+
+
+def test_validate_schema_type_mismatch():
+    s = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int64()),  # wrong: canonical is int32
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+        ]
+    )
+    with pytest.raises(SchemaError, match="turn_idx"):
+        validate_schema(s)
+
+
+def test_scalar_functions():
+    assert collapse_ws("  a \t b\n c ") == "a b c"
+    assert parse_amount("₹ 8,30,000.50") == 830000.5
+    # reference-faithful quirk (validators.py cost strip `[^\d.]`): the dot
+    # of a currency abbreviation survives, so "Rs. 1,000" parses as .1000
+    assert parse_amount("Rs. 1,000") == 0.1
+    assert parse_amount("$1,000") == 1000.0
+    assert parse_amount("no digits") is None
+    assert parse_amount("1.2.3") is None
+    assert clamp_span(-5, 900, 10) == (0, 10)
+    assert clamp_span(7, 3, 10) == (7, 7)
+
+
+def test_arrow_scalar_parity():
+    vals = ["  a \t b\n c ", "x  y", ""]
+    got = collapse_ws_col(pa.array(vals)).to_pylist()
+    assert got == [collapse_ws(v) for v in vals]
+    assert strip_non_numeric_col(pa.array(["₹1,2a3.4"])).to_pylist() == ["123.4"]
+
+
+def test_interval_join_matches_bruteforce():
+    left_rows = [
+        ("k1", 1, 0.0, 10.0),
+        ("k1", 2, 5.0, 7.0),
+        ("k2", 3, 0.0, 1.0),
+        ("k3", 4, 2.0, 4.0),
+    ]
+    right_rows = [
+        ("k1", 10, 9.0, 12.0),
+        ("k1", 11, 6.5, 6.6),
+        ("k2", 12, 1.0, 2.0),  # touches at boundary: NOT overlap (half-open)
+        ("k3", 13, 3.0, 9.0),
+    ]
+
+    def tbl(rows):
+        k, i, s, e = zip(*rows)
+        return pa.table(
+            {
+                "key": pa.array(k, pa.string()),
+                "id": pa.array(i, pa.int64()),
+                "start": pa.array(s, pa.float64()),
+                "end": pa.array(e, pa.float64()),
+            }
+        )
+
+    got = {
+        (r["key"], r["a_id"], r["b_id"])
+        for r in interval_join(
+            ray.data.from_arrow(tbl(left_rows)), ray.data.from_arrow(tbl(right_rows))
+        ).take_all()
+    }
+    expected = {
+        (lk, li, ri)
+        for lk, li, ls, le in left_rows
+        for rk, ri, rs, re_ in right_rows
+        if lk == rk and ls < re_ and rs < le
+    }
+    assert got == expected
+    assert ("k2", 3, 12) not in got  # half-open boundary semantics
