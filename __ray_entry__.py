@@ -121,6 +121,17 @@ def _worst_turns(sf_dir: str):
     return worst_turns(ds)
 
 
+def _extract_consensus(sf_dir: str):
+    from invoice_extraction_ray.corpus import transcripts_for
+    from invoice_extraction_ray.pipelines.extract import build_pipeline
+    from invoice_extraction_ray.stages.consensus import consensus_batch
+
+    ds = build_pipeline(transcripts_for(sf_dir), seal=False)
+    return ds.map_batches(consensus_batch, batch_format="pyarrow").select_columns(
+        ["conv_id", "turn_idx", "final_confidence", "anomalies"]
+    )
+
+
 def _interval_overlap(sf_dir: str):
     from invoice_extraction_ray.ops.interval import event_interval_overlaps
 
@@ -137,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_field_coverage": _extract_metrics,
         "extract_error_categories": _error_categories,
         "extract_pseudo_labels": _pseudo_labels,
+        "extract_consensus": _extract_consensus,
         "extract_confidence_bins": _confidence_bins,
         "extract_worst_turns": _worst_turns,
         # relational operator library (all SQL-oracled)

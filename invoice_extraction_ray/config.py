@@ -224,3 +224,31 @@ def input_schema():
             ("ts", pa.timestamp("us")),
         ]
     )
+
+
+# --- consensus stage: cross-field consistency + weighted doc confidence +
+#     anomaly detection (reference consensus.py:64-194 E16/A6, 224-255 E17).
+#     Shared verbatim by stages/consensus.py (vectorized) and oracle.py. ---
+
+CONSENSUS_AMOUNT_PER_POWER_MIN = 1000.0   # power*1000 <= amount  (ref hp*1000)
+CONSENSUS_AMOUNT_PER_POWER_MAX = 10000.0  # amount <= power*10000
+CONSENSUS_BOOST_RATIO_OK = 0.05
+CONSENSUS_PENALTY_RATIO_BAD = -0.05
+CONSENSUS_AMOUNT_FLOOR_PER_POWER = 50.0   # amount > power*50 (ref cost>hp*50)
+CONSENSUS_BOOST_FLOOR_OK = 0.02
+CONSENSUS_CODE_MIN_LEN = 3                # ref: model alnum & len 3-20
+CONSENSUS_CODE_MAX_LEN = 20
+CONSENSUS_BOOST_CODE_OK = 0.03
+CONSENSUS_BOOST_BOTH_REGIONS = 0.02       # ref sig/stamp correlation
+# A6 weights: field confidence, mean span confidence, region score, 0.5+boosts
+CONSENSUS_WEIGHTS = (0.6, 0.2, 0.1, 0.1)
+CONSENSUS_ROUND_DECIMALS = 4
+
+# E17 anomaly predicates (ref consensus.py:224-255)
+ANOMALY_POWER_RANGE = (5.0, 1000.0)
+ANOMALY_AMOUNT_RANGE = (10.0, 50_000_000.0)
+ANOMALY_SEP = "; "
+ANOMALY_MISSING_CRITICAL = "missing_critical_fields"
+ANOMALY_POWER = "power_out_of_range"
+ANOMALY_AMOUNT = "amount_out_of_range"
+ANOMALY_NO_REGIONS = "no_regions_detected"

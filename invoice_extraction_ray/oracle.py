@@ -496,3 +496,83 @@ def extract_table(rows: list[dict], master: dict | None = None) -> list[dict]:
     out = [extract_turn(r, m) for r in rows]
     out.sort(key=lambda r: (r["conv_id"], r["turn_idx"]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# consensus: cross-field consistency + weighted confidence + anomalies
+# (reference consensus.py:64-194 E16/A6 and 224-255 E17)
+# ---------------------------------------------------------------------------
+
+
+def _f32(x: float) -> float:
+    """Arrow stores span/turn confidences as float32; mirror that exactly so
+    oracle and engine arithmetic see identical inputs."""
+    import struct
+
+    return struct.unpack("f", struct.pack("f", x))[0]
+
+
+def consensus_turn(out_row: dict) -> dict:
+    """Consensus over ONE extraction-output row (the dict shape extract_turn
+    returns). Emits final_confidence (A6 weighted score, clamped/rounded)
+    and an anomalies string (E17; '' when clean)."""
+    fields = out_row["fields"]
+    spans = out_row["spans"]
+    power, amount, code = fields["power"], fields["amount"], fields["code"]
+    ra = bool(fields["region_a"]["present"])
+    rb = fields["region_b"]["span"] is not None  # true detection, not the forced flag
+
+    boost = 0.0
+    if power is not None and amount is not None:
+        if (
+            power * C.CONSENSUS_AMOUNT_PER_POWER_MIN
+            <= amount
+            <= power * C.CONSENSUS_AMOUNT_PER_POWER_MAX
+        ):
+            boost += C.CONSENSUS_BOOST_RATIO_OK
+        else:
+            boost += C.CONSENSUS_PENALTY_RATIO_BAD
+        if amount > power * C.CONSENSUS_AMOUNT_FLOOR_PER_POWER:
+            boost += C.CONSENSUS_BOOST_FLOOR_OK
+    if code is not None:
+        bare = code.replace("-", "").replace(" ", "")
+        if (
+            bare.isalnum()
+            and C.CONSENSUS_CODE_MIN_LEN <= len(code) <= C.CONSENSUS_CODE_MAX_LEN
+        ):
+            boost += C.CONSENSUS_BOOST_CODE_OK
+    if ra and rb:
+        boost += C.CONSENSUS_BOOST_BOTH_REGIONS
+
+    span_mean = (
+        sum(_f32(s["conf"]) for s in spans) / len(spans) if spans else 0.0
+    )
+    region_score = (0.5 if ra else 0.0) + (0.5 if rb else 0.0)
+    w_f, w_s, w_r, w_b = C.CONSENSUS_WEIGHTS
+    base = min(max(0.5 + boost, 0.0), 1.0)
+    final = (
+        w_f * _f32(out_row["confidence"])
+        + w_s * span_mean
+        + w_r * region_score
+        + w_b * base
+    )
+    final = round(min(max(final, 0.0), 1.0), C.CONSENSUS_ROUND_DECIMALS)
+
+    anomalies = []
+    if fields["entity"] is None and code is None:
+        anomalies.append(C.ANOMALY_MISSING_CRITICAL)
+    if power is not None and not (
+        C.ANOMALY_POWER_RANGE[0] <= power <= C.ANOMALY_POWER_RANGE[1]
+    ):
+        anomalies.append(C.ANOMALY_POWER)
+    if amount is not None and not (
+        C.ANOMALY_AMOUNT_RANGE[0] <= amount <= C.ANOMALY_AMOUNT_RANGE[1]
+    ):
+        anomalies.append(C.ANOMALY_AMOUNT)
+    if not ra and not rb:
+        anomalies.append(C.ANOMALY_NO_REGIONS)
+
+    return {
+        "final_confidence": final,
+        "anomalies": C.ANOMALY_SEP.join(anomalies),
+    }

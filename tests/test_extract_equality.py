@@ -59,3 +59,31 @@ def test_parquet_roundtrip(tmp_path, oracle_table):
     )
     ds = build_pipeline(paths, hot_threshold=50)
     assert_tables_equal(oracle_table, dataset_to_sorted_table(ds))
+
+
+def test_consensus_matches_oracle(corpus, oracle_table):
+    """E16/A6/E17: engine consensus stage == oracle.consensus_turn exactly
+    (final_confidence bitwise after fixed rounding, anomalies string)."""
+    from invoice_extraction_ray.stages.consensus import consensus_batch
+
+    ds = build_pipeline(corpus, seal=False).map_batches(
+        consensus_batch, batch_format="pyarrow"
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["final_confidence"], r["anomalies"])
+        for r in ds.select_columns(
+            ["conv_id", "turn_idx", "final_confidence", "anomalies"]
+        ).take_all()
+    }
+    rows = corpus.to_pylist()
+    oracle_out = O.extract_table(rows)
+    assert len(got) == len(oracle_out)
+    n_anom = n_boosted = 0
+    for orow in oracle_out:
+        c = O.consensus_turn(orow)
+        key = (orow["conv_id"], orow["turn_idx"])
+        assert got[key] == (c["final_confidence"], c["anomalies"]), key
+        n_anom += bool(c["anomalies"])
+        n_boosted += c["final_confidence"] > 0.5
+    # the fixture corpus must actually exercise both code paths
+    assert n_anom > 0 and n_boosted > 0
