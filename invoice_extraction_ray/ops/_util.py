@@ -1,0 +1,16 @@
+"""Shared helpers for the operator library."""
+
+from __future__ import annotations
+
+
+def pool_size(cap: int = 4) -> int:
+    """Fixed actor-pool size for operator stages: min(cap, cluster CPUs - 1).
+
+    Fixed pools beat autoscaling (1,N) by ~2x on short jobs (no ramp), but a
+    pool that reserves EVERY cpu deadlocks the read/shuffle stages feeding it
+    — always leave at least one CPU free (measured; see BASELINE.md notes).
+    """
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(1, min(cap, cpus - 1))

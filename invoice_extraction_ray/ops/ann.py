@@ -10,6 +10,8 @@
 
 from __future__ import annotations
 
+from ._util import pool_size
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -48,7 +50,7 @@ def ann_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> ray.data.Datase
     ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     scored = ds.map_batches(
         Score, fn_constructor_kwargs={"r": q_ref}, batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=pool_size(),
     )
     top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
 
@@ -146,7 +148,7 @@ def ivf_topk(
     ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     scored = ds.map_batches(
         IvfScore, fn_constructor_kwargs={"r": state_ref}, batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=pool_size(),
     )
     return scored.sort(["sim_e4", "vec_id"], descending=[True, False]).limit(k)
 
@@ -189,6 +191,6 @@ def lsh_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> ray.data.Datase
     ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     scored = ds.map_batches(
         ProbeScore, fn_constructor_kwargs={"r": state_ref}, batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=pool_size(),
     )
     return scored.sort(["sim_e4", "vec_id"], descending=[True, False]).limit(k)

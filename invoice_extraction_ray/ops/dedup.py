@@ -15,6 +15,8 @@ candidate-pair generation is unchanged.
 
 from __future__ import annotations
 
+from ._util import pool_size
+
 import zlib
 
 import numpy as np
@@ -105,7 +107,7 @@ def minhash_candidate_pairs(docs: ray.data.Dataset) -> ray.data.Dataset:
     group runs a vectorized run-detection over its sorted sketch rows and
     emits pairs only for true buckets (size >= 2) — the same co-location, two
     orders of magnitude fewer group dispatches."""
-    sketches = docs.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 4))
+    sketches = docs.map_batches(MinHasher, batch_format="pyarrow", concurrency=pool_size())
 
     def add_shard(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -203,7 +205,7 @@ def minhash_neardup(
         Verify,
         fn_constructor_kwargs={"ref": text_ref, "thr": jaccard_threshold},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=pool_size(),
     )
 
 
@@ -375,5 +377,5 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
         fn_constructor_kwargs={"r": ref, "thr": threshold},
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=(1, 4),
+        concurrency=pool_size(),
     )

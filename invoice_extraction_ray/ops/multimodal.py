@@ -12,6 +12,8 @@ with the codecs installed; nothing else changes.
 
 from __future__ import annotations
 
+from ._util import pool_size
+
 import hashlib
 
 import pyarrow as pa
@@ -94,5 +96,5 @@ def media_metadata(sf_dir: str) -> ray.data.Dataset:
         fn_constructor_kwargs={"real": False},
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=(1, 4),
+        concurrency=pool_size(),
     )

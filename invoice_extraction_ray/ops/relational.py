@@ -16,6 +16,8 @@ Scale discipline (SURVEY.md §4, ray_guide):
 
 from __future__ import annotations
 
+from ._util import pool_size
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -265,7 +267,7 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
             SegmentJoiner,
             fn_constructor_kwargs={"ref": lookup_ref},
             batch_format="pyarrow",
-            concurrency=(1, 4),
+            concurrency=pool_size(),
         )
         .groupby("c_mktsegment")
         .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_totalprice"))
@@ -441,7 +443,7 @@ def price_in_band(sf_dir: str) -> ray.data.Dataset:
     return (
         ds.map_batches(
             BandJoin, fn_constructor_kwargs={"r": ref}, batch_format="pyarrow",
-            concurrency=(1, 4),
+            concurrency=pool_size(),
         )
         .groupby("p_brand")
         .aggregate(Count(alias_name="n_total"), Sum("in_band", alias_name="n_in_band"))

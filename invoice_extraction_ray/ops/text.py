@@ -7,6 +7,8 @@ vectorized per batch, embarrassingly parallel (no shuffles).
 
 from __future__ import annotations
 
+from ._util import pool_size
+
 import re
 
 import numpy as np
@@ -80,7 +82,7 @@ class LangId:
 
 def langid(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=pool_size())
 
 
 def quality_features(sf_dir: str) -> ray.data.Dataset:
