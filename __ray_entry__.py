@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_overlap": _interval_overlap,
         # text analysis
         "token_count": text.token_count,               # SQL-oracled
+        "bpe_token_count": text.bpe_token_count,       # rows-only (re-vs-RE2 parity in tests)
         "langid": text.langid,                          # rows-only (heuristic)
         "quality_features": text.quality_features,      # rows-only
         "doc_fingerprints": text.doc_fingerprints,      # rows-only

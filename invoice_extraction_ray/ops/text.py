@@ -53,6 +53,33 @@ def token_count(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+# GPT-2-style pre-tokenizer in the RE2-compatible subset (no lookahead, so
+# the Arrow kernel and Python `re` count identically): common English
+# contractions, letter runs (incl. Latin-ext + Devanagari), digit runs,
+# punctuation runs, whitespace runs.
+_BPE_RE = re.compile(
+    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-zÀ-ɏऀ-ॿ]+| ?[0-9]+"
+    r"| ?[^\sA-Za-z0-9À-ɏऀ-ॿ]+|\s+"
+)
+
+
+def bpe_pretokenize(text: str) -> list[str]:
+    return _BPE_RE.findall(text or "")
+
+
+def bpe_token_count(sf_dir: str) -> ray.data.Dataset:
+    """doc_id, n_bpe_tokens — count of BPE pre-tokenizer pieces (the standard
+    proxy for model-token budgeting in training-data pipelines)."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column("text"), "")
+        n = pc.cast(pc.count_substring_regex(text, _BPE_RE.pattern), pa.int64())
+        return pa.table({"doc_id": t.column("doc_id"), "n_bpe_tokens": n})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _predict_lang(text: str) -> str:
     if not text:
         return "und"

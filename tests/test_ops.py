@@ -155,3 +155,15 @@ def test_stub_decoder_real_mode_raises():
 
     with pytest.raises(NotImplementedError):
         StubDecoder(real=True)._decode(b"xx")
+
+
+def test_bpe_token_count_matches_python_re():
+    from invoice_extraction_ray.ops.text import bpe_pretokenize, bpe_token_count
+
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_count(SF).take_all()}
+    docs = _docs()
+    for d, s in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()):
+        assert got[d] == len(bpe_pretokenize(s)), d
+    assert bpe_pretokenize("I'll add 42 items, okay?") == [
+        "I", "'ll", " add", " 42", " items", ",", " okay", "?"
+    ]

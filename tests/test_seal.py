@@ -84,3 +84,22 @@ def test_groups_are_turn_sorted():
                 assert a["turn_idx"] <= b["turn_idx"]
                 seen_any = True
     assert seen_any
+
+
+def test_extreme_skew_single_giant_conversation():
+    """One conversation with ~100x the median turns: every strategy seals it
+    identically (the north_rule skew case)."""
+    import pyarrow as pa
+
+    normal = F.gen_transcripts(30, seed=21)
+    giant_rows = F.gen_conversation(99, 0, mean_turns=600)
+    for i, r in enumerate(giant_rows):
+        r["conv_id"] = "conv-giant"
+    t = pa.concat_tables([normal, F.rows_to_table(giant_rows)])
+    by_sort = dataset_to_sorted_table(build_pipeline(t, seal_strategy="sort"))
+    by_salted = dataset_to_sorted_table(
+        build_pipeline(t, seal_strategy="groupby", hot_threshold=50, salt_block=64)
+    )
+    assert_tables_equal(by_sort, by_salted)
+    giant_n = sum(1 for c in by_sort.column("conv_id").to_pylist() if c == "conv-giant")
+    assert giant_n == len(giant_rows) > 100  # ~20-100x the ~6-turn median
