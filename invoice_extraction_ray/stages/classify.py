@@ -199,6 +199,17 @@ class TurnClassifier:
     def _merge(cands):
         """Consensus merge in canonical order (ocr.py:134-233 analogue)."""
         cands.sort(key=lambda c: (c[1], c[2], _PRIO[c[5]], c[0]))
+        # fast path: grouping only ever merges SAME-label candidates (the
+        # r[0] != c[0] guard below), so all-distinct labels ⇒ every group is
+        # a singleton ⇒ output = canonical-sorted candidates with rounded conf
+        labels = [c[0] for c in cands]
+        if len(set(labels)) == len(labels):
+            out = [
+                (c[0], c[1], c[2], c[3], round(c[4], C.CONF_ROUND_DECIMALS), c[5])
+                for c in cands
+            ]
+            out.sort(key=lambda s: (s[1], s[2], s[0]))
+            return out
         groups = []
         for c in cands:
             for g in groups:
