@@ -140,7 +140,11 @@ def _interval_overlap(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from invoice_extraction_ray.ops import ann, dedup, relational, text
-    from invoice_extraction_ray.ops.multimodal import media_metadata
+    from invoice_extraction_ray.ops.multimodal import (
+        media_frames,
+        media_metadata,
+        media_resized,
+    )
 
     return {
         # flagship transcript extraction (rows-only; oracle = tests/ pytest)
@@ -182,8 +186,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.ann_topk,                       # SQL-oracled
         "lsh_ann_topk": ann.lsh_topk,                   # rows-only (approximate)
         "ivf_ann_topk": ann.ivf_topk,                   # rows-only (approximate)
-        # multimodal plumbing (stubbed decode)
+        "embedding_neardup_lsh": dedup.embedding_neardup_lsh,  # rows-only (approx)
+        # multimodal plumbing (stubbed decode/resize/frame-sample)
         "media_metadata": media_metadata,               # rows-only
+        "media_resized": media_resized,                 # rows-only
+        "media_frames": media_frames,                   # rows-only
     }
 
 

@@ -335,6 +335,66 @@ def simhash_neardup(source, max_hamming: int = 3) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
+def embedding_neardup_lsh(
+    sf_dir: str, threshold: float = 0.3, n_bands: int = 4, planes_per_band: int = 3
+) -> ray.data.Dataset:
+    """Scale-path embedding near-dup: BANDED random-hyperplane LSH — each
+    vector lands in one bucket per band (1 row -> n_bands sketch rows), pairs
+    are cosine-scored only within a (band, bucket) group, and duplicates
+    across bands are folded by a final distinct.  For a pair at angle θ the
+    per-band collision probability is (1-θ/π)^planes_per_band, so recall =
+    1-(1-p)^n_bands (~0.6 at cos 0.3 with 4x3) — measured vs the exact op in
+    tests.  Within-bucket scoring is exact: no false positives."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        planes = np.random.RandomState(424242).normal(
+            size=(n_bands * planes_per_band, mat.shape[1])
+        )  # deterministic model parameters
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        bits = (mat @ planes.T) > 0
+        vid = t.column("vec_id")
+        tables = []
+        for band in range(n_bands):
+            bb = bits[:, band * planes_per_band : (band + 1) * planes_per_band]
+            bucket = (bb.astype(np.int64) << np.arange(planes_per_band, dtype=np.int64)).sum(axis=1)
+            tables.append(
+                pa.table(
+                    {
+                        "vec_id": vid,
+                        "embedding": t.column("embedding"),
+                        "band": pa.array(np.full(t.num_rows, band, np.int32)),
+                        "bucket": pa.array(bucket, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    def pairs_in_bucket(t: pa.Table) -> pa.Table:
+        vid = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        sims = mat @ mat.T
+        bi, cj = np.nonzero(sims > threshold)
+        a, b = vid[bi], vid[cj]
+        keep = a < b
+        return pa.table({"a_id": pa.array(a[keep]), "b_id": pa.array(b[keep])})
+
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    pairs = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby(["band", "bucket"])
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+    )
+    return (
+        pairs.groupby(["a_id", "b_id"])
+        .aggregate(Count(alias_name="n_bands"))
+        .select_columns(["a_id", "b_id"])
+    )
+
+
 def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
     """Pairs (a_id < b_id) with cosine similarity > threshold.
 

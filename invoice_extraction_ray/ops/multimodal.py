@@ -86,6 +86,97 @@ def text_as_binary(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(to_bin, batch_format="pyarrow")
 
 
+class StubResizer:
+    """Actor-pool resize stage (reference preprocess resize analogue).
+    real=True raises NotImplementedError (no image libs here); the stub
+    truncates the payload deterministically in proportion to the target
+    area so output sizing/batching behavior is realistic."""
+
+    def __init__(self, max_dim: int = 256, real: bool = False):
+        self.max_dim = max_dim
+        self.real = real
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.real:
+            raise NotImplementedError("install an image codec to resize for real")
+        metas = StubDecoder(real=False)
+        out_doc, out_payload, out_w, out_h = [], [], [], []
+        for d, p in zip(t.column("doc_id").to_pylist(), t.column("payload").to_pylist()):
+            p = p or b""
+            w, h, _ = metas._decode(p)
+            scale = min(1.0, self.max_dim / max(w, h))
+            nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+            keep = max(1, int(len(p) * (nw * nh) / max(1, w * h)))
+            out_doc.append(d)
+            out_payload.append(p[:keep])
+            out_w.append(nw)
+            out_h.append(nh)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "payload": pa.array(out_payload, pa.binary()),
+                "width": pa.array(out_w, pa.int32()),
+                "height": pa.array(out_h, pa.int32()),
+            }
+        )
+
+
+class StubFrameSampler:
+    """Actor-pool video frame-sampling stage: 1 input row -> k frame rows
+    (the flat_map fan-out shape).  Stub frames are deterministic payload
+    slices; a real build decodes with pyav/cv2 and keeps the same schema."""
+
+    def __init__(self, n_frames: int = 4, real: bool = False):
+        self.n_frames = n_frames
+        self.real = real
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.real:
+            raise NotImplementedError("install a video codec to sample frames")
+        out_doc, out_idx, out_frame = [], [], []
+        for d, p in zip(t.column("doc_id").to_pylist(), t.column("payload").to_pylist()):
+            p = p or b""
+            k = min(self.n_frames, max(1, len(p)))
+            step = max(1, len(p) // k)
+            for i in range(k):
+                out_doc.append(d)
+                out_idx.append(i)
+                out_frame.append(p[i * step : i * step + step])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "frame_idx": pa.array(out_idx, pa.int32()),
+                "frame": pa.array(out_frame, pa.binary()),
+            }
+        )
+
+
+def media_resized(sf_dir: str, max_dim: int = 256) -> ray.data.Dataset:
+    """binary payloads -> actor-pool resize -> resized payloads + dims."""
+    from ._util import pool_size
+
+    return text_as_binary(sf_dir).map_batches(
+        StubResizer,
+        fn_constructor_kwargs={"max_dim": max_dim, "real": False},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=pool_size(),
+    )
+
+
+def media_frames(sf_dir: str, n_frames: int = 4) -> ray.data.Dataset:
+    """binary payloads -> actor-pool frame sampling (1 row -> k frame rows)."""
+    from ._util import pool_size
+
+    return text_as_binary(sf_dir).map_batches(
+        StubFrameSampler,
+        fn_constructor_kwargs={"n_frames": n_frames, "real": False},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=pool_size(),
+    )
+
+
 def media_metadata(sf_dir: str) -> ray.data.Dataset:
     """The multimodal pipeline: binary payloads -> actor-pool decode ->
     typed metadata.  Small batch_size: payload batches must fit actor heaps

@@ -167,3 +167,42 @@ def test_bpe_token_count_matches_python_re():
     assert bpe_pretokenize("I'll add 42 items, okay?") == [
         "I", "'ll", " add", " 42", " items", ",", " okay", "?"
     ]
+
+
+def test_embedding_lsh_neardup_recall_vs_exact():
+    from invoice_extraction_ray.ops.dedup import embedding_neardup, embedding_neardup_lsh
+
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in embedding_neardup(SF, threshold=0.3).take_all()
+    }
+    approx = {
+        (r["a_id"], r["b_id"])
+        for r in embedding_neardup_lsh(SF, threshold=0.3).take_all()
+    }
+    assert approx <= exact  # within-bucket scoring is exact: no false positives
+    if exact:
+        assert len(approx) / len(exact) >= 0.4  # 4x3 banded recall floor (theory ~0.6)
+
+
+def test_media_resize_and_frames():
+    from invoice_extraction_ray.ops.multimodal import (
+        StubFrameSampler,
+        StubResizer,
+        media_frames,
+        media_resized,
+    )
+
+    rows = media_resized(SF, max_dim=128).take_all()
+    assert rows and all(max(r["width"], r["height"]) <= 128 for r in rows)
+
+    frames = media_frames(SF, n_frames=3).take_all()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == list(range(len(v))) and len(v) <= 3 for v in by_doc.values())
+
+    with pytest.raises(NotImplementedError):
+        StubResizer(real=True)(pa.table({"doc_id": [1], "payload": [b"x"]}))
+    with pytest.raises(NotImplementedError):
+        StubFrameSampler(real=True)(pa.table({"doc_id": [1], "payload": [b"x"]}))

@@ -1,0 +1,92 @@
+"""Hypothesis property tests for the pure kernels (no Ray needed): oracle
+invariants, scalar functions, sketch determinism."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from invoice_extraction_ray import oracle as O
+from invoice_extraction_ray.functions.scalar import clamp_span, collapse_ws, parse_amount
+
+text_strategy = st.text(
+    alphabet=string.ascii_letters + string.digits + " \t\r\n.,:|>`#-₹$'\"{}",
+    max_size=400,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_strategy)
+def test_normalize_idempotent(s):
+    once = O.normalize_text(s)
+    assert O.normalize_text(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_strategy)
+def test_strip_boilerplate_is_line_subset(s):
+    norm = O.normalize_text(s)
+    kept = O.strip_boilerplate(norm)
+    src_lines = norm.split("\n")
+    # every non-empty surviving line existed in the normalized input
+    for ln in kept.split("\n"):
+        if ln:
+            assert ln in src_lines
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_strategy, st.sampled_from(["user", "assistant", "system", "tool"]))
+def test_spans_within_bounds_and_sorted(s, role):
+    norm = O.normalize_text(s)
+    merged = O.merge_spans(O.detect_regions(norm, role) + O.detect_anchors(norm))
+    keys = [(sp.start, sp.end, sp.label) for sp in merged]
+    assert keys == sorted(keys)
+    for sp in merged:
+        assert 0 <= sp.start <= sp.end <= len(norm)
+        assert 0.0 <= sp.conf <= 1.0
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=50))
+def test_collapse_ws_idempotent_and_single_spaced(s):
+    out = collapse_ws(s)
+    assert collapse_ws(out) == out
+    assert "  " not in out and not out.startswith(" ") and not out.endswith(" ")
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="0123456789.,₹$Rs ab", max_size=30))
+def test_parse_amount_total(s):
+    v = parse_amount(s)  # never raises; None or non-negative finite float
+    if v is not None:
+        assert v >= 0.0 and v == v  # not NaN
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(-100, 200), st.integers(-100, 200), st.integers(0, 100))
+def test_clamp_span_invariants(a, b, n):
+    s, e = clamp_span(a, b, n)
+    assert 0 <= s <= e <= n
+
+
+@settings(max_examples=100, deadline=None)
+@given(text_strategy)
+def test_sketches_deterministic(s):
+    from invoice_extraction_ray.ops.dedup import minhash_signature, simhash64
+    from invoice_extraction_ray.ops.text import fingerprint64
+
+    assert (minhash_signature(s) == minhash_signature(s)).all()
+    assert simhash64(s) == simhash64(s)
+    assert fingerprint64(s) == fingerprint64(s)
+    assert -(1 << 63) <= simhash64(s) < (1 << 63)  # fits Arrow int64
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=100), st.text(max_size=100))
+def test_jaccard_symmetric_bounded(a, b):
+    from invoice_extraction_ray.ops.dedup import jaccard
+
+    j = jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert j == jaccard(b, a)
+    assert jaccard(a, a) == 1.0
