@@ -121,6 +121,13 @@ def _worst_turns(sf_dir: str):
     return worst_turns(ds)
 
 
+def _conversation_stats(sf_dir: str):
+    from invoice_extraction_ray.corpus import transcripts_for
+    from invoice_extraction_ray.pipelines.metrics import conversation_stats
+
+    return conversation_stats(transcripts_for(sf_dir))
+
+
 def _extract_consensus(sf_dir: str):
     from invoice_extraction_ray.corpus import transcripts_for
     from invoice_extraction_ray.pipelines.extract import build_pipeline
@@ -154,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pseudo_labels": _pseudo_labels,
         "extract_consensus": _extract_consensus,
         "extract_confidence_bins": _confidence_bins,
+        "conversation_stats": _conversation_stats,
         "extract_worst_turns": _worst_turns,
         # relational operator library (all SQL-oracled)
         "coverage_summary": relational.coverage_summary,

@@ -377,24 +377,46 @@ def hourly_rollup(sf_dir: str) -> ray.data.Dataset:
 SESSION_GAP_MIN = 30
 
 
+SESSION_SHARDS = 64
+
+
 def sessionize(sf_dir: str) -> ray.data.Dataset:
+    """Per-user gap sessionization.  Groups by a 64-way shard of user_id
+    (NOT per user: map_groups pays ~1ms dispatch per group) and runs one
+    vectorized pandas groupby inside each shard — same co-location, far
+    fewer dispatches."""
     import pandas as pd
 
     ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
     gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        new_session = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": pd.array([len(g)], dtype="int64"),
-                "n_sessions": pd.array([int(new_session.sum())], dtype="int64"),
-            }
+    def add_shard(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        shard = pc2.cast(
+            pc2.bit_wise_and(t.column("user_id"), SESSION_SHARDS - 1), pa.int32()
+        )
+        return t.append_column("shard", shard)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        diff = g.groupby("user_id")["ts"].diff()
+        new_session = (diff > gap) | diff.isna()
+        out = (
+            g.assign(is_new=new_session.astype("int64"))
+            .groupby("user_id")
+            .agg(n_events=("ts", "size"), n_sessions=("is_new", "sum"))
+            .reset_index()
+        )
+        return out[["user_id", "n_events", "n_sessions"]].astype(
+            {"n_events": "int64", "n_sessions": "int64"}
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------

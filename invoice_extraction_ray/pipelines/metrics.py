@@ -187,6 +187,74 @@ def worst_turns(out_ds: ray.data.Dataset, k: int = 10) -> ray.data.Dataset:
     ).limit(k)
 
 
+def conversation_stats(source) -> ray.data.Dataset:
+    """Per-conversation rollup over the INPUT transcript table: turn count,
+    role mix, wall-clock duration from the ts column (carried as payload per
+    SURVEY §2.9; this is its aggregate consumer).  Partial-aggregates inside
+    map_batches before the small groupby — the combiner pattern."""
+    from ..pipelines.extract import to_dataset
+
+    ds = to_dataset(source) if not isinstance(source, ray.data.Dataset) else source
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        g = (
+            t.select(["conv_id", "turn_idx", "role", "ts"])
+            .group_by("conv_id")
+            .aggregate(
+                [
+                    ("turn_idx", "count"),
+                    ("ts", "min"),
+                    ("ts", "max"),
+                ]
+            )
+        )
+        tool_mask = pc2.equal(t.column("role"), "tool")
+        tools = (
+            t.append_column("is_tool", pc2.cast(tool_mask, pa.int64()))
+            .select(["conv_id", "is_tool"])
+            .group_by("conv_id")
+            .aggregate([("is_tool", "sum")])
+        )
+        g = g.join(tools, keys="conv_id")
+        return pa.table(
+            {
+                "conv_id": g.column("conv_id"),
+                "n": pc2.cast(g.column("turn_idx_count"), pa.int64()),
+                "ts_min": g.column("ts_min"),
+                "ts_max": g.column("ts_max"),
+                "n_tool": pc2.cast(g.column("is_tool_sum"), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max, Min
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(
+            Sum("n", alias_name="n_turns"),
+            Min("ts_min", alias_name="first_ts"),
+            Max("ts_max", alias_name="last_ts"),
+            Sum("n_tool", alias_name="n_tool_turns"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        sub = pc2.subtract(t.column("last_ts"), t.column("first_ts"))
+        # the aggregate may emit any timestamp unit — scale by the actual one
+        factor = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[
+            sub.type.unit
+        ]
+        dur = pc2.cast(pc2.divide(pc2.cast(sub, pa.int64()), factor), pa.int64())
+        return t.append_column("duration_sec", dur)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 PSEUDO_LABEL_MIN_CONF = 0.85
 
 

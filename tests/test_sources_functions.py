@@ -108,3 +108,28 @@ def test_interval_join_matches_bruteforce():
     }
     assert got == expected
     assert ("k2", 3, 12) not in got  # half-open boundary semantics
+
+
+def test_conversation_stats_matches_bruteforce():
+    from invoice_extraction_ray.fixtures import gen_transcripts
+    from invoice_extraction_ray.pipelines.metrics import conversation_stats
+
+    t = gen_transcripts(60, seed=13)
+    got = {r["conv_id"]: r for r in conversation_stats(t).take_all()}
+
+    expected = {}
+    for r in t.to_pylist():
+        e = expected.setdefault(
+            r["conv_id"], {"n": 0, "lo": None, "hi": None, "tool": 0}
+        )
+        e["n"] += 1
+        e["tool"] += r["role"] == "tool"
+        e["lo"] = r["ts"] if e["lo"] is None else min(e["lo"], r["ts"])
+        e["hi"] = r["ts"] if e["hi"] is None else max(e["hi"], r["ts"])
+    assert set(got) == set(expected)
+    for cid, e in expected.items():
+        g = got[cid]
+        assert g["n_turns"] == e["n"]
+        assert g["n_tool_turns"] == e["tool"]
+        assert g["first_ts"] == e["lo"] and g["last_ts"] == e["hi"]
+        assert g["duration_sec"] == int((e["hi"] - e["lo"]).total_seconds())
