@@ -183,7 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": text.token_count,               # SQL-oracled
         "bpe_token_count": text.bpe_token_count,       # rows-only (re-vs-RE2 parity in tests)
         "langid": text.langid,                          # rows-only (heuristic)
-        "quality_features": text.quality_features,      # rows-only
+        "quality_features": text.quality_features,      # SQL-oracled (fixed-point)
         "doc_fingerprints": text.doc_fingerprints,      # rows-only
         # dedup family
         "minhash_neardup": _minhash_neardup,            # rows-only
@@ -297,6 +297,25 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
             "AS n_tokens FROM documents"
+        ),
+        "quality_features": (
+            "WITH f AS (SELECT doc_id, "
+            "  length(coalesce(text,'')) AS n_chars, "
+            "  len(regexp_extract_all(coalesce(text,''), '\\S+')) AS n_tokens, "
+            "  len(regexp_extract_all(coalesce(text,''), '[.,;:!?]')) AS n_punct, "
+            "  len(regexp_extract_all(coalesce(text,''), '[A-Z]')) AS n_upper, "
+            "  len(list_filter(regexp_extract_all(lower(coalesce(text,'')), '[a-z'']+'), "
+            "      x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS hits, "
+            "  greatest(len(regexp_extract_all(lower(coalesce(text,'')), '[a-z'']+')), 1) AS words "
+            "FROM documents), e AS (SELECT doc_id, n_chars, n_tokens, "
+            "  CAST(floor((10000.0*n_punct)/greatest(n_chars,1) + 0.5) AS BIGINT) AS punct_e4, "
+            "  CAST(floor((10000.0*n_upper)/greatest(n_chars,1) + 0.5) AS BIGINT) AS upper_e4, "
+            "  CAST(floor((10000.0*hits)/words + 0.5) AS BIGINT) AS stop_e4 "
+            "FROM f) "
+            "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+            "CAST(n_tokens AS BIGINT) AS n_tokens, punct_e4, upper_e4, stop_e4, "
+            "5*stop_e4 + 4*least(n_tokens,100)*100 + (10000 - least(punct_e4,10000)) "
+            "AS score_e5 FROM e"
         ),
         "embedding_neardup": (
             "SELECT a.vec_id AS a_id, b.vec_id AS b_id "

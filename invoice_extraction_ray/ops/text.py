@@ -114,50 +114,50 @@ def langid(sf_dir: str) -> ray.data.Dataset:
 
 def quality_features(sf_dir: str) -> ray.data.Dataset:
     """doc_id + length/punctuation/stopword/uppercase ratios + composite score
-    (reference confidence-scoring analogue, vectorized with Arrow kernels)."""
+    (reference confidence-scoring analogue, vectorized with Arrow kernels).
+
+    Ratios are emitted as fixed-point 1e-4 integers and the composite score
+    is defined by EXACT integer arithmetic over those integers
+    (score_e5 = 5*stop_e4 + 4*min(tokens,100)*100 + (10000 - min(punct_e4,
+    10000))), so the DuckDB oracle reproduces every value bit-for-bit."""
     ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         text = pc.fill_null(t.column("text"), "")
-        n_chars = pc.cast(pc.utf8_length(text), pa.float64())
-        n_tokens = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.float64())
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
+        n_tokens = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64()).to_numpy()
         n_punct = pc.cast(
-            pc.count_substring_regex(text, r"[.,;:!?]"), pa.float64()
-        )
-        n_upper = pc.cast(pc.count_substring_regex(text, r"[A-Z]"), pa.float64())
-        # stopword hits need tokenization — do it in numpy/python per batch
-        stop_ratio = np.array(
-            [
-                (
-                    sum(1 for w in _WORD_RE.findall(s.lower()) if w in STOPWORDS_EN)
-                    / max(1, len(_WORD_RE.findall(s.lower())))
-                )
-                for s in text.to_pylist()
-            ]
-        )
-        denom = pc.max_element_wise(n_chars, pa.scalar(1.0))
-        punct_ratio = pc.round(pc.divide(n_punct, denom), ndigits=4)
-        upper_ratio = pc.round(pc.divide(n_upper, denom), ndigits=4)
-        stop_r = pa.array(np.round(stop_ratio, 4))
-        score = pc.round(
-            pc.add(
-                pc.multiply(pa.array(stop_ratio), 0.5),
-                pc.add(
-                    pc.multiply(pc.min_element_wise(pc.divide(n_tokens, 100.0), pa.scalar(1.0)), 0.4),
-                    pc.multiply(pc.subtract(1.0, pc.min_element_wise(punct_ratio, pa.scalar(1.0))), 0.1),
-                ),
-            ),
-            ndigits=4,
+            pc.count_substring_regex(text, r"[.,;:!?]"), pa.int64()
+        ).to_numpy()
+        n_upper = pc.cast(pc.count_substring_regex(text, r"[A-Z]"), pa.int64()).to_numpy()
+        # stopword hits need tokenization — numpy/python per batch
+        stop_pairs = [
+            (
+                sum(1 for w in _WORD_RE.findall(s.lower()) if w in STOPWORDS_EN),
+                len(_WORD_RE.findall(s.lower())),
+            )
+            for s in text.to_pylist()
+        ]
+        hits = np.array([h for h, _ in stop_pairs], dtype=np.float64)
+        words = np.array([max(1, w) for _, w in stop_pairs], dtype=np.float64)
+        denom = np.maximum(n_chars, 1).astype(np.float64)
+        punct_e4 = np.floor((10000.0 * n_punct) / denom + 0.5).astype(np.int64)
+        upper_e4 = np.floor((10000.0 * n_upper) / denom + 0.5).astype(np.int64)
+        stop_e4 = np.floor((10000.0 * hits) / words + 0.5).astype(np.int64)
+        score_e5 = (
+            5 * stop_e4
+            + 4 * np.minimum(n_tokens, 100) * 100
+            + (10000 - np.minimum(punct_e4, 10000))
         )
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
-                "n_chars": pc.cast(n_chars, pa.int64()),
-                "n_tokens": pc.cast(n_tokens, pa.int64()),
-                "punct_ratio": punct_ratio,
-                "upper_ratio": upper_ratio,
-                "stop_ratio": stop_r,
-                "quality_score": score,
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "punct_e4": pa.array(punct_e4, pa.int64()),
+                "upper_e4": pa.array(upper_e4, pa.int64()),
+                "stop_e4": pa.array(stop_e4, pa.int64()),
+                "score_e5": pa.array(score_e5, pa.int64()),
             }
         )
 
