@@ -182,7 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_count": text.token_count,               # SQL-oracled
         "bpe_token_count": text.bpe_token_count,       # rows-only (re-vs-RE2 parity in tests)
-        "langid": text.langid,                          # rows-only (heuristic)
+        "langid": text.langid,                          # SQL-oracled
         "quality_features": text.quality_features,      # SQL-oracled (fixed-point)
         "doc_fingerprints": text.doc_fingerprints,      # rows-only
         # dedup family
@@ -297,6 +297,27 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
             "AS n_tokens FROM documents"
+        ),
+        "langid": (
+            # mirror of ops.text._predict_lang: CJK integer ratio, then the
+            # alphabetically-earliest profile with strictly-max stopword hits
+            "WITH f AS (SELECT doc_id, coalesce(text,'') AS t FROM documents), "
+            "h AS (SELECT doc_id, t, length(t) AS n, "
+            "  len(regexp_extract_all(t, '[\\x{4E00}-\\x{9FFF}]')) AS cjk, "
+            "  regexp_extract_all(lower(t), '[a-z'']+') AS ws FROM f), "
+            "c AS (SELECT doc_id, n, cjk, len(ws) AS n_words, "
+            "  len(list_filter(ws, x -> x IN ('der','die','das','und','ist','von','mit','den','nicht','ein'))) AS h_de, "
+            "  len(list_filter(ws, x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS h_en, "
+            "  len(list_filter(ws, x -> x IN ('el','la','de','que','y','en','un','los','se','no'))) AS h_es, "
+            "  len(list_filter(ws, x -> x IN ('le','la','de','et','les','des','est','un','une','que'))) AS h_fr "
+            "FROM h) "
+            "SELECT doc_id, CASE "
+            "WHEN n = 0 THEN 'und' "
+            "WHEN 5*cjk > n THEN 'zh' "
+            "WHEN n_words = 0 OR greatest(h_de,h_en,h_es,h_fr) = 0 THEN 'und' "
+            "WHEN h_de >= greatest(h_en,h_es,h_fr) THEN 'de' "
+            "WHEN h_en >= greatest(h_es,h_fr) THEN 'en' "
+            "WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_pred FROM c"
         ),
         "quality_features": (
             "WITH f AS (SELECT doc_id, "

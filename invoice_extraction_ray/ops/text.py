@@ -84,7 +84,8 @@ def _predict_lang(text: str) -> str:
     if not text:
         return "und"
     cjk = sum(1 for ch in text if CJK_RANGE[0] <= ord(ch) <= CJK_RANGE[1])
-    if cjk / max(1, len(text)) > 0.2:
+    # integer form of cjk/len > 0.2 — float-free so SQL oracles agree exactly
+    if 5 * cjk > len(text):
         return "zh"
     words = _WORD_RE.findall(text.lower())
     if not words:
