@@ -196,7 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_topk": ann.ivf_topk,                   # rows-only (approximate)
         "embedding_neardup_lsh": dedup.embedding_neardup_lsh,  # rows-only (approx)
         # multimodal plumbing (stubbed decode/resize/frame-sample)
-        "media_metadata": media_metadata,               # rows-only
+        "media_metadata": media_metadata,               # SQL-oracled
         "media_resized": media_resized,                 # rows-only
         "media_frames": media_frames,                   # rows-only
     }
@@ -342,6 +342,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS a_id, b.vec_id AS b_id "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.3"
+        ),
+        "media_metadata": (
+            # mirror of ops.multimodal.StubDecoder: pseudo-dimensions derived
+            # from sha256 digest bytes (hex pairs parsed with strpos)
+            "WITH m AS (SELECT doc_id, coalesce(text,'') AS t FROM documents), "
+            "d AS (SELECT doc_id, t, sha256(t) AS hx FROM m), "
+            "b AS (SELECT doc_id, t, hx, "
+            "  (strpos('0123456789abcdef', substr(hx,1,1))-1)*16 + strpos('0123456789abcdef', substr(hx,2,1))-1 AS b0, "
+            "  (strpos('0123456789abcdef', substr(hx,3,1))-1)*16 + strpos('0123456789abcdef', substr(hx,4,1))-1 AS b1, "
+            "  (strpos('0123456789abcdef', substr(hx,5,1))-1)*16 + strpos('0123456789abcdef', substr(hx,6,1))-1 AS b2 "
+            "FROM d) "
+            "SELECT doc_id, CAST(octet_length(encode(t)) AS BIGINT) AS n_bytes, "
+            "hx AS sha256, CAST(64 + b0 % 192 AS INTEGER) AS width, "
+            "CAST(64 + b1 % 192 AS INTEGER) AS height, "
+            "CASE b2 % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format "
+            "FROM b"
         ),
         "ann_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
