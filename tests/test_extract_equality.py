@@ -87,3 +87,91 @@ def test_consensus_matches_oracle(corpus, oracle_table):
         n_boosted += c["final_confidence"] > 0.5
     # the fixture corpus must actually exercise both code paths
     assert n_anom > 0 and n_boosted > 0
+
+
+def test_concurrency_invariance(corpus, oracle_table):
+    """Parallelism invariance (FIXTURES.md §invariance 2, in-session proxy):
+    identical output with a 1-actor pool and a 3-actor pool."""
+    one = build_pipeline(corpus, concurrency=1, hot_threshold=50)
+    three = build_pipeline(corpus, concurrency=3, batch_size=128, hot_threshold=50)
+    assert_tables_equal(oracle_table, dataset_to_sorted_table(one))
+    assert_tables_equal(oracle_table, dataset_to_sorted_table(three))
+
+
+def test_metric_tables_match_oracle(corpus):
+    """F4 golden aggregates: field coverage, error categories, severity
+    rollup, confidence bins — engine groupbys vs brute-force over the
+    oracle's output rows."""
+    from collections import Counter
+
+    from invoice_extraction_ray.pipelines import metrics as M
+
+    rows = corpus.to_pylist()
+    oracle_out = O.extract_table(rows)
+
+    def flags(fields):
+        return {
+            "entity": fields["entity"] is not None,
+            "code": fields["code"] is not None,
+            "power": fields["power"] is not None,
+            "amount": fields["amount"] is not None,
+            "region_a": bool(fields["region_a"]["present"]),
+            "region_b": bool(fields["region_b"]["present"]),
+        }
+
+    ds = build_pipeline(corpus, seal=False)
+
+    # --- A1 field coverage
+    cov = {r["field"]: r for r in M.field_coverage(ds).to_pylist()}
+    for name in M.FIELD_NAMES:
+        expected_n = sum(flags(o["fields"])[name] for o in oracle_out)
+        assert cov[name]["n_filled"] == expected_n
+        assert cov[name]["total"] == len(oracle_out)
+
+    # --- A2 error categories (deterministic 8-category rule set)
+    def categories(o):
+        f = flags(o["fields"])
+        cats = []
+        missing = 0
+        for n2, cat in (
+            ("entity", "missing_entity"),
+            ("code", "missing_code"),
+            ("power", "missing_power"),
+            ("amount", "missing_amount"),
+        ):
+            if not f[n2]:
+                cats.append(cat)
+                missing += 1
+        if not f["region_a"]:
+            cats.append("no_region_a")
+        if o["confidence"] < M.LOW_CONFIDENCE_THRESHOLD:
+            cats.append("low_confidence")
+        if 1 <= missing <= 3:
+            cats.append("partial_extraction")
+        if o["extracted_text"] == "":
+            cats.append("empty_turn")
+        return cats
+
+    expected_counts = Counter(c for o in oracle_out for c in categories(o))
+    got_counts = {
+        r["category"]: r["n"] for r in M.error_categories(ds).take_all()
+    }
+    assert got_counts == dict(expected_counts)
+
+    # --- A3 severity rollup
+    expected_sev = Counter(
+        M.SEVERITY_OF[c] for o in oracle_out for c in categories(o)
+    )
+    got_sev = {r["severity"]: r["n"] for r in M.severity_rollup(ds).take_all()}
+    assert got_sev == dict(expected_sev)
+
+    # --- A4 confidence bins
+    def bin_of(c):
+        for edge, name in zip(M.CONF_BIN_EDGES, ("q1_lt25", "q2_lt50", "q3_lt75")):
+            if c < edge:
+                return name
+        return "q4_ge75"
+
+    expected_bins = Counter(bin_of(o["confidence"]) for o in oracle_out)
+    got_bins = {r["bin"]: r["n"] for r in M.confidence_bins(ds).take_all()}
+    assert got_bins == dict(expected_bins)
