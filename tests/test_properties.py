@@ -90,3 +90,48 @@ def test_jaccard_symmetric_bounded(a, b):
     assert 0.0 <= j <= 1.0
     assert j == jaccard(b, a)
     assert jaccard(a, a) == 1.0
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(text_strategy, st.sampled_from(["user", "assistant", "tool"])),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_engine_equals_oracle_on_arbitrary_text(rows):
+    """Differential fuzz: the batched engine classifier and the row-at-a-time
+    oracle agree on ARBITRARY text, not just fixture-shaped text."""
+    import numpy as np
+    import pyarrow as pa
+
+    from invoice_extraction_ray.fixtures import master_data
+    from invoice_extraction_ray.stages.classify import TurnClassifier
+    from invoice_extraction_ray.stages.normalize import normalize_batch
+
+    table = pa.table(
+        {
+            "conv_id": pa.array([f"c{i}" for i in range(len(rows))], pa.string()),
+            "turn_idx": pa.array(range(len(rows)), pa.int32()),
+            "role": pa.array([r for _, r in rows], pa.string()),
+            "text": pa.array([t for t, _ in rows], pa.string()),
+            "tool": pa.array(["search" if r == "tool" else None for _, r in rows],
+                             pa.string()),
+        }
+    )
+    clf = TurnClassifier(master=master_data())
+    got = clf(normalize_batch(table)).to_pylist()
+
+    oracle_rows = O.extract_table(table.to_pylist())
+    by_key = {(r["conv_id"], r["turn_idx"]): r for r in oracle_rows}
+    assert len(got) == len(oracle_rows)
+    for g in got:
+        o = by_key[(g["conv_id"], g["turn_idx"])]
+        assert g["extracted_text"] == o["extracted_text"]
+        assert g["spans"] == [
+            {**s, "conf": np.float32(s["conf"]).item()} for s in o["spans"]
+        ]
+        assert g["fields"] == o["fields"]
+        assert abs(g["confidence"] - o["confidence"]) < 1e-6
+        assert g["notes"] == o["notes"]
