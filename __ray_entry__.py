@@ -145,6 +145,18 @@ def _interval_overlap(sf_dir: str):
     return event_interval_overlaps(sf_dir)
 
 
+def _asof_purchase_view(sf_dir: str):
+    from invoice_extraction_ray.ops.window import purchase_last_view
+
+    return purchase_last_view(sf_dir)
+
+
+def _sliding_window(sf_dir: str):
+    from invoice_extraction_ray.ops.window import sliding_window_counts
+
+    return sliding_window_counts(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from invoice_extraction_ray.ops import ann, dedup, relational, text
     from invoice_extraction_ray.ops.multimodal import (
@@ -179,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_in_band": relational.price_in_band,
         "union_lang_counts": relational.union_lang_counts,
         "interval_overlap": _interval_overlap,
+        "asof_purchase_view": _asof_purchase_view,
+        "sliding_window_counts": _sliding_window,
         # text analysis
         "token_count": text.token_count,               # SQL-oracled
         "bpe_token_count": text.bpe_token_count,       # rows-only (re-vs-RE2 parity in tests)
@@ -297,6 +311,23 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
             "AS n_tokens FROM documents"
+        ),
+        "asof_purchase_view": (
+            "WITH p AS (SELECT user_id, event_id, ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "v AS (SELECT user_id, event_id, ts FROM events "
+            "WHERE event_type = 'page_view') "
+            "SELECT p.user_id, p.event_id AS purchase_id, "
+            "v.event_id AS view_id "
+            "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"
+        ),
+        "sliding_window_counts": (
+            # 60-min windows sliding every 15 min; value summed in cents
+            "SELECT make_timestamp(CAST((epoch_us(ts)//900000000)*900000000 "
+            "- CAST(i AS BIGINT)*900000000 AS BIGINT)) AS window_start, event_type, "
+            "count(*) AS n, "
+            "CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c "
+            "FROM events, UNNEST([0,1,2,3]) AS u(i) GROUP BY 1, 2"
         ),
         "langid": (
             # mirror of ops.text._predict_lang: CJK integer ratio, then the

@@ -1,0 +1,199 @@
+"""Windowed / temporal operators the Dataset API lacks natively (SURVEY.md
+§2.10 "custom operators"): as-of join and sliding-window aggregation —
+expressed as map_batches + sharded groupby compositions per the brief's
+option (a), with the partitioning assumption documented on each.
+
+Partitioning assumption (both ops): rows are co-located per key by ONE
+sharded hash groupby over slim (key, ts, ...) projections — payloads never
+shuffle.  Inside a shard group the work is a vectorized pandas/numpy kernel,
+so group dispatch stays O(shards), not O(keys) (see BASELINE.md notes on
+map_groups dispatch cost).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+KEY_SHARDS = 64
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _add_shard(t: pa.Table, key: str = "user_id") -> pa.Table:
+    import pyarrow.compute as pc
+
+    shard = pc.cast(pc.bit_wise_and(t.column(key), KEY_SHARDS - 1), pa.int32())
+    return t.append_column("shard", shard)
+
+
+# ---------------------------------------------------------------------------
+# as-of join (backward): for each left event, the most recent right event of
+# the same key with right.ts <= left.ts
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str = "user_id",
+    ts: str = "ts",
+) -> ray.data.Dataset:
+    """Backward as-of join of two (key, ts, id) datasets.
+
+    Both sides are tagged, unioned, co-partitioned by a shard of ``key``, and
+    each shard group runs a vectorized sorted merge (np.searchsorted per key
+    run).  Output: (key, left_id, left_ts, right_id, right_ts) with
+    right_* null when no prior right row exists.
+    """
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("side", pa.array([side] * t.num_rows, pa.int32()))
+
+        return fn
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def per_shard(g):
+        import pandas as pd
+
+        g = g.sort_values([key, ts, "side"], kind="mergesort")
+        out = []
+        for k, grp in g.groupby(key, sort=False):
+            l = grp[grp["side"] == 0]
+            r = grp[grp["side"] == 1]
+            if not len(l):
+                continue
+            if not len(r):
+                idx = np.full(len(l), -1)
+            else:
+                # last right index with r.ts <= l.ts (backward as-of)
+                idx = np.searchsorted(r[ts].to_numpy(), l[ts].to_numpy(), side="right") - 1
+            # nullable Int64 keeps missing matches as true nulls (a plain
+            # list of None/int would decay to float64 + NaN)
+            rid = pd.array(
+                [None if i < 0 else int(r["id"].iloc[i]) for i in idx],
+                dtype="Int64",
+            )
+            if len(r):
+                rts = r[ts].iloc[np.clip(idx, 0, None)].reset_index(drop=True)
+                rts = rts.mask(pd.Series(idx < 0))
+            else:
+                rts = l[ts].reset_index(drop=True).mask(pd.Series([True] * len(l)))
+            out.append(
+                pd.DataFrame(
+                    {
+                        key: l[key].to_numpy(),
+                        "left_id": l["id"].to_numpy(),
+                        "left_ts": l[ts].to_numpy(),
+                        "right_id": rid,
+                        "right_ts": rts,
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {key: [], "left_id": [], "left_ts": [], "right_id": [], "right_ts": []}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        both.map_batches(lambda t: _add_shard(t, key), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
+def purchase_last_view(sf_dir: str) -> ray.data.Dataset:
+    """Driver-testdata instantiation: each purchase event joined to the same
+    user's most recent page_view at-or-before it (DuckDB ASOF JOIN oracle)."""
+    import pyarrow.compute as pc
+
+    cols = ["user_id", "event_id", "event_type", "ts"]
+
+    def pick(event_type: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("event_type"), event_type))
+            return pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "id": t.column("event_id"),
+                    "ts": t.column("ts"),
+                }
+            )
+
+        return fn
+
+    base = _pq(sf_dir, "events")
+    purchases = ray.data.read_parquet(base, columns=cols).map_batches(
+        pick("purchase"), batch_format="pyarrow"
+    )
+    views = ray.data.read_parquet(base, columns=cols).map_batches(
+        pick("page_view"), batch_format="pyarrow"
+    )
+    out = asof_join(purchases, views)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "purchase_id": t.column("left_id"),
+                "view_id": t.column("right_id"),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# sliding-window aggregate
+# ---------------------------------------------------------------------------
+
+WINDOW_MIN = 60
+SLIDE_MIN = 15
+
+
+def sliding_window_counts(sf_dir: str) -> ray.data.Dataset:
+    """Sliding-window aggregate over events: count + fixed-point value sum
+    per (window_start, event_type) for 60-minute windows sliding every 15
+    minutes.  Each event fans out to window_min/slide_min = 4 window rows
+    inside map_batches (no per-event python), then one small groupby."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    k = WINDOW_MIN // SLIDE_MIN
+    slide_us = SLIDE_MIN * 60 * 1_000_000
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        etype = t.column("event_type").to_pylist()
+        value = t.column("value").to_numpy(zero_copy_only=False)
+        # window starts are slide-aligned; an event at time x belongs to the
+        # k windows starting at floor(x/slide)*slide - i*slide, i in [0, k)
+        base = (ts_us // slide_us) * slide_us
+        starts = base[:, None] - np.arange(k, dtype=np.int64)[None, :] * slide_us
+        n = len(ts_us)
+        idx = np.repeat(np.arange(n), k)
+        v100 = np.floor(value * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "window_start": pa.array(starts.reshape(-1)).cast(
+                    pa.timestamp("us")
+                ),
+                "event_type": pa.array([etype[i] for i in idx], pa.string()),
+                "value_c": pa.array(v100[idx]),
+            }
+        )
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type", "value"])
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="sum_value_c"))
+    )

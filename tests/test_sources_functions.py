@@ -133,3 +133,34 @@ def test_conversation_stats_matches_bruteforce():
         assert g["n_tool_turns"] == e["tool"]
         assert g["first_ts"] == e["lo"] and g["last_ts"] == e["hi"]
         assert g["duration_sec"] == int((e["hi"] - e["lo"]).total_seconds())
+
+
+def test_asof_join_semantics():
+    import pyarrow as pa
+
+    from invoice_extraction_ray.ops.window import asof_join
+
+    def tbl(rows):
+        u, i, ts = zip(*rows)
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "id": pa.array(i, pa.int64()),
+                "ts": pa.array(ts, pa.int64()),
+            }
+        )
+
+    left = tbl([(1, 100, 10), (1, 101, 3), (2, 200, 50), (3, 300, 7)])
+    right = tbl([(1, 900, 5), (1, 901, 10), (2, 902, 60)])
+    got = {
+        r["left_id"]: r["right_id"]
+        for r in asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right)
+        ).take_all()
+    }
+    assert got == {
+        100: 901,  # equal ts matches (backward inclusive)
+        101: None,  # no right row at-or-before ts=3
+        200: None,  # right exists only after
+        300: None,  # key has no right rows at all
+    }
