@@ -3,9 +3,11 @@
 ``entry()`` runs the flagship transcript-extraction pipeline at sf0.001 scale.
 ``queries()`` exposes one callable per implemented operator/pipeline from
 SURVEY.md §2 (plus the training-data-pipeline operators); ``oracle_sql()``
-gives the DuckDB-equivalent SQL for every SQL-expressible one (the rest are
-rows-only checks: the transcript pipeline is verified against its own
-pure-Python oracle in tests/, and near-dup/ANN/langid are non-relational).
+gives the DuckDB-equivalent SQL for every SQL-expressible one (23 queries).
+The rest are rows-only for the driver but verified elsewhere: the transcript
+pipeline against its pure-Python oracle in tests/ (byte equality +
+differential fuzz), near-dup/ANN variants by planted-pair recall tests vs
+their exact counterparts, and BPE counting by re-vs-RE2 parity tests.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here
 (or in the library) calls ray.init()/ray.shutdown().
