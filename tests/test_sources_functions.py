@@ -164,3 +164,23 @@ def test_asof_join_semantics():
         200: None,  # right exists only after
         300: None,  # key has no right rows at all
     }
+
+
+def test_read_json_transcripts(tmp_path):
+    import json
+
+    from invoice_extraction_ray.pipelines.extract import build_pipeline
+    from invoice_extraction_ray.sources.readers import read_json_transcripts
+
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "Dealer: Acme Tools", "tool": None},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "ok", "tool": None},
+        {"conv_id": "c2", "turn_idx": 0, "role": "tool", "text": '{"a": 1}', "tool": "search"},
+    ]
+    path = tmp_path / "t.jsonl"
+    path.write_text("\n".join(json.dumps(r) for r in rows))
+    ds = read_json_transcripts([str(path)])
+    out = build_pipeline(ds, seal_strategy="sort")
+    got = out.select_columns(["conv_id", "turn_idx", "extracted_text"]).take_all()
+    assert [(r["conv_id"], r["turn_idx"]) for r in got] == [("c1", 0), ("c1", 1), ("c2", 0)]
+    assert got[0]["extracted_text"] == "Dealer: Acme Tools"
