@@ -147,6 +147,18 @@ def _interval_overlap(sf_dir: str):
     return event_interval_overlaps(sf_dir)
 
 
+def _value_quantiles(sf_dir: str):
+    from invoice_extraction_ray.ops.sketch import value_quantiles
+
+    return value_quantiles(sf_dir)
+
+
+def _hll_distinct(sf_dir: str):
+    from invoice_extraction_ray.ops.sketch import hll_distinct_users
+
+    return hll_distinct_users(sf_dir)
+
+
 def _asof_purchase_view(sf_dir: str):
     from invoice_extraction_ray.ops.window import purchase_last_view
 
@@ -195,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_overlap": _interval_overlap,
         "asof_purchase_view": _asof_purchase_view,
         "sliding_window_counts": _sliding_window,
+        "value_quantiles": _value_quantiles,
+        "hll_distinct_users": _hll_distinct,      # rows-only (sketch; error-bounded in tests)
         # text analysis
         "token_count": text.token_count,               # SQL-oracled
         "bpe_token_count": text.bpe_token_count,       # rows-only (re-vs-RE2 parity in tests)
@@ -313,6 +327,14 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
             "AS n_tokens FROM documents"
+        ),
+        "value_quantiles": (
+            "SELECT event_type, "
+            "CAST(floor(quantile_disc(value, 0.25)*100 + 0.5) AS BIGINT) AS p25_c, "
+            "CAST(floor(quantile_disc(value, 0.5)*100 + 0.5) AS BIGINT) AS p50_c, "
+            "CAST(floor(quantile_disc(value, 0.75)*100 + 0.5) AS BIGINT) AS p75_c, "
+            "CAST(floor(quantile_disc(value, 0.95)*100 + 0.5) AS BIGINT) AS p95_c, "
+            "count(*) AS n FROM events GROUP BY event_type"
         ),
         "asof_purchase_view": (
             "WITH p AS (SELECT user_id, event_id, ts FROM events "

@@ -1,0 +1,124 @@
+"""Sketch / order-statistic aggregates.
+
+- ``value_quantiles``: EXACT per-group quantiles via per-group sort —
+  appropriate while each group's values fit one worker (few event types);
+  index convention mirrors DuckDB ``quantile_disc`` (ceil(q*n)-1 in float64)
+  so the SQL oracle matches bit-for-bit on fixed-point outputs.
+- ``hll_distinct_users``: HyperLogLog distinct-count — the canonical
+  mergeable sketch (Flajolet et al. 2007): per-batch partial register
+  arrays (numpy max), one tiny groupby merging registers, linear-counting
+  small-range correction.  Approximate by design; tests bound the error
+  vs the exact distinct count.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def value_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact quantiles of events.value per event_type (cents fixed-point)."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
+
+    def per_group(t: pa.Table) -> pa.Table:
+        v = np.sort(t.column("value").to_numpy(zero_copy_only=False))
+        n = len(v)
+        row = {"event_type": [t.column("event_type")[0].as_py()]}
+        for q in QUANTILES:
+            idx = max(0, math.ceil(q * n) - 1)  # DuckDB quantile_disc convention
+            row[f"p{int(q * 100)}_c"] = [int(np.floor(v[idx] * 100.0 + 0.5))]
+        row["n"] = [n]
+        return pa.Table.from_pydict(row)
+
+    return ds.groupby("event_type").map_groups(per_group, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024 registers
+
+
+def _hash64(x: np.ndarray) -> np.ndarray:
+    """Deterministic splitmix64 over int64 keys (vectorized, no RNG)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _partial_registers(keys: np.ndarray) -> np.ndarray:
+    h = _hash64(keys)
+    reg_idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    bits = h << np.uint64(HLL_P)  # remaining 64-p bits, left-aligned
+    # rank = position of the leftmost 1-bit (1-based), capped at 64-p+1.
+    # Bounded loop over possible ranks (vectorized over rows; 54 iterations)
+    ranks = np.zeros(len(h), dtype=np.int64)
+    mask = np.uint64(1) << np.uint64(63)
+    remaining = np.ones(len(h), dtype=bool)
+    for r in range(1, 64 - HLL_P + 1):
+        hit = remaining & ((bits & mask) != 0)
+        ranks[hit] = r
+        remaining &= ~hit
+        bits = bits << np.uint64(1)
+    ranks[remaining] = 64 - HLL_P + 1
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    np.maximum.at(regs, reg_idx, ranks)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = HLL_M
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)  # linear counting small-range correction
+    return est
+
+
+def hll_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """Approximate distinct user_id per event_type via mergeable HLL
+    registers: per-batch partials, register-max merge in one tiny groupby."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        etypes, regs_col = [], []
+        tbl = t.group_by("event_type").aggregate([("user_id", "list")])
+        for row in tbl.to_pylist():
+            keys = np.asarray(row["user_id_list"], dtype=np.int64)
+            etypes.append(row["event_type"])
+            regs_col.append(_partial_registers(keys).tolist())
+        return pa.table(
+            {
+                "event_type": pa.array(etypes, pa.string()),
+                "regs": pa.array(regs_col, pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        regs = np.asarray(t.column("regs").to_pylist(), dtype=np.int64).max(axis=0)
+        return pa.table(
+            {
+                "event_type": pa.array([t.column("event_type")[0].as_py()]),
+                "approx_distinct": pa.array([int(round(hll_estimate(regs)))], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -206,3 +206,40 @@ def test_media_resize_and_frames():
         StubResizer(real=True)(pa.table({"doc_id": [1], "payload": [b"x"]}))
     with pytest.raises(NotImplementedError):
         StubFrameSampler(real=True)(pa.table({"doc_id": [1], "payload": [b"x"]}))
+
+
+def test_hll_distinct_error_bound():
+    import duckdb
+
+    from invoice_extraction_ray.ops.sketch import hll_distinct_users
+
+    got = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_distinct_users(SF).take_all()
+    }
+    exact = dict(
+        duckdb.sql(
+            f"select event_type, count(distinct user_id) "
+            f"from read_parquet('{SF}/events.parquet') group by 1"
+        ).fetchall()
+    )
+    assert set(got) == set(exact)
+    for et, true_n in exact.items():
+        # 1024 registers: ~3.25% stderr in HLL mode; linear counting regime
+        # here (n << m) is tighter. 10% bound leaves slack for small n.
+        assert abs(got[et] - true_n) <= max(2, 0.1 * true_n), (et, got[et], true_n)
+
+
+def test_hll_registers_merge_associative():
+    import numpy as np
+
+    from invoice_extraction_ray.ops.sketch import _partial_registers, hll_estimate
+
+    keys = np.arange(1, 2001, dtype=np.int64)
+    whole = _partial_registers(keys)
+    parts = np.maximum.reduce(
+        [_partial_registers(keys[i::4]) for i in range(4)]
+    )
+    assert (whole == parts).all()
+    est = hll_estimate(whole)
+    assert abs(est - 2000) <= 0.1 * 2000
