@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": relational.sessionize,
         "price_in_band": relational.price_in_band,
         "union_lang_counts": relational.union_lang_counts,
+        "sample_docs": relational.sample_docs,
+        "customers_without_big_order": relational.customers_without_big_order,
         "interval_overlap": _interval_overlap,
         "asof_purchase_view": _asof_purchase_view,
         "sliding_window_counts": _sliding_window,
@@ -327,6 +329,15 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
             "AS n_tokens FROM documents"
+        ),
+        "sample_docs": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE ((doc_id * 2654435761) % 4294967296) % 10 = 0"
+        ),
+        "customers_without_big_order": (
+            "SELECT c_custkey, c_mktsegment FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)"
         ),
         "value_quantiles": (
             "SELECT event_type, "

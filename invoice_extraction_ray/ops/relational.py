@@ -489,3 +489,74 @@ def union_lang_counts(sf_dir: str) -> ray.data.Dataset:
         filter=(pc.field("n_chars") > 300),
     )
     return a.union(b).groupby("lang").aggregate(Count(alias_name="n"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling (O5 analogue at scale: partition-friendly,
+# reproducible — unlike RNG sampling, the SAME rows are picked on any
+# cluster size, and the predicate pushes into the scan)
+# ---------------------------------------------------------------------------
+
+SAMPLE_MULT = 2654435761  # Knuth multiplicative hash constant
+SAMPLE_MOD = 1 << 32
+SAMPLE_RATE_DENOM = 10
+
+
+def sample_docs(sf_dir: str) -> ray.data.Dataset:
+    """~1/10 deterministic sample of documents: keep rows where
+    (doc_id * 2654435761) mod 2^32 mod 10 == 0 — exact integer arithmetic
+    reproducible in any engine."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ((ids * SAMPLE_MULT) % SAMPLE_MOD) % SAMPLE_RATE_DENOM == 0
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# broadcast semi / anti joins
+# ---------------------------------------------------------------------------
+
+
+BIG_ORDER_THRESHOLD = 300_000.0
+
+
+def customers_without_big_order(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast anti-join: customers with NO order above the threshold.
+    The qualifying custkey set is built driver-side and broadcast (ray.put
+    once); the probe side is a vectorized inverted is_in filter — anti-join
+    semantics with no shuffle."""
+    import pyarrow.parquet as pq_mod
+
+    orders = pq_mod.read_table(
+        _pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+    big = pc.unique(
+        orders.filter(
+            pc.greater(orders.column("o_totalprice"), BIG_ORDER_THRESHOLD)
+        ).column("o_custkey")
+    )
+    big_ref = ray.put(big)
+
+    class AntiFilter:
+        def __init__(self, ref):
+            self.big = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = pc.invert(pc.is_in(t.column("c_custkey"), value_set=self.big))
+            return t.filter(keep)
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    return ds.map_batches(
+        AntiFilter,
+        fn_constructor_kwargs={"ref": big_ref},
+        batch_format="pyarrow",
+        concurrency=pool_size(),
+    )
