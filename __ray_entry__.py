@@ -141,6 +141,25 @@ def _extract_consensus(sf_dir: str):
     )
 
 
+def _media_features_flat(sf_dir: str):
+    """Byte-histogram features flattened to fixed-point int columns (list
+    columns aren't hashable/sortable by the driver's value comparison)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from invoice_extraction_ray.ops.multimodal import N_HIST_BINS, media_features
+
+    def flatten(t: pa.Table) -> pa.Table:
+        feats = np.asarray(t.column("features").to_pylist(), dtype=np.float64)
+        cols = {"doc_id": t.column("doc_id")}
+        e4 = np.floor(feats * 10_000.0 + 0.5).astype(np.int64)
+        for j in range(N_HIST_BINS):
+            cols[f"f{j:02d}_e4"] = pa.array(e4[:, j])
+        return pa.table(cols)
+
+    return media_features(sf_dir).map_batches(flatten, batch_format="pyarrow")
+
+
 def _interval_overlap(sf_dir: str):
     from invoice_extraction_ray.ops.interval import event_interval_overlaps
 
@@ -174,6 +193,7 @@ def _sliding_window(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from invoice_extraction_ray.ops import ann, dedup, relational, text
     from invoice_extraction_ray.ops.multimodal import (
+        media_features,
         media_frames,
         media_metadata,
         media_resized,
@@ -231,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_metadata": media_metadata,               # SQL-oracled
         "media_resized": media_resized,                 # rows-only
         "media_frames": media_frames,                   # rows-only
+        "media_features": _media_features_flat,         # rows-only (pytest oracle)
     }
 
 

@@ -177,6 +177,46 @@ def media_frames(sf_dir: str, n_frames: int = 4) -> ray.data.Dataset:
     )
 
 
+N_HIST_BINS = 16
+
+
+class ByteHistogramFeatures:
+    """Feature-extract stage over opaque binary payloads — fully REAL (no
+    codec needed): a normalized 16-bin byte histogram per payload, the
+    standard cheap content signature.  Output column is list<float32>,
+    the same shape a real image/audio embedding stage would emit."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        feats = []
+        for p in t.column("payload").to_pylist():
+            b = np.frombuffer(p or b"", dtype=np.uint8)
+            if b.size == 0:
+                feats.append([0.0] * N_HIST_BINS)
+                continue
+            hist = np.bincount(b >> 4, minlength=N_HIST_BINS).astype(np.float64)
+            feats.append((hist / b.size).astype(np.float32).tolist())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "features": pa.array(feats, pa.list_(pa.float32())),
+            }
+        )
+
+
+def media_features(sf_dir: str) -> ray.data.Dataset:
+    """binary payloads -> actor-pool feature extraction -> list<float32>."""
+    from ._util import pool_size
+
+    return text_as_binary(sf_dir).map_batches(
+        ByteHistogramFeatures,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=pool_size(),
+    )
+
+
 def media_metadata(sf_dir: str) -> ray.data.Dataset:
     """The multimodal pipeline: binary payloads -> actor-pool decode ->
     typed metadata.  Small batch_size: payload batches must fit actor heaps

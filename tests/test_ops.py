@@ -243,3 +243,50 @@ def test_hll_registers_merge_associative():
     assert (whole == parts).all()
     est = hll_estimate(whole)
     assert abs(est - 2000) <= 0.1 * 2000
+
+
+def test_media_features_match_bruteforce():
+    from invoice_extraction_ray.ops.multimodal import N_HIST_BINS, media_features
+
+    got = {r["doc_id"]: r["features"] for r in media_features(SF).take_all()}
+    docs = _docs()
+    for d, s in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()):
+        b = (s or "").encode()
+        expected = [0.0] * N_HIST_BINS
+        if b:
+            for byte in b:
+                expected[byte >> 4] += 1
+            expected = [np.float32(x / len(b)).item() for x in expected]
+        assert got[d] == pytest.approx(expected), d
+
+
+def test_transient_failure_retries(tmp_path):
+    """Fault tolerance: a batch fn that fails the first time each worker
+    process sees it succeeds under retry_exceptions — output is complete
+    and correct (Ray task retry, SURVEY.md §4)."""
+    import pyarrow as pa
+    import ray.data
+
+    marker_dir = str(tmp_path)
+
+    def flaky(t: pa.Table) -> pa.Table:
+        import os
+
+        marker = f"{marker_dir}/seen-{os.getpid()}"
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            raise RuntimeError("transient failure (injected once per worker)")
+        import pyarrow.compute as pc
+
+        return t.append_column("doubled", pc.multiply(t.column("doc_id"), 2))
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    out = ds.map_batches(
+        flaky,
+        batch_format="pyarrow",
+        retry_exceptions=True,
+        max_retries=5,
+    )
+    rows = out.take_all()
+    assert len(rows) == ds.count()
+    assert all(r["doubled"] == 2 * r["doc_id"] for r in rows)
