@@ -61,11 +61,43 @@ def seal_sorted(ds: Dataset) -> Dataset:
     return ds.sort(["conv_id", "turn_idx"])
 
 
+SEAL_SHARDS = 512
+
+
 def seal_conversations(
     ds: Dataset, hot_convs: set[str], salt_block: int = 256
 ) -> Dataset:
-    """Hash-partition by (salted) conv_id and sort each group by turn_idx."""
+    """Hash-partition by a shard of the (salted) conv_id and sort each shard
+    partition by (conv_id, turn_idx).
+
+    Partitioning key: ``hash(seal_key) % SEAL_SHARDS`` where seal_key is
+    conv_id, or ``conv_id#turn_block`` for hot conversations — so a giant
+    conversation's salted sub-keys spread across shards (the skew
+    mitigation) while normal conversations stay whole in one shard.
+    Grouping by the SHARD rather than per conversation keeps map_groups
+    dispatch at O(shards), not O(conversations) (~1ms per group dispatch —
+    see BASELINE.md); the within-shard sort restores per-conversation turn
+    order in one vectorized Arrow call."""
     hot_list = sorted(hot_convs)
+
+    def _shard_of(keys) -> pa.Array:
+        """Deterministic hash shard per key: dictionary-encode the batch
+        (distinct keys are few), crc32 the small dictionary in Python, and
+        gather — vectorized without a pyarrow hash kernel."""
+        import zlib
+
+        import numpy as np
+
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        d = keys.dictionary_encode()
+        hashed = np.fromiter(
+            (zlib.crc32(v.encode()) & (SEAL_SHARDS - 1) for v in d.dictionary.to_pylist()),
+            dtype=np.int32,
+            count=len(d.dictionary),
+        )
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        return pa.array(hashed[idx], pa.int32())
 
     if hot_list:
         value_set = pa.array(hot_list, type=pa.string())
@@ -73,26 +105,28 @@ def seal_conversations(
         def add_key(t: pa.Table) -> pa.Table:
             conv = t.column("conv_id")
             mask = pc.is_in(conv, value_set=value_set)
-            shard = pc.cast(
+            blk = pc.cast(
                 pc.divide(t.column("turn_idx"), pa.scalar(salt_block, pa.int32())),
                 pa.string(),
             )
             salted = pc.binary_join_element_wise(
-                pc.cast(conv, pa.string()), shard, "#"
+                pc.cast(conv, pa.string()), blk, "#"
             )
             keys = pc.if_else(mask, salted, pc.cast(conv, pa.string()))
-            return t.append_column("seal_key", keys)
+            return t.append_column("seal_shard", _shard_of(keys))
 
     else:
 
         def add_key(t: pa.Table) -> pa.Table:
-            return t.append_column("seal_key", t.column("conv_id"))
+            return t.append_column("seal_shard", _shard_of(t.column("conv_id")))
 
-    def sort_group(t: pa.Table) -> pa.Table:
-        return t.sort_by([("turn_idx", "ascending")]).drop_columns(["seal_key"])
+    def sort_shard(t: pa.Table) -> pa.Table:
+        return t.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        ).drop_columns(["seal_shard"])
 
     return (
         ds.map_batches(add_key, batch_format="pyarrow")
-        .groupby("seal_key")
-        .map_groups(sort_group, batch_format="pyarrow")
+        .groupby("seal_shard")
+        .map_groups(sort_shard, batch_format="pyarrow")
     )
