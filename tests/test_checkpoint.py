@@ -62,3 +62,32 @@ def test_partial_chunk_is_rerun(tmp_path):
     with open(mpath) as f:
         after = json.load(f)
     assert after["row_count"] == before["row_count"]
+
+
+def test_job_cli_runs_and_resumes(tmp_path):
+    """The `ray job submit` entry point end-to-end in a subprocess: first run
+    processes all chunks, second run resumes (skips everything)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from invoice_extraction_ray.fixtures import write_transcripts_parquet
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = write_transcripts_parquet(str(tmp_path / "in"), 60, convs_per_file=20, seed=4)
+    out_dir = str(tmp_path / "out")
+    env = dict(os.environ, PYTHONPATH=repo)
+    cmd = [
+        sys.executable, "-m", "invoice_extraction_ray.job",
+        "--input", ",".join(paths), "--output", out_dir, "--files-per-chunk", "2",
+    ]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=300, cwd=repo)
+    assert r1.returncode == 0, r1.stderr[-1500:]
+    s1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert s1["chunks_run"] == 2 and s1["rows"] > 0
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=300, cwd=repo)
+    assert r2.returncode == 0, r2.stderr[-1500:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["chunks_run"] == 0 and s2["chunks_skipped"] == 2
+    assert s2["rows"] == s1["rows"]
