@@ -38,6 +38,9 @@ HEADLINE = [
     "sessionize",
     "minhash_neardup",
     "ann_topk",
+    "asof_purchase_view",
+    "sliding_window_counts",
+    "value_quantiles",
 ]
 
 
