@@ -59,6 +59,15 @@ def asof_join(
     both = left.map_batches(tag(0), batch_format="pyarrow").union(
         right.map_batches(tag(1), batch_format="pyarrow")
     )
+    return asof_join_tagged(both, key=key, ts=ts)
+
+
+def asof_join_tagged(
+    both: ray.data.Dataset, key: str = "user_id", ts: str = "ts"
+) -> ray.data.Dataset:
+    """As-of join over a single pre-tagged dataset (columns key, id, ts,
+    side: 0=left/1=right) — lets callers derive both sides from ONE scan of
+    a shared source instead of reading it twice."""
 
     def per_shard(g):
         import pandas as pd
@@ -112,32 +121,35 @@ def asof_join(
 
 def purchase_last_view(sf_dir: str) -> ray.data.Dataset:
     """Driver-testdata instantiation: each purchase event joined to the same
-    user's most recent page_view at-or-before it (DuckDB ASOF JOIN oracle)."""
+    user's most recent page_view at-or-before it (DuckDB ASOF JOIN oracle).
+    Both join sides come from ONE scan of events (tagged in a single
+    map_batches) rather than two reads."""
     import pyarrow.compute as pc
 
     cols = ["user_id", "event_id", "event_type", "ts"]
 
-    def pick(event_type: str):
-        def fn(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.equal(t.column("event_type"), event_type))
-            return pa.table(
-                {
-                    "user_id": t.column("user_id"),
-                    "id": t.column("event_id"),
-                    "ts": t.column("ts"),
-                }
-            )
+    def tag_both(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        keep = pc.is_in(et, value_set=pa.array(["purchase", "page_view"]))
+        t = t.filter(keep)
+        side = pc.if_else(
+            pc.equal(t.column("event_type"), "purchase"),
+            pa.scalar(0, pa.int32()),
+            pa.scalar(1, pa.int32()),
+        )
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "id": t.column("event_id"),
+                "ts": t.column("ts"),
+                "side": side,
+            }
+        )
 
-        return fn
-
-    base = _pq(sf_dir, "events")
-    purchases = ray.data.read_parquet(base, columns=cols).map_batches(
-        pick("purchase"), batch_format="pyarrow"
+    both = ray.data.read_parquet(_pq(sf_dir, "events"), columns=cols).map_batches(
+        tag_both, batch_format="pyarrow"
     )
-    views = ray.data.read_parquet(base, columns=cols).map_batches(
-        pick("page_view"), batch_format="pyarrow"
-    )
-    out = asof_join(purchases, views)
+    out = asof_join_tagged(both)
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table(
