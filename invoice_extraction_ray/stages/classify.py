@@ -95,27 +95,33 @@ class TurnClassifier:
     # -- per-row pieces ----------------------------------------------------
 
     def _scan_lines(self, norm: str, role):
-        """One pass over lines: boilerplate strip + line-block regions."""
+        """ONE pass over lines computing offsets, boilerplate drops, region
+        flags, and heuristic-entity candidates together (was 6 separate
+        per-line loops; identical semantics, oracle/fuzz-verified)."""
         lines = norm.split("\n")
         n = len(lines)
-        offs = np.empty(n, dtype=np.int64)
+        h = math.ceil(C.HEADER_FRAC * n)
+        f = math.ceil(C.FOOTER_FRAC * n)
+        body_lo, body_hi = h, n - f
+
+        offs = [0] * n
+        kept = []
+        fence_rows: list[int] = []
+        tbl_flags = [False] * (n + 1)
+        quote_flags = [False] * (n + 1)
+        ent_spans = []  # heuristic-entity candidates, appended after regions
+        prev_signoff_dropped = False
         pos = 0
         for i, ln in enumerate(lines):
             offs[i] = pos
             pos += len(ln) + 1
-
-        # --- boilerplate strip (header/footer layout, ocr.py:280-306 analogue)
-        h = math.ceil(C.HEADER_FRAC * n)
-        f = math.ceil(C.FOOTER_FRAC * n)
-        kept = []
-        prev_signoff_dropped = False
-        for i, ln in enumerate(lines):
+            # boilerplate strip (header/footer layout, ocr.py:280-306 analogue)
             drop = False
-            if i < h or i >= n - f:
+            if i < body_lo or i >= body_hi:
                 if _BOILERPLATE.search(ln):
                     drop = True
                 elif (
-                    i >= n - f
+                    i >= body_hi
                     and prev_signoff_dropped
                     and 0 < len(ln.strip()) <= C.SIGNATURE_MAX_LEN
                 ):
@@ -123,39 +129,55 @@ class TurnClassifier:
             prev_signoff_dropped = drop and bool(_SIGNOFF.search(ln))
             if not drop:
                 kept.append(ln)
+            # region flags
+            if ln.startswith("```"):
+                fence_rows.append(i)
+            if ln.count("|") >= C.TABLE_MIN_PIPES:
+                tbl_flags[i] = True
+            if ln.startswith("> ") or ln == ">":
+                quote_flags[i] = True
+            # heuristic entity detector (keyword line w/o ':'/'=' anchors);
+            # C-level substring precheck skips the regex for ~95% of lines
+            ll = ln.lower()
+            if "dealer" in ll or "vendor" in ll or "supplier" in ll:
+                if _H_ENT_KEY.search(ln) and ":" not in ln and "=" not in ln:
+                    m = _H_TITLECASE.search(ln)
+                    if m:
+                        ent_spans.append(
+                            ("entity", pos - len(ln) - 1 + m.start(1),
+                             pos - len(ln) - 1 + m.end(1), m.group(1),
+                             C.HEURISTIC_ENTITY_CONF, "heuristic")
+                        )
         extracted = _COLLAPSE.sub("\n\n", "\n".join(kept)).strip("\n")
 
-        # --- line-block regions
+        # --- line-block regions from the flags
         spans = []  # (label, start, end, value, conf, method)
 
         def _end(i):
-            return int(offs[i]) + len(lines[i])
+            return offs[i] + len(lines[i])
 
-        fence_rows = [i for i, ln in enumerate(lines) if ln.startswith("```")]
         for k in range(0, len(fence_rows) - 1, 2):
             a, b = fence_rows[k], fence_rows[k + 1]
-            spans.append(("region_code", int(offs[a]), _end(b), "", C.REGION_CODE_CONF, "fence"))
+            spans.append(("region_code", offs[a], _end(b), "", C.REGION_CODE_CONF, "fence"))
 
         start = -1
         for i in range(n + 1):
-            tbl = i < n and lines[i].count("|") >= C.TABLE_MIN_PIPES
-            if tbl and start < 0:
+            if tbl_flags[i] and start < 0:
                 start = i
-            elif not tbl and start >= 0:
+            elif not tbl_flags[i] and start >= 0:
                 if i - start >= C.TABLE_MIN_LINES:
                     spans.append(
-                        ("region_table", int(offs[start]), _end(i - 1), "", C.REGION_TABLE_CONF, "grid")
+                        ("region_table", offs[start], _end(i - 1), "", C.REGION_TABLE_CONF, "grid")
                     )
                 start = -1
 
         start = -1
         for i in range(n + 1):
-            q = i < n and (lines[i].startswith("> ") or lines[i] == ">")
-            if q and start < 0:
+            if quote_flags[i] and start < 0:
                 start = i
-            elif not q and start >= 0:
+            elif not quote_flags[i] and start >= 0:
                 spans.append(
-                    ("region_quote", int(offs[start]), _end(i - 1), "", C.REGION_QUOTE_CONF, "quote")
+                    ("region_quote", offs[start], _end(i - 1), "", C.REGION_QUOTE_CONF, "quote")
                 )
                 start = -1
 
@@ -178,21 +200,7 @@ class TurnClassifier:
                     except ValueError:
                         pass
 
-        # --- heuristic entity detector (keyword line w/o ':'/'=' anchors)
-        # cheap substring precheck before the word-boundary regex: C-level
-        # str.find on the lowercased line skips the regex for ~95% of lines
-        for i, ln in enumerate(lines):
-            ll = ln.lower()
-            if "dealer" not in ll and "vendor" not in ll and "supplier" not in ll:
-                continue
-            if _H_ENT_KEY.search(ln) and ":" not in ln and "=" not in ln:
-                m = _H_TITLECASE.search(ln)
-                if m:
-                    o = int(offs[i])
-                    spans.append(
-                        ("entity", o + m.start(1), o + m.end(1), m.group(1),
-                         C.HEURISTIC_ENTITY_CONF, "heuristic")
-                    )
+        spans.extend(ent_spans)
         return extracted, spans
 
     @staticmethod
