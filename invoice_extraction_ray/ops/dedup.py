@@ -157,56 +157,52 @@ def minhash_candidate_pairs(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def minhash_neardup(
-    source, jaccard_threshold: float = 0.8
+    source, jaccard_threshold: float = 0.8, num_partitions: int = 8
 ) -> ray.data.Dataset:
     """Near-duplicate pairs with verified Jaccard >= threshold.
 
-    ``source``: a Dataset or pa.Table with (doc_id, text).  Texts for
-    verification are broadcast via ray.put (small corpus); see module
-    docstring for the at-scale join variant.
+    ``source``: a Dataset or pa.Table with (doc_id, text).
+
+    Scale shape: candidate pairs (tiny — O(colliding docs)) are hash-join
+    partitioned against the corpus on doc_id, once per pair side, so each
+    verify batch sees only the texts of its own pairs.  Nothing is ever
+    materialized on the driver and no per-task copy of the corpus exists —
+    the corpus streams through the join's hash partitions exactly once per
+    side.  Exact Jaccard is then computed per batch.
     """
     if isinstance(source, pa.Table):
-        docs_tbl = source
         docs = ray.data.from_arrow(source)
     else:
         docs = source
-        refs = source.to_arrow_refs()
-        docs_tbl = pa.concat_tables([ray.get(r) for r in refs])
-    text_of = dict(
-        zip(docs_tbl.column("doc_id").to_pylist(), docs_tbl.column("text").to_pylist())
-    )
-    text_ref = ray.put(text_of)
-
-    class Verify:
-        def __init__(self, ref, thr):
-            self.text_of = ray.get(ref)
-            self.thr = thr
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            a = t.column("a_id").to_pylist()
-            b = t.column("b_id").to_pylist()
-            ja = [
-                round(jaccard(self.text_of.get(x, ""), self.text_of.get(y, "")), 4)
-                for x, y in zip(a, b)
-            ]
-            out = pa.table(
-                {
-                    "a_id": t.column("a_id"),
-                    "b_id": t.column("b_id"),
-                    "jaccard": pa.array(ja, pa.float64()),
-                }
-            )
-            import pyarrow.compute as pc
-
-            return out.filter(pc.greater_equal(out.column("jaccard"), self.thr))
 
     pairs = minhash_candidate_pairs(docs)
-    return pairs.map_batches(
-        Verify,
-        fn_constructor_kwargs={"ref": text_ref, "thr": jaccard_threshold},
-        batch_format="pyarrow",
-        concurrency=pool_size(),
+    texts = docs.select_columns(["doc_id", "text"])
+    thr = jaccard_threshold
+
+    joined = (
+        pairs.join(texts, "inner", num_partitions, on=("a_id",), right_on=("doc_id",))
+        .rename_columns({"text": "a_text"})
+        .join(texts, "inner", num_partitions, on=("b_id",), right_on=("doc_id",))
+        .rename_columns({"text": "b_text"})
     )
+
+    def verify(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ja = [
+            round(jaccard(x, y), 4)
+            for x, y in zip(t.column("a_text").to_pylist(), t.column("b_text").to_pylist())
+        ]
+        out = pa.table(
+            {
+                "a_id": t.column("a_id").cast(pa.int64()),
+                "b_id": t.column("b_id").cast(pa.int64()),
+                "jaccard": pa.array(ja, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out.column("jaccard"), thr))
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -215,29 +211,50 @@ def minhash_neardup(
 
 
 def simhash64(text: str) -> int:
-    toks = (text or "").split()
-    if not toks:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in toks:
-        h = zlib.crc32(tok.encode()) | (zlib.crc32(tok[::-1].encode()) << 32)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    # wrap to signed int64 for Arrow
-    return out - (1 << 64) if out >= (1 << 63) else out
+    """Scalar reference simhash (used by tests); hot paths use simhash_batch."""
+    return int(simhash_batch([text])[0])
+
+
+def simhash_batch(texts) -> np.ndarray:
+    """Vectorized 64-bit simhash over a batch of texts.
+
+    All token hashes of the batch are collected once, the token x 64 ±1 bit
+    matrix is built in a single vectorized pass, and per-document bit sums
+    come from one ``np.add.reduceat`` over document boundaries — no per-token
+    numpy calls.  Returns int64 (two's-complement wrapped) per text.
+    """
+    counts = np.empty(len(texts), dtype=np.int64)
+    all_h: list[int] = []
+    for i, s in enumerate(texts):
+        toks = (s or "").split()
+        counts[i] = len(toks)
+        for tok in toks:
+            all_h.append(zlib.crc32(tok.encode()) | (zlib.crc32(tok[::-1].encode()) << 32))
+    out = np.zeros(len(texts), dtype=np.int64)
+    if not all_h:
+        return out
+    hs = np.array(all_h, dtype="<u8")  # force little-endian: byte k holds bits 8k..8k+7
+    bit_cols = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    # per-doc count of set bits per position via cumsum difference along the
+    # transposed-contiguous axis (axis-0 cumsum of an n x 64 uint8 is ~15x
+    # slower); bit j of the simhash is set iff a strict majority of the doc's
+    # tokens set it (equivalent to the ±1-accumulator being > 0)
+    bt = np.ascontiguousarray(bit_cols.T)  # 64 x n_tokens
+    cs = np.zeros((64, len(hs) + 1), dtype=np.int64)
+    np.cumsum(bt, axis=1, dtype=np.int64, out=cs[:, 1:])
+    starts = np.zeros(len(texts), dtype=np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    ones = (cs[:, starts + counts] - cs[:, starts]).T  # n_docs x 64
+    bits = (ones * 2 > counts[:, None]).astype(np.uint64)
+    vals = (bits << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+    return vals.astype(np.int64)  # two's-complement wrap; empty docs -> 0
 
 
 def simhashes(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        hs = pa.array(
-            [simhash64(s) for s in t.column("text").to_pylist()], pa.int64()
-        )
+        hs = pa.array(simhash_batch(t.column("text").to_pylist()), pa.int64())
         return pa.table({"doc_id": t.column("doc_id"), "simhash": hs})
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -261,7 +278,7 @@ def simhash_neardup(source, max_hamming: int = 3) -> ray.data.Dataset:
 
     def sketch(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
-        hs = [simhash64(s) for s in t.column("text").to_pylist()]
+        hs = simhash_batch(t.column("text").to_pylist()).tolist()
         out = {"doc_id": [], "band": [], "band_val": [], "simhash": []}
         for d, h in zip(ids, hs):
             u = h & ((1 << 64) - 1)
