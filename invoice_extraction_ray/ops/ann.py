@@ -102,6 +102,10 @@ def _kmeans_lite(mat: np.ndarray, n_list: int, iters: int = 8) -> np.ndarray:
     return cents
 
 
+_IVF_TRAIN_CAP = 4096  # max sample rows ever collected for centroid training
+_IVF_SAMPLE_DENOM = 3  # deterministic hash-sample rate (1/denom)
+
+
 def ivf_topk(
     sf_dir: str,
     k: int = 10,
@@ -111,14 +115,23 @@ def ivf_topk(
 ) -> ray.data.Dataset:
     """IVF (inverted-file) ANN: coarse k-means centroids partition the corpus;
     queries score only vectors whose nearest centroid is among the query's
-    ``n_probe`` closest centroids.  The centroid model is trained once on the
-    driver from a bounded sample and broadcast; each batch does two matmuls
-    (assign + score).  At 100 TB the training sample stays bounded
-    (reservoir-style) and assignment is the same per-batch map."""
-    import pyarrow.parquet as pq_mod
+    ``n_probe`` closest centroids.  The centroid model is trained once from a
+    BOUNDED deterministic sample — a Ray-side hash-filter + limit, so only
+    <= _IVF_TRAIN_CAP sample rows ever reach the driver regardless of corpus
+    size — then broadcast; each batch does two matmuls (assign + score)."""
+    ds_sample = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
-    tbl = pq_mod.read_table(_pq(sf_dir, "embeddings"), columns=["embedding"])
-    sample = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    def hash_sample(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ((ids * 2654435761) % (1 << 32)) % _IVF_SAMPLE_DENOM == 0
+        return t.filter(pa.array(keep)).select(["embedding"])
+
+    rows = (
+        ds_sample.map_batches(hash_sample, batch_format="pyarrow")
+        .limit(_IVF_TRAIN_CAP)
+        .take_all()
+    )
+    sample = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
     cents = _kmeans_lite(sample, n_list)
 

@@ -3,55 +3,116 @@ OCR-bbox x YOLO-region spatial fusion, reference README.md:171-176, mapped to
 1-D intervals).
 
 Distributed plan: both sides are reduced to tiny (key, id, start, end) rows,
-co-partitioned by key with ONE groupby (sketch rows only — payloads never
-shuffle), and each group runs a sort-sweep that emits overlapping id pairs.
-Payload columns are joined back afterwards by id if needed.  The row-local
-variant of the same predicate powers the classifier's span-vs-region
-attachment (stages/classify.py consensus merge).
+co-partitioned by a 64-way SHARD of the key with ONE groupby (sketch rows
+only — payloads never shuffle; sharding keeps map_groups dispatch O(shards),
+not O(keys)), and each shard runs a fully vectorized sort + searchsorted
+sweep that emits overlapping id pairs.  Payload columns are joined back
+afterwards by id if needed.  The row-local variant of the same predicate
+powers the classifier's span-vs-region attachment (stages/classify.py
+consensus merge).
+
+Partitioning assumption: per-key interval counts are bounded
+(the vectorized candidate expansion enumerates, per left interval, the rights
+of the same key whose start precedes its end, then masks on the end bound).
 """
 
 from __future__ import annotations
 
+import zlib
+
+import numpy as np
 import pyarrow as pa
 import ray.data
 
+KEY_SHARDS = 64
 
-def _sweep(t: pa.Table) -> pa.Table:
-    """Sort-sweep one key group: emit (key, a_id, b_id, ov_start, ov_end) for
-    every left x right pair with start < other.end (half-open overlap)."""
-    rows = sorted(
-        zip(
-            t.column("side").to_pylist(),
-            t.column("id").to_pylist(),
-            t.column("start").to_pylist(),
-            t.column("end").to_pylist(),
-        ),
-        key=lambda r: (r[2], r[3], r[0], r[1]),
+
+def _shard_of(arr) -> pa.Array:
+    """Consistent KEY_SHARDS-way shard of a key column of any type: integer
+    keys use a bitmask; other types crc32 their distinct values (vectorized
+    gather over a per-batch dictionary encoding)."""
+    import pyarrow.compute as pc
+
+    if pa.types.is_integer(arr.type):
+        return pc.cast(pc.bit_wise_and(arr, KEY_SHARDS - 1), pa.int32())
+    d = pc.dictionary_encode(arr).combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr.dictionary_encode()
+    shard_of_val = np.array(
+        [zlib.crc32(str(v).encode()) & (KEY_SHARDS - 1) for v in d.dictionary.to_pylist()],
+        dtype=np.int32,
     )
-    key = t.column("key")[0].as_py() if t.num_rows else None
-    active_l: list[tuple] = []
-    active_r: list[tuple] = []
-    out_a, out_b, out_s, out_e = [], [], [], []
-    for side, rid, s, e in rows:
-        others = active_r if side == 0 else active_l
-        mine = active_l if side == 0 else active_r
-        others[:] = [o for o in others if o[2] > s]  # drop non-overlapping
-        for oid, os_, oe in others:
-            a, b = (rid, oid) if side == 0 else (oid, rid)
-            out_a.append(a)
-            out_b.append(b)
-            out_s.append(max(s, os_))
-            out_e.append(min(e, oe))
-        mine.append((rid, s, e))
-    n = len(out_a)
+    idx = d.indices.to_numpy(zero_copy_only=False)
+    return pa.array(shard_of_val[idx], pa.int32())
+
+_OUT_FIELDS = [
+    ("a_id", pa.int64()),
+    ("b_id", pa.int64()),
+    ("ov_start", pa.float64()),
+    ("ov_end", pa.float64()),
+]
+
+
+def _sweep_shard(t: pa.Table) -> pa.Table:
+    """Vectorized overlap sweep over ONE shard (many keys).
+
+    Rights are sorted by (key-rank, start); each left's matching rights are
+    the segment prefix with ``r.start < l.end`` (one global searchsorted over
+    a rank-composited monotone position array), expanded with a repeat/arange
+    gather and masked on ``r.end > l.start``.  No per-row or per-key Python.
+    """
+    key_type = t.schema.field("key").type
+    schema = pa.schema([("key", key_type)] + _OUT_FIELDS)
+    if t.num_rows == 0:
+        return schema.empty_table()
+    key = t.column("key").to_numpy(zero_copy_only=False)
+    sid = t.column("side").to_numpy(zero_copy_only=False)
+    iid = t.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+    s = t.column("start").to_numpy(zero_copy_only=False).astype(np.float64)
+    e = t.column("end").to_numpy(zero_copy_only=False).astype(np.float64)
+
+    lm = sid == 0
+    lk, li, ls, le = key[lm], iid[lm], s[lm], e[lm]
+    rk, ri, rs, re_ = key[~lm], iid[~lm], s[~lm], e[~lm]
+    if not len(lk) or not len(rk):
+        return schema.empty_table()
+
+    # dense key ranks (precision-safe composite positions regardless of key
+    # magnitude), rights sorted by (rank, start)
+    ku = np.unique(np.concatenate([lk, rk]))
+    lkr = np.searchsorted(ku, lk)
+    rkr = np.searchsorted(ku, rk)
+    ro = np.lexsort((ri, rs, rkr))
+    rkr, ri, rs, re_ = rkr[ro], ri[ro], rs[ro], re_[ro]
+
+    # monotone composite position: rank*span + (start - min_s) in [0, span)
+    min_s = min(ls.min(), rs.min())
+    max_s = max(ls.max(), rs.max())
+    span = (max_s - min_s) + 1.0
+    gs = rkr * span + (rs - min_s)
+    # rights of my key with r.start < l.end: [kbeg, hi)
+    kbeg = np.searchsorted(gs, lkr * span, side="left")
+    gq = lkr * span + np.minimum(le - min_s, span - 0.5)
+    hi = np.searchsorted(gs, gq, side="left")
+
+    counts = hi - kbeg
+    total = int(counts.sum())
+    if total == 0:
+        return schema.empty_table()
+    lidx = np.repeat(np.arange(len(lk)), counts)
+    offs = np.zeros(len(lk), dtype=np.int64)
+    offs[1:] = np.cumsum(counts)[:-1]
+    ridx = kbeg[lidx] + (np.arange(total) - offs[lidx])
+    mask = re_[ridx] > ls[lidx]  # the end-side overlap bound
+    lidx, ridx = lidx[mask], ridx[mask]
+
     return pa.table(
         {
-            "key": pa.array([key] * n, t.column("key").type),
-            "a_id": pa.array(out_a, pa.int64()),
-            "b_id": pa.array(out_b, pa.int64()),
-            "ov_start": pa.array(out_s, pa.float64()),
-            "ov_end": pa.array(out_e, pa.float64()),
-        }
+            "key": pa.array(lk[lidx]).cast(key_type),
+            "a_id": pa.array(li[lidx], pa.int64()),
+            "b_id": pa.array(ri[ridx], pa.int64()),
+            "ov_start": pa.array(np.maximum(ls[lidx], rs[ridx]), pa.float64()),
+            "ov_end": pa.array(np.minimum(le[lidx], re_[ridx]), pa.float64()),
+        },
+        schema=schema,
     )
 
 
@@ -63,19 +124,17 @@ def interval_join(
     Returns (key, a_id, b_id, ov_start, ov_end) for pairs where
     ``a.start < b.end AND b.start < a.end`` within the same key.
     """
-
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "side", pa.array([side] * t.num_rows, pa.int32())
-            )
+            t = t.append_column("side", pa.array([side] * t.num_rows, pa.int32()))
+            return t.append_column("shard", _shard_of(t.column("key")))
 
         return fn
 
     both = left.map_batches(tag(0), batch_format="pyarrow").union(
         right.map_batches(tag(1), batch_format="pyarrow")
     )
-    return both.groupby("key").map_groups(_sweep, batch_format="pyarrow")
+    return both.groupby("shard").map_groups(_sweep_shard, batch_format="pyarrow")
 
 
 def event_interval_overlaps(sf_dir: str) -> ray.data.Dataset:

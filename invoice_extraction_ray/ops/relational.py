@@ -239,24 +239,22 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
     cust = pq.read_table(
         _pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
     )
-    lookup = dict(
-        zip(
-            cust.column("c_custkey").to_pylist(),
-            cust.column("c_mktsegment").to_pylist(),
+    # broadcast the dimension as Arrow arrays once; probe with one vectorized
+    # index_in + take gather per batch (no per-row dict hashing)
+    lookup_ref = ray.put(
+        (
+            cust.column("c_custkey").combine_chunks(),
+            cust.column("c_mktsegment").combine_chunks(),
         )
     )
-    lookup_ref = ray.put(lookup)  # broadcast once; tasks read from object store
 
     class SegmentJoiner:
         def __init__(self, ref):
-            self.lookup = ray.get(ref)
-            self.keys = None
+            self.keys, self.vals = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            import numpy as np
-
-            ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
-            seg = pa.array([self.lookup.get(int(k)) for k in ck], pa.string())
+            idx = pc.index_in(t.column("o_custkey"), value_set=self.keys)
+            seg = pc.take(self.vals, idx)  # missing keys -> null, like dict.get
             return t.append_column("c_mktsegment", seg)
 
     ds = ray.data.read_parquet(
@@ -431,30 +429,28 @@ def price_in_band(sf_dir: str) -> ray.data.Dataset:
     part = pq.read_table(
         _pq(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_retailprice"]
     )
-    brand_of = dict(
-        zip(part.column("p_partkey").to_pylist(), part.column("p_brand").to_pylist())
-    )
-    retail_of = dict(
-        zip(
-            part.column("p_partkey").to_pylist(),
-            part.column("p_retailprice").to_pylist(),
+    # broadcast Arrow arrays; probe via one index_in, then two vectorized takes
+    ref = ray.put(
+        (
+            part.column("p_partkey").combine_chunks(),
+            part.column("p_brand").combine_chunks(),
+            part.column("p_retailprice").combine_chunks(),
         )
     )
-    ref = ray.put((brand_of, retail_of))
 
     class BandJoin:
         def __init__(self, r):
-            self.brand_of, self.retail_of = ray.get(r)
+            self.keys, self.brands, self.retail = ray.get(r)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            idx = pc.index_in(t.column("l_partkey"), value_set=self.keys)
+            brands = pc.take(self.brands, idx)
+            retail = pc.take(self.retail, idx).to_numpy(zero_copy_only=False)
             price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
-            brands = [self.brand_of[int(k)] for k in pk]
-            retail = np.array([self.retail_of[int(k)] for k in pk])
             in_band = (price >= 0.5 * retail) & (price <= 1.5 * retail)
             return pa.table(
                 {
-                    "p_brand": pa.array(brands, pa.string()),
+                    "p_brand": brands,
                     "in_band": pa.array(in_band.astype("int64")),
                 }
             )
@@ -528,20 +524,25 @@ BIG_ORDER_THRESHOLD = 300_000.0
 
 def customers_without_big_order(sf_dir: str) -> ray.data.Dataset:
     """Broadcast anti-join: customers with NO order above the threshold.
-    The qualifying custkey set is built driver-side and broadcast (ray.put
-    once); the probe side is a vectorized inverted is_in filter — anti-join
-    semantics with no shuffle."""
-    import pyarrow.parquet as pq_mod
-
-    orders = pq_mod.read_table(
-        _pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    The qualifying custkey set is computed IN RAY (pushed-down filter over the
+    orders fact table + distributed distinct — the fact table never touches
+    the driver); only the small distinct key set is collected and broadcast
+    (ray.put once).  The probe side is a vectorized inverted is_in filter —
+    anti-join semantics with no shuffle of the probe table."""
+    big_ds = ray.data.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_custkey"],
+        filter=(pc.field("o_totalprice") > BIG_ORDER_THRESHOLD),
     )
-    big = pc.unique(
-        orders.filter(
-            pc.greater(orders.column("o_totalprice"), BIG_ORDER_THRESHOLD)
-        ).column("o_custkey")
+    # partial distinct per batch, then the tiny global distinct; only the
+    # deduplicated key set (small by construction) reaches the driver
+    big_keys = (
+        big_ds.map_batches(
+            lambda t: t.group_by("o_custkey").aggregate([]), batch_format="pyarrow"
+        )
+        .unique("o_custkey")
     )
-    big_ref = ray.put(big)
+    big_ref = ray.put(pa.array(sorted(big_keys), pa.int64()))
 
     class AntiFilter:
         def __init__(self, ref):

@@ -30,7 +30,15 @@ def value_quantiles(sf_dir: str) -> ray.data.Dataset:
     """Exact quantiles of events.value per event_type (cents fixed-point)."""
     ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
 
+    schema = pa.schema(
+        [("event_type", pa.string())]
+        + [(f"p{int(q * 100)}_c", pa.int64()) for q in QUANTILES]
+        + [("n", pa.int64())]
+    )
+
     def per_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
         v = np.sort(t.column("value").to_numpy(zero_copy_only=False))
         n = len(v)
         row = {"event_type": [t.column("event_type")[0].as_py()]}
@@ -38,7 +46,7 @@ def value_quantiles(sf_dir: str) -> ray.data.Dataset:
             idx = max(0, math.ceil(q * n) - 1)  # DuckDB quantile_disc convention
             row[f"p{int(q * 100)}_c"] = [int(np.floor(v[idx] * 100.0 + 0.5))]
         row["n"] = [n]
-        return pa.Table.from_pydict(row)
+        return pa.Table.from_pydict(row, schema=schema)
 
     return ds.groupby("event_type").map_groups(per_group, batch_format="pyarrow")
 

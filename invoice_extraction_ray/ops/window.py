@@ -70,47 +70,37 @@ def asof_join_tagged(
     a shared source instead of reading it twice."""
 
     def per_shard(g):
+        """One pd.merge_asof per shard — vectorized backward as-of across all
+        keys of the shard at once (``by=key``); no per-key Python loop."""
         import pandas as pd
 
-        g = g.sort_values([key, ts, "side"], kind="mergesort")
-        out = []
-        for k, grp in g.groupby(key, sort=False):
-            l = grp[grp["side"] == 0]
-            r = grp[grp["side"] == 1]
-            if not len(l):
-                continue
-            if not len(r):
-                idx = np.full(len(l), -1)
-            else:
-                # last right index with r.ts <= l.ts (backward as-of)
-                idx = np.searchsorted(r[ts].to_numpy(), l[ts].to_numpy(), side="right") - 1
-            # nullable Int64 keeps missing matches as true nulls (a plain
-            # list of None/int would decay to float64 + NaN)
-            rid = pd.array(
-                [None if i < 0 else int(r["id"].iloc[i]) for i in idx],
-                dtype="Int64",
-            )
-            if len(r):
-                rts = r[ts].iloc[np.clip(idx, 0, None)].reset_index(drop=True)
-                rts = rts.mask(pd.Series(idx < 0))
-            else:
-                rts = l[ts].reset_index(drop=True).mask(pd.Series([True] * len(l)))
-            out.append(
-                pd.DataFrame(
-                    {
-                        key: l[key].to_numpy(),
-                        "left_id": l["id"].to_numpy(),
-                        "left_ts": l[ts].to_numpy(),
-                        "right_id": rid,
-                        "right_ts": rts,
-                    }
-                )
-            )
-        if not out:
-            return pd.DataFrame(
-                {key: [], "left_id": [], "left_ts": [], "right_id": [], "right_ts": []}
-            )
-        return pd.concat(out, ignore_index=True)
+        lm = g["side"].to_numpy() == 0
+        l = pd.DataFrame(
+            {
+                key: g[key].to_numpy()[lm],
+                ts: g[ts].to_numpy()[lm],
+                "left_id": g["id"].to_numpy()[lm],
+            }
+        ).sort_values(ts, kind="mergesort")
+        r = pd.DataFrame(
+            {
+                key: g[key].to_numpy()[~lm],
+                ts: g[ts].to_numpy()[~lm],
+                # nullable Int64 so missing matches stay true nulls
+                "right_id": pd.array(g["id"].to_numpy()[~lm], dtype="Int64"),
+                "right_ts": g[ts].to_numpy()[~lm],
+            }
+        ).sort_values(ts, kind="mergesort")
+        m = pd.merge_asof(l, r, on=ts, by=key, direction="backward")
+        return pd.DataFrame(
+            {
+                key: m[key],
+                "left_id": m["left_id"].astype("int64"),
+                "left_ts": m[ts],
+                "right_id": m["right_id"].astype("Int64"),
+                "right_ts": m["right_ts"],
+            }
+        )
 
     return (
         both.map_batches(lambda t: _add_shard(t, key), batch_format="pyarrow")
