@@ -3,7 +3,7 @@
 ``entry()`` runs the flagship transcript-extraction pipeline at sf0.001 scale.
 ``queries()`` exposes one callable per implemented operator/pipeline from
 SURVEY.md §2 (plus the training-data-pipeline operators); ``oracle_sql()``
-gives the DuckDB-equivalent SQL for every SQL-expressible one (23 queries).
+gives the DuckDB-equivalent SQL for every SQL-expressible one (31 queries).
 The rest are rows-only for the driver but verified elsewhere: the transcript
 pipeline against its pure-Python oracle in tests/ (byte equality +
 differential fuzz), near-dup/ANN variants by planted-pair recall tests vs
@@ -160,6 +160,46 @@ def _media_features_flat(sf_dir: str):
     return media_features(sf_dir).map_batches(flatten, batch_format="pyarrow")
 
 
+def _media_resized_flat(sf_dir: str):
+    """Resized payloads with the binary column flattened to uppercase hex
+    (drivers hash column values; DuckDB mirrors the byte slice with
+    substr(hex(payload)) — 2 hex chars per byte)."""
+    import pyarrow as pa
+
+    from invoice_extraction_ray.ops.multimodal import media_resized
+
+    def flatten(t: pa.Table) -> pa.Table:
+        pl = t.column("payload").to_pylist()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "width": t.column("width"),
+                "height": t.column("height"),
+                "out_hex": pa.array([(p or b"").hex().upper() for p in pl], pa.string()),
+            }
+        )
+
+    return media_resized(sf_dir, max_dim=128).map_batches(flatten, batch_format="pyarrow")
+
+
+def _media_frames_flat(sf_dir: str):
+    import pyarrow as pa
+
+    from invoice_extraction_ray.ops.multimodal import media_frames
+
+    def flatten(t: pa.Table) -> pa.Table:
+        fr = t.column("frame").to_pylist()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "frame_idx": t.column("frame_idx"),
+                "frame_hex": pa.array([(p or b"").hex().upper() for p in fr], pa.string()),
+            }
+        )
+
+    return media_frames(sf_dir).map_batches(flatten, batch_format="pyarrow")
+
+
 def _interval_overlap(sf_dir: str):
     from invoice_extraction_ray.ops.interval import event_interval_overlaps
 
@@ -192,12 +232,7 @@ def _sliding_window(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from invoice_extraction_ray.ops import ann, dedup, relational, text
-    from invoice_extraction_ray.ops.multimodal import (
-        media_features,
-        media_frames,
-        media_metadata,
-        media_resized,
-    )
+    from invoice_extraction_ray.ops.multimodal import media_metadata
 
     return {
         # flagship transcript extraction (rows-only; oracle = tests/ pytest)
@@ -233,10 +268,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _hll_distinct,      # rows-only (sketch; error-bounded in tests)
         # text analysis
         "token_count": text.token_count,               # SQL-oracled
-        "bpe_token_count": text.bpe_token_count,       # rows-only (re-vs-RE2 parity in tests)
+        "bpe_token_count": text.bpe_token_count,       # SQL-oracled (RE2 both sides)
         "langid": text.langid,                          # SQL-oracled
         "quality_features": text.quality_features,      # SQL-oracled (fixed-point)
-        "doc_fingerprints": text.doc_fingerprints,      # rows-only
+        "doc_fingerprints": text.doc_fingerprints,      # SQL-oracled (HUGEINT rolling hash)
         # dedup family
         "minhash_neardup": _minhash_neardup,            # rows-only
         "simhashes": dedup.simhashes,                   # rows-only
@@ -249,8 +284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": dedup.embedding_neardup_lsh,  # rows-only (approx)
         # multimodal plumbing (stubbed decode/resize/frame-sample)
         "media_metadata": media_metadata,               # SQL-oracled
-        "media_resized": media_resized,                 # rows-only
-        "media_frames": media_frames,                   # rows-only
+        "media_resized": _media_resized_flat,           # SQL-oracled (hex slices)
+        "media_frames": _media_frames_flat,             # SQL-oracled (hex slices)
         "media_features": _media_features_flat,         # rows-only (pytest oracle)
     }
 
@@ -261,6 +296,9 @@ def oracle_sql() -> dict[str, str]:
         Q6_CUTOFF,
         SESSION_GAP_MIN,
     )
+    from invoice_extraction_ray.ops.text import _BPE_RE
+
+    _BPE_SQL_PATTERN = _BPE_RE.pattern.replace("'", "''")
 
     return {
         "coverage_summary": (
@@ -445,6 +483,61 @@ def oracle_sql() -> dict[str, str]:
             "CAST(64 + b1 % 192 AS INTEGER) AS height, "
             "CASE b2 % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format "
             "FROM b"
+        ),
+        "doc_fingerprints": (
+            # mirror of ops.text.fingerprint64: nested rolling hash mod
+            # 2^61-1 — bytes via hex-pair parsing, HUGEINT keeps the
+            # intermediate products exact (acc*131 and h*1000003 exceed int64)
+            r"SELECT doc_id, CAST(list_reduce("
+            r"list_prepend(CAST(0 AS HUGEINT), "
+            r"list_transform(regexp_extract_all(coalesce(text,''), '\S+'), "
+            r"tok -> list_reduce("
+            r"list_prepend(CAST(0 AS HUGEINT), "
+            r"list_transform(regexp_extract_all(hex(encode(tok)), '..'), "
+            r"p -> CAST((strpos('0123456789ABCDEF', substr(p,1,1))-1)*16"
+            r" + strpos('0123456789ABCDEF', substr(p,2,1))-1 AS HUGEINT))), "
+            r"(a, b) -> (a*131 + b) % 2305843009213693951))), "
+            r"(h, t) -> (h*1000003 + t + 1) % 2305843009213693951) AS BIGINT) AS fp "
+            r"FROM documents"
+        ),
+        "media_resized": (
+            # mirror of ops.multimodal.StubResizer with max_dim=128: pseudo
+            # dims from sha256 digest bytes, proportional-area byte keep,
+            # byte slice mirrored as substr over hex(payload) (2 chars/byte)
+            "WITH m AS (SELECT doc_id, coalesce(text,'') AS t FROM documents), "
+            "d AS (SELECT doc_id, sha256(t) AS hx, hex(encode(t)) AS ph, "
+            "  octet_length(encode(t)) AS nb FROM m), "
+            "b AS (SELECT doc_id, ph, nb, "
+            "  64 + ((strpos('0123456789abcdef', substr(hx,1,1))-1)*16 + strpos('0123456789abcdef', substr(hx,2,1))-1) % 192 AS w, "
+            "  64 + ((strpos('0123456789abcdef', substr(hx,3,1))-1)*16 + strpos('0123456789abcdef', substr(hx,4,1))-1) % 192 AS h "
+            "FROM d), "
+            "s AS (SELECT doc_id, ph, nb, w, h, "
+            "  greatest(1, CAST(floor(w * least(1.0, 128.0/greatest(w,h))) AS BIGINT)) AS nw, "
+            "  greatest(1, CAST(floor(h * least(1.0, 128.0/greatest(w,h))) AS BIGINT)) AS nh "
+            "FROM b), "
+            "z AS (SELECT doc_id, ph, nw, nh, "
+            "  greatest(1, CAST(floor((nb*(nw*nh))/greatest(1, w*h)) AS BIGINT)) AS keep "
+            "FROM s) "
+            "SELECT doc_id, CAST(nw AS INTEGER) AS width, CAST(nh AS INTEGER) AS height, "
+            "substr(ph, 1, keep*2) AS out_hex FROM z"
+        ),
+        "media_frames": (
+            # mirror of ops.multimodal.StubFrameSampler: k = min(4, max(1,
+            # n_bytes)) frames of step = max(1, n_bytes // k) bytes each
+            "WITH m AS (SELECT doc_id, coalesce(text,'') AS t FROM documents), "
+            "d AS (SELECT doc_id, hex(encode(t)) AS ph, octet_length(encode(t)) AS nb FROM m), "
+            "kk AS (SELECT doc_id, ph, nb, least(4, greatest(1, nb)) AS k FROM d), "
+            "ss AS (SELECT doc_id, ph, k, greatest(1, nb // k) AS step FROM kk) "
+            "SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, "
+            "substr(ph, i*step*2 + 1, step*2) AS frame_hex "
+            "FROM ss, UNNEST(range(0, CAST(k AS BIGINT))) AS u(i)"
+        ),
+        "bpe_token_count": (
+            # same RE2 pattern as the Arrow kernel (count_substring_regex and
+            # DuckDB regexp_extract_all are both RE2 — identical counts)
+            "SELECT doc_id, CAST(len(regexp_extract_all(coalesce(text,''), '"
+            + _BPE_SQL_PATTERN
+            + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
         ),
         "ann_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
