@@ -92,6 +92,20 @@ HEURISTIC_ENTITY_CONF = 0.65
 HEURISTIC_POWER_RE = r"(?i)\bpower\b\D{0,20}?(\d{1,3}(?:\.\d+)?)\b"
 HEURISTIC_POWER_CONF = 0.75
 
+# MIDDLE entity strategy (the reference's spaCy ORG-NER over header text at
+# conf .75, extractors.py:115-125): deterministic NER analogue — an org-suffix
+# gazetteer over capitalized phrases, applied to HEADER-ZONE lines only
+# (i < ceil(HEADER_FRAC*n)), confidence tier between the anchor regex (.80)
+# and the TitleCase heuristic (.65).
+NER_ORG_SUFFIXES = (
+    "Ltd", "Inc", "Corp", "LLC", "Motors", "Industries",
+    "Traders", "Enterprises", "Automotive", "Agencies",
+)
+NER_ORG_RE = (
+    r"\b((?:[A-Z][A-Za-z0-9&.']*\s+){1,4}(?:" + "|".join(NER_ORG_SUFFIXES) + r"))\b"
+)
+NER_ENTITY_CONF = 0.75
+
 # detector priority when merging (reference prefer-easyocr tiebreak, ocr.py:215-233)
 METHOD_PRIORITY: dict[str, int] = {
     "anchor_regex": 0,
@@ -101,6 +115,7 @@ METHOD_PRIORITY: dict[str, int] = {
     "currency": 4,
     "proximity": 5,
     "heuristic": 6,
+    "ner": 7,
     "fence": 0,
     "grid": 1,
     "quote": 2,

@@ -196,6 +196,9 @@ def make_turn_text(rng: random.Random, role: str, tool: str | None) -> str | Non
     # 1. boilerplate preamble
     if rng.random() < 0.6:
         lines.append(rng.choice(GREETINGS))
+        if rng.random() < 0.25:  # header-zone org mention (E3 middle strategy)
+            org = rng.choice(ENTITIES + ["Apex Motors", "Zenith Industries", "Nova Traders"])
+            lines.append(f"Forwarded from {org} front desk")
         if rng.random() < 0.3:
             lines.append(rng.choice(DISCLAIMERS))
         lines.append("")

@@ -210,6 +210,7 @@ _ANCHORS = [
 _H_ENT_KEY = re.compile(C.HEURISTIC_ENTITY_KEYWORD_RE)
 _H_TITLECASE = re.compile(C.HEURISTIC_TITLECASE_RE)
 _H_POWER = re.compile(C.HEURISTIC_POWER_RE)
+_NER_ORG = re.compile(C.NER_ORG_RE)
 
 
 def detect_anchors(norm: str) -> list[Span]:
@@ -235,6 +236,21 @@ def detect_anchors(norm: str) -> list[Span]:
                         "heuristic",
                     )
                 )
+    # E3 middle strategy (reference spaCy ORG-NER on header text at .75,
+    # extractors.py:115-125): org-suffix gazetteer over HEADER-ZONE lines
+    h = math.ceil(C.HEADER_FRAC * len(lines))
+    for i, ln in enumerate(lines[:h]):
+        for m in _NER_ORG.finditer(ln):
+            spans.append(
+                Span(
+                    "entity",
+                    offs[i] + m.start(1),
+                    offs[i] + m.end(1),
+                    m.group(1),
+                    C.NER_ENTITY_CONF,
+                    "ner",
+                )
+            )
     # heuristic power: number within 20 chars after 'power'
     for m in _H_POWER.finditer(norm):
         spans.append(

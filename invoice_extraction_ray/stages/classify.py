@@ -60,6 +60,7 @@ _COLLAPSE = re.compile(r"\n{3,}")
 _H_ENT_KEY = re.compile(C.HEURISTIC_ENTITY_KEYWORD_RE)
 _H_TITLECASE = re.compile(C.HEURISTIC_TITLECASE_RE)
 _H_POWER = re.compile(C.HEURISTIC_POWER_RE)
+_NER_ORG = re.compile(C.NER_ORG_RE)
 _CODE_NORM = re.compile(r"^([A-Z]{2,4})[ -]?(\d{3,5}[A-Z]?)$")
 _WS = re.compile(r"\s+")
 
@@ -148,6 +149,14 @@ class TurnClassifier:
                              pos - len(ln) - 1 + m.end(1), m.group(1),
                              C.HEURISTIC_ENTITY_CONF, "heuristic")
                         )
+            # E3 middle strategy: org-suffix NER analogue over HEADER lines
+            if i < body_lo:
+                for m in _NER_ORG.finditer(ln):
+                    ent_spans.append(
+                        ("entity", pos - len(ln) - 1 + m.start(1),
+                         pos - len(ln) - 1 + m.end(1), m.group(1),
+                         C.NER_ENTITY_CONF, "ner")
+                    )
         extracted = _COLLAPSE.sub("\n\n", "\n".join(kept)).strip("\n")
 
         # --- line-block regions from the flags
