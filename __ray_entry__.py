@@ -123,6 +123,15 @@ def _worst_turns(sf_dir: str):
     return worst_turns(ds)
 
 
+def _failure_summary(sf_dir: str):
+    from invoice_extraction_ray.corpus import transcripts_for
+    from invoice_extraction_ray.pipelines.extract import build_pipeline
+    from invoice_extraction_ray.pipelines.metrics import failure_summary
+
+    ds = build_pipeline(transcripts_for(sf_dir), seal=False)
+    return failure_summary(ds)
+
+
 def _conversation_stats(sf_dir: str):
     from invoice_extraction_ray.corpus import transcripts_for
     from invoice_extraction_ray.pipelines.metrics import conversation_stats
@@ -244,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_confidence_bins": _confidence_bins,
         "conversation_stats": _conversation_stats,
         "extract_worst_turns": _worst_turns,
+        "extract_failure_summary": _failure_summary,
         # relational operator library (all SQL-oracled)
         "coverage_summary": relational.coverage_summary,
         "groupby_stats": relational.groupby_stats,

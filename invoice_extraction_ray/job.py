@@ -75,6 +75,12 @@ def main() -> None:
         files_per_chunk=args.files_per_chunk,
         seal_strategy=args.seal_strategy,
     )
+    # S9 report sink: per-run metrics JSON next to the data + manifests
+    from invoice_extraction_ray.pipelines.metrics import write_report
+    from invoice_extraction_ray.state.checkpoint import read_output
+
+    write_report(read_output(args.output), f"{args.output}/report.json")
+    summary["report"] = f"{args.output}/report.json"
     summary["wall_sec"] = round(time.perf_counter() - t0, 3)
     json.dump(summary, sys.stdout)
     print()

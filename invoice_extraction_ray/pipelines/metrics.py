@@ -255,6 +255,125 @@ def conversation_stats(source) -> ray.data.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+# --- A5 composed failure report + S9 metrics-JSON report sink (reference
+#     error_analysis.py:202-286 failure summary and :153,211-283 report
+#     writes).  ONE fused pass over the output dataset: every batch emits a
+#     single partial row of integer counters (field coverage, category
+#     counts, confidence bins, low-confidence stats), combined driver-side —
+#     no per-metric re-execution of the pipeline, no driver materialization.
+# ---------------------------------------------------------------------------
+
+CATEGORIES = sorted(SEVERITY_OF)
+_BIN_LABELS = ["q1_lt25", "q2_lt50", "q3_lt75", "q4_ge75"]
+
+
+def _report_partial(t: pa.Table) -> pa.Table:
+    import collections
+
+    import numpy as np
+
+    flags = _field_flags(t)
+    row: dict[str, list] = {"total": [t.num_rows]}
+    for name in FIELD_NAMES:
+        row[f"n_{name}"] = [pc.sum(pc.cast(flags[name], pa.int64())).as_py() or 0]
+    # confidence is pct/100 with integer pct — sum integer pct so the combine
+    # is exact under any partitioning
+    conf = t.column("confidence").combine_chunks().to_numpy(zero_copy_only=False)
+    pct = np.rint(conf * 100.0).astype(np.int64)
+    row["sum_conf_pct"] = [int(pct.sum())]
+    cats = collections.Counter(
+        categorize_batch(t).column("category").to_pylist()
+    )
+    for cat in CATEGORIES:
+        row[f"c_{cat}"] = [cats.get(cat, 0)]
+    edges = np.array([int(e * 100) for e in CONF_BIN_EDGES])
+    bins = np.searchsorted(edges, pct, side="right")
+    counts = np.bincount(bins, minlength=4)
+    for j, lbl in enumerate(_BIN_LABELS):
+        row[f"b_{lbl}"] = [int(counts[j])]
+    low = pct[pct < int(LOW_CONFIDENCE_THRESHOLD * 100)]
+    row["n_low"] = [int(low.size)]
+    row["sum_low_pct"] = [int(low.sum())]
+    return pa.Table.from_pydict(row)
+
+
+def run_report(out_ds: ray.data.Dataset) -> dict:
+    """Compute the full per-run metrics report in one streaming pass."""
+    parts = out_ds.map_batches(_report_partial, batch_format="pyarrow").take_all()
+
+    def tot(col: str) -> int:
+        return sum(p[col] for p in parts)
+
+    total = tot("total")
+    coverage = {
+        name: {
+            "n_filled": tot(f"n_{name}"),
+            "pct": round(100.0 * tot(f"n_{name}") / total, 4) if total else 0.0,
+        }
+        for name in FIELD_NAMES
+    }
+    cats = {cat: tot(f"c_{cat}") for cat in CATEGORIES}
+    severity: dict[str, int] = {}
+    for cat, n in cats.items():
+        severity[SEVERITY_OF[cat]] = severity.get(SEVERITY_OF[cat], 0) + n
+    n_low = tot("n_low")
+    return {
+        "total_rows": total,
+        "mean_confidence": round(tot("sum_conf_pct") / total / 100.0, 4) if total else None,
+        "field_coverage": coverage,
+        "error_categories": cats,
+        "severity": dict(sorted(severity.items())),
+        "confidence_bins": {lbl: tot(f"b_{lbl}") for lbl in _BIN_LABELS},
+        "failures": {
+            "total_events": sum(cats.values()),
+            "n_low_confidence": n_low,
+            "mean_low_confidence": (
+                round(tot("sum_low_pct") / n_low / 100.0, 4) if n_low else None
+            ),
+            "most_common": [
+                [c, v] for c, v in sorted(cats.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+            ],
+        },
+    }
+
+
+def write_report(out_ds: ray.data.Dataset, path: str) -> dict:
+    """S9 report sink: write the per-run metrics JSON the reference emits
+    alongside its batch output (tmp-rename for atomicity); returns the dict."""
+    import json
+    import os
+
+    report = run_report(out_ds)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path + ".tmp", "w") as f:
+        json.dump(report, f, indent=1)
+    os.rename(path + ".tmp", path)
+    return report
+
+
+def failure_summary(out_ds: ray.data.Dataset, k: int = 5) -> pa.Table:
+    """A5 composed failure report as a table: top-k error categories with the
+    global failure totals attached (total events, low-confidence count and
+    mean low confidence in fixed-point e4)."""
+    r = run_report(out_ds)
+    top = r["failures"]["most_common"][:k]
+    n = len(top)
+    mean_low = r["failures"]["mean_low_confidence"]
+    return pa.table(
+        {
+            "rank": pa.array(range(1, n + 1), pa.int64()),
+            "category": pa.array([c for c, _ in top], pa.string()),
+            "n": pa.array([v for _, v in top], pa.int64()),
+            "total_failure_events": pa.array([r["failures"]["total_events"]] * n, pa.int64()),
+            "n_low_conf": pa.array([r["failures"]["n_low_confidence"]] * n, pa.int64()),
+            "mean_low_conf_e4": pa.array(
+                [int(round(mean_low * 10_000)) if mean_low is not None else 0] * n,
+                pa.int64(),
+            ),
+        }
+    )
+
+
 PSEUDO_LABEL_MIN_CONF = 0.85
 
 

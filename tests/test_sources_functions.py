@@ -184,3 +184,50 @@ def test_read_json_transcripts(tmp_path):
     got = out.select_columns(["conv_id", "turn_idx", "extracted_text"]).take_all()
     assert [(r["conv_id"], r["turn_idx"]) for r in got] == [("c1", 0), ("c1", 1), ("c2", 0)]
     assert got[0]["extracted_text"] == "Dealer: Acme Tools"
+
+
+def test_report_matches_componentwise_metrics(tmp_path):
+    """The fused one-pass report (S9 sink / A5 failure summary) must agree
+    with the independently-computed per-metric pipelines."""
+    import json
+
+    import ray.data
+
+    from invoice_extraction_ray import fixtures as F
+    from invoice_extraction_ray.pipelines import metrics as M
+    from invoice_extraction_ray.pipelines.extract import build_pipeline
+
+    paths = F.write_transcripts_parquet(str(tmp_path / "in"), 80, convs_per_file=40, seed=7)
+
+    def out_ds():
+        return build_pipeline(paths, seal=False)
+
+    report = M.write_report(out_ds(), str(tmp_path / "report.json"))
+    on_disk = json.load(open(tmp_path / "report.json"))
+    assert on_disk == report
+
+    cats = {r["category"]: r["n"] for r in M.error_categories(out_ds()).take_all()}
+    assert {k: v for k, v in report["error_categories"].items() if v} == cats
+
+    sev = {r["severity"]: r["n"] for r in M.severity_rollup(out_ds()).take_all()}
+    assert {k: v for k, v in report["severity"].items() if v} == sev
+
+    bins = {r["bin"]: r["n"] for r in M.confidence_bins(out_ds()).take_all()}
+    assert {k: v for k, v in report["confidence_bins"].items() if v} == bins
+
+    cov = M.field_coverage(out_ds())
+    for row in cov.to_pylist():
+        assert report["field_coverage"][row["field"]]["n_filled"] == row["n_filled"]
+        assert report["field_coverage"][row["field"]]["pct"] == row["pct"]
+    assert report["total_rows"] == cov.to_pylist()[0]["total"]
+
+    fs = M.failure_summary(out_ds()).to_pylist()
+    expect = sorted(cats.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = [(r["category"], r["n"]) for r in fs]
+    # ties inside the top-5 cutoff can order differently only between equal
+    # counts of zero-padded categories; report uses the full category
+    # vocabulary, the componentwise metrics only emit non-zero ones
+    assert [kv for kv in got if kv[1] > 0][: len(expect)] == expect[: len(got)] or got == [
+        (c, n) for c, n in sorted(report["error_categories"].items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    ]
+    assert fs[0]["total_failure_events"] == sum(report["error_categories"].values())
