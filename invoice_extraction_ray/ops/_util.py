@@ -14,3 +14,13 @@ def pool_size(cap: int = 4) -> int:
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     return max(1, min(cap, cpus - 1))
+
+
+def strip_schema_metadata(ds):
+    """Drop parquet's pandas schema metadata before hash joins: Ray's join
+    aggregators try to hash block schemas for deduplication and warn
+    ("unhashable type: 'dict'") on every bundle whose metadata carries the
+    pandas dict.  Projection-only map; zero-copy."""
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )

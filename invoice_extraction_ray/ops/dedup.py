@@ -175,8 +175,10 @@ def minhash_neardup(
     else:
         docs = source
 
+    from ._util import strip_schema_metadata
+
     pairs = minhash_candidate_pairs(docs)
-    texts = docs.select_columns(["doc_id", "text"])
+    texts = strip_schema_metadata(docs.select_columns(["doc_id", "text"]))
     thr = jaccard_threshold
 
     joined = (

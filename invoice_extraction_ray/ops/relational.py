@@ -279,11 +279,17 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
 
 
 def lineitem_order_priority(sf_dir: str, num_partitions: int = 16) -> ray.data.Dataset:
-    li = ray.data.read_parquet(
-        _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice"]
+    from ._util import strip_schema_metadata
+
+    li = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice"]
+        )
     )
-    orders = ray.data.read_parquet(
-        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    orders = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+        )
     )
     joined = li.join(
         orders,
