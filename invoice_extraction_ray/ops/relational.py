@@ -29,6 +29,29 @@ def _pq(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def _partial_groupby(
+    keys: list[str], sums: list[str] | None = None, count_as: str | None = None
+):
+    """map_batches combiner: per-batch group sums/counts so the global
+    groupby shuffles O(groups) partial rows per block instead of raw rows.
+    Output columns keep the input sum-column names (+ ``count_as``)."""
+    sums = sums or []
+
+    def fn(t: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sums]
+        if count_as:
+            aggs.append((keys[0], "count"))
+        g = t.group_by(keys).aggregate(aggs)
+        cols = {k: g.column(k) for k in keys}
+        for c in sums:
+            cols[c] = g.column(f"{c}_sum")
+        if count_as:
+            cols[count_as] = pc.cast(g.column(f"{keys[0]}_count"), pa.int64())
+        return pa.table(cols)
+
+    return fn
+
+
 def _fixed_point(ds, cols: dict[str, int]):
     """Convert float columns to fixed-point int64 (col -> scale, e.g. 100 =
     cents).  Fractional doubles rounded to N digits land on *adjacent* doubles
@@ -90,13 +113,46 @@ def coverage_summary(sf_dir: str) -> pa.Table:
 
 def groupby_stats(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
-    out = ds.groupby("event_type").aggregate(
-        Count(alias_name="n"),
-        Sum("value", alias_name="sum_value"),
-        Mean("value", alias_name="avg_value"),
-        Std("value", ddof=1, alias_name="std_value"),
+
+    def partial(t: pa.Table) -> pa.Table:
+        # sum + sum-of-squares partials: mean and sample std reassemble
+        # exactly from mergeable sums (shuffle carries |groups| rows/block)
+        t = t.append_column("value_sq", pc.multiply(t.column("value"), t.column("value")))
+        return _partial_groupby("event_type".split(), ["value", "value_sq"], "n")(t)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("value", alias_name="sum_value"),
+            Sum("value_sq", alias_name="sum_sq"),
+        )
     )
-    return _fixed_point(out, {"sum_value": 100, "avg_value": 10_000, "std_value": 10_000})
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t.column("sum_value").to_numpy(zero_copy_only=False)
+        sq = t.column("sum_sq").to_numpy(zero_copy_only=False)
+        avg = s / n
+        var = np.maximum(sq - s * s / n, 0.0) / np.maximum(n - 1, 1.0)
+        out_t = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n": t.column("n"),
+                "sum_value": t.column("sum_value"),
+                "avg_value": pa.array(avg, pa.float64()),
+                "std_value": pa.array(np.sqrt(var), pa.float64()),
+            }
+        )
+        return out_t
+
+    return _fixed_point(
+        out.map_batches(finish, batch_format="pyarrow"),
+        {"sum_value": 100, "avg_value": 10_000, "std_value": 10_000},
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -129,10 +185,11 @@ def severity_rollup(sf_dir: str) -> ray.data.Dataset:
         )
         return t.append_column("severity", sev)
 
+    partial = _partial_groupby(["severity"], ["value"], "n")
     out = (
-        ds.map_batches(add_sev, batch_format="pyarrow")
+        ds.map_batches(lambda t: partial(add_sev(t)), batch_format="pyarrow")
         .groupby("severity")
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .aggregate(Sum("n", alias_name="n"), Sum("value", alias_name="sum_value"))
     )
     return _fixed_point(out, {"sum_value": 100})
 
@@ -162,12 +219,23 @@ def value_bins(sf_dir: str) -> ray.data.Dataset:
         )
         return t.append_column("bin", b)
 
+    partial = _partial_groupby(["bin"], ["value"], "n")
     out = (
-        ds.map_batches(add_bin, batch_format="pyarrow")
+        ds.map_batches(lambda t: partial(add_bin(t)), batch_format="pyarrow")
         .groupby("bin")
-        .aggregate(Count(alias_name="n"), Mean("value", alias_name="avg_value"))
+        .aggregate(Sum("n", alias_name="n"), Sum("value", alias_name="sum_value"))
     )
-    return _fixed_point(out, {"avg_value": 10_000})
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = pc.divide(
+            pc.cast(t.column("sum_value"), pa.float64()),
+            pc.cast(t.column("n"), pa.float64()),
+        )
+        return pa.table(
+            {"bin": t.column("bin"), "n": t.column("n"), "avg_value": avg}
+        )
+
+    return _fixed_point(out.map_batches(finish, batch_format="pyarrow"), {"avg_value": 10_000})
 
 
 # ---------------------------------------------------------------------------
@@ -203,26 +271,40 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
     )
     cutoff = pa.scalar(Q6_CUTOFF).cast(pa.timestamp("us"))
 
+    keys = ["l_returnflag", "l_linestatus"]
+    partial = _partial_groupby(
+        keys, sums=["l_quantity", "l_extendedprice", "disc_price"], count_as="n"
+    )
+
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
         disc = pc.multiply(
             t.column("l_extendedprice"), pc.subtract(1.0, t.column("l_discount"))
         )
-        return t.append_column("disc_price", disc)
+        # combiner: each block contributes <= |groups| partial rows to the
+        # shuffle (the sort-aggregate cost is driven by shuffled row count)
+        return partial(t.append_column("disc_price", disc))
 
     out = (
         ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
+        .groupby(keys)
         .aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
             Sum("l_extendedprice", alias_name="sum_base_price"),
             Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Count(alias_name="n"),
+            Sum("n", alias_name="n"),
         )
     )
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = pc.divide(
+            pc.cast(t.column("sum_qty"), pa.float64()),
+            pc.cast(t.column("n"), pa.float64()),
+        )
+        return t.append_column("avg_qty", avg)
+
     return _fixed_point(
-        out,
+        out.map_batches(finish, batch_format="pyarrow"),
         {"sum_qty": 100, "sum_base_price": 100, "sum_disc_price": 100, "avg_qty": 10_000},
     )
 
@@ -248,6 +330,8 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
         )
     )
 
+    partial = _partial_groupby(["c_mktsegment"], ["o_totalprice"], "n_orders")
+
     class SegmentJoiner:
         def __init__(self, ref):
             self.keys, self.vals = ray.get(ref)
@@ -255,7 +339,7 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
         def __call__(self, t: pa.Table) -> pa.Table:
             idx = pc.index_in(t.column("o_custkey"), value_set=self.keys)
             seg = pc.take(self.vals, idx)  # missing keys -> null, like dict.get
-            return t.append_column("c_mktsegment", seg)
+            return partial(t.append_column("c_mktsegment", seg))
 
     ds = ray.data.read_parquet(
         _pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
@@ -268,7 +352,10 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
             concurrency=pool_size(),
         )
         .groupby("c_mktsegment")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_totalprice"))
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="sum_totalprice"),
+        )
     )
     return _fixed_point(out, {"sum_totalprice": 100})
 
@@ -362,13 +449,17 @@ def hourly_rollup(sf_dir: str) -> ray.data.Dataset:
         _pq(sf_dir, "events"), columns=["ts", "event_type", "value"]
     )
 
+    partial = _partial_groupby(["hour", "event_type"], ["value"], "n")
+
     def add_hour(t: pa.Table) -> pa.Table:
-        return t.append_column("hour", pc.floor_temporal(t.column("ts"), unit="hour"))
+        return partial(
+            t.append_column("hour", pc.floor_temporal(t.column("ts"), unit="hour"))
+        )
 
     out = (
         ds.map_batches(add_hour, batch_format="pyarrow")
         .groupby(["hour", "event_type"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .aggregate(Sum("n", alias_name="n"), Sum("value", alias_name="sum_value"))
     )
     return _fixed_point(out, {"sum_value": 100})
 
@@ -444,6 +535,8 @@ def price_in_band(sf_dir: str) -> ray.data.Dataset:
         )
     )
 
+    partial = _partial_groupby(["p_brand"], ["in_band"], "n_total")
+
     class BandJoin:
         def __init__(self, r):
             self.keys, self.brands, self.retail = ray.get(r)
@@ -454,11 +547,13 @@ def price_in_band(sf_dir: str) -> ray.data.Dataset:
             retail = pc.take(self.retail, idx).to_numpy(zero_copy_only=False)
             price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
             in_band = (price >= 0.5 * retail) & (price <= 1.5 * retail)
-            return pa.table(
-                {
-                    "p_brand": brands,
-                    "in_band": pa.array(in_band.astype("int64")),
-                }
+            return partial(
+                pa.table(
+                    {
+                        "p_brand": brands,
+                        "in_band": pa.array(in_band.astype("int64")),
+                    }
+                )
             )
 
     ds = ray.data.read_parquet(
@@ -470,7 +565,9 @@ def price_in_band(sf_dir: str) -> ray.data.Dataset:
             concurrency=pool_size(),
         )
         .groupby("p_brand")
-        .aggregate(Count(alias_name="n_total"), Sum("in_band", alias_name="n_in_band"))
+        .aggregate(
+            Sum("n_total", alias_name="n_total"), Sum("in_band", alias_name="n_in_band")
+        )
     )
 
 
@@ -490,7 +587,13 @@ def union_lang_counts(sf_dir: str) -> ray.data.Dataset:
         columns=["lang", "n_chars"],
         filter=(pc.field("n_chars") > 300),
     )
-    return a.union(b).groupby("lang").aggregate(Count(alias_name="n"))
+    partial = _partial_groupby(["lang"], [], "n")
+    return (
+        a.union(b)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -164,38 +164,65 @@ SLIDE_MIN = 15
 def sliding_window_counts(sf_dir: str) -> ray.data.Dataset:
     """Sliding-window aggregate over events: count + fixed-point value sum
     per (window_start, event_type) for 60-minute windows sliding every 15
-    minutes.  Each event fans out to window_min/slide_min = 4 window rows
-    inside map_batches (no per-event python), then one small groupby."""
+    minutes.
+
+    Shuffle-minimal plan: events are first reduced per (slide-bucket,
+    event_type) — a per-batch partial groupby, then one Sum groupby over the
+    tiny bucket table — and only THEN fanned out x4 into overlapping windows
+    and re-summed.  The x(window/slide) row expansion happens on the
+    aggregated table (O(buckets x types) rows), never on the raw events, and
+    all sums are exact integers (cents), so partials merge exactly."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     k = WINDOW_MIN // SLIDE_MIN
     slide_us = SLIDE_MIN * 60 * 1_000_000
 
-    def explode(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         ts_us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
-        etype = t.column("event_type").to_pylist()
         value = t.column("value").to_numpy(zero_copy_only=False)
-        # window starts are slide-aligned; an event at time x belongs to the
-        # k windows starting at floor(x/slide)*slide - i*slide, i in [0, k)
-        base = (ts_us // slide_us) * slide_us
-        starts = base[:, None] - np.arange(k, dtype=np.int64)[None, :] * slide_us
-        n = len(ts_us)
-        idx = np.repeat(np.arange(n), k)
+        bucket = (ts_us // slide_us) * slide_us
         v100 = np.floor(value * 100.0 + 0.5).astype(np.int64)
+        tbl = pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "event_type": t.column("event_type"),
+                "value_c": pa.array(v100),
+            }
+        )
+        g = tbl.group_by(["bucket", "event_type"]).aggregate(
+            [("value_c", "sum"), ("bucket", "count")]
+        )
         return pa.table(
             {
-                "window_start": pa.array(starts.reshape(-1)).cast(
-                    pa.timestamp("us")
-                ),
-                "event_type": pa.array([etype[i] for i in idx], pa.string()),
-                "value_c": pa.array(v100[idx]),
+                "bucket": g.column("bucket"),
+                "event_type": g.column("event_type"),
+                "value_c": g.column("value_c_sum"),
+                "n": pc.cast(g.column("bucket_count"), pa.int64()),
+            }
+        )
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        starts = b[:, None] - np.arange(k, dtype=np.int64)[None, :] * slide_us
+        idx = np.repeat(np.arange(len(b)), k)
+        return pa.table(
+            {
+                "window_start": pa.array(starts.reshape(-1)).cast(pa.timestamp("us")),
+                "event_type": pc.take(t.column("event_type").combine_chunks(), pa.array(idx)),
+                "value_c": pc.take(t.column("value_c").combine_chunks(), pa.array(idx)),
+                "n": pc.take(t.column("n").combine_chunks(), pa.array(idx)),
             }
         )
 
     ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type", "value"])
+    buckets = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["bucket", "event_type"])
+        .aggregate(Sum("value_c", alias_name="value_c"), Sum("n", alias_name="n"))
+    )
     return (
-        ds.map_batches(explode, batch_format="pyarrow")
+        buckets.map_batches(fan_out, batch_format="pyarrow")
         .groupby(["window_start", "event_type"])
-        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="sum_value_c"))
+        .aggregate(Sum("n", alias_name="n"), Sum("value_c", alias_name="sum_value_c"))
     )
