@@ -89,12 +89,25 @@ def run_session(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     qs = E.queries()
     timings: dict[str, float] = {}
     turns = 0
+    stats_dir = os.environ.get("GRAFT_STATS_DIR")
     for name in names:
         t0 = time.perf_counter()
-        rows = _consume(qs[name](sf_dir))
+        res = qs[name](sf_dir)
+        rows = _consume(res)
         timings[name] = round(time.perf_counter() - t0, 3)
         if name == "extract_turns":
             turns = rows
+            if stats_dir and hasattr(res, "stats"):
+                # auditable per-stage evidence for the scaling analysis
+                os.makedirs(stats_dir, exist_ok=True)
+                with open(
+                    os.path.join(stats_dir, f"extract_turns_cpus{num_cpus}.stats.txt"), "w"
+                ) as f:
+                    f.write(
+                        f"# ds.stats() of extract_turns @ num_cpus={num_cpus}, "
+                        f"sf={sf_dir}, wall={timings[name]}s, rows={rows}\n"
+                    )
+                    f.write(res.stats())
     ray.shutdown()
 
     total = round(sum(timings.values()), 3)
@@ -125,6 +138,10 @@ def run_subprocess(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
         ",".join(names),
     ]
     env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
+    if os.environ.get("GRAFT_SCALING_STATS"):
+        env["GRAFT_STATS_DIR"] = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "artifacts"
+        )
     proc = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=1800)
     if proc.returncode != 0:
         raise RuntimeError(f"bench subprocess failed:\n{proc.stderr[-2000:]}")

@@ -7,10 +7,10 @@ those tiny sketch rows (never the documents), group by band bucket, emit
 candidate pairs, then verify with true Jaccard.
 
 Scale notes: the shuffled payload is O(docs x bands x 8 bytes); verification
-fetches texts for candidate pairs only.  At test scale we broadcast the text
-column (documents is a small table); at 100 TB the verify step becomes a
-hash-partitioned join of pair rows against the corpus on doc_id — the
-candidate-pair generation is unchanged.
+joins the tiny candidate-pair set back against the corpus on doc_id with
+hash-partitioned ``Dataset.join`` (once per pair side) and computes exact
+Jaccard per joined batch — nothing is materialized on the driver and no task
+holds a corpus copy, so the same plan runs at 100 TB.
 """
 
 from __future__ import annotations

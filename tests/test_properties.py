@@ -135,3 +135,48 @@ def test_engine_equals_oracle_on_arbitrary_text(rows):
         assert g["fields"] == o["fields"]
         assert abs(g["confidence"] - o["confidence"]) < 1e-6
         assert g["notes"] == o["notes"]
+
+
+def test_interval_sweep_kernel_matches_bruteforce_randomized():
+    """The vectorized per-shard sweep (_sweep_shard) must equal the O(n*m)
+    brute force on randomized interval sets (no Ray needed — pure kernel)."""
+    import random
+
+    import pyarrow as pa
+
+    from invoice_extraction_ray.ops.interval import _sweep_shard
+
+    rng = random.Random(20260817)
+    for trial in range(25):
+        n_keys = rng.randint(1, 6)
+        rows = []
+        rid = 0
+        for side in (0, 1):
+            for _ in range(rng.randint(0, 25)):
+                k = rng.randint(0, n_keys - 1)
+                s = round(rng.uniform(-50, 50), 2)
+                e = s + round(rng.uniform(0.01, 40), 2)
+                rows.append((k, rid, s, e, side))
+                rid += 1
+        rng.shuffle(rows)
+        t = pa.table(
+            {
+                "key": pa.array([r[0] for r in rows], pa.int64()),
+                "id": pa.array([r[1] for r in rows], pa.int64()),
+                "start": pa.array([r[2] for r in rows], pa.float64()),
+                "end": pa.array([r[3] for r in rows], pa.float64()),
+                "side": pa.array([r[4] for r in rows], pa.int32()),
+            }
+        )
+        got = {
+            (r["key"], r["a_id"], r["b_id"], r["ov_start"], r["ov_end"])
+            for r in _sweep_shard(t).to_pylist()
+        }
+        want = set()
+        lefts = [r for r in rows if r[4] == 0]
+        rights = [r for r in rows if r[4] == 1]
+        for lk, li, ls, le, _ in lefts:
+            for rk, ri, rs, re_, _ in rights:
+                if lk == rk and ls < re_ and rs < le:
+                    want.add((lk, li, ri, max(ls, rs), min(le, re_)))
+        assert got == want, f"trial {trial}: {got ^ want}"
