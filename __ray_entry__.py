@@ -90,6 +90,15 @@ def _minhash_neardup(sf_dir: str):
     return minhash_neardup(_planted_docs(sf_dir), jaccard_threshold=0.8)
 
 
+def _ngram_jaccard_neardup(sf_dir: str):
+    import ray.data
+
+    from invoice_extraction_ray.ops.dedup import ngram_jaccard_neardup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_neardup(docs, threshold=0.5)
+
+
 def _simhash_neardup(sf_dir: str):
     from invoice_extraction_ray.ops.dedup import simhash_neardup
 
@@ -284,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": text.doc_fingerprints,      # SQL-oracled (HUGEINT rolling hash)
         # dedup family
         "minhash_neardup": _minhash_neardup,            # rows-only
+        "ngram_jaccard_neardup": _ngram_jaccard_neardup,  # SQL-oracled (exact)
         "simhashes": dedup.simhashes,                   # rows-only
         "simhash_neardup": _simhash_neardup,            # rows-only
         "embedding_neardup": lambda sf: dedup.embedding_neardup(sf, threshold=0.3),  # SQL-oracled
@@ -493,6 +503,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(64 + b1 % 192 AS INTEGER) AS height, "
             "CASE b2 % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format "
             "FROM b"
+        ),
+        "ngram_jaccard_neardup": (
+            # exact word-trigram Jaccard pairs at >= 0.5; pure-integer
+            # threshold test mirrors ops.dedup.ngram_jaccard_neardup
+            r"WITH g AS (SELECT doc_id, "
+            r"list_distinct(list_transform(range(1, greatest(len(ws)-2, 0) + 1), "
+            r"i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams "
+            r"FROM (SELECT doc_id, regexp_extract_all(coalesce(text,''), '\S+') AS ws "
+            r"FROM documents)), "
+            r"p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            r"len(list_intersect(a.grams, b.grams)) AS i, "
+            r"len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS u "
+            r"FROM g a JOIN g b ON a.doc_id < b.doc_id) "
+            r"SELECT a_id, b_id, CAST(i AS BIGINT) AS n_inter, CAST(u AS BIGINT) AS n_union "
+            r"FROM p WHERE i > 0 AND i * 10000 >= 5000 * u"
         ),
         "doc_fingerprints": (
             # mirror of ops.text.fingerprint64: nested rolling hash mod

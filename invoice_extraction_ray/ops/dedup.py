@@ -208,6 +208,135 @@ def minhash_neardup(
 
 
 # ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup — inverted-index plan, pure integer math
+# ---------------------------------------------------------------------------
+
+NGRAM_W = 3
+
+
+def word_trigrams(text: str) -> set[str]:
+    """Distinct word 3-gram strings; empty below 3 tokens (mirrors the SQL
+    oracle's list_transform(range(len-2)) construction exactly)."""
+    toks = (text or "").split()
+    return {" ".join(toks[i : i + NGRAM_W]) for i in range(len(toks) - NGRAM_W + 1)}
+
+
+def ngram_jaccard_neardup(
+    source, threshold: float = 0.5, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """EXACT pairs with word-trigram Jaccard >= threshold.
+
+    Distributed plan (no approximation, no driver materialization):
+    1. explode each doc to distinct (gram, doc_id) rows — the inverted index;
+    2. co-partition grams by a 256-way shard of the gram, sort each shard,
+       emit one (a_id, b_id) row per doc pair sharing that gram;
+    3. ``groupby(a,b).Count`` IS the intersection size (each shared gram
+       contributes exactly one row);
+    4. per-doc gram-set sizes (tiny table) hash-join back onto the pairs for
+       the union size, and the threshold test is pure integer arithmetic
+       (n_inter * 10^4 >= thr_e4 * n_union) — bit-identical to the DuckDB
+       oracle.
+
+    Only gram rows and pair rows ever shuffle — never documents.  Worst case
+    is a gram shared by K docs fanning out K^2/2 candidate rows; production
+    corpora put a document-frequency cut here first.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(source, pa.Table):
+        docs = ray.data.from_arrow(source)
+    else:
+        docs = source
+    thr_e4 = int(round(threshold * 10_000))
+
+    def explode_grams(t: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            for g in word_trigrams(s):
+                ids.append(d)
+                grams.append(g)
+        out = pa.table(
+            {"gram": pa.array(grams, pa.string()), "doc_id": pa.array(ids, pa.int64())}
+        )
+        shard = np.array(
+            [zlib.crc32(g.encode()) & (N_BUCKET_SHARDS - 1) for g in grams],
+            dtype=np.int32,
+        )
+        return out.append_column("shard", pa.array(shard))
+
+    def sizes_of(t: pa.Table) -> pa.Table:
+        ns = [len(word_trigrams(s)) for s in t.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "n_grams": pa.array(ns, pa.int64())}
+        )
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("gram", "ascending"), ("doc_id", "ascending")])
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        g = t.column("gram")
+        same = pc.equal(g.slice(1), g.slice(0, len(g) - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        new_run = np.ones(len(did), dtype=bool)
+        new_run[1:] = ~same
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(did))
+        a_ids, b_ids = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            members = did[s:e]  # distinct per gram by construction
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    a_ids.append(members[i])
+                    b_ids.append(members[j])
+        return pa.table(
+            {"a_id": pa.array(a_ids, pa.int64()), "b_id": pa.array(b_ids, pa.int64())}
+        )
+
+    from ray.data.aggregate import Count
+
+    pairs = (
+        docs.map_batches(explode_grams, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+        .groupby(["a_id", "b_id"])
+        .aggregate(Count(alias_name="n_inter"))
+    )
+    sizes = docs.map_batches(sizes_of, batch_format="pyarrow")
+
+    joined = (
+        pairs.join(sizes, "inner", num_partitions, on=("a_id",), right_on=("doc_id",))
+        .rename_columns({"n_grams": "a_n"})
+        .join(sizes, "inner", num_partitions, on=("b_id",), right_on=("doc_id",))
+        .rename_columns({"n_grams": "b_n"})
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        inter = t.column("n_inter").to_numpy(zero_copy_only=False).astype(np.int64)
+        union = (
+            t.column("a_n").to_numpy(zero_copy_only=False).astype(np.int64)
+            + t.column("b_n").to_numpy(zero_copy_only=False).astype(np.int64)
+            - inter
+        )
+        keep = (inter > 0) & (inter * 10_000 >= thr_e4 * union)
+        return pa.table(
+            {
+                "a_id": pa.array(
+                    t.column("a_id").to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+                "b_id": pa.array(
+                    t.column("b_id").to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+                "n_inter": pa.array(inter[keep], pa.int64()),
+                "n_union": pa.array(union[keep], pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # SimHash (64-bit) — near-dup signature; Hamming-close signatures ~ similar docs
 # ---------------------------------------------------------------------------
 

@@ -290,3 +290,28 @@ def test_transient_failure_retries(tmp_path):
     rows = out.take_all()
     assert len(rows) == ds.count()
     assert all(r["doubled"] == 2 * r["doc_id"] for r in rows)
+
+
+def test_ngram_jaccard_neardup_exact_vs_bruteforce():
+    """The inverted-index plan must return EXACTLY the brute-force pair set
+    (it is an exact operator, unlike the sketch-based families)."""
+    from invoice_extraction_ray.ops.dedup import ngram_jaccard_neardup, word_trigrams
+
+    planted, _ = _planted(_docs())
+    got = {
+        (r["a_id"], r["b_id"], r["n_inter"], r["n_union"])
+        for r in ngram_jaccard_neardup(planted, threshold=0.5).take_all()
+    }
+    ids = planted.column("doc_id").to_pylist()
+    texts = planted.column("text").to_pylist()
+    grams = {d: word_trigrams(s) for d, s in zip(ids, texts)}
+    want = set()
+    ordered = sorted(ids)
+    for i, a in enumerate(ordered):
+        for b in ordered[i + 1 :]:
+            inter = len(grams[a] & grams[b])
+            union = len(grams[a] | grams[b])
+            if inter > 0 and inter * 10_000 >= 5_000 * union:
+                want.add((a, b, inter, union))
+    assert want, "fixture must contain true near-duplicates"
+    assert got == want
