@@ -71,6 +71,21 @@ def _ratio(a: str, b: str) -> float:
     return difflib.SequenceMatcher(None, a, b).ratio()
 
 
+def _sim_gt(a: str, b: str, thr: float) -> bool:
+    """ratio(a, b) > thr, short-circuited through difflib's upper bounds
+    (length bound >= real_quick_ratio >= quick_ratio >= ratio) — boolean
+    identical to computing the full ratio."""
+    la, lb = len(a), len(b)
+    if la + lb == 0:
+        return 1.0 > thr  # SequenceMatcher ratio of two empty strings is 1.0
+    if 2.0 * min(la, lb) / (la + lb) <= thr:
+        return False
+    sm = difflib.SequenceMatcher(None, a, b)
+    if sm.real_quick_ratio() <= thr or sm.quick_ratio() <= thr:
+        return False
+    return sm.ratio() > thr
+
+
 class TurnClassifier:
     """Callable class for ``map_batches``; one instance per pool actor."""
 
@@ -238,7 +253,7 @@ class TurnClassifier:
                 if (union > 0 and inter / union > C.MERGE_IOU_THRESHOLD) or (
                     r[3]
                     and c[3]
-                    and _ratio(r[3].lower(), c[3].lower()) > C.MERGE_TEXT_SIM_THRESHOLD
+                    and _sim_gt(r[3].lower(), c[3].lower(), C.MERGE_TEXT_SIM_THRESHOLD)
                 ):
                     g.append(c)
                     break
@@ -263,9 +278,19 @@ class TurnClassifier:
             res = None
         else:
             vl = v.lower()
+            lv = len(vl)
             best_i, best_r = -1, -1.0
             for i, el in enumerate(self.entities_lower):
-                r = _ratio(vl, el)
+                # upper bounds before the O(n^2) ratio: length bound, then
+                # difflib's quick bounds (each >= ratio, so skipping entries
+                # that cannot be STRICTLY greater preserves the argmax and
+                # its first-max tie-break exactly)
+                if 2.0 * min(lv, len(el)) / (lv + len(el)) <= best_r:
+                    continue
+                sm = difflib.SequenceMatcher(None, vl, el)
+                if sm.real_quick_ratio() <= best_r or sm.quick_ratio() <= best_r:
+                    continue
+                r = sm.ratio()
                 if r > best_r:
                     best_i, best_r = i, r
             res = self.entities[best_i] if best_r >= C.FUZZY_ENTITY_THRESHOLD else v
