@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "severity_rollup": relational.severity_rollup,
         "value_bins": relational.value_bins,
         "topk_docs": relational.topk_docs,
+        "topk_docs_per_lang": relational.topk_docs_per_lang,
         "pricing_summary": relational.pricing_summary,
         "orders_by_segment": relational.orders_by_segment,
         "lineitem_order_priority": relational.lineitem_order_priority,
@@ -345,6 +346,11 @@ def oracle_sql() -> dict[str, str]:
         "topk_docs": (
             "SELECT doc_id, n_chars, lang FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "topk_docs_per_lang": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "QUALIFY row_number() OVER "
+            "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 5"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, CAST(round(sum(l_quantity)*100) AS BIGINT) AS sum_qty, "

@@ -251,6 +251,47 @@ def topk_docs(sf_dir: str, k: int = 10) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# A8 variant: per-GROUP top-k (training-data curation: best docs per language)
+# ---------------------------------------------------------------------------
+
+
+def topk_docs_per_lang(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """Top-k documents per language by (n_chars desc, doc_id asc).
+
+    Scale plan: each batch keeps only its own per-group top-k (vectorized
+    sort + run-detection — a combiner, since the global top-k per group is a
+    subset of the union of per-batch top-ks), then one tiny groupby over
+    k x groups x blocks rows finishes per group."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        t = t.sort_by(
+            [("lang", "ascending"), ("n_chars", "descending"), ("doc_id", "ascending")]
+        )
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        new_grp = np.ones(len(lang), dtype=bool)
+        new_grp[1:] = lang[1:] != lang[:-1]
+        # rank within group = index - index of group start
+        starts = np.maximum.accumulate(np.where(new_grp, np.arange(len(lang)), 0))
+        rank = np.arange(len(lang)) - starts
+        return t.filter(pa.array(rank < k))
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("n_chars", "descending"), ("doc_id", "ascending")])
+        return t.slice(0, k)
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # M-layer + A1: filter -> computed column -> grouped aggregate (TPC-H Q1 shape)
 # ---------------------------------------------------------------------------
 

@@ -91,3 +91,11 @@ def test_job_cli_runs_and_resumes(tmp_path):
     s2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert s2["chunks_run"] == 0 and s2["chunks_skipped"] == 2
     assert s2["rows"] == s1["rows"]
+    # S9 report sink: per-run metrics JSON written next to data + manifests
+    with open(os.path.join(out_dir, "report.json")) as f:
+        report = json.load(f)
+    assert report["total_rows"] == s1["rows"]
+    assert set(report["field_coverage"]) == {
+        "entity", "code", "power", "amount", "region_a", "region_b"
+    }
+    assert report["failures"]["most_common"]

@@ -231,3 +231,31 @@ def test_report_matches_componentwise_metrics(tmp_path):
         (c, n) for c, n in sorted(report["error_categories"].items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     ]
     assert fs[0]["total_failure_events"] == sum(report["error_categories"].values())
+
+
+def test_asof_join_duplicate_timestamps_take_last():
+    """Backward as-of with duplicate right timestamps must pick the LAST
+    matching right row in (ts, stable input order) — the searchsorted
+    'right'-1 convention the DuckDB ASOF oracle agrees with."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from invoice_extraction_ray.ops.window import asof_join
+
+    def tbl(rows):
+        u, i, ts = zip(*rows)
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "id": pa.array(i, pa.int64()),
+                "ts": pa.array(ts, pa.int64()),
+            }
+        )
+
+    left = tbl([(1, 100, 10), (1, 101, 5)])
+    right = tbl([(1, 900, 5), (1, 901, 5), (1, 902, 10), (1, 903, 2)])
+    got = {
+        r["left_id"]: r["right_id"]
+        for r in asof_join(rd.from_arrow(left), rd.from_arrow(right)).take_all()
+    }
+    assert got == {100: 902, 101: 901}
