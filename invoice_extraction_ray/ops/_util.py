@@ -24,3 +24,17 @@ def strip_schema_metadata(ds):
     return ds.map_batches(
         lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
     )
+
+
+def embedding_matrix(col, dtype="float64"):
+    """Zero-copy-ish (n, dim) numpy matrix from an Arrow list<float> column
+    with equal-length lists — flatten + reshape instead of to_pylist (the
+    python-object path is ~30x slower and allocates n*dim PyFloats)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(dtype, copy=False).reshape(n, -1)

@@ -10,7 +10,7 @@
 
 from __future__ import annotations
 
-from ._util import pool_size
+from ._util import embedding_matrix, pool_size
 
 import numpy as np
 import pyarrow as pa
@@ -42,7 +42,7 @@ def ann_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> ray.data.Datase
             self.q = ray.get(r)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+            m = embedding_matrix(t.column("embedding"))
             norms = np.maximum(np.linalg.norm(m, axis=1), 1e-30)
             sims = (m @ self.q) / norms
             return pa.table({"vec_id": t.column("vec_id"), "sim": pa.array(sims)})
@@ -145,8 +145,8 @@ def ivf_topk(
             self.q, self.cents, self.probe = ray.get(r)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-            vid = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+            m = embedding_matrix(t.column("embedding"))
+            vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
             mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
             assign = np.argmax(mn @ self.cents.T, axis=1)
             mask = np.isin(assign, list(self.probe))
@@ -187,8 +187,8 @@ def lsh_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> ray.data.Datase
             self.q, self.planes, self.probe = ray.get(r)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-            vid = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+            m = embedding_matrix(t.column("embedding"))
+            vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
             norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
             mn = m / norms
             buckets = _bucket_of(mn, self.planes)

@@ -15,7 +15,7 @@ holds a corpus copy, so the same plan runs at 100 TB.
 
 from __future__ import annotations
 
-from ._util import pool_size
+from ._util import embedding_matrix, pool_size
 
 import zlib
 
@@ -495,7 +495,7 @@ def embedding_neardup_lsh(
     tests.  Within-bucket scoring is exact: no false positives."""
 
     def bucketize(t: pa.Table) -> pa.Table:
-        mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        mat = embedding_matrix(t.column("embedding"))
         planes = np.random.RandomState(424242).normal(
             size=(n_bands * planes_per_band, mat.shape[1])
         )  # deterministic model parameters
@@ -519,8 +519,8 @@ def embedding_neardup_lsh(
         return pa.concat_tables(tables)
 
     def pairs_in_bucket(t: pa.Table) -> pa.Table:
-        vid = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = embedding_matrix(t.column("embedding"))
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
         sims = mat @ mat.T
         bi, cj = np.nonzero(sims > threshold)
@@ -553,8 +553,8 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = embedding_matrix(tbl.column("embedding"))
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
     ref = ray.put((ids, mat))
 
@@ -564,8 +564,8 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
             self.thr = thr
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            bid = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-            bm = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+            bid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            bm = embedding_matrix(t.column("embedding"))
             bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-30)
             sims = bm @ self.mat.T  # |batch| x |corpus|
             bi, cj = np.nonzero(sims > self.thr)
