@@ -443,18 +443,26 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     def add_hash(t: pa.Table) -> pa.Table:
         import hashlib
 
-        hs = pa.array(
-            [
-                hashlib.sha256((s or "").encode()).hexdigest()
-                for s in t.column("text").to_pylist()
-            ],
-            pa.string(),
+        import numpy as np
+
+        # group key = first 16 digest bytes as two int64 columns: int sort in
+        # the shuffle beats 64-char hex strings, collision odds are 2^-128-ish
+        digests = b"".join(
+            hashlib.sha256((s or "").encode()).digest()[:16]
+            for s in t.column("text").to_pylist()
         )
-        return pa.table({"doc_id": t.column("doc_id"), "h": hs})
+        h = np.frombuffer(digests, dtype="<i8").reshape(-1, 2)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "h1": pa.array(h[:, 0]),
+                "h2": pa.array(h[:, 1]),
+            }
+        )
 
     out = (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("h")
+        .groupby(["h1", "h2"])
         .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
     )
     return out.select_columns(["doc_id", "n_copies"])
