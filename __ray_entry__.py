@@ -62,7 +62,12 @@ def _error_categories(sf_dir: str):
 def _planted_docs(sf_dir: str):
     """Documents + planted near-duplicates: a perturbed copy of every 25th
     document (one token dropped near the middle — deterministic), so the
-    near-dup operators have true positives to find."""
+    near-dup operators have true positives to find.
+
+    TEST-HARNESS corpus construction (bounded by the sf table, built once on
+    the driver); the operators under test never materialize their input —
+    at production scale the corpus arrives as a Dataset and this helper is
+    not in the path."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
