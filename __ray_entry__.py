@@ -104,6 +104,15 @@ def _ngram_jaccard_neardup(sf_dir: str):
     return ngram_jaccard_neardup(docs, threshold=0.5)
 
 
+def _neardup_clusters(sf_dir: str):
+    import ray.data
+
+    from invoice_extraction_ray.ops.dedup import neardup_clusters
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return neardup_clusters(docs, threshold=0.5)
+
+
 def _simhash_neardup(sf_dir: str):
     from invoice_extraction_ray.ops.dedup import simhash_neardup
 
@@ -300,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "minhash_neardup": _minhash_neardup,            # rows-only
         "ngram_jaccard_neardup": _ngram_jaccard_neardup,  # SQL-oracled (exact)
+        "neardup_clusters": _neardup_clusters,            # SQL-oracled (recursive CTE)
         "simhashes": dedup.simhashes,                   # rows-only
         "simhash_neardup": _simhash_neardup,            # rows-only
         "embedding_neardup": lambda sf: dedup.embedding_neardup(sf, threshold=0.3),  # SQL-oracled
@@ -529,6 +539,28 @@ def oracle_sql() -> dict[str, str]:
             r"FROM g a JOIN g b ON a.doc_id < b.doc_id) "
             r"SELECT a_id, b_id, CAST(i AS BIGINT) AS n_inter, CAST(u AS BIGINT) AS n_union "
             r"FROM p WHERE i > 0 AND i * 10000 >= 5000 * u"
+        ),
+        "neardup_clusters": (
+            # connected components of the ngram_jaccard_neardup pair graph:
+            # cluster_id = min doc_id reachable (transitive closure via
+            # recursive CTE; UNION dedups so the walk terminates)
+            r"WITH RECURSIVE g AS (SELECT doc_id, "
+            r"list_distinct(list_transform(range(1, greatest(len(ws)-2, 0) + 1), "
+            r"i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams "
+            r"FROM (SELECT doc_id, regexp_extract_all(coalesce(text,''), '\S+') AS ws "
+            r"FROM documents)), "
+            r"p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id "
+            r"FROM g a JOIN g b ON a.doc_id < b.doc_id "
+            r"WHERE len(list_intersect(a.grams, b.grams)) > 0 "
+            r"AND len(list_intersect(a.grams, b.grams)) * 10000 >= "
+            r"5000 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))), "
+            r"e AS (SELECT a_id AS src, b_id AS dst FROM p "
+            r"UNION ALL SELECT b_id, a_id FROM p), "
+            r"walk(node, lbl) AS ("
+            r"SELECT DISTINCT src, src FROM e "
+            r"UNION "
+            r"SELECT e.src, walk.lbl FROM e JOIN walk ON e.dst = walk.node) "
+            r"SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY node"
         ),
         "doc_fingerprints": (
             # mirror of ops.text.fingerprint64: nested rolling hash mod

@@ -336,6 +336,132 @@ def ngram_jaccard_neardup(
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def neardup_clusters(
+    source, threshold: float = 0.5, max_iters: int = 25
+) -> ray.data.Dataset:
+    """Connected components over the exact n-gram-Jaccard near-dup pair graph:
+    every doc that appears in some pair is labeled with the MIN doc_id of its
+    component (``cluster_id``) — the canonical-representative step a dedup
+    pipeline runs after pair generation (keep one doc per cluster).
+
+    Distributed iterative min-label propagation, JOIN-FREE: each round unions
+    edge rows (gnode=src, peer=dst) with label rows (gnode=node, lbl), groups
+    by a 64-way shard of gnode, and inside each shard delivers every node's
+    current label to its peers with one vectorized pandas transform; a
+    per-node Min aggregate yields the next labels.  Convergence is detected
+    by the (monotonically decreasing) label sum.  Only the PAIR graph
+    iterates — docs with no near-dup never enter the loop (they are
+    implicitly singleton clusters), so per-round state is O(|pairs|), not
+    O(corpus).  Rounds needed = component diameter (tiny for near-dup
+    clusters).  The small label/edge sets are materialized between rounds;
+    the corpus itself streams only through pair generation.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    pairs = (
+        ngram_jaccard_neardup(source, threshold)
+        .select_columns(["a_id", "b_id"])
+        .materialize()  # small by construction; re-used every round
+    )
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("a_id").combine_chunks()
+        b = t.column("b_id").combine_chunks()
+        src = pa.chunked_array([a, b]).combine_chunks()
+        dst = pa.chunked_array([b, a]).combine_chunks()
+        shard = pc.cast(pc.bit_wise_and(src, 63), pa.int32())
+        return pa.table({"gnode": src, "peer": dst, "shard": shard})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())]).empty_table()
+        )
+
+    # initial labels: label[n] = min(n, min direct neighbor) — one aggregate
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("gnode"),
+                "label": pc.min_element_wise(t.column("gnode"), t.column("nbr")),
+            }
+        )
+
+    labels = (
+        edges.groupby("gnode")
+        .aggregate(Min("peer", alias_name="nbr"))
+        .map_batches(fold, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t.column("node"), 63), pa.int32())
+        return pa.table(
+            {
+                "gnode": t.column("node"),
+                "peer": pa.nulls(t.num_rows, pa.int64()),
+                "shard": shard,
+                "lbl": t.column("label"),
+            }
+        )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "gnode": t.column("gnode"),
+                "peer": t.column("peer"),
+                "shard": t.column("shard"),
+                "lbl": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def deliver(df):
+        """One shard: each gnode has exactly one label row (lbl non-null);
+        min-transform spreads it to the gnode's edge rows, which forward it
+        to their peers; label rows re-emit it for the node itself."""
+        import pandas as pd
+
+        m = df.groupby("gnode")["lbl"].transform("min")
+        is_edge = df["peer"].notna()
+        out = pd.DataFrame(
+            {
+                "node": pd.concat(
+                    [df.loc[is_edge, "peer"], df.loc[~is_edge, "gnode"]]
+                ).astype("int64"),
+                "label": pd.concat([m[is_edge], m[~is_edge]]).astype("int64"),
+            }
+        )
+        return out
+
+    prev_sum = None
+    for _ in range(max_iters):
+        tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow")
+        tagged_labels = labels.map_batches(tag_labels, batch_format="pyarrow")
+        msgs = (
+            tagged_edges.union(tagged_labels)
+            .groupby("shard")
+            .map_groups(deliver, batch_format="pandas")
+        )
+        labels = (
+            msgs.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+        )
+        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("node").cast(pa.int64()),
+                "cluster_id": t.column("label").cast(pa.int64()),
+            }
+        )
+
+    return labels.map_batches(project, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-bit) — near-dup signature; Hamming-close signatures ~ similar docs
 # ---------------------------------------------------------------------------

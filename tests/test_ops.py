@@ -315,3 +315,46 @@ def test_ngram_jaccard_neardup_exact_vs_bruteforce():
                 want.add((a, b, inter, union))
     assert want, "fixture must contain true near-duplicates"
     assert got == want
+
+
+def test_neardup_clusters_chain_components():
+    """Multi-hop components: A~B and B~C but A!~C must still share one
+    cluster (min doc_id), exercising >1 label-propagation round."""
+    import pyarrow as pa
+
+    from invoice_extraction_ray.ops.dedup import neardup_clusters
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon").split()
+    # chain: each neighbor overlaps heavily, ends overlap little
+    docs = {
+        10: " ".join(base),
+        11: " ".join(base[2:] + ["extra", "words", "one", "two"]),
+        12: " ".join(base[5:] + ["extra", "words", "one", "two", "three", "four", "five", "six", "seven", "eight"]),
+        # a separate exact-duplicate pair
+        20: "completely different duplicated text body here now",
+        21: "completely different duplicated text body here now",
+        # a singleton (must NOT appear in the output)
+        30: "nothing like anything else in this corpus at all whatsoever",
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        }
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(t, threshold=0.5).take_all()
+    }
+    assert got[20] == 20 and got[21] == 20
+    assert 30 not in got
+    # the chain: all three must map to 10 iff each adjacent pair clears 0.5
+    from invoice_extraction_ray.ops.dedup import word_trigrams
+
+    def j(a, b):
+        ga, gb = word_trigrams(docs[a]), word_trigrams(docs[b])
+        return len(ga & gb) / len(ga | gb)
+
+    assert j(10, 11) >= 0.5 and j(11, 12) >= 0.5 and j(10, 12) < 0.5
+    assert got[10] == got[11] == got[12] == 10
