@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_in_band": relational.price_in_band,
         "union_lang_counts": relational.union_lang_counts,
         "sample_docs": relational.sample_docs,
+        "stratified_sample_docs": relational.stratified_sample_docs,
         "customers_without_big_order": relational.customers_without_big_order,
         "interval_overlap": _interval_overlap,
         "asof_purchase_view": _asof_purchase_view,
@@ -433,6 +434,12 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE ((doc_id * 2654435761) % 4294967296) % 10 = 0"
+        ),
+        "stratified_sample_docs": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE ((doc_id * 2654435761) % 4294967296) % "
+            "(CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 5 WHEN 'es' THEN 5 "
+            "WHEN 'fr' THEN 5 WHEN 'zh' THEN 10 ELSE 1 END) = 0"
         ),
         "customers_without_big_order": (
             "SELECT c_custkey, c_mktsegment FROM customer c "

@@ -656,6 +656,33 @@ SAMPLE_MOD = 1 << 32
 SAMPLE_RATE_DENOM = 10
 
 
+STRATUM_RATES = {"en": 2, "de": 5, "es": 5, "fr": 5, "zh": 10}  # keep 1/rate
+STRATUM_DEFAULT_RATE = 1  # unknown languages kept whole
+
+
+def stratified_sample_docs(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic per-stratum sample: language l keeps rows where
+    hash(doc_id) % rate(l) == 0 — the standard balanced-corpus downsampling
+    step of a training-data pipeline (downsample dominant languages harder).
+    Pure integer arithmetic, reproducible on any partitioning/engine."""
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = t.column("lang").to_pylist()
+        rates = np.array(
+            [STRATUM_RATES.get(l, STRATUM_DEFAULT_RATE) for l in langs], dtype=np.int64
+        )
+        keep = ((ids * SAMPLE_MULT) % SAMPLE_MOD) % rates == 0
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def sample_docs(sf_dir: str) -> ray.data.Dataset:
     """~1/10 deterministic sample of documents: keep rows where
     (doc_id * 2654435761) mod 2^32 mod 10 == 0 — exact integer arithmetic
