@@ -244,6 +244,12 @@ def _value_quantiles(sf_dir: str):
     return value_quantiles(sf_dir)
 
 
+def _value_quantiles_sketch(sf_dir: str):
+    from invoice_extraction_ray.ops.sketch import value_quantiles_sketch
+
+    return value_quantiles_sketch(sf_dir)
+
+
 def _hll_distinct(sf_dir: str):
     from invoice_extraction_ray.ops.sketch import hll_distinct_users
 
@@ -300,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_view": _asof_purchase_view,
         "sliding_window_counts": _sliding_window,
         "value_quantiles": _value_quantiles,
+        "value_quantiles_sketch": _value_quantiles_sketch,  # rows-only (mergeable sketch; error-bounded in tests)
         "hll_distinct_users": _hll_distinct,      # rows-only (sketch; error-bounded in tests)
         # text analysis
         "token_count": text.token_count,               # SQL-oracled

@@ -358,3 +358,43 @@ def test_neardup_clusters_chain_components():
 
     assert j(10, 11) >= 0.5 and j(11, 12) >= 0.5 and j(10, 12) < 0.5
     assert got[10] == got[11] == got[12] == 10
+
+
+def test_quantile_sketch_error_bound_vs_exact():
+    """The mergeable log-histogram quantiles must land within the sketch's
+    relative value error of the exact per-group quantiles (and agree on n)."""
+    from invoice_extraction_ray.ops.sketch import (
+        QSK_BINS_PER_DECADE,
+        value_quantiles,
+        value_quantiles_sketch,
+    )
+
+    exact = {r["event_type"]: r for r in value_quantiles(SF).take_all()}
+    approx = {r["event_type"]: r for r in value_quantiles_sketch(SF).take_all()}
+    assert set(exact) == set(approx)
+    # bin width is a factor of 10^(1/bins_per_decade); midpoint representative
+    # keeps the multiplicative error within one full bin either way
+    rel = 10.0 ** (1.0 / QSK_BINS_PER_DECADE)
+    for et, e in exact.items():
+        a = approx[et]
+        assert a["n"] == e["n"]
+        for col in ("p25_c", "p50_c", "p75_c", "p95_c"):
+            lo, hi = e[col] / rel - 1, e[col] * rel + 1
+            assert lo <= a[col] <= hi, (et, col, e[col], a[col])
+
+
+def test_quantile_sketch_merge_is_partition_invariant():
+    """Bin-count partials summed in any grouping give identical registers."""
+    import numpy as np
+
+    from invoice_extraction_ray.ops.sketch import QSK_N_BINS, _qsk_bin, quantile_sketch_estimate
+
+    rng = np.random.RandomState(3)
+    vals = rng.uniform(0.01, 500.0, size=5000)
+    whole = np.bincount(_qsk_bin(vals), minlength=QSK_N_BINS)
+    parts = np.zeros(QSK_N_BINS, dtype=np.int64)
+    for chunk in np.array_split(vals, 13):
+        parts += np.bincount(_qsk_bin(chunk), minlength=QSK_N_BINS)
+    assert (whole == parts).all()
+    for q in (0.25, 0.5, 0.9):
+        assert quantile_sketch_estimate(whole, q) == quantile_sketch_estimate(parts, q)
