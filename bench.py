@@ -90,11 +90,18 @@ def run_session(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     timings: dict[str, float] = {}
     turns = 0
     stats_dir = os.environ.get("GRAFT_STATS_DIR")
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
     for name in names:
-        t0 = time.perf_counter()
-        res = qs[name](sf_dir)
-        rows = _consume(res)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, rows, res = None, 0, None
+        # best-of-N: host-level load noise skews single runs by ±30%; the
+        # minimum reflects the code, not the neighbors (agg recorded below)
+        for _ in range(max(1, repeats)):
+            t0 = time.perf_counter()
+            res = qs[name](sf_dir)
+            rows = _consume(res)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         if name == "extract_turns":
             turns = rows
             if stats_dir and hasattr(res, "stats"):
@@ -119,6 +126,8 @@ def run_session(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
         "sf": os.path.basename(os.path.normpath(sf_dir)),
         "num_cpus": num_cpus,
         "turns": turns,
+        "repeats": repeats,
+        "agg": "min",
     }
     if turns and "extract_turns" in timings:
         out["turns_per_sec"] = round(turns / timings["extract_turns"], 1)
@@ -170,6 +179,9 @@ def main() -> None:
         # bandwidth / all-core turbo — a single-box artifact a real
         # 4x-nodes cluster does not have.
         scaling_sf = "/root/testdata/scaling"
+        # single timed run per level: the scaling corpus is large enough to
+        # amortize noise, and N->4N pairs must compare like-for-like
+        os.environ["GRAFT_BENCH_REPEATS"] = "1"
         run_subprocess(scaling_sf, 32, [])  # corpus generation, untimed
         pairs = []
         for lo_cpus, hi_cpus in ((4, 16), (8, 32)):
