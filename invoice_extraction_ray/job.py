@@ -76,10 +76,18 @@ def main() -> None:
         seal_strategy=args.seal_strategy,
     )
     # S9 report sink: per-run metrics JSON next to the data + manifests
-    from invoice_extraction_ray.pipelines.metrics import write_report
-    from invoice_extraction_ray.state.checkpoint import read_output
+    # (pruned read-back: the report never touches the wide spans column).
+    # A pure resume (nothing re-ran) keeps the existing report.
+    import os
 
-    write_report(read_output(args.output), f"{args.output}/report.json")
+    report_path = f"{args.output}/report.json"
+    if summary["chunks_run"] > 0 or not os.path.exists(report_path):
+        from invoice_extraction_ray.pipelines.metrics import REPORT_COLUMNS, write_report
+        from invoice_extraction_ray.state.checkpoint import read_output
+
+        write_report(
+            read_output(args.output).select_columns(REPORT_COLUMNS), report_path
+        )
     summary["report"] = f"{args.output}/report.json"
     summary["wall_sec"] = round(time.perf_counter() - t0, 3)
     json.dump(summary, sys.stdout)

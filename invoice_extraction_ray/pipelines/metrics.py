@@ -265,6 +265,9 @@ def conversation_stats(source) -> ray.data.Dataset:
 
 CATEGORIES = sorted(SEVERITY_OF)
 _BIN_LABELS = ["q1_lt25", "q2_lt50", "q3_lt75", "q4_ge75"]
+# every column the report partial touches — callers reading parquet back
+# should project to this (drops the wide spans column)
+REPORT_COLUMNS = ["conv_id", "turn_idx", "extracted_text", "fields", "confidence"]
 
 
 def _report_partial(t: pa.Table) -> pa.Table:
