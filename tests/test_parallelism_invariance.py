@@ -54,3 +54,33 @@ def test_output_identical_across_num_cpus():
     hi = _run(8)
     assert lo["n"] > 0
     assert lo == hi
+
+
+def test_ngram_pairs_and_clusters_partition_invariant():
+    """The inverted-index pair generation and the label-propagation clustering
+    must return identical results regardless of input partitioning."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from invoice_extraction_ray.ops.dedup import neardup_clusters, ngram_jaccard_neardup
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def run(nblocks):
+        ds = rd.from_arrow(docs).repartition(nblocks)
+        pairs = sorted(
+            (r["a_id"], r["b_id"], r["n_inter"], r["n_union"])
+            for r in ngram_jaccard_neardup(ds, threshold=0.5).take_all()
+        )
+        clusters = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in neardup_clusters(ds, threshold=0.5).take_all()
+        )
+        return pairs, clusters
+
+    one = run(1)
+    many = run(7)
+    assert one == many
+    assert one[0], "fixture corpus must contain near-dup pairs"
