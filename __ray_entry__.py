@@ -330,7 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_metadata": media_metadata,               # SQL-oracled
         "media_resized": _media_resized_flat,           # SQL-oracled (hex slices)
         "media_frames": _media_frames_flat,             # SQL-oracled (hex slices)
-        "media_features": _media_features_flat,         # rows-only (pytest oracle)
+        "media_features": _media_features_flat,         # SQL-oracled (f32-exact nibble histogram)
     }
 
 
@@ -343,6 +343,16 @@ def oracle_sql() -> dict[str, str]:
     from invoice_extraction_ray.ops.text import _BPE_RE
 
     _BPE_SQL_PATTERN = _BPE_RE.pattern.replace("'", "''")
+
+    # media_features: 16 nibble-histogram bins; each mirrors the engine's
+    # float32 quantization (ratio cast to FLOAT then widened) exactly
+    _FEAT_COLS = ", ".join(
+        "CAST(floor(CAST(CAST(len(list_filter(nibbles, x -> x = '"
+        + "0123456789ABCDEF"[j]
+        + "')) AS DOUBLE) / greatest(nb, 1) AS FLOAT)::DOUBLE * 10000 + 0.5) "
+        f"AS BIGINT) AS f{j:02d}_e4"
+        for j in range(16)
+    )
 
     return {
         "coverage_summary": (
@@ -630,6 +640,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(regexp_extract_all(coalesce(text,''), '"
             + _BPE_SQL_PATTERN
             + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
+        ),
+        "media_features": (
+            # mirror of ops.multimodal.ByteHistogramFeatures: high-nibble
+            # byte histogram == count of each byte-pair's first hex char
+            "WITH m AS (SELECT doc_id, hex(encode(coalesce(text,''))) AS ph, "
+            "octet_length(encode(coalesce(text,''))) AS nb FROM documents), "
+            "n AS (SELECT doc_id, nb, list_transform(range(1, nb + 1), "
+            "i -> substr(ph, (i-1)*2 + 1, 1)) AS nibbles FROM m) "
+            "SELECT doc_id, " + _FEAT_COLS + " FROM n"
         ),
         "ann_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
