@@ -318,7 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": _minhash_neardup,            # rows-only
         "ngram_jaccard_neardup": _ngram_jaccard_neardup,  # SQL-oracled (exact)
         "neardup_clusters": _neardup_clusters,            # SQL-oracled (recursive CTE)
-        "simhashes": dedup.simhashes,                   # rows-only
+        "simhashes": dedup.simhashes,                   # SQL-oracled (CRC32 in SQL)
         "simhash_neardup": _simhash_neardup,            # rows-only
         "embedding_neardup": lambda sf: dedup.embedding_neardup(sf, threshold=0.3),  # SQL-oracled
         # similarity search
@@ -343,6 +343,45 @@ def oracle_sql() -> dict[str, str]:
     from invoice_extraction_ray.ops.text import _BPE_RE
 
     _BPE_SQL_PATTERN = _BPE_RE.pattern.replace("'", "''")
+
+    # simhashes: full CRC32 implemented in SQL (table-driven list_reduce over
+    # hex-parsed bytes), 64-bit token hash assembled in HUGEINT, per-bit
+    # majority vote — bit-exact vs ops.dedup.simhash_batch
+    _crc_tbl = []
+    for _n in range(256):
+        _c = _n
+        for _ in range(8):
+            _c = (0xEDB88320 ^ (_c >> 1)) if (_c & 1) else (_c >> 1)
+        _crc_tbl.append(_c)
+    _TBL = "[" + ",".join(map(str, _crc_tbl)) + "]"
+    _PW = "[" + ",".join(f"CAST({1 << j} AS HUGEINT)" for j in range(64)) + "]"
+
+    def _crc_sql(expr: str) -> str:
+        return (
+            "xor(CAST(list_reduce(list_prepend(CAST(4294967295 AS BIGINT), "
+            f"list_transform(regexp_extract_all(hex(encode({expr})), '..'), "
+            "p -> CAST((strpos('0123456789ABCDEF', substr(p,1,1))-1)*16"
+            " + strpos('0123456789ABCDEF', substr(p,2,1))-1 AS BIGINT))), "
+            "(acc, b) -> xor(tb[CAST(xor(acc, b) & 255 AS BIGINT) + 1], acc // 256)"
+            ") AS BIGINT), CAST(4294967295 AS BIGINT))"
+        )
+
+    _SIMHASH_SQL = (
+        f"WITH d AS (SELECT doc_id, coalesce(text,'') AS t, {_TBL} AS tb FROM documents), "
+        r"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, '\S+')) AS tok, tb FROM d), "
+        f"hh AS (SELECT doc_id, CAST({_crc_sql('tok')} AS HUGEINT) "
+        f"+ CAST({_crc_sql('reverse(tok)')} AS HUGEINT) * 4294967296 AS th FROM toks), "
+        f"bits AS (SELECT doc_id, u.j AS j, "
+        f"CASE WHEN (th // ({_PW})[u.j + 1]) % 2 = 1 THEN 1 ELSE -1 END AS pm "
+        "FROM hh, UNNEST(range(0, 64)) AS u(j)), "
+        "acc AS (SELECT doc_id, j, sum(pm) AS s FROM bits GROUP BY 1, 2), "
+        f"sim AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN ({_PW})[j + 1] "
+        "ELSE CAST(0 AS HUGEINT) END) AS u64 FROM acc GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(coalesce("
+        f"CASE WHEN sim.u64 >= CAST({1 << 63} AS HUGEINT) THEN sim.u64 - CAST({1 << 64} AS HUGEINT) "
+        "ELSE sim.u64 END, CAST(0 AS HUGEINT)) AS BIGINT) AS simhash "
+        "FROM d LEFT JOIN sim ON d.doc_id = sim.doc_id"
+    )
 
     # media_features: 16 nibble-histogram bins; each mirrors the engine's
     # float32 quantization (ratio cast to FLOAT then widened) exactly
@@ -641,6 +680,7 @@ def oracle_sql() -> dict[str, str]:
             + _BPE_SQL_PATTERN
             + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
         ),
+        "simhashes": _SIMHASH_SQL,
         "media_features": (
             # mirror of ops.multimodal.ByteHistogramFeatures: high-nibble
             # byte histogram == count of each byte-pair's first hex char
