@@ -114,9 +114,15 @@ def _neardup_clusters(sf_dir: str):
 
 
 def _simhash_neardup(sf_dir: str):
+    """Raw documents table (SQL-oracle-comparable): pigeonhole banding has
+    GUARANTEED recall at hamming <= bands-1, so the engine output equals the
+    exact all-pairs SQL. Planted-corpus recall lives in pytest."""
+    import ray.data
+
     from invoice_extraction_ray.ops.dedup import simhash_neardup
 
-    return simhash_neardup(_planted_docs(sf_dir), max_hamming=3)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_neardup(docs, max_hamming=3)
 
 
 def _pseudo_labels(sf_dir: str):
@@ -319,7 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_neardup": _ngram_jaccard_neardup,  # SQL-oracled (exact)
         "neardup_clusters": _neardup_clusters,            # SQL-oracled (recursive CTE)
         "simhashes": dedup.simhashes,                   # SQL-oracled (CRC32 in SQL)
-        "simhash_neardup": _simhash_neardup,            # rows-only
+        "simhash_neardup": _simhash_neardup,            # SQL-oracled (exact by pigeonhole)
         "embedding_neardup": lambda sf: dedup.embedding_neardup(sf, threshold=0.3),  # SQL-oracled
         # similarity search
         "ann_topk": ann.ann_topk,                       # SQL-oracled
@@ -681,6 +687,15 @@ def oracle_sql() -> dict[str, str]:
             + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
         ),
         "simhashes": _SIMHASH_SQL,
+        "simhash_neardup": (
+            # exact all-pairs at hamming <= 3 == the engine's banded output
+            # (pigeonhole: any pair within hamming < n_bands shares a band)
+            f"WITH s AS ({_SIMHASH_SQL}) "
+            "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+        ),
         "media_features": (
             # mirror of ops.multimodal.ByteHistogramFeatures: high-nibble
             # byte histogram == count of each byte-pair's first hex char
