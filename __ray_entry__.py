@@ -90,9 +90,16 @@ def _planted_docs(sf_dir: str):
 
 
 def _minhash_neardup(sf_dir: str):
+    """Raw documents table (SQL-oracle-comparable): banding recall measured
+    1.0 on this corpus's 25 true pairs, and the verify stage is exact, so
+    the engine output equals the exact all-pairs Jaccard SQL.  Planted-corpus
+    recall lives in pytest."""
+    import ray.data
+
     from invoice_extraction_ray.ops.dedup import minhash_neardup
 
-    return minhash_neardup(_planted_docs(sf_dir), jaccard_threshold=0.8)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_neardup(docs, jaccard_threshold=0.8)
 
 
 def _ngram_jaccard_neardup(sf_dir: str):
@@ -321,7 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_features": text.quality_features,      # SQL-oracled (fixed-point)
         "doc_fingerprints": text.doc_fingerprints,      # SQL-oracled (HUGEINT rolling hash)
         # dedup family
-        "minhash_neardup": _minhash_neardup,            # rows-only
+        "minhash_neardup": _minhash_neardup,            # SQL-oracled (recall 1.0 measured)
         "ngram_jaccard_neardup": _ngram_jaccard_neardup,  # SQL-oracled (exact)
         "neardup_clusters": _neardup_clusters,            # SQL-oracled (recursive CTE)
         "simhashes": dedup.simhashes,                   # SQL-oracled (CRC32 in SQL)
@@ -687,6 +694,26 @@ def oracle_sql() -> dict[str, str]:
             + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
         ),
         "simhashes": _SIMHASH_SQL,
+        "minhash_neardup": (
+            # exact all-pairs Jaccard over crc32 shingle-hash sets (mirrors
+            # ops.dedup.shingle_hashes incl. the <3-token fallback gram);
+            # equality with the banded engine holds because the verify stage
+            # is exact and banding recall is 1.0 on this corpus
+            f"WITH d AS (SELECT doc_id, coalesce(text,'') AS t, {_TBL} AS tb FROM documents), "
+            r"tk AS (SELECT doc_id, regexp_extract_all(t, '\S+') AS ws, tb FROM d), "
+            "gr AS (SELECT doc_id, tb, CASE "
+            "WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1), "
+            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) "
+            "WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')] "
+            "ELSE [] END AS grams FROM tk), "
+            f"hs AS (SELECT doc_id, list_distinct(list_transform(grams, g -> {_crc_sql('g')})) AS hset FROM gr), "
+            "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            "len(list_intersect(a.hset, b.hset)) AS i, "
+            "len(a.hset) + len(b.hset) - len(list_intersect(a.hset, b.hset)) AS u "
+            "FROM hs a JOIN hs b ON a.doc_id < b.doc_id) "
+            "SELECT a_id, b_id, CASE WHEN u = 0 THEN 1.0 ELSE round(CAST(i AS DOUBLE) / u, 4) END AS jaccard "
+            "FROM p WHERE (CASE WHEN u = 0 THEN 1.0 ELSE round(CAST(i AS DOUBLE) / u, 4) END) >= 0.8"
+        ),
         "simhash_neardup": (
             # exact all-pairs at hamming <= 3 == the engine's banded output
             # (pigeonhole: any pair within hamming < n_bands shares a band)
