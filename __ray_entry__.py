@@ -3,7 +3,7 @@
 ``entry()`` runs the flagship transcript-extraction pipeline at sf0.001 scale.
 ``queries()`` exposes one callable per implemented operator/pipeline from
 SURVEY.md §2 (plus the training-data-pipeline operators); ``oracle_sql()``
-gives the DuckDB-equivalent SQL for every SQL-expressible one (37 queries).
+gives the DuckDB-equivalent SQL for every SQL-expressible one (40 queries).
 The rest are rows-only for the driver but verified elsewhere: the transcript
 pipeline against its pure-Python oracle in tests/ (byte equality +
 differential fuzz), near-dup/ANN variants by planted-pair recall tests vs
@@ -57,36 +57,6 @@ def _error_categories(sf_dir: str):
 
     ds = build_pipeline(transcripts_for(sf_dir), seal=False)
     return error_categories(ds)
-
-
-def _planted_docs(sf_dir: str):
-    """Documents + planted near-duplicates: a perturbed copy of every 25th
-    document (one token dropped near the middle — deterministic), so the
-    near-dup operators have true positives to find.
-
-    TEST-HARNESS corpus construction (bounded by the sf table, built once on
-    the driver); the operators under test never materialize their input —
-    at production scale the corpus arrives as a Dataset and this helper is
-    not in the path."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ids = docs.column("doc_id").to_pylist()
-    texts = docs.column("text").to_pylist()
-    dup_ids, dup_texts = [], []
-    for i, (d, s) in enumerate(zip(ids, texts)):
-        if i % 25 == 0 and s:
-            toks = s.split()
-            del toks[len(toks) // 2]
-            dup_ids.append(d + 10_000_000)
-            dup_texts.append(" ".join(toks))
-    return pa.table(
-        {
-            "doc_id": pa.array(ids + dup_ids, pa.int64()),
-            "text": pa.array(texts + dup_texts, pa.string()),
-        }
-    )
 
 
 def _minhash_neardup(sf_dir: str):
