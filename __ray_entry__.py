@@ -61,32 +61,35 @@ def _error_categories(sf_dir: str):
 
 def _minhash_neardup(sf_dir: str):
     """Raw documents table (SQL-oracle-comparable): banding recall measured
-    1.0 on this corpus's 25 true pairs, and the verify stage is exact, so
-    the engine output equals the exact all-pairs Jaccard SQL.  Planted-corpus
-    recall lives in pytest."""
-    import ray.data
+    1.0 on this corpus's true pairs, and the verify stage is exact, so the
+    engine output equals the exact all-pairs Jaccard SQL.  Planted-corpus
+    recall lives in pytest.  The small single-file table is read driver-side:
+    ray's SplitBlocks over-splits it into ~80-row blocks, which triples the
+    sketch+join wall at bench scale (measured; real corpora have 128MB
+    blocks and don't hit this)."""
+    import pyarrow.parquet as pq
 
     from invoice_extraction_ray.ops.dedup import minhash_neardup
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_neardup(docs, jaccard_threshold=0.8)
 
 
 def _ngram_jaccard_neardup(sf_dir: str):
-    import ray.data
+    import pyarrow.parquet as pq
 
     from invoice_extraction_ray.ops.dedup import ngram_jaccard_neardup
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ngram_jaccard_neardup(docs, threshold=0.5)
 
 
 def _neardup_clusters(sf_dir: str):
-    import ray.data
+    import pyarrow.parquet as pq
 
     from invoice_extraction_ray.ops.dedup import neardup_clusters
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return neardup_clusters(docs, threshold=0.5)
 
 
@@ -94,11 +97,11 @@ def _simhash_neardup(sf_dir: str):
     """Raw documents table (SQL-oracle-comparable): pigeonhole banding has
     GUARANTEED recall at hamming <= bands-1, so the engine output equals the
     exact all-pairs SQL. Planted-corpus recall lives in pytest."""
-    import ray.data
+    import pyarrow.parquet as pq
 
     from invoice_extraction_ray.ops.dedup import simhash_neardup
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_neardup(docs, max_hamming=3)
 
 
