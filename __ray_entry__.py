@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": lambda sf: dedup.embedding_neardup(sf, threshold=0.3),  # SQL-oracled
         # similarity search
         "ann_topk": ann.ann_topk,                       # SQL-oracled
+        "ann_topk_multi": ann.ann_topk_multi,           # SQL-oracled (QUALIFY per query)
         "lsh_ann_topk": ann.lsh_topk,                   # rows-only (approximate)
         "ivf_ann_topk": ann.ivf_topk,                   # rows-only (approximate)
         "embedding_neardup_lsh": dedup.embedding_neardup_lsh,  # rows-only (approx)
@@ -704,6 +705,15 @@ def oracle_sql() -> dict[str, str]:
             "n AS (SELECT doc_id, nb, list_transform(range(1, nb + 1), "
             "i -> substr(ph, (i-1)*2 + 1, 1)) AS nibbles FROM m) "
             "SELECT doc_id, " + _FEAT_COLS + " FROM n"
+        ),
+        "ann_topk_multi": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "FROM embeddings WHERE vec_id < 8) "
+            "SELECT q.query_id, e.vec_id, "
+            "CAST(floor(list_cosine_similarity(e.embedding, q.qe)*10000 + 0.5) AS BIGINT) AS sim_e4 "
+            "FROM embeddings e, q "
+            "QUALIFY row_number() OVER (PARTITION BY q.query_id "
+            "ORDER BY floor(list_cosine_similarity(e.embedding, q.qe)*10000 + 0.5) DESC, e.vec_id) <= 5"
         ),
         "ann_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "

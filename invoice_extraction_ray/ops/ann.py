@@ -69,6 +69,70 @@ def ann_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> ray.data.Datase
     return top.map_batches(to_e4, batch_format="pyarrow")
 
 
+def ann_topk_multi(
+    sf_dir: str, k: int = 5, n_queries: int = 8
+) -> ray.data.Dataset:
+    """Batched MULTI-query exact cosine top-k — the realistic serving shape:
+    the whole query matrix is broadcast once (ray.put) and every corpus batch
+    does ONE matmul for all queries; each batch keeps only its own per-query
+    top-k (a valid combiner under the (sim_e4 desc, vec_id asc) total order),
+    and a tiny per-query groupby finishes.  Shuffled rows = k x queries x
+    blocks, never the corpus."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    mask = pc.less(tbl.column("vec_id"), n_queries)
+    qt = tbl.filter(mask)
+    q_ids = qt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    qm = embedding_matrix(qt.column("embedding"))
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    state_ref = ray.put((q_ids, qm))
+
+    class MultiScore:
+        def __init__(self, r, k):
+            self.q_ids, self.qm = ray.get(r)
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = embedding_matrix(t.column("embedding"))
+            vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            sims = mn @ self.qm.T  # |batch| x n_queries
+            e4 = np.floor(sims * 10_000.0 + 0.5).astype(np.int64)
+            out_q, out_v, out_s = [], [], []
+            kk = min(self.k, len(vid))
+            for j, qid in enumerate(self.q_ids):
+                col = e4[:, j]
+                # partial top-k with the global tie-break (e4 desc, vec_id asc)
+                order = np.lexsort((vid, -col))[:kk]
+                out_q.extend([qid] * kk)
+                out_v.extend(vid[order])
+                out_s.extend(col[order])
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "sim_e4": pa.array(out_s, pa.int64()),
+                }
+            )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("sim_e4", "descending"), ("vec_id", "ascending")])
+        return t.slice(0, k)
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return (
+        ds.map_batches(
+            MultiScore,
+            fn_constructor_kwargs={"r": state_ref, "k": k},
+            batch_format="pyarrow",
+            concurrency=pool_size(),
+        )
+        .groupby("query_id")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed variant (scale path)
 # ---------------------------------------------------------------------------
