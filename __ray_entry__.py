@@ -3,7 +3,7 @@
 ``entry()`` runs the flagship transcript-extraction pipeline at sf0.001 scale.
 ``queries()`` exposes one callable per implemented operator/pipeline from
 SURVEY.md §2 (plus the training-data-pipeline operators); ``oracle_sql()``
-gives the DuckDB-equivalent SQL for every SQL-expressible one (40 queries).
+gives the DuckDB-equivalent SQL for every SQL-expressible one (39 queries).
 The rest are rows-only for the driver but verified elsewhere: the transcript
 pipeline against its pure-Python oracle in tests/ (byte equality +
 differential fuzz), near-dup/ANN variants by planted-pair recall tests vs
