@@ -3,7 +3,7 @@
 ``entry()`` runs the flagship transcript-extraction pipeline at sf0.001 scale.
 ``queries()`` exposes one callable per implemented operator/pipeline from
 SURVEY.md §2 (plus the training-data-pipeline operators); ``oracle_sql()``
-gives the DuckDB-equivalent SQL for every SQL-expressible one (39 queries).
+gives the DuckDB-equivalent SQL for every SQL-expressible one (41 queries).
 The rest are rows-only for the driver but verified elsewhere: the transcript
 pipeline against its pure-Python oracle in tests/ (byte equality +
 differential fuzz), near-dup/ANN variants by planted-pair recall tests vs
@@ -310,9 +310,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": ann.ann_topk,                       # SQL-oracled
         "ann_topk_multi": ann.ann_topk_multi,           # SQL-oracled (QUALIFY per query)
-        "lsh_ann_topk": ann.lsh_topk,                   # rows-only (approximate)
+        "lsh_ann_topk": ann.lsh_topk,                   # SQL-oracled (plane literals)
         "ivf_ann_topk": ann.ivf_topk,                   # rows-only (approximate)
-        "embedding_neardup_lsh": dedup.embedding_neardup_lsh,  # rows-only (approx)
+        "embedding_neardup_lsh": dedup.embedding_neardup_lsh,  # SQL-oracled (plane literals)
         # multimodal plumbing (stubbed decode/resize/frame-sample)
         "media_metadata": media_metadata,               # SQL-oracled
         "media_resized": _media_resized_flat,           # SQL-oracled (hex slices)
@@ -369,6 +369,31 @@ def oracle_sql() -> dict[str, str]:
         "ELSE sim.u64 END, CAST(0 AS HUGEINT)) AS BIGINT) AS simhash "
         "FROM d LEFT JOIN sim ON d.doc_id = sim.doc_id"
     )
+
+    # LSH oracles: the hyperplane models are DATA-INDEPENDENT seeded
+    # constants, so they inline as SQL literals; sign(dot(v, plane)) is
+    # normalization-invariant, making the bucketing exactly reproducible
+    import numpy as np
+
+    def _plane_lit(p) -> str:
+        return "[" + ",".join(repr(float(x)) for x in p) + "]"
+
+    _lsh_planes = np.random.RandomState(987654321).normal(size=(6, 64))
+    _LSH_HAM = " + ".join(
+        f"(CASE WHEN (list_dot_product(e.embedding, {_plane_lit(_lsh_planes[i])}) > 0) != "
+        f"(list_dot_product(q.qe, {_plane_lit(_lsh_planes[i])}) > 0) THEN 1 ELSE 0 END)"
+        for i in range(6)
+    )
+    _nd_planes = np.random.RandomState(424242).normal(size=(4 * 3, 64))
+
+    def _band_agree(b: int) -> str:
+        return " AND ".join(
+            f"((list_dot_product(a.embedding, {_plane_lit(_nd_planes[b * 3 + j])}) > 0) = "
+            f"(list_dot_product(b.embedding, {_plane_lit(_nd_planes[b * 3 + j])}) > 0))"
+            for j in range(3)
+        )
+
+    _ND_LSH_BANDS = " OR ".join(f"({_band_agree(b)})" for b in range(4))
 
     # media_features: 16 nibble-histogram bins; each mirrors the engine's
     # float32 quantization (ratio cast to FLOAT then widened) exactly
@@ -705,6 +730,23 @@ def oracle_sql() -> dict[str, str]:
             "n AS (SELECT doc_id, nb, list_transform(range(1, nb + 1), "
             "i -> substr(ph, (i-1)*2 + 1, 1)) AS nibbles FROM m) "
             "SELECT doc_id, " + _FEAT_COLS + " FROM n"
+        ),
+        "lsh_ann_topk": (
+            # multiprobe = Hamming <= 2 on the 6 plane signs vs the query
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+            f"s AS (SELECT e.vec_id, e.embedding, q.qe, ({_LSH_HAM}) AS ham "
+            "FROM embeddings e, q) "
+            "SELECT vec_id, CAST(floor(list_cosine_similarity(embedding, qe)*10000 + 0.5) AS BIGINT) AS sim_e4 "
+            "FROM s WHERE ham <= 2 "
+            "ORDER BY floor(list_cosine_similarity(embedding, qe)*10000 + 0.5) DESC, vec_id LIMIT 10"
+        ),
+        "embedding_neardup_lsh": (
+            # a pair is emitted iff SOME band's 3 plane signs all agree
+            # (= shares that band's bucket) and exact cosine clears the bar
+            "SELECT a.vec_id AS a_id, b.vec_id AS b_id "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.3 "
+            f"AND ({_ND_LSH_BANDS})"
         ),
         "ann_topk_multi": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
