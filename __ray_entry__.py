@@ -3,7 +3,7 @@
 ``entry()`` runs the flagship transcript-extraction pipeline at sf0.001 scale.
 ``queries()`` exposes one callable per implemented operator/pipeline from
 SURVEY.md §2 (plus the training-data-pipeline operators); ``oracle_sql()``
-gives the DuckDB-equivalent SQL for every SQL-expressible one (41 queries).
+gives the DuckDB-equivalent SQL for every SQL-expressible one (42 queries).
 The rest are rows-only for the driver but verified elsewhere: the transcript
 pipeline against its pure-Python oracle in tests/ (byte equality +
 differential fuzz), near-dup/ANN variants by planted-pair recall tests vs
@@ -370,6 +370,20 @@ def oracle_sql() -> dict[str, str]:
         "FROM d LEFT JOIN sim ON d.doc_id = sim.doc_id"
     )
 
+    # conversation_stats reads the synthesized transcript corpus, not a
+    # registered testdata view — the oracle reads the same cached parquet
+    # shards directly.  transcripts_for() is called here so the cache exists
+    # regardless of whether the driver runs the oracle before the Ray query
+    # (idempotent; generation is serial-safe without a Ray session).  The
+    # driver's correctness gate runs at sf0.01.
+    import os
+
+    from invoice_extraction_ray.corpus import transcripts_for
+
+    _conv_glob = os.path.join(
+        os.path.dirname(transcripts_for("/root/testdata/sf0.01")[0]), "*.parquet"
+    )
+
     # LSH oracles: the hyperplane models are DATA-INDEPENDENT seeded
     # constants, so they inline as SQL literals; sign(dot(v, plane)) is
     # normalization-invariant, making the bucketing exactly reproducible
@@ -730,6 +744,13 @@ def oracle_sql() -> dict[str, str]:
             "n AS (SELECT doc_id, nb, list_transform(range(1, nb + 1), "
             "i -> substr(ph, (i-1)*2 + 1, 1)) AS nibbles FROM m) "
             "SELECT doc_id, " + _FEAT_COLS + " FROM n"
+        ),
+        "conversation_stats": (
+            "SELECT conv_id, count(*) AS n_turns, min(ts) AS first_ts, "
+            "max(ts) AS last_ts, "
+            "CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns, "
+            "CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec "
+            f"FROM read_parquet('{_conv_glob}') GROUP BY conv_id"
         ),
         "lsh_ann_topk": (
             # multiprobe = Hamming <= 2 on the 6 plane signs vs the query
