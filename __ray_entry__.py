@@ -3,7 +3,7 @@
 ``entry()`` runs the flagship transcript-extraction pipeline at sf0.001 scale.
 ``queries()`` exposes one callable per implemented operator/pipeline from
 SURVEY.md §2 (plus the training-data-pipeline operators); ``oracle_sql()``
-gives the DuckDB-equivalent SQL for every SQL-expressible one (42 queries).
+gives the DuckDB-equivalent SQL for every SQL-expressible one (43 queries).
 The rest are rows-only for the driver but verified elsewhere: the transcript
 pipeline against its pure-Python oracle in tests/ (byte equality +
 differential fuzz), near-dup/ANN variants by planted-pair recall tests vs
@@ -311,7 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.ann_topk,                       # SQL-oracled
         "ann_topk_multi": ann.ann_topk_multi,           # SQL-oracled (QUALIFY per query)
         "lsh_ann_topk": ann.lsh_topk,                   # SQL-oracled (plane literals)
-        "ivf_ann_topk": ann.ivf_topk,                   # rows-only (approximate)
+        "ivf_ann_topk": ann.ivf_topk,                   # SQL-oracled (centroid literals)
         "embedding_neardup_lsh": dedup.embedding_neardup_lsh,  # SQL-oracled (plane literals)
         # multimodal plumbing (stubbed decode/resize/frame-sample)
         "media_metadata": media_metadata,               # SQL-oracled
@@ -383,6 +383,46 @@ def oracle_sql() -> dict[str, str]:
     _conv_glob = os.path.join(
         os.path.dirname(transcripts_for("/root/testdata/sf0.01")[0]), "*.parquet"
     )
+
+    # IVF oracle: the centroid model is a deterministic function of the
+    # sf0.01 embeddings (hash-sampled rows sorted by vec_id, seeded k-means),
+    # recomputed here and inlined as literals.  Cluster assignment compares
+    # RAW dot products (argmax is normalization-invariant), with numpy's
+    # first-max tie-break mirrored by CASE order.
+    import pyarrow.parquet as _pq_mod
+
+    from invoice_extraction_ray.ops._util import embedding_matrix as _emb_mat
+    from invoice_extraction_ray.ops.ann import (
+        _IVF_SAMPLE_DENOM,
+        _IVF_TRAIN_CAP,
+        _kmeans_lite,
+    )
+
+    _etbl = _pq_mod.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    _eids = _etbl.column("vec_id").to_numpy(zero_copy_only=False).astype("int64")
+    _emat = _emb_mat(_etbl.column("embedding"))
+    _keep = ((_eids * 2654435761) % (1 << 32)) % _IVF_SAMPLE_DENOM == 0
+
+    import numpy as np
+
+    _sel_ids = _eids[_keep]
+    _sample = _emat[_keep][np.argsort(_sel_ids)][:_IVF_TRAIN_CAP]
+    _sample = _sample / np.maximum(np.linalg.norm(_sample, axis=1, keepdims=True), 1e-30)
+    _cents = _kmeans_lite(_sample, 16)
+    _qv = _emat[list(_eids).index(0)]
+    _qn = _qv / max(np.linalg.norm(_qv), 1e-30)
+    _ivf_probe = sorted(np.argsort(-(_cents @ _qn))[:4].tolist())
+
+    def _vec_lit(v) -> str:
+        return "[" + ",".join(repr(float(x)) for x in v) + "]"
+
+    _IVF_DOTS = ", ".join(
+        f"list_dot_product(e.embedding, {_vec_lit(_cents[j])}) AS d{j}" for j in range(16)
+    )
+    _IVF_DCOLS = ",".join(f"d{j}" for j in range(16))
+    _IVF_ARGMAX = "CASE " + " ".join(f"WHEN d{j} = g THEN {j}" for j in range(16)) + " END"
 
     # LSH oracles: the hyperplane models are DATA-INDEPENDENT seeded
     # constants, so they inline as SQL literals; sign(dot(v, plane)) is
@@ -751,6 +791,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns, "
             "CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec "
             f"FROM read_parquet('{_conv_glob}') GROUP BY conv_id"
+        ),
+        "ivf_ann_topk": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+            f"s AS (SELECT e.vec_id, e.embedding, q.qe, {_IVF_DOTS} FROM embeddings e, q), "
+            f"g AS (SELECT *, greatest({_IVF_DCOLS}) AS g FROM s), "
+            f"a AS (SELECT vec_id, embedding, qe, {_IVF_ARGMAX} AS assigned FROM g) "
+            "SELECT vec_id, CAST(floor(list_cosine_similarity(embedding, qe)*10000 + 0.5) AS BIGINT) AS sim_e4 "
+            f"FROM a WHERE assigned IN ({','.join(map(str, _ivf_probe))}) "
+            "ORDER BY floor(list_cosine_similarity(embedding, qe)*10000 + 0.5) DESC, vec_id LIMIT 10"
         ),
         "lsh_ann_topk": (
             # multiprobe = Hamming <= 2 on the 6 plane signs vs the query

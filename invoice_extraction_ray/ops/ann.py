@@ -188,13 +188,18 @@ def ivf_topk(
     def hash_sample(t: pa.Table) -> pa.Table:
         ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         keep = ((ids * 2654435761) % (1 << 32)) % _IVF_SAMPLE_DENOM == 0
-        return t.filter(pa.array(keep)).select(["embedding"])
+        return t.filter(pa.array(keep))
 
     rows = (
         ds_sample.map_batches(hash_sample, batch_format="pyarrow")
         .limit(_IVF_TRAIN_CAP)
         .take_all()
     )
+    # block arrival order is nondeterministic — sort by vec_id so the seeded
+    # k-means init (and therefore the whole model) is reproducible.  When the
+    # cap binds at huge corpora the sample SET is block-order-dependent
+    # (bounded, quality-equivalent); below the cap it is fully deterministic.
+    rows.sort(key=lambda r: r["vec_id"])
     sample = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
     cents = _kmeans_lite(sample, n_list)
