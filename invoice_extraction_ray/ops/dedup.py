@@ -177,7 +177,14 @@ def minhash_neardup(
 
     from ._util import strip_schema_metadata
 
-    pairs = minhash_candidate_pairs(docs)
+    # pairs are small by construction; materialize to branch on emptiness —
+    # Ray's hash-join aggregators crash on an empty join side
+    pairs = minhash_candidate_pairs(docs).materialize()
+    out_schema = pa.schema(
+        [("a_id", pa.int64()), ("b_id", pa.int64()), ("jaccard", pa.float64())]
+    )
+    if pairs.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
     texts = strip_schema_metadata(docs.select_columns(["doc_id", "text"]))
     thr = jaccard_threshold
 
@@ -302,7 +309,19 @@ def ngram_jaccard_neardup(
         .map_groups(emit_pairs, batch_format="pyarrow")
         .groupby(["a_id", "b_id"])
         .aggregate(Count(alias_name="n_inter"))
+        .materialize()  # small by construction; branch on emptiness — Ray's
+        # hash-join aggregators crash on an empty join side
     )
+    out_schema = pa.schema(
+        [
+            ("a_id", pa.int64()),
+            ("b_id", pa.int64()),
+            ("n_inter", pa.int64()),
+            ("n_union", pa.int64()),
+        ]
+    )
+    if pairs.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
     sizes = docs.map_batches(sizes_of, batch_format="pyarrow")
 
     joined = (

@@ -398,3 +398,27 @@ def test_quantile_sketch_merge_is_partition_invariant():
     assert (whole == parts).all()
     for q in (0.25, 0.5, 0.9):
         assert quantile_sketch_estimate(whole, q) == quantile_sketch_estimate(parts, q)
+
+
+def test_neardup_ops_handle_empty_and_singleton_corpora():
+    """Join-based near-dup ops must return empty results (not crash) when no
+    candidate pair exists — Ray's hash-join aggregators choke on an empty
+    join side unless guarded."""
+    import pyarrow as pa
+
+    from invoice_extraction_ray.ops.dedup import (
+        minhash_neardup,
+        neardup_clusters,
+        ngram_jaccard_neardup,
+        simhash_neardup,
+    )
+
+    empty = pa.schema([("doc_id", pa.int64()), ("text", pa.string())]).empty_table()
+    single = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "text": pa.array(["hello world foo"], pa.string())}
+    )
+    for src in (empty, single):
+        assert minhash_neardup(src).take_all() == []
+        assert ngram_jaccard_neardup(src).take_all() == []
+        assert neardup_clusters(src).take_all() == []
+        assert simhash_neardup(src).take_all() == []
