@@ -26,15 +26,32 @@ def strip_schema_metadata(ds):
     )
 
 
-def embedding_matrix(col, dtype="float64"):
+def absorb_empty_blocks(ds, batch_size: int = 65536):
+    """Dataset.join emits empty partitions that BYPASS downstream transforms
+    (map UDFs are never invoked on empty blocks, and rename_columns leaves
+    them with stale/absent schemas), so a downstream join fails with "No
+    match or multiple matches for key field reference".  An identity
+    map_batches with an EXPLICIT batch_size makes the batcher coalesce
+    blocks, and empty blocks vanish into their neighbors — the output
+    carries only schema-correct blocks."""
+    return ds.map_batches(lambda t: t, batch_format="pyarrow", batch_size=batch_size)
+
+
+def embedding_matrix(col, dtype="float64", dim: int = 0):
     """Zero-copy-ish (n, dim) numpy matrix from an Arrow list<float> column
     with equal-length lists — flatten + reshape instead of to_pylist (the
-    python-object path is ~30x slower and allocates n*dim PyFloats)."""
+    python-object path is ~30x slower and allocates n*dim PyFloats).
+
+    ``dim`` is only consulted for EMPTY columns (Ray can emit empty blocks
+    after filters/joins): reshape(0, -1) cannot infer the trailing dimension,
+    so an explicit hint keeps downstream matmuls shape-correct."""
     import numpy as np
     import pyarrow as pa
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
+    if n == 0:
+        return np.empty((0, dim), dtype=dtype)
     flat = col.flatten().to_numpy(zero_copy_only=False)
     return flat.astype(dtype, copy=False).reshape(n, -1)

@@ -24,9 +24,17 @@ def _pq(sf_dir: str, name: str) -> str:
 
 
 def _load_query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    """Query-vector point lookup with parquet predicate pushdown: only row
+    groups whose statistics admit ``vec_id`` are decoded — the driver never
+    reads the fact table (at 100 TB of embeddings an unfiltered read_table
+    here would OOM the driver before the pipeline starts)."""
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    tbl = pq.read_table(
+        _pq(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", vec_id)],
+    )
     idx = tbl.column("vec_id").to_pylist().index(vec_id)
     return np.asarray(tbl.column("embedding")[idx].as_py(), dtype=np.float64)
 
@@ -42,7 +50,7 @@ def ann_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> ray.data.Datase
             self.q = ray.get(r)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            m = embedding_matrix(t.column("embedding"))
+            m = embedding_matrix(t.column("embedding"), dim=len(self.q))
             norms = np.maximum(np.linalg.norm(m, axis=1), 1e-30)
             sims = (m @ self.q) / norms
             return pa.table({"vec_id": t.column("vec_id"), "sim": pa.array(sims)})
@@ -80,9 +88,12 @@ def ann_topk_multi(
     blocks, never the corpus."""
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    mask = pc.less(tbl.column("vec_id"), n_queries)
-    qt = tbl.filter(mask)
+    # predicate-pushdown read of JUST the query rows (row-group pruned)
+    qt = pq.read_table(
+        _pq(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
     q_ids = qt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
     qm = embedding_matrix(qt.column("embedding"))
     qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
@@ -94,7 +105,7 @@ def ann_topk_multi(
             self.k = k
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            m = embedding_matrix(t.column("embedding"))
+            m = embedding_matrix(t.column("embedding"), dim=self.qm.shape[1])
             vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
             mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
             sims = mn @ self.qm.T  # |batch| x n_queries
@@ -190,15 +201,21 @@ def ivf_topk(
         keep = ((ids * 2654435761) % (1 << 32)) % _IVF_SAMPLE_DENOM == 0
         return t.filter(pa.array(keep))
 
+    def keep_smallest(t: pa.Table) -> pa.Table:
+        # per-batch partial top-k on vec_id asc: a valid combiner for "the
+        # cap smallest vec_ids", so the training set is ORDER-DETERMINISTIC
+        # even when the cap binds (block-arrival order can never change it)
+        t = t.sort_by([("vec_id", "ascending")])
+        return t.slice(0, _IVF_TRAIN_CAP)
+
     rows = (
         ds_sample.map_batches(hash_sample, batch_format="pyarrow")
+        .map_batches(keep_smallest, batch_format="pyarrow")
+        .sort("vec_id")
         .limit(_IVF_TRAIN_CAP)
         .take_all()
     )
-    # block arrival order is nondeterministic — sort by vec_id so the seeded
-    # k-means init (and therefore the whole model) is reproducible.  When the
-    # cap binds at huge corpora the sample SET is block-order-dependent
-    # (bounded, quality-equivalent); below the cap it is fully deterministic.
+    # driver-side re-sort is a no-op safety net (<= cap rows)
     rows.sort(key=lambda r: r["vec_id"])
     sample = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
@@ -214,7 +231,7 @@ def ivf_topk(
             self.q, self.cents, self.probe = ray.get(r)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            m = embedding_matrix(t.column("embedding"))
+            m = embedding_matrix(t.column("embedding"), dim=len(self.q))
             vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
             mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
             assign = np.argmax(mn @ self.cents.T, axis=1)
@@ -256,7 +273,7 @@ def lsh_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> ray.data.Datase
             self.q, self.planes, self.probe = ray.get(r)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            m = embedding_matrix(t.column("embedding"))
+            m = embedding_matrix(t.column("embedding"), dim=len(self.q))
             vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
             norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
             mn = m / norms

@@ -188,11 +188,13 @@ def minhash_neardup(
     texts = strip_schema_metadata(docs.select_columns(["doc_id", "text"]))
     thr = jaccard_threshold
 
-    joined = (
+    from ._util import absorb_empty_blocks
+
+    joined = absorb_empty_blocks(
         pairs.join(texts, "inner", num_partitions, on=("a_id",), right_on=("doc_id",))
         .rename_columns({"text": "a_text"})
-        .join(texts, "inner", num_partitions, on=("b_id",), right_on=("doc_id",))
-        .rename_columns({"text": "b_text"})
+    ).join(texts, "inner", num_partitions, on=("b_id",), right_on=("doc_id",)).rename_columns(
+        {"text": "b_text"}
     )
 
     def verify(t: pa.Table) -> pa.Table:
@@ -229,7 +231,10 @@ def word_trigrams(text: str) -> set[str]:
 
 
 def ngram_jaccard_neardup(
-    source, threshold: float = 0.5, num_partitions: int = 8
+    source,
+    threshold: float = 0.5,
+    num_partitions: int = 8,
+    max_df: int | None = None,
 ) -> ray.data.Dataset:
     """EXACT pairs with word-trigram Jaccard >= threshold.
 
@@ -244,9 +249,15 @@ def ngram_jaccard_neardup(
        (n_inter * 10^4 >= thr_e4 * n_union) — bit-identical to the DuckDB
        oracle.
 
-    Only gram rows and pair rows ever shuffle — never documents.  Worst case
-    is a gram shared by K docs fanning out K^2/2 candidate rows; production
-    corpora put a document-frequency cut here first.
+    Only gram rows and pair rows ever shuffle — never documents.  A gram
+    shared by K docs fans out K^2/2 candidate rows, so ``max_df`` (document-
+    frequency cap) drops grams whose posting list exceeds it BEFORE pair
+    emission — the standard inverted-index bound (boilerplate stop-phrases
+    have K in the millions on a real corpus).  Each gram's full posting list
+    is co-located in its shard (shard = hash(gram)), so the run length seen
+    by ``emit_pairs`` IS the gram's global df.  Default None = exact (the
+    DuckDB all-pairs oracle requires it); near-dup pairs sharing ONLY
+    ultra-common grams are missed when the cap binds — by design.
     """
     import pyarrow.compute as pc
 
@@ -292,6 +303,8 @@ def ngram_jaccard_neardup(
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
+            if max_df is not None and e - s > max_df:
+                continue  # df cut: skip ultra-common grams entirely
             members = did[s:e]  # distinct per gram by construction
             for i in range(len(members)):
                 for j in range(i + 1, len(members)):
@@ -324,11 +337,13 @@ def ngram_jaccard_neardup(
         return ray.data.from_arrow(out_schema.empty_table())
     sizes = docs.map_batches(sizes_of, batch_format="pyarrow")
 
-    joined = (
+    from ._util import absorb_empty_blocks
+
+    joined = absorb_empty_blocks(
         pairs.join(sizes, "inner", num_partitions, on=("a_id",), right_on=("doc_id",))
         .rename_columns({"n_grams": "a_n"})
-        .join(sizes, "inner", num_partitions, on=("b_id",), right_on=("doc_id",))
-        .rename_columns({"n_grams": "b_n"})
+    ).join(sizes, "inner", num_partitions, on=("b_id",), right_on=("doc_id",)).rename_columns(
+        {"n_grams": "b_n"}
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -640,6 +655,15 @@ def embedding_neardup_lsh(
     tests.  Within-bucket scoring is exact: no false positives."""
 
     def bucketize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": t.column("vec_id"),
+                    "embedding": t.column("embedding"),
+                    "band": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
         mat = embedding_matrix(t.column("embedding"))
         planes = np.random.RandomState(424242).normal(
             size=(n_bands * planes_per_band, mat.shape[1])
@@ -664,6 +688,8 @@ def embedding_neardup_lsh(
         return pa.concat_tables(tables)
 
     def pairs_in_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())})
         vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         mat = embedding_matrix(t.column("embedding"))
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
@@ -710,7 +736,7 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
 
         def __call__(self, t: pa.Table) -> pa.Table:
             bid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            bm = embedding_matrix(t.column("embedding"))
+            bm = embedding_matrix(t.column("embedding"), dim=self.mat.shape[1])
             bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-30)
             sims = bm @ self.mat.T  # |batch| x |corpus|
             bi, cj = np.nonzero(sims > self.thr)

@@ -40,13 +40,16 @@ def _partial_groupby(
     def fn(t: pa.Table) -> pa.Table:
         aggs = [(c, "sum") for c in sums]
         if count_as:
-            aggs.append((keys[0], "count"))
+            # count_all, NOT (key, "count"): the latter counts non-null key
+            # values only, silently zeroing groups keyed by null (e.g. a
+            # broadcast-lookup miss producing a null dimension value)
+            aggs.append(([], "count_all"))
         g = t.group_by(keys).aggregate(aggs)
         cols = {k: g.column(k) for k in keys}
         for c in sums:
             cols[c] = g.column(f"{c}_sum")
         if count_as:
-            cols[count_as] = pc.cast(g.column(f"{keys[0]}_count"), pa.int64())
+            cols[count_as] = pc.cast(g.column("count_all"), pa.int64())
         return pa.table(cols)
 
     return fn
@@ -138,13 +141,17 @@ def groupby_stats(sf_dir: str) -> ray.data.Dataset:
         sq = t.column("sum_sq").to_numpy(zero_copy_only=False)
         avg = s / n
         var = np.maximum(sq - s * s / n, 0.0) / np.maximum(n - 1, 1.0)
+        # sample std of a single-row group is NULL (stddev_samp semantics),
+        # not 0.0 — mask n==1 to null so the DuckDB oracle agrees
+        std = np.sqrt(var)
+        std_arr = pa.array(std, pa.float64(), mask=(n <= 1))
         out_t = pa.table(
             {
                 "event_type": t.column("event_type"),
                 "n": t.column("n"),
                 "sum_value": t.column("sum_value"),
                 "avg_value": pa.array(avg, pa.float64()),
-                "std_value": pa.array(np.sqrt(var), pa.float64()),
+                "std_value": std_arr,
             }
         )
         return out_t

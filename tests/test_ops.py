@@ -317,6 +317,37 @@ def test_ngram_jaccard_neardup_exact_vs_bruteforce():
     assert got == want
 
 
+def test_ngram_jaccard_max_df_bounds_hot_gram_fanout():
+    """A gram shared by K docs fans out K^2/2 candidate pairs; the max_df cap
+    must drop such grams before pair emission while leaving pairs that share
+    only low-df grams untouched."""
+    import pyarrow as pa
+
+    from invoice_extraction_ray.ops.dedup import ngram_jaccard_neardup
+
+    n_hot = 24
+    ids, texts = [], []
+    for i in range(n_hot):
+        ids.append(i)
+        # every doc shares ONE hot trigram; the rest is unique
+        texts.append(f"alpha beta gamma uniq{i}")
+    # a planted true near-dup pair sharing only low-df grams
+    ids += [1000, 1001]
+    texts += ["delta epsilon zeta eta theta", "delta epsilon zeta eta iota"]
+    corpus = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+
+    # low threshold so hot-gram pairs (jaccard 1/3) qualify when uncapped
+    uncapped = ngram_jaccard_neardup(corpus, threshold=0.3).take_all()
+    hot_pairs = [r for r in uncapped if r["a_id"] < 1000 and r["b_id"] < 1000]
+    assert len(hot_pairs) == n_hot * (n_hot - 1) // 2
+
+    capped = ngram_jaccard_neardup(corpus, threshold=0.3, max_df=5).take_all()
+    got = {(r["a_id"], r["b_id"]) for r in capped}
+    # the K^2 hot-gram fanout is gone; the low-df planted pair survives
+    assert all(a >= 1000 for a, _ in got)
+    assert (1000, 1001) in got
+
+
 def test_neardup_clusters_chain_components():
     """Multi-hop components: A~B and B~C but A!~C must still share one
     cluster (min doc_id), exercising >1 label-propagation round."""
