@@ -693,8 +693,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_fingerprints": (
             # mirror of ops.text.fingerprint64: nested rolling hash mod
-            # 2^61-1 — bytes via hex-pair parsing, HUGEINT keeps the
-            # intermediate products exact (acc*131 and h*1000003 exceed int64)
+            # 2^61-1 — token hash = base-256 Horner over UTF-8 bytes (==
+            # int.from_bytes mod p), doc hash = base-2^64 Horner over
+            # (token_hash + 1); HUGEINT keeps intermediates exact
+            # (h*2^64 < 2^125 < HUGEINT max)
             r"SELECT doc_id, CAST(list_reduce("
             r"list_prepend(CAST(0 AS HUGEINT), "
             r"list_transform(regexp_extract_all(coalesce(text,''), '\S+'), "
@@ -703,9 +705,9 @@ def oracle_sql() -> dict[str, str]:
             r"list_transform(regexp_extract_all(hex(encode(tok)), '..'), "
             r"p -> CAST((strpos('0123456789ABCDEF', substr(p,1,1))-1)*16"
             r" + strpos('0123456789ABCDEF', substr(p,2,1))-1 AS HUGEINT))), "
-            r"(a, b) -> (a*131 + b) % 2305843009213693951))), "
-            r"(h, t) -> (h*1000003 + t + 1) % 2305843009213693951) AS BIGINT) AS fp "
-            r"FROM documents"
+            r"(a, b) -> (a*256 + b) % 2305843009213693951))), "
+            r"(h, t) -> (h*18446744073709551616 + t + 1) % 2305843009213693951) "
+            r"AS BIGINT) AS fp FROM documents"
         ),
         "media_resized": (
             # mirror of ops.multimodal.StubResizer with max_dim=128: pseudo

@@ -447,30 +447,44 @@ def lineitem_order_priority(sf_dir: str, num_partitions: int = 16) -> ray.data.D
 def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
 
-    def add_hash(t: pa.Table) -> pa.Table:
+    def hash_and_combine(t: pa.Table) -> pa.Table:
         import hashlib
 
         import numpy as np
 
         # group key = first 16 digest bytes as two int64 columns: int sort in
         # the shuffle beats 64-char hex strings, collision odds are 2^-128-ish
+        # (64-bit keys WOULD birthday-collide at 10^10-doc corpora).  The
+        # per-row sha256 call is C-speed (~1us/row) and stays off the driver.
         digests = b"".join(
             hashlib.sha256((s or "").encode()).digest()[:16]
             for s in t.column("text").to_pylist()
         )
         h = np.frombuffer(digests, dtype="<i8").reshape(-1, 2)
-        return pa.table(
+        tt = pa.table(
             {
                 "doc_id": t.column("doc_id"),
                 "h1": pa.array(h[:, 0]),
                 "h2": pa.array(h[:, 1]),
             }
         )
+        # per-batch combiner: in-batch duplicates collapse BEFORE the shuffle
+        # (min doc_id + count are mergeable), so the groupby moves at most
+        # one row per distinct digest per block
+        g = tt.group_by(["h1", "h2"]).aggregate([("doc_id", "min"), ([], "count_all")])
+        return pa.table(
+            {
+                "h1": g.column("h1"),
+                "h2": g.column("h2"),
+                "doc_id": g.column("doc_id_min"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
 
     out = (
-        ds.map_batches(add_hash, batch_format="pyarrow")
+        ds.map_batches(hash_and_combine, batch_format="pyarrow")
         .groupby(["h1", "h2"])
-        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+        .aggregate(Min("doc_id", alias_name="doc_id"), Sum("n", alias_name="n_copies"))
     )
     return out.select_columns(["doc_id", "n_copies"])
 

@@ -82,45 +82,50 @@ SEVERITY_OF = {
 
 def categorize_batch(t: pa.Table) -> pa.Table:
     """Explode each output row into zero-or-more (conv_id, turn_idx, category)
-    rows — the flat_map step of A2."""
+    rows — the flat_map step of A2.  Vectorized: one boolean mask per
+    category, rows gathered with take; downstream consumers (groupby counts,
+    Counter partials) are row-order-insensitive."""
+    import numpy as np
+
     flags = _field_flags(t)
-    conf = t.column("confidence").to_pylist()
-    ext = pc.equal(pc.utf8_length(t.column("extracted_text")), 0).to_pylist()
-    conv = t.column("conv_id").to_pylist()
-    turn = t.column("turn_idx").to_pylist()
-    f = {k: v.to_pylist() for k, v in flags.items()}
+    f = {
+        k: pc.fill_null(v, False).to_numpy(zero_copy_only=False)
+        for k, v in flags.items()
+    }
+    conf = (
+        t.column("confidence").combine_chunks().to_numpy(zero_copy_only=False)
+    )
+    empty = pc.equal(
+        pc.utf8_length(t.column("extracted_text")), 0
+    ).to_numpy(zero_copy_only=False)
+    missing = (~f["entity"]).astype(np.int64)
+    for name in ("code", "power", "amount"):
+        missing += ~f[name]
 
-    out_conv, out_turn, out_cat = [], [], []
-
-    def emit(i, cat):
-        out_conv.append(conv[i])
-        out_turn.append(turn[i])
-        out_cat.append(cat)
-
-    for i in range(t.num_rows):
-        missing = 0
-        for name, cat in (
-            ("entity", "missing_entity"),
-            ("code", "missing_code"),
-            ("power", "missing_power"),
-            ("amount", "missing_amount"),
-        ):
-            if not f[name][i]:
-                emit(i, cat)
-                missing += 1
-        if not f["region_a"][i]:
-            emit(i, "no_region_a")
-        if conf[i] < LOW_CONFIDENCE_THRESHOLD:
-            emit(i, "low_confidence")
-        if 1 <= missing <= 3:
-            emit(i, "partial_extraction")
-        if ext[i]:
-            emit(i, "empty_turn")
+    cat_masks = [
+        ("missing_entity", ~f["entity"]),
+        ("missing_code", ~f["code"]),
+        ("missing_power", ~f["power"]),
+        ("missing_amount", ~f["amount"]),
+        ("no_region_a", ~f["region_a"]),
+        ("low_confidence", conf < LOW_CONFIDENCE_THRESHOLD),
+        ("partial_extraction", (missing >= 1) & (missing <= 3)),
+        ("empty_turn", empty),
+    ]
+    idx_parts = [np.flatnonzero(m) for _, m in cat_masks]
+    idx = pa.array(np.concatenate(idx_parts), pa.int64())
+    cats = pa.array(
+        np.repeat(
+            np.array([c for c, _ in cat_masks], dtype=object),
+            [len(p) for p in idx_parts],
+        ),
+        pa.string(),
+    )
     return pa.table(
         {
-            "conv_id": pa.array(out_conv, pa.string()),
-            "turn_idx": pa.array(out_turn, pa.int32()),
-            "category": pa.array(out_cat, pa.string()),
+            "conv_id": pc.take(t.column("conv_id"), idx),
+            "turn_idx": pc.take(t.column("turn_idx"), idx),
+            "category": cats,
         }
     )
 
