@@ -292,8 +292,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_view": _asof_purchase_view,
         "sliding_window_counts": _sliding_window,
         "value_quantiles": _value_quantiles,
-        "value_quantiles_sketch": _value_quantiles_sketch,  # rows-only (mergeable sketch; error-bounded in tests)
-        "hll_distinct_users": _hll_distinct,      # rows-only (sketch; error-bounded in tests)
+        "value_quantiles_sketch": _value_quantiles_sketch,  # SQL-oracled (log-bin mirror)
+        "hll_distinct_users": _hll_distinct,      # SQL-oracled (splitmix64+HLL in HUGEINT)
         # text analysis
         "token_count": text.token_count,               # SQL-oracled
         "bpe_token_count": text.bpe_token_count,       # SQL-oracled (RE2 both sides)
@@ -448,6 +448,82 @@ def oracle_sql() -> dict[str, str]:
         )
 
     _ND_LSH_BANDS = " OR ".join(f"({_band_agree(b)})" for b in range(4))
+
+    # --- sketch oracles -------------------------------------------------
+    # value_quantiles_sketch: the log-histogram sketch is deterministic
+    # integer arithmetic once values are binned; binning/readout use
+    # log10/pow, which differ from numpy in the last ULP but agree on every
+    # DERIVED integer (verified: bins equal on all sf0.01/sf0.1 values,
+    # readout cents equal for all 3072 possible bins).
+    def _qsk_b(q: str, alias: str) -> str:
+        return (
+            f"min(CASE WHEN cum >= greatest(0, CAST(ceil({q} * n) AS BIGINT) - 1) + 1 "
+            f"THEN bin END) AS {alias}"
+        )
+
+    def _qsk_pc(b: str, alias: str) -> str:
+        return (
+            f"CAST(floor(0.000001 * pow(10.0, ({b} + 0.5)/256.0) * 100.0 + 0.5) "
+            f"AS BIGINT) AS {alias}"
+        )
+
+    _QSK_SQL = (
+        "WITH b AS (SELECT event_type, "
+        "least(greatest(CAST(floor(log10(greatest(value, 1e-6) / 0.000001) * 256) "
+        "AS BIGINT), 0), 3071) AS bin FROM events), "
+        "c AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2), "
+        "t AS (SELECT event_type, bin, "
+        "sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum, "
+        "sum(cnt) OVER (PARTITION BY event_type) AS n FROM c), "
+        "s AS (SELECT event_type, n, "
+        + ", ".join(
+            _qsk_b(q, a)
+            for q, a in [("0.25", "b25"), ("0.5", "b50"), ("0.75", "b75"), ("0.95", "b95")]
+        )
+        + " FROM t GROUP BY event_type, n) "
+        "SELECT event_type, "
+        + ", ".join(
+            _qsk_pc(b, a)
+            for b, a in [("b25", "p25_c"), ("b50", "p50_c"), ("b75", "p75_c"), ("b95", "p95_c")]
+        )
+        + ", CAST(n AS BIGINT) AS n FROM s"
+    )
+
+    # hll_distinct_users: splitmix64 + register-max HLL mirrored exactly —
+    # 64-bit wrap-around arithmetic in HUGEINT (the multiply splits 32/32 so
+    # intermediates stay under 2^127), rank via length(bin(x)), and the
+    # register sum as an exact integer (engine matches: hll_estimate sums
+    # 2^(55-r) as a Python bigint, order-independent)
+    _M64 = 1 << 64
+
+    def _mul64(a: str, b: int) -> str:
+        # (a*b) mod 2^64 without exceeding HUGEINT: a0*b + ((a1*b) mod 2^32)*2^32
+        return (
+            f"((({a}) % 4294967296 * {b} + "
+            f"(({a}) // 4294967296 * {b}) % 4294967296 * 4294967296) % {_M64})"
+        )
+
+    _PW55 = "[" + ",".join(f"CAST({1 << (55 - r)} AS HUGEINT)" for r in range(56)) + "]"
+    _HLL_SQL = (
+        "WITH e AS (SELECT event_type, "
+        f"((CAST(user_id AS HUGEINT) % {_M64}) + {_M64}) % {_M64} AS x FROM events), "
+        f"s0 AS (SELECT event_type, (x + {0x9E3779B97F4A7C15}) % {_M64} AS z FROM e), "
+        f"s1 AS (SELECT event_type, {_mul64('xor(z, z // 1073741824)', 0xBF58476D1CE4E5B9)} AS z FROM s0), "
+        f"s2 AS (SELECT event_type, {_mul64('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FROM s1), "
+        "h AS (SELECT event_type, xor(z, z // 2147483648) AS h FROM s2), "
+        f"r AS (SELECT event_type, h // {1 << 54} AS reg, "
+        f"max(CASE WHEN (h * 1024) % {_M64} = 0 THEN 55 "
+        f"ELSE 65 - length(bin((h * 1024) % {_M64})) END) AS rk FROM h GROUP BY 1, 2), "
+        f"a AS (SELECT event_type, sum(({_PW55})[rk + 1]) AS num_present, "
+        "count(*) AS n_present FROM r GROUP BY 1), "
+        f"f AS (SELECT event_type, num_present + (1024 - n_present) * CAST({1 << 55} AS HUGEINT) AS num, "
+        "1024 - n_present AS zeros FROM a), "
+        "g AS (SELECT event_type, zeros, "
+        f"((((0.7213/(1 + 1.079/1024)) * 1024) * 1024) * {float(1 << 55)!r}) / CAST(num AS DOUBLE) AS est FROM f) "
+        "SELECT event_type, CAST(floor((CASE WHEN est <= 2560.0 AND zeros > 0 "
+        "THEN 1024 * ln(1024 / CAST(zeros AS DOUBLE)) ELSE est END) + 0.5) AS BIGINT) "
+        "AS approx_distinct FROM g"
+    )
 
     # media_features: 16 nibble-histogram bins; each mirrors the engine's
     # float32 quantization (ratio cast to FLOAT then widened) exactly
@@ -748,6 +824,8 @@ def oracle_sql() -> dict[str, str]:
             + _BPE_SQL_PATTERN
             + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
         ),
+        "value_quantiles_sketch": _QSK_SQL,
+        "hll_distinct_users": _HLL_SQL,
         "simhashes": _SIMHASH_SQL,
         "minhash_neardup": (
             # exact all-pairs Jaccard over crc32 shingle-hash sets (mirrors

@@ -172,7 +172,14 @@ def _partial_registers(keys: np.ndarray) -> np.ndarray:
 def hll_estimate(regs: np.ndarray) -> float:
     m = HLL_M
     alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    # EXACT integer register sum: sum(2^-r) == num / 2^55 with num an exact
+    # (Python bigint) integer — unlike a float sum it is order-independent,
+    # so partition order can never perturb the estimate and the DuckDB
+    # oracle reproduces it bit-for-bit (ranks are capped at 55 = 64-p+1)
+    num = 0
+    for r in regs.tolist():
+        num += 1 << (55 - r)
+    est = alpha * m * m * float(1 << 55) / float(num)
     zeros = int(np.sum(regs == 0))
     if est <= 2.5 * m and zeros:
         est = m * math.log(m / zeros)  # linear counting small-range correction
@@ -200,10 +207,13 @@ def hll_distinct_users(sf_dir: str) -> ray.data.Dataset:
 
     def merge(t: pa.Table) -> pa.Table:
         regs = np.asarray(t.column("regs").to_pylist(), dtype=np.int64).max(axis=0)
+        # floor(x + 0.5): half-up rounding an engine-independent SQL mirror
+        # can reproduce (Python round() is half-even)
+        est = int(math.floor(hll_estimate(regs) + 0.5))
         return pa.table(
             {
                 "event_type": pa.array([t.column("event_type")[0].as_py()]),
-                "approx_distinct": pa.array([int(round(hll_estimate(regs)))], pa.int64()),
+                "approx_distinct": pa.array([est], pa.int64()),
             }
         )
 
