@@ -370,59 +370,14 @@ def oracle_sql() -> dict[str, str]:
         "FROM d LEFT JOIN sim ON d.doc_id = sim.doc_id"
     )
 
-    # conversation_stats reads the synthesized transcript corpus, not a
-    # registered testdata view — the oracle reads the same cached parquet
-    # shards directly.  transcripts_for() is called here so the cache exists
-    # regardless of whether the driver runs the oracle before the Ray query
-    # (idempotent; generation is serial-safe without a Ray session).  The
-    # driver's correctness gate runs at sf0.01.
     import os
 
-    from invoice_extraction_ray.corpus import transcripts_for
-
-    _conv_glob = os.path.join(
-        os.path.dirname(transcripts_for("/root/testdata/sf0.01")[0]), "*.parquet"
-    )
-
-    # IVF oracle: the centroid model is a deterministic function of the
-    # sf0.01 embeddings (hash-sampled rows sorted by vec_id, seeded k-means),
-    # recomputed here and inlined as literals.  Cluster assignment compares
-    # RAW dot products (argmax is normalization-invariant), with numpy's
-    # first-max tie-break mirrored by CASE order.
-    import pyarrow.parquet as _pq_mod
-
-    from invoice_extraction_ray.ops._util import embedding_matrix as _emb_mat
-    from invoice_extraction_ray.ops.ann import (
-        _IVF_SAMPLE_DENOM,
-        _IVF_TRAIN_CAP,
-        _kmeans_lite,
-    )
-
-    _etbl = _pq_mod.read_table(
-        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    _eids = _etbl.column("vec_id").to_numpy(zero_copy_only=False).astype("int64")
-    _emat = _emb_mat(_etbl.column("embedding"))
-    _keep = ((_eids * 2654435761) % (1 << 32)) % _IVF_SAMPLE_DENOM == 0
-
-    import numpy as np
-
-    _sel_ids = _eids[_keep]
-    _sample = _emat[_keep][np.argsort(_sel_ids)][:_IVF_TRAIN_CAP]
-    _sample = _sample / np.maximum(np.linalg.norm(_sample, axis=1, keepdims=True), 1e-30)
-    _cents = _kmeans_lite(_sample, 16)
-    _qv = _emat[list(_eids).index(0)]
-    _qn = _qv / max(np.linalg.norm(_qv), 1e-30)
-    _ivf_probe = sorted(np.argsort(-(_cents @ _qn))[:4].tolist())
-
-    def _vec_lit(v) -> str:
-        return "[" + ",".join(repr(float(x)) for x in v) + "]"
-
-    _IVF_DOTS = ", ".join(
-        f"list_dot_product(e.embedding, {_vec_lit(_cents[j])}) AS d{j}" for j in range(16)
-    )
-    _IVF_DCOLS = ",".join(f"d{j}" for j in range(16))
-    _IVF_ARGMAX = "CASE " + " ".join(f"WHEN d{j} = g THEN {j}" for j in range(16)) + " END"
+    # sf0.01-pinned oracles (transcript corpus cache, IVF centroid model,
+    # materialized extraction expectations) are built LAZILY at the end of
+    # this function and only when the sf0.01 testdata exists — the driver's
+    # value gate runs at sf0.01; tools/check_queries compares these
+    # rows-only at other scales (see _SF001_PINNED).
+    _SF001 = "/root/testdata/sf0.01"
 
     # LSH oracles: the hyperplane models are DATA-INDEPENDENT seeded
     # constants, so they inline as SQL literals; sign(dot(v, plane)) is
@@ -535,7 +490,7 @@ def oracle_sql() -> dict[str, str]:
         for j in range(16)
     )
 
-    return {
+    out = {
         "coverage_summary": (
             "SELECT count(*) AS total, count(text) AS n_text, "
             "CAST(round(avg(n_chars) * 10000) AS BIGINT) AS avg_chars FROM documents"
@@ -865,22 +820,6 @@ def oracle_sql() -> dict[str, str]:
             "i -> substr(ph, (i-1)*2 + 1, 1)) AS nibbles FROM m) "
             "SELECT doc_id, " + _FEAT_COLS + " FROM n"
         ),
-        "conversation_stats": (
-            "SELECT conv_id, count(*) AS n_turns, min(ts) AS first_ts, "
-            "max(ts) AS last_ts, "
-            "CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns, "
-            "CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec "
-            f"FROM read_parquet('{_conv_glob}') GROUP BY conv_id"
-        ),
-        "ivf_ann_topk": (
-            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
-            f"s AS (SELECT e.vec_id, e.embedding, q.qe, {_IVF_DOTS} FROM embeddings e, q), "
-            f"g AS (SELECT *, greatest({_IVF_DCOLS}) AS g FROM s), "
-            f"a AS (SELECT vec_id, embedding, qe, {_IVF_ARGMAX} AS assigned FROM g) "
-            "SELECT vec_id, CAST(floor(list_cosine_similarity(embedding, qe)*10000 + 0.5) AS BIGINT) AS sim_e4 "
-            f"FROM a WHERE assigned IN ({','.join(map(str, _ivf_probe))}) "
-            "ORDER BY floor(list_cosine_similarity(embedding, qe)*10000 + 0.5) DESC, vec_id LIMIT 10"
-        ),
         "lsh_ann_topk": (
             # multiprobe = Hamming <= 2 on the 6 plane signs vs the query
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
@@ -912,5 +851,190 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.vec_id, CAST(round(list_cosine_similarity(e.embedding, q.qe) * 10000) AS BIGINT) AS sim_e4 "
             "FROM embeddings e, q "
             "ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id LIMIT 10"
+        ),
+    }
+    if os.path.isdir(_SF001):
+        out.update(_sf001_pinned_oracles(_SF001))
+    return out
+
+
+# oracles in this set embed sf0.01-derived state (the transcript-corpus
+# cache path, the IVF centroid model, the materialized extraction-oracle
+# parquet); the driver's value gate runs at sf0.01 — at any other scale
+# callers (tools/check_queries.py) compare these rows-only
+SF001_PINNED = [
+    "conversation_stats",
+    "ivf_ann_topk",
+    "extract_turns",
+    "extract_consensus",
+    "extract_field_coverage",
+    "extract_error_categories",
+    "extract_pseudo_labels",
+    "extract_confidence_bins",
+    "extract_worst_turns",
+    "extract_failure_summary",
+]
+
+
+def _sf001_pinned_oracles(sf001: str) -> dict[str, str]:
+    """sf0.01-pinned oracle SQL: conversation_stats over the cached corpus,
+    the IVF centroid model inlined as literals, and the flagship extract_*
+    family as SELECTs/aggregations over the materialized pure-Python-oracle
+    parquet (oracle_gate.py) — the trick that moves the core engine output
+    into the driver's DuckDB value gate."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as _pq_mod
+
+    from invoice_extraction_ray.corpus import transcripts_for
+    from invoice_extraction_ray.oracle_gate import oracle_outputs_for
+    from invoice_extraction_ray.ops._util import embedding_matrix as _emb_mat
+    from invoice_extraction_ray.ops.ann import (
+        _IVF_SAMPLE_DENOM,
+        _IVF_TRAIN_CAP,
+        _kmeans_lite,
+    )
+
+    # conversation_stats reads the synthesized transcript corpus, not a
+    # registered testdata view — the oracle reads the same cached parquet
+    # shards directly (transcripts_for is idempotent and serial-safe).
+    _conv_glob = os.path.join(
+        os.path.dirname(transcripts_for(sf001)[0]), "*.parquet"
+    )
+
+    # IVF: the centroid model is a deterministic function of the sf0.01
+    # embeddings (hash-sampled rows, cap smallest vec_ids, seeded k-means),
+    # recomputed here and inlined as literals.  Cluster assignment compares
+    # RAW dot products (argmax is normalization-invariant), with numpy's
+    # first-max tie-break mirrored by CASE order.
+    _etbl = _pq_mod.read_table(
+        f"{sf001}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    _eids = _etbl.column("vec_id").to_numpy(zero_copy_only=False).astype("int64")
+    _emat = _emb_mat(_etbl.column("embedding"))
+    _keep = ((_eids * 2654435761) % (1 << 32)) % _IVF_SAMPLE_DENOM == 0
+    _sel_ids = _eids[_keep]
+    _sample = _emat[_keep][np.argsort(_sel_ids)][:_IVF_TRAIN_CAP]
+    _sample = _sample / np.maximum(np.linalg.norm(_sample, axis=1, keepdims=True), 1e-30)
+    _cents = _kmeans_lite(_sample, 16)
+    _qv = _emat[list(_eids).index(0)]
+    _qn = _qv / max(np.linalg.norm(_qv), 1e-30)
+    _ivf_probe = sorted(np.argsort(-(_cents @ _qn))[:4].tolist())
+
+    def _vec_lit(v) -> str:
+        return "[" + ",".join(repr(float(x)) for x in v) + "]"
+
+    _IVF_DOTS = ", ".join(
+        f"list_dot_product(e.embedding, {_vec_lit(_cents[j])}) AS d{j}" for j in range(16)
+    )
+    _IVF_DCOLS = ",".join(f"d{j}" for j in range(16))
+    _IVF_ARGMAX = "CASE " + " ".join(f"WHEN d{j} = g THEN {j}" for j in range(16)) + " END"
+
+    # --- flagship extract_* family over the oracle parquet ----------------
+    paths = oracle_outputs_for(sf001)
+    T = f"read_parquet('{paths['turns']}')"
+    CN = f"read_parquet('{paths['consensus']}')"
+
+    _MISSING = (
+        "(CASE WHEN NOT entity_filled THEN 1 ELSE 0 END"
+        " + CASE WHEN NOT code_filled THEN 1 ELSE 0 END"
+        " + CASE WHEN NOT power_filled THEN 1 ELSE 0 END"
+        " + CASE WHEN NOT amount_filled THEN 1 ELSE 0 END)"
+    )
+    # the full 8-category count table (zero counts INCLUDED — the failure
+    # summary ranks over the whole vocabulary like the engine's report)
+    _CAT_COUNTS = (
+        f"SELECT 'missing_entity' AS category, sum(CASE WHEN NOT entity_filled THEN 1 ELSE 0 END) AS n FROM {T} "
+        f"UNION ALL SELECT 'missing_code', sum(CASE WHEN NOT code_filled THEN 1 ELSE 0 END) FROM {T} "
+        f"UNION ALL SELECT 'missing_power', sum(CASE WHEN NOT power_filled THEN 1 ELSE 0 END) FROM {T} "
+        f"UNION ALL SELECT 'missing_amount', sum(CASE WHEN NOT amount_filled THEN 1 ELSE 0 END) FROM {T} "
+        f"UNION ALL SELECT 'no_region_a', sum(CASE WHEN NOT region_a_present THEN 1 ELSE 0 END) FROM {T} "
+        f"UNION ALL SELECT 'low_confidence', sum(CASE WHEN conf_pct < 50 THEN 1 ELSE 0 END) FROM {T} "
+        f"UNION ALL SELECT 'partial_extraction', sum(CASE WHEN {_MISSING} BETWEEN 1 AND 3 THEN 1 ELSE 0 END) FROM {T} "
+        f"UNION ALL SELECT 'empty_turn', sum(CASE WHEN length(extracted_text) = 0 THEN 1 ELSE 0 END) FROM {T}"
+    )
+    _COV_FIELDS = [
+        ("entity", "entity_filled"),
+        ("code", "code_filled"),
+        ("power", "power_filled"),
+        ("amount", "amount_filled"),
+        ("region_a", "region_a_present"),
+        ("region_b", "region_b_present"),
+    ]
+    _COV_UNION = " UNION ALL ".join(
+        f"SELECT '{f}' AS field, n_{f} AS n_filled, total, sum_pct FROM s"
+        for f, _ in _COV_FIELDS
+    )
+    _COV_SUMS = ", ".join(
+        f"sum(CASE WHEN {col} THEN 1 ELSE 0 END) AS n_{f}" for f, col in _COV_FIELDS
+    )
+
+    return {
+        "conversation_stats": (
+            "SELECT conv_id, count(*) AS n_turns, min(ts) AS first_ts, "
+            "max(ts) AS last_ts, "
+            "CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns, "
+            "CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec "
+            f"FROM read_parquet('{_conv_glob}') GROUP BY conv_id"
+        ),
+        "ivf_ann_topk": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+            f"s AS (SELECT e.vec_id, e.embedding, q.qe, {_IVF_DOTS} FROM embeddings e, q), "
+            f"g AS (SELECT *, greatest({_IVF_DCOLS}) AS g FROM s), "
+            f"a AS (SELECT vec_id, embedding, qe, {_IVF_ARGMAX} AS assigned FROM g) "
+            "SELECT vec_id, CAST(floor(list_cosine_similarity(embedding, qe)*10000 + 0.5) AS BIGINT) AS sim_e4 "
+            f"FROM a WHERE assigned IN ({','.join(map(str, _ivf_probe))}) "
+            "ORDER BY floor(list_cosine_similarity(embedding, qe)*10000 + 0.5) DESC, vec_id LIMIT 10"
+        ),
+        "extract_turns": (
+            "SELECT conv_id, turn_idx, extracted_text, confidence, notes "
+            f"FROM {T}"
+        ),
+        "extract_consensus": (
+            f"SELECT conv_id, turn_idx, final_confidence, anomalies FROM {CN}"
+        ),
+        "extract_field_coverage": (
+            f"WITH s AS (SELECT count(*) AS total, {_COV_SUMS}, "
+            f"sum(conf_pct) AS sum_pct FROM {T}), "
+            f"u AS ({_COV_UNION}) "
+            "SELECT field, CAST(n_filled AS BIGINT) AS n_filled, "
+            "CAST(total AS BIGINT) AS total, "
+            "CAST(floor(1000000.0 * n_filled / total + 0.5) AS BIGINT) AS pct_e4, "
+            "CAST(floor(100.0 * sum_pct / total + 0.5) AS BIGINT) AS mean_conf_e4 "
+            "FROM u"
+        ),
+        "extract_error_categories": (
+            f"SELECT category, CAST(n AS BIGINT) AS n FROM ({_CAT_COUNTS}) WHERE n > 0"
+        ),
+        "extract_pseudo_labels": (
+            "SELECT conv_id, turn_idx, extracted_text, confidence "
+            f"FROM {T} WHERE confidence >= 0.85"
+        ),
+        "extract_confidence_bins": (
+            "SELECT bin, count(*) AS n FROM ("
+            "SELECT CASE WHEN conf_pct < 25 THEN 'q1_lt25' "
+            "WHEN conf_pct < 50 THEN 'q2_lt50' "
+            "WHEN conf_pct < 75 THEN 'q3_lt75' ELSE 'q4_ge75' END AS bin "
+            f"FROM {T}) GROUP BY bin"
+        ),
+        "extract_worst_turns": (
+            "SELECT conv_id, turn_idx, confidence, notes "
+            f"FROM {T} ORDER BY conf_pct, conv_id, turn_idx LIMIT 10"
+        ),
+        "extract_failure_summary": (
+            f"WITH c AS ({_CAT_COUNTS}), "
+            "tot AS (SELECT sum(n) AS total_events FROM c), "
+            f"low AS (SELECT count(*) AS n_low, coalesce(sum(conf_pct), 0) AS sum_low "
+            f"FROM {T} WHERE conf_pct < 50), "
+            "r AS (SELECT row_number() OVER (ORDER BY n DESC, category) AS rank, "
+            "category, n FROM c) "
+            "SELECT CAST(rank AS BIGINT) AS rank, category, CAST(n AS BIGINT) AS n, "
+            "CAST(tot.total_events AS BIGINT) AS total_failure_events, "
+            "CAST(low.n_low AS BIGINT) AS n_low_conf, "
+            "CAST(CASE WHEN low.n_low = 0 THEN 0 "
+            "ELSE floor(100.0 * low.sum_low / low.n_low + 0.5) END AS BIGINT) "
+            "AS mean_low_conf_e4 "
+            "FROM r, tot, low WHERE rank <= 5"
         ),
     }

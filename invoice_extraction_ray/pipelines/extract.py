@@ -1,8 +1,7 @@
 """Flagship pipeline builder: per-turn main-content extraction.
 
     read_parquet(transcripts, columns=pruned)          # S-layer
-      -> map_batches(normalize_batch, pyarrow)         # stateless, vectorized
-      -> map_batches(TurnClassifier, actor pool)       # stateful extraction
+      -> map_batches(TurnClassifier, actor pool)       # normalize (fused) + extraction
       -> salted groupby(conv_id).map_groups(sort)      # the one wide step
       -> write_parquet / iter_batches                  # caller consumes
 
@@ -20,7 +19,6 @@ import ray.data
 
 from ..fixtures import master_data
 from ..stages.classify import TurnClassifier
-from ..stages.normalize import normalize_batch
 from ..stages.seal import compute_hot_convs, seal_conversations, seal_sorted
 
 INPUT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool"]
@@ -104,7 +102,9 @@ def build_pipeline(
         # read / shuffle / consume stages so they aren't starved
         concurrency = max(1, cpus - 2)
 
-    ds = ds.map_batches(normalize_batch, batch_format="pyarrow")
+    # normalize is FUSED into the classifier actor (TurnClassifier.__call__
+    # normalizes batches that lack norm_text): a separate task-pool map would
+    # round-trip every normalized text block through the object store
     ds = ds.map_batches(
         TurnClassifier,
         fn_constructor_kwargs={"master_ref": master_ref},

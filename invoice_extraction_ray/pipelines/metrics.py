@@ -33,33 +33,42 @@ def _field_flags(t: pa.Table) -> dict[str, pa.Array]:
 
 def field_coverage(out_ds: ray.data.Dataset) -> pa.Table:
     """A1: per-field filled counts + coverage pct + overall mean confidence
-    (reference executable.py:155-181)."""
+    (reference executable.py:155-181).
+
+    Coverage pct and mean confidence are emitted as FIXED-POINT 1e-4
+    integers derived from exact integer sums (per-row confidence is pct/100
+    with integer pct, so sum_pct is partition-order-exact — a float
+    confidence sum is not), making the values reproducible bit-for-bit by
+    any engine."""
+    import math
+
+    import numpy as np
 
     def partial(t: pa.Table) -> pa.Table:
         flags = _field_flags(t)
         row = {"total": [t.num_rows]}
         for name in FIELD_NAMES:
             row[f"n_{name}"] = [pc.sum(pc.cast(flags[name], pa.int64())).as_py() or 0]
-        row["sum_conf"] = [
-            pc.sum(pc.cast(t.column("confidence"), pa.float64())).as_py() or 0.0
-        ]
+        conf = t.column("confidence").combine_chunks().to_numpy(zero_copy_only=False)
+        row["sum_pct"] = [int(np.rint(conf * 100.0).astype(np.int64).sum())]
         return pa.Table.from_pydict(row)
 
     parts = out_ds.map_batches(partial, batch_format="pyarrow").take_all()
     total = sum(p["total"] for p in parts)
-    rows = {"field": [], "n_filled": [], "total": [], "pct": []}
+    sum_pct = sum(p["sum_pct"] for p in parts)
+    mean_conf_e4 = int(math.floor(100.0 * sum_pct / total + 0.5)) if total else 0
+    rows = {"field": [], "n_filled": [], "total": [], "pct_e4": []}
     for name in FIELD_NAMES:
         n = sum(p[f"n_{name}"] for p in parts)
         rows["field"].append(name)
         rows["n_filled"].append(n)
         rows["total"].append(total)
-        rows["pct"].append(round(100.0 * n / total, 4) if total else 0.0)
+        rows["pct_e4"].append(
+            int(math.floor(1_000_000.0 * n / total + 0.5)) if total else 0
+        )
     tbl = pa.Table.from_pydict(rows)
-    mean_conf = (
-        round(sum(p["sum_conf"] for p in parts) / total, 4) if total else None
-    )
     return tbl.append_column(
-        "mean_confidence", pa.array([mean_conf] * len(FIELD_NAMES), pa.float64())
+        "mean_conf_e4", pa.array([mean_conf_e4] * len(FIELD_NAMES), pa.int64())
     )
 
 
@@ -335,6 +344,7 @@ def run_report(out_ds: ray.data.Dataset) -> dict:
         "failures": {
             "total_events": sum(cats.values()),
             "n_low_confidence": n_low,
+            "sum_low_pct": tot("sum_low_pct"),
             "mean_low_confidence": (
                 round(tot("sum_low_pct") / n_low / 100.0, 4) if n_low else None
             ),
@@ -363,21 +373,27 @@ def failure_summary(out_ds: ray.data.Dataset, k: int = 5) -> pa.Table:
     """A5 composed failure report as a table: top-k error categories with the
     global failure totals attached (total events, low-confidence count and
     mean low confidence in fixed-point e4)."""
+    import math
+
     r = run_report(out_ds)
     top = r["failures"]["most_common"][:k]
     n = len(top)
-    mean_low = r["failures"]["mean_low_confidence"]
+    n_low = r["failures"]["n_low_confidence"]
+    # e4 from the exact integer sums (not the display-rounded float), so a
+    # SQL mirror reproduces it: floor(100 * sum_pct / n + 0.5)
+    mean_low_e4 = (
+        int(math.floor(100.0 * r["failures"]["sum_low_pct"] / n_low + 0.5))
+        if n_low
+        else 0
+    )
     return pa.table(
         {
             "rank": pa.array(range(1, n + 1), pa.int64()),
             "category": pa.array([c for c, _ in top], pa.string()),
             "n": pa.array([v for _, v in top], pa.int64()),
             "total_failure_events": pa.array([r["failures"]["total_events"]] * n, pa.int64()),
-            "n_low_conf": pa.array([r["failures"]["n_low_confidence"]] * n, pa.int64()),
-            "mean_low_conf_e4": pa.array(
-                [int(round(mean_low * 10_000)) if mean_low is not None else 0] * n,
-                pa.int64(),
-            ),
+            "n_low_conf": pa.array([n_low] * n, pa.int64()),
+            "mean_low_conf_e4": pa.array([mean_low_e4] * n, pa.int64()),
         }
     )
 

@@ -324,6 +324,15 @@ class TurnClassifier:
     # -- the batch entry point ----------------------------------------------
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if "norm_text" not in batch.column_names:
+            # fused normalize: running it inside the actor avoids one full
+            # serialize -> object store -> deserialize round trip of the
+            # text corpus between stages (Ray does not fuse a task-pool map
+            # into an actor-pool map) — the saturated-core pair is memory-
+            # bandwidth-bound, so the skipped block hop is a direct win
+            from .normalize import normalize_batch
+
+            batch = normalize_batch(batch)
         norms = batch.column("norm_text").to_pylist()
         roles = batch.column("role").to_pylist()
         n_rows = len(norms)

@@ -218,7 +218,10 @@ def test_report_matches_componentwise_metrics(tmp_path):
     cov = M.field_coverage(out_ds())
     for row in cov.to_pylist():
         assert report["field_coverage"][row["field"]]["n_filled"] == row["n_filled"]
-        assert report["field_coverage"][row["field"]]["pct"] == row["pct"]
+        import math
+
+        expect_e4 = int(math.floor(1_000_000.0 * row["n_filled"] / row["total"] + 0.5))
+        assert row["pct_e4"] == expect_e4
     assert report["total_rows"] == cov.to_pylist()[0]["total"]
 
     fs = M.failure_summary(out_ds()).to_pylist()

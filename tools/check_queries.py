@@ -54,11 +54,12 @@ def main():
     qs = E.queries()
     oracles = E.oracle_sql()
     # these oracles embed sf0.01-derived state (the transcript-corpus cache
-    # path / the IVF centroid model) because the driver's correctness gate
-    # runs at sf=0.01; at any other scale compare rows-only
+    # path, the IVF centroid model, the materialized extraction-oracle
+    # parquet) because the driver's correctness gate runs at sf=0.01; at any
+    # other scale compare rows-only
     if not sf_dir.rstrip("/").endswith("sf0.01"):
-        oracles.pop("conversation_stats", None)
-        oracles.pop("ivf_ann_topk", None)
+        for name in getattr(E, "SF001_PINNED", ["conversation_stats", "ivf_ann_topk"]):
+            oracles.pop(name, None)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
