@@ -32,7 +32,9 @@ def _flagship(sf_dir: str):
     from invoice_extraction_ray.pipelines.extract import build_pipeline
 
     paths = transcripts_for(sf_dir)
-    ds = build_pipeline(paths, seal_strategy="aligned")
+    # flat_output: this query reads only the flat columns, so the projection
+    # is pushed into the classifier (spans/fields never built or shipped)
+    ds = build_pipeline(paths, seal_strategy="aligned", flat_output=True)
     return ds.select_columns(FLAT_COLUMNS)
 
 

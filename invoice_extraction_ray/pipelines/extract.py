@@ -62,6 +62,7 @@ def build_pipeline(
     seal_strategy: str = "sort",
     hot_threshold: int = 1000,
     salt_block: int = 256,
+    flat_output: bool = False,
 ) -> ray.data.Dataset:
     """Build the lazy extraction Dataset over transcript parquet/table input.
 
@@ -107,7 +108,9 @@ def build_pipeline(
     # round-trip every normalized text block through the object store
     ds = ds.map_batches(
         TurnClassifier,
-        fn_constructor_kwargs={"master_ref": master_ref},
+        # flat_output pushes the caller's projection into the operator: the
+        # spans/fields columns are never built, serialized, or shuffled
+        fn_constructor_kwargs={"master_ref": master_ref, "flat_only": flat_output},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

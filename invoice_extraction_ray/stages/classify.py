@@ -87,10 +87,20 @@ def _sim_gt(a: str, b: str, thr: float) -> bool:
 
 
 class TurnClassifier:
-    """Callable class for ``map_batches``; one instance per pool actor."""
+    """Callable class for ``map_batches``; one instance per pool actor.
 
-    def __init__(self, master=None, master_ref=None):
+    ``flat_only=True`` is projection pushdown INTO the operator: consumers
+    that only read the flat columns (conv_id, turn_idx, extracted_text,
+    confidence, notes — e.g. the driver's flagship query) skip building the
+    spans/fields Arrow structures entirely, so the dropped columns never
+    cost CPU, never serialize, and never transit the object store or the
+    seal exchange.  Span/field SEMANTICS still run (confidence depends on
+    them); only the output assembly is pruned."""
+
+    def __init__(self, master=None, master_ref=None, flat_only: bool = False):
         import ray
+
+        self.flat_only = bool(flat_only)
 
         if master is None:
             if master_ref is not None:
@@ -410,14 +420,15 @@ class TurnClassifier:
             ra = first_region.get("region_code")
             rb = first_region.get("region_table")
             rb_present = True if C.FORCE_REGION_B_PRESENT else rb is not None
-            f_entity.append(entity)
-            f_code.append(code)
-            f_power.append(power)
-            f_amount.append(amount)
-            f_ra_present.append(ra is not None)
-            f_ra_span.append([ra[1], ra[2]] if ra else None)
-            f_rb_present.append(rb_present)
-            f_rb_span.append([rb[1], rb[2]] if rb else None)
+            if not self.flat_only:
+                f_entity.append(entity)
+                f_code.append(code)
+                f_power.append(power)
+                f_amount.append(amount)
+                f_ra_present.append(ra is not None)
+                f_ra_span.append([ra[1], ra[2]] if ra else None)
+                f_rb_present.append(rb_present)
+                f_rb_span.append([rb[1], rb[2]] if rb else None)
             flags = {
                 "entity": entity is not None,
                 "code": code is not None,
@@ -432,19 +443,32 @@ class TurnClassifier:
                 C.NOTES_MISSING_FMT.format(missing=", ".join(missing)) if missing else C.NOTES_ALL
             )
             extracted_col.append(extracted)
-            for s in merged:
-                sp_label.append(s[0])
-                sp_start.append(s[1])
-                sp_end.append(s[2])
-                sp_value.append(s[3])
-                sp_conf.append(s[4])
-                sp_method.append(s[5])
-            sp_off.append(len(sp_label))
+            if not self.flat_only:
+                for s in merged:
+                    sp_label.append(s[0])
+                    sp_start.append(s[1])
+                    sp_end.append(s[2])
+                    sp_value.append(s[3])
+                    sp_conf.append(s[4])
+                    sp_method.append(s[5])
+                sp_off.append(len(sp_label))
 
         # vectorized confidence (confidence.py:6-41 analogue, caps 97/95)
         pct = np.rint(n_filled / 6 * 100)
         cap = np.where(n_filled == 6, C.CONF_CAP_ALL, np.where(n_filled >= 5, C.CONF_CAP_MOST, 100))
         confidence = (np.minimum(pct, cap) / 100.0).astype(np.float32)
+
+        if self.flat_only:
+            return pa.Table.from_arrays(
+                [
+                    batch.column("conv_id"),
+                    batch.column("turn_idx"),
+                    pa.array(extracted_col, type=pa.string()),
+                    pa.array(confidence),
+                    pa.array(notes_col, type=pa.string()),
+                ],
+                names=["conv_id", "turn_idx", "extracted_text", "confidence", "notes"],
+            )
 
         span_struct = pa.StructArray.from_arrays(
             [

@@ -30,6 +30,17 @@ def test_pipeline_matches_oracle(corpus, oracle_table):
     assert_tables_equal(oracle_table, actual)
 
 
+def test_flat_output_matches_projection(corpus, oracle_table):
+    # projection pushdown (flat_only classifier) must equal the full
+    # pipeline's flat projection byte-for-byte
+    ds = build_pipeline(corpus, hot_threshold=50, flat_output=True)
+    actual = dataset_to_sorted_table(ds)
+    expected = oracle_table.select(
+        ["conv_id", "turn_idx", "extracted_text", "confidence", "notes"]
+    )
+    assert_tables_equal(expected, actual)
+
+
 def test_permutation_invariance(corpus, oracle_table):
     # a differently-shuffled copy of the same logical rows -> identical output
     reshuffled = F.gen_transcripts(N_CONVS, seed=SEED, shuffle=False)
