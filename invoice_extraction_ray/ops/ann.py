@@ -10,7 +10,7 @@
 
 from __future__ import annotations
 
-from ._util import embedding_matrix, pool_size
+from ._util import embedding_matrix
 
 import numpy as np
 import pyarrow as pa
@@ -45,21 +45,17 @@ def ann_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> ray.data.Datase
     qn = q / max(np.linalg.norm(q), 1e-30)
     q_ref = ray.put(qn)
 
-    class Score:
-        def __init__(self, r):
-            self.q = ray.get(r)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = embedding_matrix(t.column("embedding"), dim=len(self.q))
-            norms = np.maximum(np.linalg.norm(m, axis=1), 1e-30)
-            sims = (m @ self.q) / norms
-            return pa.table({"vec_id": t.column("vec_id"), "sim": pa.array(sims)})
+    def score(t: pa.Table) -> pa.Table:
+        # stateless task map: the broadcast query is a per-batch plasma get
+        # (zero-copy, one physical copy per node) — no actor pool needed
+        qv = ray.get(q_ref)
+        m = embedding_matrix(t.column("embedding"), dim=len(qv))
+        norms = np.maximum(np.linalg.norm(m, axis=1), 1e-30)
+        sims = (m @ qv) / norms
+        return pa.table({"vec_id": t.column("vec_id"), "sim": pa.array(sims)})
 
     ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    scored = ds.map_batches(
-        Score, fn_constructor_kwargs={"r": q_ref}, batch_format="pyarrow",
-        concurrency=pool_size(),
-    )
+    scored = ds.map_batches(score, batch_format="pyarrow")
     top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
 
     def to_e4(t: pa.Table) -> pa.Table:
@@ -99,33 +95,29 @@ def ann_topk_multi(
     qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
     state_ref = ray.put((q_ids, qm))
 
-    class MultiScore:
-        def __init__(self, r, k):
-            self.q_ids, self.qm = ray.get(r)
-            self.k = k
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = embedding_matrix(t.column("embedding"), dim=self.qm.shape[1])
-            vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-            sims = mn @ self.qm.T  # |batch| x n_queries
-            e4 = np.floor(sims * 10_000.0 + 0.5).astype(np.int64)
-            out_q, out_v, out_s = [], [], []
-            kk = min(self.k, len(vid))
-            for j, qid in enumerate(self.q_ids):
-                col = e4[:, j]
-                # partial top-k with the global tie-break (e4 desc, vec_id asc)
-                order = np.lexsort((vid, -col))[:kk]
-                out_q.extend([qid] * kk)
-                out_v.extend(vid[order])
-                out_s.extend(col[order])
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "vec_id": pa.array(out_v, pa.int64()),
-                    "sim_e4": pa.array(out_s, pa.int64()),
-                }
-            )
+    def multi_score(t: pa.Table) -> pa.Table:
+        b_q_ids, b_qm = ray.get(state_ref)  # plasma zero-copy per batch
+        m = embedding_matrix(t.column("embedding"), dim=b_qm.shape[1])
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = mn @ b_qm.T  # |batch| x n_queries
+        e4 = np.floor(sims * 10_000.0 + 0.5).astype(np.int64)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, len(vid))
+        for j, qid in enumerate(b_q_ids):
+            col = e4[:, j]
+            # partial top-k with the global tie-break (e4 desc, vec_id asc)
+            order = np.lexsort((vid, -col))[:kk]
+            out_q.extend([qid] * kk)
+            out_v.extend(vid[order])
+            out_s.extend(col[order])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim_e4": pa.array(out_s, pa.int64()),
+            }
+        )
 
     def finish(t: pa.Table) -> pa.Table:
         t = t.sort_by([("sim_e4", "descending"), ("vec_id", "ascending")])
@@ -133,12 +125,7 @@ def ann_topk_multi(
 
     ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return (
-        ds.map_batches(
-            MultiScore,
-            fn_constructor_kwargs={"r": state_ref, "k": k},
-            batch_format="pyarrow",
-            concurrency=pool_size(),
-        )
+        ds.map_batches(multi_score, batch_format="pyarrow")
         .groupby("query_id")
         .map_groups(finish, batch_format="pyarrow")
     )
@@ -226,29 +213,23 @@ def ivf_topk(
     probe = set(np.argsort(-(cents @ qn))[:n_probe].tolist())
     state_ref = ray.put((qn, cents, probe))
 
-    class IvfScore:
-        def __init__(self, r):
-            self.q, self.cents, self.probe = ray.get(r)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = embedding_matrix(t.column("embedding"), dim=len(self.q))
-            vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-            assign = np.argmax(mn @ self.cents.T, axis=1)
-            mask = np.isin(assign, list(self.probe))
-            sims = mn[mask] @ self.q
-            return pa.table(
-                {
-                    "vec_id": pa.array(vid[mask]),
-                    "sim_e4": pa.array(np.floor(sims * 10_000.0 + 0.5).astype(np.int64)),
-                }
-            )
+    def ivf_score(t: pa.Table) -> pa.Table:
+        bq, bcents, bprobe = ray.get(state_ref)  # plasma zero-copy per batch
+        m = embedding_matrix(t.column("embedding"), dim=len(bq))
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        assign = np.argmax(mn @ bcents.T, axis=1)
+        mask = np.isin(assign, list(bprobe))
+        sims = mn[mask] @ bq
+        return pa.table(
+            {
+                "vec_id": pa.array(vid[mask]),
+                "sim_e4": pa.array(np.floor(sims * 10_000.0 + 0.5).astype(np.int64)),
+            }
+        )
 
     ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    scored = ds.map_batches(
-        IvfScore, fn_constructor_kwargs={"r": state_ref}, batch_format="pyarrow",
-        concurrency=pool_size(),
-    )
+    scored = ds.map_batches(ivf_score, batch_format="pyarrow")
     return scored.sort(["sim_e4", "vec_id"], descending=[True, False]).limit(k)
 
 
@@ -268,28 +249,22 @@ def lsh_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> ray.data.Datase
             probe.add(q_bucket ^ (1 << i) ^ (1 << j))
     state_ref = ray.put((qn, planes, probe))
 
-    class ProbeScore:
-        def __init__(self, r):
-            self.q, self.planes, self.probe = ray.get(r)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = embedding_matrix(t.column("embedding"), dim=len(self.q))
-            vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-            mn = m / norms
-            buckets = _bucket_of(mn, self.planes)
-            mask = np.isin(buckets, list(self.probe))
-            sims = mn[mask] @ self.q
-            return pa.table(
-                {
-                    "vec_id": pa.array(vid[mask]),
-                    "sim_e4": pa.array(np.floor(sims * 10_000.0 + 0.5).astype(np.int64)),
-                }
-            )
+    def probe_score(t: pa.Table) -> pa.Table:
+        bq, bplanes, bprobe = ray.get(state_ref)  # plasma zero-copy per batch
+        m = embedding_matrix(t.column("embedding"), dim=len(bq))
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        mn = m / norms
+        buckets = _bucket_of(mn, bplanes)
+        mask = np.isin(buckets, list(bprobe))
+        sims = mn[mask] @ bq
+        return pa.table(
+            {
+                "vec_id": pa.array(vid[mask]),
+                "sim_e4": pa.array(np.floor(sims * 10_000.0 + 0.5).astype(np.int64)),
+            }
+        )
 
     ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    scored = ds.map_batches(
-        ProbeScore, fn_constructor_kwargs={"r": state_ref}, batch_format="pyarrow",
-        concurrency=pool_size(),
-    )
+    scored = ds.map_batches(probe_score, batch_format="pyarrow")
     return scored.sort(["sim_e4", "vec_id"], descending=[True, False]).limit(k)

@@ -15,7 +15,7 @@ holds a corpus copy, so the same plan runs at 100 TB.
 
 from __future__ import annotations
 
-from ._util import embedding_matrix, pool_size
+from ._util import embedding_matrix
 
 import zlib
 
@@ -71,28 +71,28 @@ def jaccard(a: str, b: str) -> float:
     return inter / union if union else 0.0
 
 
-class MinHasher:
-    """Actor stage: text -> exploded (band, band_hash, doc_id) sketch rows."""
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        doc_ids = t.column("doc_id").to_pylist()
-        texts = t.column("text").to_pylist()
-        out_doc, out_band, out_hash = [], [], []
-        for d, s in zip(doc_ids, texts):
-            sig = minhash_signature(s)
-            for b in range(N_BANDS):
-                chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-                bh = zlib.crc32(chunk.tobytes())
-                out_doc.append(d)
-                out_band.append(b)
-                out_hash.append(bh)
-        return pa.table(
-            {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
-            }
-        )
+def minhash_sketch_batch(t: pa.Table) -> pa.Table:
+    """Stateless task map: text -> exploded (band, band_hash, doc_id) sketch
+    rows (permutation parameters are module-level constants — no per-worker
+    state, so no actor pool)."""
+    doc_ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    out_doc, out_band, out_hash = [], [], []
+    for d, s in zip(doc_ids, texts):
+        sig = minhash_signature(s)
+        for b in range(N_BANDS):
+            chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+            bh = zlib.crc32(chunk.tobytes())
+            out_doc.append(d)
+            out_band.append(b)
+            out_hash.append(bh)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.int64()),
+        }
+    )
 
 
 N_BUCKET_SHARDS = 256
@@ -107,7 +107,7 @@ def minhash_candidate_pairs(docs: ray.data.Dataset) -> ray.data.Dataset:
     group runs a vectorized run-detection over its sorted sketch rows and
     emits pairs only for true buckets (size >= 2) — the same co-location, two
     orders of magnitude fewer group dispatches."""
-    sketches = docs.map_batches(MinHasher, batch_format="pyarrow", concurrency=pool_size())
+    sketches = docs.map_batches(minhash_sketch_batch, batch_format="pyarrow")
 
     def add_shard(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -729,32 +729,22 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
     ref = ray.put((ids, mat))
 
-    class Block:
-        def __init__(self, r, thr):
-            self.ids, self.mat = ray.get(r)
-            self.thr = thr
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            bid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            bm = embedding_matrix(t.column("embedding"), dim=self.mat.shape[1])
-            bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-30)
-            sims = bm @ self.mat.T  # |batch| x |corpus|
-            bi, cj = np.nonzero(sims > self.thr)
-            a = bid[bi]
-            b = self.ids[cj]
-            keep = a < b  # each unordered pair once, no self-pairs
-            return pa.table(
-                {
-                    "a_id": pa.array(a[keep]),
-                    "b_id": pa.array(b[keep]),
-                }
-            )
+    def block_score(t: pa.Table) -> pa.Table:
+        c_ids, c_mat = ray.get(ref)  # plasma zero-copy; one copy per node
+        bid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bm = embedding_matrix(t.column("embedding"), dim=c_mat.shape[1])
+        bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-30)
+        sims = bm @ c_mat.T  # |batch| x |corpus|
+        bi, cj = np.nonzero(sims > threshold)
+        a = bid[bi]
+        b = c_ids[cj]
+        keep = a < b  # each unordered pair once, no self-pairs
+        return pa.table(
+            {
+                "a_id": pa.array(a[keep]),
+                "b_id": pa.array(b[keep]),
+            }
+        )
 
     ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    return ds.map_batches(
-        Block,
-        fn_constructor_kwargs={"r": ref, "thr": threshold},
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=pool_size(),
-    )
+    return ds.map_batches(block_score, batch_format="pyarrow", batch_size=1024)

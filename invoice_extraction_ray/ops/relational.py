@@ -16,8 +16,6 @@ Scale discipline (SURVEY.md §4, ray_guide):
 
 from __future__ import annotations
 
-from ._util import pool_size
-
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -380,25 +378,21 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
 
     partial = _partial_groupby(["c_mktsegment"], ["o_totalprice"], "n_orders")
 
-    class SegmentJoiner:
-        def __init__(self, ref):
-            self.keys, self.vals = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            idx = pc.index_in(t.column("o_custkey"), value_set=self.keys)
-            seg = pc.take(self.vals, idx)  # missing keys -> null, like dict.get
-            return partial(t.append_column("c_mktsegment", seg))
+    def segment_join(t: pa.Table) -> pa.Table:
+        # stateless task map: the broadcast dimension is fetched per batch
+        # from plasma (zero-copy shared memory on the node — one copy per
+        # node, not per task), so no actor pool is needed and the probe
+        # scales to every CPU with no pool-startup cost
+        keys, vals = ray.get(lookup_ref)
+        idx = pc.index_in(t.column("o_custkey"), value_set=keys)
+        seg = pc.take(vals, idx)  # missing keys -> null, like dict.get
+        return partial(t.append_column("c_mktsegment", seg))
 
     ds = ray.data.read_parquet(
         _pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
     )
     out = (
-        ds.map_batches(
-            SegmentJoiner,
-            fn_constructor_kwargs={"ref": lookup_ref},
-            batch_format="pyarrow",
-            concurrency=pool_size(),
-        )
+        ds.map_batches(segment_join, batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(
             Sum("n_orders", alias_name="n_orders"),
@@ -607,33 +601,29 @@ def price_in_band(sf_dir: str) -> ray.data.Dataset:
 
     partial = _partial_groupby(["p_brand"], ["in_band"], "n_total")
 
-    class BandJoin:
-        def __init__(self, r):
-            self.keys, self.brands, self.retail = ray.get(r)
+    def band_join(t: pa.Table) -> pa.Table:
+        import numpy as np
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            idx = pc.index_in(t.column("l_partkey"), value_set=self.keys)
-            brands = pc.take(self.brands, idx)
-            retail = pc.take(self.retail, idx).to_numpy(zero_copy_only=False)
-            price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
-            in_band = (price >= 0.5 * retail) & (price <= 1.5 * retail)
-            return partial(
-                pa.table(
-                    {
-                        "p_brand": brands,
-                        "in_band": pa.array(in_band.astype("int64")),
-                    }
-                )
+        keys, brands_d, retail_d = ray.get(ref)  # plasma zero-copy per batch
+        idx = pc.index_in(t.column("l_partkey"), value_set=keys)
+        brands = pc.take(brands_d, idx)
+        retail = pc.take(retail_d, idx).to_numpy(zero_copy_only=False)
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        in_band = (price >= 0.5 * retail) & (price <= 1.5 * retail)
+        return partial(
+            pa.table(
+                {
+                    "p_brand": brands,
+                    "in_band": pa.array(in_band.astype("int64")),
+                }
             )
+        )
 
     ds = ray.data.read_parquet(
         _pq(sf_dir, "lineitem"), columns=["l_partkey", "l_extendedprice"]
     )
     return (
-        ds.map_batches(
-            BandJoin, fn_constructor_kwargs={"r": ref}, batch_format="pyarrow",
-            concurrency=pool_size(),
-        )
+        ds.map_batches(band_join, batch_format="pyarrow")
         .groupby("p_brand")
         .aggregate(
             Sum("n_total", alias_name="n_total"), Sum("in_band", alias_name="n_in_band")
@@ -750,20 +740,11 @@ def customers_without_big_order(sf_dir: str) -> ray.data.Dataset:
     )
     big_ref = ray.put(pa.array(sorted(big_keys), pa.int64()))
 
-    class AntiFilter:
-        def __init__(self, ref):
-            self.big = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keep = pc.invert(pc.is_in(t.column("c_custkey"), value_set=self.big))
-            return t.filter(keep)
+    def anti_filter(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(t.column("c_custkey"), value_set=ray.get(big_ref)))
+        return t.filter(keep)
 
     ds = ray.data.read_parquet(
         _pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
     )
-    return ds.map_batches(
-        AntiFilter,
-        fn_constructor_kwargs={"ref": big_ref},
-        batch_format="pyarrow",
-        concurrency=pool_size(),
-    )
+    return ds.map_batches(anti_filter, batch_format="pyarrow")

@@ -7,8 +7,6 @@ vectorized per batch, embarrassingly parallel (no shuffles).
 
 from __future__ import annotations
 
-from ._util import pool_size
-
 import re
 
 import numpy as np
@@ -104,19 +102,17 @@ def _predict_lang(text: str) -> str:
     return best_lang
 
 
-class LangId:
-    """Actor-pool language-ID stage (profiles are per-actor state)."""
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        preds = pa.array(
-            [_predict_lang(s) for s in t.column("text").to_pylist()], pa.string()
-        )
-        return pa.table({"doc_id": t.column("doc_id"), "lang_pred": preds})
+def langid_batch(t: pa.Table) -> pa.Table:
+    """Stateless language-ID map (profiles are module-level constants)."""
+    preds = pa.array(
+        [_predict_lang(s) for s in t.column("text").to_pylist()], pa.string()
+    )
+    return pa.table({"doc_id": t.column("doc_id"), "lang_pred": preds})
 
 
 def langid(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=pool_size())
+    return ds.map_batches(langid_batch, batch_format="pyarrow")
 
 
 def quality_features(sf_dir: str) -> ray.data.Dataset:
