@@ -25,17 +25,33 @@ SF_CONVS = {
 SEED = 42
 CACHE_ROOT = os.environ.get("IER_CORPUS_CACHE", "/tmp/ier_transcripts")
 
+# shard granularity per corpus (convs/file).  Default 500 (~4.5k turns/file)
+# keeps the classifier actor pool fully fed at every scale (at 2000/file the
+# sf0.1 corpus was 8 files -> only 8 of 30 actors ever received a task).  The
+# big scaling corpus uses coarser shards: measured at 32 saturated cpus,
+# 240 fine shards inflate total classifier wall ~15% (more plasma round trips
+# per row, amplified by memory-bandwidth saturation) while 120 shards still
+# give 4 even waves over the 30-actor pool.
+SHARD_CONVS = {"scaling": 1000}
+
 
 def sf_name(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir))
 
 
-def transcripts_for(sf_dir: str, convs_per_file: int = 2000) -> list[str]:
+def transcripts_for(sf_dir: str, convs_per_file: int | None = None) -> list[str]:
     """Parquet shard paths for the transcript corpus matching sf_dir's scale
-    (generated on first use, cached)."""
+    (generated on first use, cached).
+
+    Conversation content is a pure function of (seed, conv_idx), so shard
+    layout never changes results — only scheduling granularity (see
+    SHARD_CONVS).  The cache key includes the shard size so a layout change
+    can't silently reuse stale shards."""
     name = sf_name(sf_dir)
     n_convs = SF_CONVS.get(name, 150)
-    out_dir = os.path.join(CACHE_ROOT, f"{name}-{n_convs}-{SEED}")
+    if convs_per_file is None:
+        convs_per_file = SHARD_CONVS.get(name, 500)
+    out_dir = os.path.join(CACHE_ROOT, f"{name}-{n_convs}-{SEED}-f{convs_per_file}")
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         import glob
