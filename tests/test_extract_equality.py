@@ -41,6 +41,19 @@ def test_flat_output_matches_projection(corpus, oracle_table):
     assert_tables_equal(expected, actual)
 
 
+def test_task_compute_matches_oracle(corpus, oracle_table):
+    # compute="task" (per-worker-process cached classifier, fused with the
+    # read) must be byte-identical to the actor-pool mode in both output
+    # shapes
+    ds = build_pipeline(corpus, hot_threshold=50, compute="task")
+    assert_tables_equal(oracle_table, dataset_to_sorted_table(ds))
+    flat = build_pipeline(corpus, hot_threshold=50, compute="task", flat_output=True)
+    expected = oracle_table.select(
+        ["conv_id", "turn_idx", "extracted_text", "confidence", "notes"]
+    )
+    assert_tables_equal(expected, dataset_to_sorted_table(flat))
+
+
 def test_permutation_invariance(corpus, oracle_table):
     # a differently-shuffled copy of the same logical rows -> identical output
     reshuffled = F.gen_transcripts(N_CONVS, seed=SEED, shuffle=False)

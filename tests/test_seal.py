@@ -50,6 +50,18 @@ def test_aligned_strategy_equals_sort_strategy(tmp_path):
     by_aligned = dataset_to_sorted_table(build_pipeline(paths, seal_strategy="aligned"))
     by_sort = dataset_to_sorted_table(build_pipeline(paths, seal_strategy="sort"))
     assert_tables_equal(by_sort, by_aligned)
+    # task-map compute folds the per-shard seal sort into the classify call
+    # (fold_sort fast path) — must stay byte-identical, including the
+    # ALREADY-ORDERED concatenated stream property
+    task_aligned = build_pipeline(paths, seal_strategy="aligned", compute="task")
+    keys = [
+        (r["conv_id"], r["turn_idx"])
+        for b in task_aligned.iter_batches(batch_size=256, batch_format="pyarrow")
+        for r in b.select(["conv_id", "turn_idx"]).to_pylist()
+    ]
+    assert keys == sorted(keys)
+    task_aligned = build_pipeline(paths, seal_strategy="aligned", compute="task")
+    assert_tables_equal(by_sort, dataset_to_sorted_table(task_aligned))
 
 
 def test_sort_strategy_is_globally_ordered():
