@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": text.langid,                          # SQL-oracled
         "quality_features": text.quality_features,      # SQL-oracled (fixed-point)
         "doc_fingerprints": text.doc_fingerprints,      # SQL-oracled (HUGEINT rolling hash)
+        "bm25_topk": text.bm25_topk,                    # SQL-oracled (log-free idf, e6 fixed-point)
         # dedup family
         "minhash_neardup": _minhash_neardup,            # SQL-oracled (recall 1.0 measured)
         "ngram_jaccard_neardup": _ngram_jaccard_neardup,  # SQL-oracled (exact)
@@ -585,6 +586,36 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
             "AS n_tokens FROM documents"
+        ),
+        # BM25-style ranked retrieval: rank-equivalent log-free idf
+        # ((N-df+0.5)/(df+0.5), the argument of the RSJ log — monotone, so
+        # identical ranking) means the score uses + - * / ONLY; IEEE float64
+        # is exactly specified for those, and the evaluation order here
+        # mirrors ops/text.py::bm25_topk token for token, so the doubles are
+        # bit-identical and the e6 fixed-point matches exactly.
+        "bm25_topk": (
+            "WITH tk AS (SELECT doc_id, "
+            "  regexp_extract_all(coalesce(text, ''), '\\S+') AS toks FROM documents), "
+            "st AS (SELECT count(*) AS n_docs, "
+            "  CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM tk), "
+            "df AS (SELECT "
+            "  (SELECT count(*) FROM tk WHERE list_contains(toks, 'dup')) AS df0, "
+            "  (SELECT count(*) FROM tk WHERE list_contains(toks, 'vector')) AS df1, "
+            "  (SELECT count(*) FROM tk WHERE list_contains(toks, 'merge')) AS df2), "
+            "sc AS (SELECT tk.doc_id, "
+            "  CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE) AS tf0, "
+            "  CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1, "
+            "  CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf2, "
+            "  1.2 * ((1.0 - 0.75) + 0.75 * (CAST(len(toks) AS DOUBLE) / st.avgdl)) AS nrm, "
+            "  st.n_docs AS n_docs, df.df0 AS df0, df.df1 AS df1, df.df2 AS df2 "
+            "  FROM tk CROSS JOIN st CROSS JOIN df) "
+            "SELECT doc_id, CAST(floor(("
+            "  ((n_docs - df0 + 0.5) / (df0 + 0.5)) * ((tf0 * (1.2 + 1.0)) / (tf0 + nrm)) "
+            "  + ((n_docs - df1 + 0.5) / (df1 + 0.5)) * ((tf1 * (1.2 + 1.0)) / (tf1 + nrm)) "
+            "  + ((n_docs - df2 + 0.5) / (df2 + 0.5)) * ((tf2 * (1.2 + 1.0)) / (tf2 + nrm))"
+            ") * 1000000.0 + 0.5) AS BIGINT) AS score_e6 "
+            "FROM sc WHERE tf0 + tf1 + tf2 > 0 "
+            "ORDER BY score_e6 DESC, doc_id LIMIT 10"
         ),
         "sample_docs": (
             "SELECT doc_id, lang, n_chars FROM documents "

@@ -190,6 +190,98 @@ def fingerprint64(text: str) -> int:
     return int.from_bytes(packed, "big") % _FP_MOD
 
 
+# ---------------------------------------------------------------------------
+# BM25-style ranked retrieval (reference full-text relevance analogue;
+# reference has no search, this is a first-class LLM-pipeline addition)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+# deterministic benchmark query: one rare term + two common ones, so idf
+# differentiation is actually exercised on the synthetic documents table
+BM25_TERMS = ("dup", "vector", "merge")
+
+
+def bm25_topk(
+    sf_dir: str,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> ray.data.Dataset:
+    """Top-k documents by a BM25-style relevance score for a fixed term query.
+
+    Rank-equivalent log-free idf: ``idf = (N - df + 0.5) / (df + 0.5)`` — the
+    argument of the Robertson-Sparck-Jones log.  log() is monotone, so the
+    ranking is identical to classic BM25, and the score is built from
+    ``+ - * /`` ONLY.  IEEE float64 arithmetic is exactly specified for
+    those operators, so with the evaluation order pinned (see inline
+    comments) numpy and the DuckDB oracle produce bit-identical doubles;
+    the emitted fixed-point ``score_e6`` then matches exactly.
+
+    Scale shape (two streaming passes, the standard search-index split):
+
+    1. corpus statistics — per-batch partials (doc count, token total,
+       per-term document frequency), ONE row per block, reduced driver-side
+       (O(blocks) scalars, never documents);
+    2. scoring — vectorized per batch against the broadcast stats, per-batch
+       partial top-k (a valid combiner), then a global sort+limit over the
+       tiny survivor set.
+    """
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        toks = [(s or "").split() for s in t.column("text").to_pylist()]
+        row: dict = {
+            "n_docs": [len(toks)],
+            "sum_dl": [sum(len(x) for x in toks)],
+        }
+        for i, term in enumerate(terms):
+            row[f"df_{i}"] = [sum(1 for x in toks if term in x)]
+        return pa.table(row)
+
+    parts = ds.map_batches(stats_partial, batch_format="pyarrow").take_all()
+    n_docs = sum(p["n_docs"] for p in parts)
+    sum_dl = sum(p["sum_dl"] for p in parts)
+    dfs = [sum(p[f"df_{i}"] for p in parts) for i in range(len(terms))]
+    # avgdl: int/int true division == correctly-rounded IEEE quotient, same
+    # as the oracle's CAST(sum_dl AS DOUBLE)/n_docs
+    avgdl = sum_dl / n_docs
+    idfs = [(n_docs - df + 0.5) / (df + 0.5) for df in dfs]
+    k1p1 = k1 + 1.0  # computed (not literal) on both sides
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        toks = [(s or "").split() for s in t.column("text").to_pylist()]
+        dl = np.array([len(x) for x in toks], dtype=np.float64)
+        # pinned order: k1 * ((1-b) + b*(dl/avgdl)) — mirrored verbatim in SQL
+        norm = k1 * ((1.0 - b) + b * (dl / avgdl))
+        score = np.zeros(len(toks), dtype=np.float64)
+        matched = np.zeros(len(toks), dtype=np.int64)
+        for term, idf in zip(terms, idfs):
+            tf = np.array([x.count(term) for x in toks], dtype=np.float64)
+            # contribution order: idf * ((tf*(k1+1)) / (tf + norm));
+            # accumulation is left-to-right like the SQL's c0 + c1 + c2
+            score = score + idf * ((tf * k1p1) / (tf + norm))
+            matched = matched + (tf > 0.0)
+        score_e6 = np.floor(score * 1000000.0 + 0.5).astype(np.int64)
+        out = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "score_e6": pa.array(score_e6),
+                "_m": pa.array(matched),
+            }
+        )
+        out = out.filter(pa.array(matched > 0))
+        # per-batch partial top-k (valid combiner for a global top-k)
+        idx = np.lexsort(
+            (out.column("doc_id").to_numpy(), -out.column("score_e6").to_numpy())
+        )[:k]
+        return out.take(idx).select(["doc_id", "score_e6"])
+
+    scored = ds.map_batches(score_batch, batch_format="pyarrow")
+    return scored.sort(["score_e6", "doc_id"], descending=[True, False]).limit(k)
+
+
 def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
 

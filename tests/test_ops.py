@@ -121,6 +121,37 @@ def test_approx_ann_recall(variant):
     assert len(got & exact) >= 5
 
 
+def test_bm25_topk_matches_bruteforce():
+    """Engine top-k == single-process brute force with the identical pinned
+    float64 evaluation order (the DuckDB value oracle is the cross-engine
+    check; this guards the distributed partial-top-k + sort path)."""
+    from invoice_extraction_ray.ops.text import BM25_B, BM25_K1, BM25_TERMS, bm25_topk
+
+    docs = _docs()
+    toks = [(s or "").split() for s in docs.column("text").to_pylist()]
+    ids = docs.column("doc_id").to_pylist()
+    n = len(toks)
+    avgdl = sum(len(x) for x in toks) / n
+    dfs = [sum(1 for x in toks if t in x) for t in BM25_TERMS]
+    idfs = [(n - df + 0.5) / (df + 0.5) for df in dfs]
+    k1p1 = BM25_K1 + 1.0
+    expected = []
+    for d, tk in zip(ids, toks):
+        nrm = BM25_K1 * ((1.0 - BM25_B) + BM25_B * (len(tk) / avgdl))
+        score, matched = 0.0, 0
+        for term, idf in zip(BM25_TERMS, idfs):
+            tf = float(tk.count(term))
+            score = score + idf * ((tf * k1p1) / (tf + nrm))
+            matched += tf > 0
+        if matched:
+            expected.append((int(np.floor(score * 1000000.0 + 0.5)), d))
+    expected.sort(key=lambda p: (-p[0], p[1]))
+    got = [(r["score_e6"], r["doc_id"]) for r in bm25_topk(SF).take_all()]
+    assert got == expected[:10]
+    # the fixed benchmark query must exercise idf spread on this corpus
+    assert max(dfs) > 2 * min(dfs)
+
+
 def test_fingerprints_deterministic_and_distinct():
     from invoice_extraction_ray.ops.text import fingerprint64
 
