@@ -95,6 +95,15 @@ def _neardup_clusters(sf_dir: str):
     return neardup_clusters(docs, threshold=0.5)
 
 
+def _contamination_check(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.dedup import contamination_check
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return contamination_check(docs, eval_mod=10)
+
+
 def _simhash_neardup(sf_dir: str):
     """Raw documents table (SQL-oracle-comparable): pigeonhole banding has
     GUARANTEED recall at hamming <= bands-1, so the engine output equals the
@@ -307,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": _minhash_neardup,            # SQL-oracled (recall 1.0 measured)
         "ngram_jaccard_neardup": _ngram_jaccard_neardup,  # SQL-oracled (exact)
         "neardup_clusters": _neardup_clusters,            # SQL-oracled (recursive CTE)
+        "contamination_check": _contamination_check,      # SQL-oracled (exact integers)
         "simhashes": dedup.simhashes,                   # SQL-oracled (CRC32 in SQL)
         "simhash_neardup": _simhash_neardup,            # SQL-oracled (exact by pigeonhole)
         "embedding_neardup": lambda sf: dedup.embedding_neardup(sf, threshold=0.3),  # SQL-oracled
@@ -732,6 +742,24 @@ def oracle_sql() -> dict[str, str]:
             r"FROM g a JOIN g b ON a.doc_id < b.doc_id) "
             r"SELECT a_id, b_id, CAST(i AS BIGINT) AS n_inter, CAST(u AS BIGINT) AS n_union "
             r"FROM p WHERE i > 0 AND i * 10000 >= 5000 * u"
+        ),
+        # train/eval trigram containment: doc_id % 10 == 0 is the eval split;
+        # pure-integer counts + round-half-up fixed-point fraction mirror
+        # ops.dedup.contamination_check exactly
+        "contamination_check": (
+            r"WITH g AS (SELECT doc_id, "
+            r"list_distinct(list_transform(range(1, greatest(len(ws)-2, 0) + 1), "
+            r"i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams "
+            r"FROM (SELECT doc_id, regexp_extract_all(coalesce(text,''), '\S+') AS ws "
+            r"FROM documents)), "
+            r"tr AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 10 <> 0), "
+            r"ev AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 10 = 0), "
+            r"agg AS (SELECT e.doc_id, count(*) AS n, "
+            r"sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS c "
+            r"FROM ev e LEFT JOIN tr t ON e.gram = t.gram GROUP BY e.doc_id) "
+            r"SELECT doc_id, CAST(n AS BIGINT) AS n_grams, "
+            r"CAST(c AS BIGINT) AS n_contaminated, "
+            r"CAST((20000 * c + n) // (2 * n) AS BIGINT) AS frac_e4 FROM agg"
         ),
         "neardup_clusters": (
             # connected components of the ngram_jaccard_neardup pair graph:

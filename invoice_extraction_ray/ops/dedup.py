@@ -370,6 +370,119 @@ def ngram_jaccard_neardup(
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def contamination_check(source, eval_mod: int = 10) -> ray.data.Dataset:
+    """Train/eval n-gram containment — the benchmark-decontamination check a
+    training-data pipeline runs before holding out an eval set.
+
+    Split rule (deterministic, mirrored by the SQL oracle):
+    ``doc_id % eval_mod == 0`` -> EVAL, else TRAIN.  For every eval doc with
+    at least one distinct word trigram, report how many of its grams appear
+    in ANY train doc and the contaminated fraction (round-half-up 1e-4
+    fixed-point integer — exact arithmetic on both sides).
+
+    Distributed plan (inverted-index shape, no approximation, no driver
+    materialization; only gram rows and per-doc counters ever shuffle):
+
+    1. explode docs to distinct (gram, doc_id) rows, train rows collapsed to
+       a single sentinel doc_id=-1 per (batch, gram);
+    2. co-partition by a 256-way gram shard; within a shard each gram's
+       full posting list is one sorted run — the sentinel sorts first, so
+       ``run starts with -1`` IS "gram present in train".  Emit PER-DOC
+       PARTIAL counters (n_grams, n_contaminated) per shard — pre-aggregated
+       so the doc-level groupby shuffles O(eval_docs x shards) counter rows;
+    3. ``groupby(doc_id).sum`` the partials, then the integer fraction.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(source, pa.Table):
+        docs = ray.data.from_arrow(source)
+    else:
+        docs = source
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        train_grams: set[str] = set()
+        for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            gs = word_trigrams(s)
+            if d % eval_mod == 0:
+                for g in gs:
+                    ids.append(d)
+                    grams.append(g)
+            else:
+                train_grams.update(gs)  # batch-level dedup of train postings
+        for g in train_grams:
+            ids.append(-1)
+            grams.append(g)
+        out = pa.table(
+            {"gram": pa.array(grams, pa.string()), "doc_id": pa.array(ids, pa.int64())}
+        )
+        shard = np.array(
+            [zlib.crc32(g.encode()) & (N_BUCKET_SHARDS - 1) for g in grams],
+            dtype=np.int32,
+        )
+        return out.append_column("shard", pa.array(shard))
+
+    def mark(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("gram", "ascending"), ("doc_id", "ascending")])
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        g = t.column("gram")
+        same = pc.equal(g.slice(1), g.slice(0, len(g) - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        new_run = np.ones(len(did), dtype=bool)
+        new_run[1:] = ~same
+        run_id = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        train_in_run = did[starts] == -1  # sentinel sorts first in its run
+        contaminated = train_in_run[run_id]
+        ev = did >= 0
+        if not ev.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_p": pa.array([], pa.int64()),
+                    "c_p": pa.array([], pa.int64()),
+                }
+            )
+        uids, inv = np.unique(did[ev], return_inverse=True)
+        n_p = np.bincount(inv)
+        c_p = np.bincount(inv, weights=contaminated[ev].astype(np.int64)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(uids, pa.int64()),
+                "n_p": pa.array(n_p, pa.int64()),
+                "c_p": pa.array(c_p, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(mark, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_p", alias_name="n_grams"), Sum("c_p", alias_name="n_contaminated"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n_grams").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("n_contaminated").to_numpy(zero_copy_only=False).astype(np.int64)
+        frac_e4 = (20_000 * c + n) // (2 * n)  # round-half-up, pure integers
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_grams": pa.array(n, pa.int64()),
+                "n_contaminated": pa.array(c, pa.int64()),
+                "frac_e4": pa.array(frac_e4, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def neardup_clusters(
     source, threshold: float = 0.5, max_iters: int = 25
 ) -> ray.data.Dataset:

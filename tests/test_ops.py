@@ -121,6 +121,39 @@ def test_approx_ann_recall(variant):
     assert len(got & exact) >= 5
 
 
+def test_contamination_check_planted():
+    """Known-answer corpus: an eval doc copied from a train doc is 100%
+    contaminated, a unique eval doc is 0%, and a half-overlapping one lands
+    at the exact integer fraction."""
+    from invoice_extraction_ray.ops.dedup import contamination_check, word_trigrams
+
+    train_text = "alpha beta gamma delta epsilon zeta eta theta"
+    uniq_text = "one two three four five six"
+    # shares exactly the first train trigram, plus two grams of its own
+    half_text = "alpha beta gamma novel1 novel2"
+    docs = pa.table(
+        {
+            # % 10 == 0 -> eval
+            "doc_id": pa.array([1, 2, 10, 20, 30], pa.int64()),
+            "text": pa.array(
+                [train_text, "unrelated filler words here all distinct tokens",
+                 train_text, uniq_text, half_text],
+                pa.string(),
+            ),
+        }
+    )
+    rows = {r["doc_id"]: r for r in contamination_check(docs).take_all()}
+    assert set(rows) == {10, 20, 30}
+    n_train = len(word_trigrams(train_text))
+    assert (rows[10]["n_grams"], rows[10]["n_contaminated"], rows[10]["frac_e4"]) == (
+        n_train, n_train, 10_000,
+    )
+    assert (rows[20]["n_contaminated"], rows[20]["frac_e4"]) == (0, 0)
+    n_half = len(word_trigrams(half_text))
+    assert rows[30]["n_grams"] == n_half and rows[30]["n_contaminated"] == 1
+    assert rows[30]["frac_e4"] == (20_000 * 1 + n_half) // (2 * n_half)
+
+
 def test_bm25_topk_matches_bruteforce():
     """Engine top-k == single-process brute force with the identical pinned
     float64 evaluation order (the DuckDB value oracle is the cross-engine
