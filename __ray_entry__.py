@@ -95,6 +95,15 @@ def _neardup_clusters(sf_dir: str):
     return neardup_clusters(docs, threshold=0.5)
 
 
+def _prepare_corpus(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.pipelines.prep import prepare_corpus
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return prepare_corpus(docs)
+
+
 def _contamination_check(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -317,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_neardup": _ngram_jaccard_neardup,  # SQL-oracled (exact)
         "neardup_clusters": _neardup_clusters,            # SQL-oracled (recursive CTE)
         "contamination_check": _contamination_check,      # SQL-oracled (exact integers)
+        "prepare_corpus": _prepare_corpus,                 # SQL-oracled (composed pipeline)
         "simhashes": dedup.simhashes,                   # SQL-oracled (CRC32 in SQL)
         "simhash_neardup": _simhash_neardup,            # SQL-oracled (exact by pigeonhole)
         "embedding_neardup": lambda sf: dedup.embedding_neardup(sf, threshold=0.3),  # SQL-oracled
@@ -742,6 +752,56 @@ def oracle_sql() -> dict[str, str]:
             r"FROM g a JOIN g b ON a.doc_id < b.doc_id) "
             r"SELECT a_id, b_id, CAST(i AS BIGINT) AS n_inter, CAST(u AS BIGINT) AS n_union "
             r"FROM p WHERE i > 0 AND i * 10000 >= 5000 * u"
+        ),
+        # composed corpus-prep pipeline: quality gate (score_e5 >= 25000,
+        # the quality_features expression) + exact-dedup keep-min-doc_id +
+        # near-dup cluster-loser removal (the neardup_clusters recursive CTE)
+        "prepare_corpus": (
+            r"WITH RECURSIVE f AS (SELECT doc_id, text, "
+            r"length(coalesce(text,'')) AS n_chars, "
+            r"len(regexp_extract_all(coalesce(text,''), '\S+')) AS n_tokens, "
+            r"len(regexp_extract_all(coalesce(text,''), '[.,;:!?]')) AS n_punct, "
+            r"len(list_filter(regexp_extract_all(lower(coalesce(text,'')), '[a-z'']+'), "
+            r"x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS hits, "
+            r"greatest(len(regexp_extract_all(lower(coalesce(text,'')), '[a-z'']+')), 1) AS words "
+            r"FROM documents), "
+            r"s AS (SELECT doc_id, text, "
+            r"5*CAST(floor((10000.0*hits)/words + 0.5) AS BIGINT) "
+            r"+ 4*least(n_tokens,100)*100 "
+            r"+ (10000 - least(CAST(floor((10000.0*n_punct)/greatest(n_chars,1) + 0.5) AS BIGINT), 10000)) "
+            r"AS score_e5 FROM f), "
+            r"reps AS (SELECT min(doc_id) AS doc_id, count(*) AS n_copies, "
+            r"min(score_e5) AS score_e5 FROM s GROUP BY text), "
+            r"g AS (SELECT doc_id, "
+            r"list_distinct(list_transform(range(1, greatest(len(ws)-2, 0) + 1), "
+            r"i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams "
+            r"FROM (SELECT doc_id, regexp_extract_all(coalesce(text,''), '\S+') AS ws "
+            r"FROM documents)), "
+            # cap-aware inverted-index pairing (mirrors the engine's
+            # ngram_max_df=64: intersections counted over grams with
+            # df <= 64, union from the FULL gram-set sizes)
+            r"post AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
+            r"dfc AS (SELECT gram, count(*) AS df FROM post GROUP BY gram), "
+            r"cool AS (SELECT p2.doc_id, p2.gram FROM post p2 "
+            r"JOIN dfc USING (gram) WHERE dfc.df <= 64), "
+            r"inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i "
+            r"FROM cool a JOIN cool b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+            r"GROUP BY 1, 2), "
+            r"sz AS (SELECT doc_id, len(grams) AS n FROM g), "
+            r"p AS (SELECT a_id, b_id FROM inter "
+            r"JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id "
+            r"WHERE i > 0 AND i * 10000 >= 5000 * (sa.n + sb.n - i)), "
+            r"e AS (SELECT a_id AS src, b_id AS dst FROM p "
+            r"UNION ALL SELECT b_id, a_id FROM p), "
+            r"walk(node, lbl) AS ("
+            r"SELECT DISTINCT src, src FROM e "
+            r"UNION "
+            r"SELECT e.src, walk.lbl FROM e JOIN walk ON e.dst = walk.node), "
+            r"cl AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY node) "
+            r"SELECT r.doc_id, CAST(r.n_copies AS BIGINT) AS n_copies, r.score_e5 "
+            r"FROM reps r LEFT JOIN cl ON r.doc_id = cl.doc_id "
+            r"WHERE r.score_e5 >= 25000 "
+            r"AND (cl.cluster_id IS NULL OR cl.cluster_id = r.doc_id)"
         ),
         # train/eval trigram containment: doc_id % 10 == 0 is the eval split;
         # pure-integer counts + round-half-up fixed-point fraction mirror

@@ -484,7 +484,10 @@ def contamination_check(source, eval_mod: int = 10) -> ray.data.Dataset:
 
 
 def neardup_clusters(
-    source, threshold: float = 0.5, max_iters: int = 25
+    source,
+    threshold: float = 0.5,
+    max_iters: int = 25,
+    max_df: int | None = None,
 ) -> ray.data.Dataset:
     """Connected components over the exact n-gram-Jaccard near-dup pair graph:
     every doc that appears in some pair is labeled with the MIN doc_id of its
@@ -507,7 +510,7 @@ def neardup_clusters(
     from ray.data.aggregate import Min, Sum
 
     pairs = (
-        ngram_jaccard_neardup(source, threshold)
+        ngram_jaccard_neardup(source, threshold, max_df=max_df)
         .select_columns(["a_id", "b_id"])
         .materialize()  # small by construction; re-used every round
     )

@@ -126,45 +126,58 @@ def quality_features(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        text = pc.fill_null(t.column("text"), "")
-        n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
-        n_tokens = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64()).to_numpy()
-        n_punct = pc.cast(
-            pc.count_substring_regex(text, r"[.,;:!?]"), pa.int64()
-        ).to_numpy()
-        n_upper = pc.cast(pc.count_substring_regex(text, r"[A-Z]"), pa.int64()).to_numpy()
-        # stopword hits need tokenization — numpy/python per batch
-        stop_pairs = [
-            (
-                sum(1 for w in _WORD_RE.findall(s.lower()) if w in STOPWORDS_EN),
-                len(_WORD_RE.findall(s.lower())),
-            )
-            for s in text.to_pylist()
-        ]
-        hits = np.array([h for h, _ in stop_pairs], dtype=np.float64)
-        words = np.array([max(1, w) for _, w in stop_pairs], dtype=np.float64)
-        denom = np.maximum(n_chars, 1).astype(np.float64)
-        punct_e4 = np.floor((10000.0 * n_punct) / denom + 0.5).astype(np.int64)
-        upper_e4 = np.floor((10000.0 * n_upper) / denom + 0.5).astype(np.int64)
-        stop_e4 = np.floor((10000.0 * hits) / words + 0.5).astype(np.int64)
-        score_e5 = (
-            5 * stop_e4
-            + 4 * np.minimum(n_tokens, 100) * 100
-            + (10000 - np.minimum(punct_e4, 10000))
-        )
+        q = quality_arrays(t.column("text"))
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
-                "n_chars": pa.array(n_chars, pa.int64()),
-                "n_tokens": pa.array(n_tokens, pa.int64()),
-                "punct_e4": pa.array(punct_e4, pa.int64()),
-                "upper_e4": pa.array(upper_e4, pa.int64()),
-                "stop_e4": pa.array(stop_e4, pa.int64()),
-                "score_e5": pa.array(score_e5, pa.int64()),
+                "n_chars": pa.array(q["n_chars"], pa.int64()),
+                "n_tokens": pa.array(q["n_tokens"], pa.int64()),
+                "punct_e4": pa.array(q["punct_e4"], pa.int64()),
+                "upper_e4": pa.array(q["upper_e4"], pa.int64()),
+                "stop_e4": pa.array(q["stop_e4"], pa.int64()),
+                "score_e5": pa.array(q["score_e5"], pa.int64()),
             }
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_arrays(text_col: pa.Array) -> dict:
+    """The quality feature kernels as numpy arrays (shared by
+    ``quality_features`` and the corpus-prep composition — one definition,
+    one SQL mirror)."""
+    text = pc.fill_null(text_col, "")
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
+    n_tokens = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64()).to_numpy()
+    n_punct = pc.cast(pc.count_substring_regex(text, r"[.,;:!?]"), pa.int64()).to_numpy()
+    n_upper = pc.cast(pc.count_substring_regex(text, r"[A-Z]"), pa.int64()).to_numpy()
+    # stopword hits need tokenization — numpy/python per batch
+    stop_pairs = [
+        (
+            sum(1 for w in _WORD_RE.findall(s.lower()) if w in STOPWORDS_EN),
+            len(_WORD_RE.findall(s.lower())),
+        )
+        for s in text.to_pylist()
+    ]
+    hits = np.array([h for h, _ in stop_pairs], dtype=np.float64)
+    words = np.array([max(1, w) for _, w in stop_pairs], dtype=np.float64)
+    denom = np.maximum(n_chars, 1).astype(np.float64)
+    punct_e4 = np.floor((10000.0 * n_punct) / denom + 0.5).astype(np.int64)
+    upper_e4 = np.floor((10000.0 * n_upper) / denom + 0.5).astype(np.int64)
+    stop_e4 = np.floor((10000.0 * hits) / words + 0.5).astype(np.int64)
+    score_e5 = (
+        5 * stop_e4
+        + 4 * np.minimum(n_tokens, 100) * 100
+        + (10000 - np.minimum(punct_e4, 10000))
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_e4": punct_e4,
+        "upper_e4": upper_e4,
+        "stop_e4": stop_e4,
+        "score_e5": score_e5,
+    }
 
 
 def fingerprint64(text: str) -> int:

@@ -121,6 +121,65 @@ def test_approx_ann_recall(variant):
     assert len(got & exact) >= 5
 
 
+def test_prepare_corpus_composition():
+    """Composed prep pipeline on the sf0.001 documents table must equal the
+    brute-force composition of its three stages computed in-process."""
+    from collections import defaultdict
+
+    from invoice_extraction_ray.ops.dedup import word_trigrams
+    from invoice_extraction_ray.ops.text import quality_arrays
+    from invoice_extraction_ray.pipelines.prep import PREP_MIN_SCORE_E5, prepare_corpus
+
+    docs = _docs()
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    scores = quality_arrays(docs.column("text"))["score_e5"]
+
+    # exact-dup groups -> keep min doc_id
+    groups = defaultdict(list)
+    for d, s in zip(ids, texts):
+        groups[s or ""].append(d)
+    rep_of = {min(v): (len(v)) for v in groups.values()}
+
+    # near-dup clusters (jaccard >= 0.5) -> min-label components
+    gsets = {d: word_trigrams(s) for d, s in zip(ids, texts)}
+    import itertools
+
+    parent = {d: d for d in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(ids, 2):
+        ga, gb = gsets[a], gsets[b]
+        i = len(ga & gb)
+        if i > 0 and i * 10000 >= 5000 * (len(ga) + len(gb) - i):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    in_pair = {d for d in ids if find(d) != d or any(
+        find(o) == d for o in ids if o != d)}
+
+    score_of = dict(zip(ids, scores))
+    expected = {}
+    for d, n_copies in rep_of.items():
+        if score_of[d] < PREP_MIN_SCORE_E5:
+            continue
+        if d in in_pair and find(d) != d:
+            continue  # non-representative member of a near-dup cluster
+        expected[d] = (n_copies, int(score_of[d]))
+
+    got = {
+        r["doc_id"]: (r["n_copies"], r["score_e5"])
+        for r in prepare_corpus(docs).take_all()
+    }
+    assert got == expected
+    assert 0 < len(got) < len(ids)  # every stage must actually bind
+
+
 def test_contamination_check_planted():
     """Known-answer corpus: an eval doc copied from a train doc is 100%
     contaminated, a unique eval doc is 0%, and a half-overlapping one lands
