@@ -98,6 +98,99 @@ def minhash_sketch_batch(t: pa.Table) -> pa.Table:
 N_BUCKET_SHARDS = 256
 
 
+def _expand_runs(
+    did: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    max_df: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """All-pairs expansion of posting-list runs, fully vectorized: for each
+    run ``did[s:e]`` (already sorted and distinct) emit every (did[i], did[j])
+    with i < j.  Runs longer than ``max_df`` are dropped before expansion
+    (document-frequency cut).  Runs are batched by length so the expansion is
+    a handful of ``triu_indices`` gathers, never a Python pair loop."""
+    lens = ends - starts
+    ok = lens >= 2
+    if max_df is not None:
+        ok &= lens <= max_df
+    starts, lens = starts[ok], lens[ok]
+    a_parts, b_parts = [], []
+    for length in np.unique(lens):
+        rs = starts[lens == length]
+        members = did[rs[:, None] + np.arange(length)[None, :]]
+        iu, ju = np.triu_indices(int(length), k=1)
+        a_parts.append(members[:, iu].ravel())
+        b_parts.append(members[:, ju].ravel())
+    if not a_parts:
+        empty = np.empty(0, np.int64)
+        return empty, empty
+    return np.concatenate(a_parts), np.concatenate(b_parts)
+
+
+def _pair_partials(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """Collapse raw (a, b) pair rows to distinct pairs + multiplicities within
+    this block and attach a deterministic pair shard — the per-batch combiner
+    for the distributed pair count (only one row per distinct pair per block
+    shuffles, and the global combine is a coarse single-int-key groupby,
+    NOT Ray's per-row multi-key Aggregate, which costs ~100 us/row)."""
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    new = np.ones(len(a), dtype=bool)
+    new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.flatnonzero(new)
+    n = np.diff(np.append(starts, len(a)))
+    a, b = a[starts], b[starts]
+    with np.errstate(over="ignore"):
+        h = a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + b.astype(np.uint64)
+        h ^= h >> np.uint64(33)
+    shard = (h & np.uint64(N_BUCKET_SHARDS - 1)).astype(np.int32)
+    return pa.table(
+        {
+            "a_id": pa.array(a, pa.int64()),
+            "b_id": pa.array(b, pa.int64()),
+            "n": pa.array(n.astype(np.int64)),
+            "pshard": pa.array(shard),
+        }
+    )
+
+
+_PAIR_COUNT_SCHEMA = pa.schema(
+    [("a_id", pa.int64()), ("b_id", pa.int64()), ("n", pa.int64())]
+)
+
+
+def _sum_pair_counts(pairs: ray.data.Dataset, out_name: str) -> ray.data.Dataset:
+    """Global combine of ``_pair_partials`` rows: shard-grouped vectorized
+    segment sums.  Output (a_id, b_id, <out_name>) with one row per distinct
+    pair.  Every pair's partials land in the same pshard group, so the sum is
+    exact; inside a group it's one lexsort + bincount, not per-row Python."""
+
+    def reduce_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_COUNT_SCHEMA.empty_table().rename_columns(
+                ["a_id", "b_id", out_name]
+            )
+        a = t.column("a_id").to_numpy(zero_copy_only=False)
+        b = t.column("b_id").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, n = a[order], b[order], n[order]
+        new = np.ones(len(a), dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        seg = np.cumsum(new) - 1
+        totals = np.bincount(seg, weights=n).astype(np.int64)
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "a_id": pa.array(a[starts], pa.int64()),
+                "b_id": pa.array(b[starts], pa.int64()),
+                out_name: pa.array(totals),
+            }
+        )
+
+    return pairs.groupby("pshard").map_groups(reduce_shard, batch_format="pyarrow")
+
+
 def minhash_candidate_pairs(docs: ray.data.Dataset) -> ray.data.Dataset:
     """LSH bucketing: docs sharing any band bucket become candidate pairs.
 
@@ -126,34 +219,26 @@ def minhash_candidate_pairs(docs: ray.data.Dataset) -> ray.data.Dataset:
         # run boundaries = bucket boundaries within this shard
         new_run = np.ones(len(band), dtype=bool)
         new_run[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        # drop duplicate doc rows within a bucket (defensive; one row per
+        # band per doc by construction) so runs are sorted AND distinct
+        dupe = np.zeros(len(band), dtype=bool)
+        dupe[1:] = ~new_run[1:] & (did[1:] == did[:-1])
+        band, bh, did = band[~dupe], bh[~dupe], did[~dupe]
+        new_run = np.ones(len(band), dtype=bool)
+        new_run[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
         starts = np.flatnonzero(new_run)
         ends = np.append(starts[1:], len(band))
-        a_ids, b_ids = [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            members = np.unique(did[s:e])
-            for i in range(len(members)):
-                for j in range(i + 1, len(members)):
-                    a_ids.append(members[i])
-                    b_ids.append(members[j])
-        return pa.table(
-            {"a_id": pa.array(a_ids, pa.int64()), "b_id": pa.array(b_ids, pa.int64())}
-        )
+        a, b = _expand_runs(did, starts, ends)
+        return _pair_partials(a, b)
 
     pairs = (
         sketches.map_batches(add_shard, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(emit_pairs, batch_format="pyarrow")
     )
-    # distinct pairs (a doc pair can collide in many bands)
-    from ray.data.aggregate import Count
-
-    return (
-        pairs.groupby(["a_id", "b_id"])
-        .aggregate(Count(alias_name="n_bands"))
-        .select_columns(["a_id", "b_id"])
-    )
+    # distinct pairs (a doc pair can collide in many bands) via the coarse
+    # pshard combine — Ray's multi-key Aggregate costs ~100 us/row in Python
+    return _sum_pair_counts(pairs, "n_bands").select_columns(["a_id", "b_id"])
 
 
 def minhash_neardup(
@@ -299,32 +384,19 @@ def ngram_jaccard_neardup(
         new_run[1:] = ~same
         starts = np.flatnonzero(new_run)
         ends = np.append(starts[1:], len(did))
-        a_ids, b_ids = [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            if max_df is not None and e - s > max_df:
-                continue  # df cut: skip ultra-common grams entirely
-            members = did[s:e]  # distinct per gram by construction
-            for i in range(len(members)):
-                for j in range(i + 1, len(members)):
-                    a_ids.append(members[i])
-                    b_ids.append(members[j])
-        return pa.table(
-            {"a_id": pa.array(a_ids, pa.int64()), "b_id": pa.array(b_ids, pa.int64())}
-        )
+        # vectorized all-pairs expansion (df cut applied per run), then the
+        # per-block pair-count combiner: only one row per distinct pair per
+        # shard shuffles into the coarse pshard combine
+        a, b = _expand_runs(did, starts, ends, max_df)
+        return _pair_partials(a, b)
 
-    from ray.data.aggregate import Count
-
-    pairs = (
+    pairs = _sum_pair_counts(
         docs.map_batches(explode_grams, batch_format="pyarrow")
         .groupby("shard")
-        .map_groups(emit_pairs, batch_format="pyarrow")
-        .groupby(["a_id", "b_id"])
-        .aggregate(Count(alias_name="n_inter"))
-        .materialize()  # small by construction; branch on emptiness — Ray's
-        # hash-join aggregators crash on an empty join side
-    )
+        .map_groups(emit_pairs, batch_format="pyarrow"),
+        "n_inter",
+    ).materialize()  # small by construction; branch on emptiness — Ray's
+    # hash-join aggregators crash on an empty join side
     out_schema = pa.schema(
         [
             ("a_id", pa.int64()),
