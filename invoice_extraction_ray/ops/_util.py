@@ -37,6 +37,31 @@ def absorb_empty_blocks(ds, batch_size: int = 65536):
     return ds.map_batches(lambda t: t, batch_format="pyarrow", batch_size=batch_size)
 
 
+def as_docs_dataset(source, max_blocks: int = 32, min_rows: int = 256):
+    """Dataset from a docs source that may be an in-memory ``pa.Table``.
+
+    A single ``from_arrow(table)`` yields ONE block, so every downstream map
+    runs as one task — zero parallelism.  Slice the table into up to
+    ``max_blocks`` deterministic contiguous chunks (never smaller than
+    ``min_rows`` rows: tiny blocks triple shuffle/join constant costs — see
+    the over-split note in CLAUDE.md).  Datasets pass through unchanged."""
+    import math
+
+    import pyarrow as pa
+    import ray
+
+    if not isinstance(source, pa.Table):
+        return source
+    n = source.num_rows
+    k = max(1, min(max_blocks, math.ceil(n / min_rows)))
+    if k == 1:
+        return ray.data.from_arrow(source)
+    step = math.ceil(n / k)
+    return ray.data.from_arrow(
+        [source.slice(i * step, step) for i in range(k) if i * step < n]
+    )
+
+
 def embedding_matrix(col, dtype="float64", dim: int = 0):
     """Zero-copy-ish (n, dim) numpy matrix from an Arrow list<float> column
     with equal-length lists — flatten + reshape instead of to_pylist (the

@@ -105,10 +105,12 @@ def _expand_runs(
     max_df: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """All-pairs expansion of posting-list runs, fully vectorized: for each
-    run ``did[s:e]`` (already sorted and distinct) emit every (did[i], did[j])
-    with i < j.  Runs longer than ``max_df`` are dropped before expansion
-    (document-frequency cut).  Runs are batched by length so the expansion is
-    a handful of ``triu_indices`` gathers, never a Python pair loop."""
+    run ``did[s:e]`` (already sorted and distinct) emit every (i, j) INDEX
+    pair with i < j — callers gather ``did`` (and any per-posting payload,
+    e.g. the doc's gram count) through the returned indices.  Runs longer
+    than ``max_df`` are dropped before expansion (document-frequency cut).
+    Runs are batched by length so the expansion is a handful of
+    ``triu_indices`` gathers, never a Python pair loop."""
     lens = ends - starts
     ok = lens >= 2
     if max_df is not None:
@@ -117,22 +119,26 @@ def _expand_runs(
     a_parts, b_parts = [], []
     for length in np.unique(lens):
         rs = starts[lens == length]
-        members = did[rs[:, None] + np.arange(length)[None, :]]
+        rows = rs[:, None] + np.arange(length)[None, :]
         iu, ju = np.triu_indices(int(length), k=1)
-        a_parts.append(members[:, iu].ravel())
-        b_parts.append(members[:, ju].ravel())
+        a_parts.append(rows[:, iu].ravel())
+        b_parts.append(rows[:, ju].ravel())
     if not a_parts:
         empty = np.empty(0, np.int64)
         return empty, empty
     return np.concatenate(a_parts), np.concatenate(b_parts)
 
 
-def _pair_partials(a: np.ndarray, b: np.ndarray) -> pa.Table:
+def _pair_partials(
+    a: np.ndarray, b: np.ndarray, extra: dict[str, np.ndarray] | None = None
+) -> pa.Table:
     """Collapse raw (a, b) pair rows to distinct pairs + multiplicities within
     this block and attach a deterministic pair shard — the per-batch combiner
     for the distributed pair count (only one row per distinct pair per block
     shuffles, and the global combine is a coarse single-int-key groupby,
-    NOT Ray's per-row multi-key Aggregate, which costs ~100 us/row)."""
+    NOT Ray's per-row multi-key Aggregate, which costs ~100 us/row).
+    ``extra`` columns are per-pair CONSTANTS (functions of a/b, e.g. the two
+    docs' gram-set sizes) carried through dedup by first occurrence."""
     order = np.lexsort((b, a))
     a, b = a[order], b[order]
     new = np.ones(len(a), dtype=bool)
@@ -144,32 +150,34 @@ def _pair_partials(a: np.ndarray, b: np.ndarray) -> pa.Table:
         h = a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + b.astype(np.uint64)
         h ^= h >> np.uint64(33)
     shard = (h & np.uint64(N_BUCKET_SHARDS - 1)).astype(np.int32)
-    return pa.table(
-        {
-            "a_id": pa.array(a, pa.int64()),
-            "b_id": pa.array(b, pa.int64()),
-            "n": pa.array(n.astype(np.int64)),
-            "pshard": pa.array(shard),
-        }
-    )
+    cols = {
+        "a_id": pa.array(a, pa.int64()),
+        "b_id": pa.array(b, pa.int64()),
+        "n": pa.array(n.astype(np.int64)),
+        "pshard": pa.array(shard),
+    }
+    for name, vals in (extra or {}).items():
+        cols[name] = pa.array(vals[order][starts].astype(np.int64), pa.int64())
+    return pa.table(cols)
 
 
-_PAIR_COUNT_SCHEMA = pa.schema(
-    [("a_id", pa.int64()), ("b_id", pa.int64()), ("n", pa.int64())]
-)
-
-
-def _sum_pair_counts(pairs: ray.data.Dataset, out_name: str) -> ray.data.Dataset:
+def _sum_pair_counts(
+    pairs: ray.data.Dataset, out_name: str, extra_names: tuple[str, ...] = ()
+) -> ray.data.Dataset:
     """Global combine of ``_pair_partials`` rows: shard-grouped vectorized
-    segment sums.  Output (a_id, b_id, <out_name>) with one row per distinct
-    pair.  Every pair's partials land in the same pshard group, so the sum is
-    exact; inside a group it's one lexsort + bincount, not per-row Python."""
+    segment sums.  Output (a_id, b_id, <out_name>, *extra) with one row per
+    distinct pair.  Every pair's partials land in the same pshard group, so
+    the sum is exact; inside a group it's one lexsort + bincount, not
+    per-row Python.  ``extra_names`` are per-pair constants (carried by
+    first occurrence, same convention as ``_pair_partials``)."""
+    empty_schema = pa.schema(
+        [("a_id", pa.int64()), ("b_id", pa.int64()), (out_name, pa.int64())]
+        + [(nm, pa.int64()) for nm in extra_names]
+    )
 
     def reduce_shard(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return _PAIR_COUNT_SCHEMA.empty_table().rename_columns(
-                ["a_id", "b_id", out_name]
-            )
+            return empty_schema.empty_table()
         a = t.column("a_id").to_numpy(zero_copy_only=False)
         b = t.column("b_id").to_numpy(zero_copy_only=False)
         n = t.column("n").to_numpy(zero_copy_only=False)
@@ -180,13 +188,15 @@ def _sum_pair_counts(pairs: ray.data.Dataset, out_name: str) -> ray.data.Dataset
         seg = np.cumsum(new) - 1
         totals = np.bincount(seg, weights=n).astype(np.int64)
         starts = np.flatnonzero(new)
-        return pa.table(
-            {
-                "a_id": pa.array(a[starts], pa.int64()),
-                "b_id": pa.array(b[starts], pa.int64()),
-                out_name: pa.array(totals),
-            }
-        )
+        cols = {
+            "a_id": pa.array(a[starts], pa.int64()),
+            "b_id": pa.array(b[starts], pa.int64()),
+            out_name: pa.array(totals),
+        }
+        for nm in extra_names:
+            v = t.column(nm).to_numpy(zero_copy_only=False)
+            cols[nm] = pa.array(v[order][starts], pa.int64())
+        return pa.table(cols)
 
     return pairs.groupby("pshard").map_groups(reduce_shard, batch_format="pyarrow")
 
@@ -228,8 +238,8 @@ def minhash_candidate_pairs(docs: ray.data.Dataset) -> ray.data.Dataset:
         new_run[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
         starts = np.flatnonzero(new_run)
         ends = np.append(starts[1:], len(band))
-        a, b = _expand_runs(did, starts, ends)
-        return _pair_partials(a, b)
+        ia, ib = _expand_runs(did, starts, ends)
+        return _pair_partials(did[ia], did[ib])
 
     pairs = (
         sketches.map_batches(add_shard, batch_format="pyarrow")
@@ -255,10 +265,9 @@ def minhash_neardup(
     the corpus streams through the join's hash partitions exactly once per
     side.  Exact Jaccard is then computed per batch.
     """
-    if isinstance(source, pa.Table):
-        docs = ray.data.from_arrow(source)
-    else:
-        docs = source
+    from invoice_extraction_ray.ops._util import as_docs_dataset
+
+    docs = as_docs_dataset(source)
 
     from ._util import strip_schema_metadata
 
@@ -327,10 +336,12 @@ def ngram_jaccard_neardup(
     1. explode each doc to distinct (gram, doc_id) rows — the inverted index;
     2. co-partition grams by a 256-way shard of the gram, sort each shard,
        emit one (a_id, b_id) row per doc pair sharing that gram;
-    3. ``groupby(a,b).Count`` IS the intersection size (each shared gram
-       contributes exactly one row);
-    4. per-doc gram-set sizes (tiny table) hash-join back onto the pairs for
-       the union size, and the threshold test is pure integer arithmetic
+    3. the distributed pair count (per-block partials + coarse pair-shard
+       segment sums) IS the intersection size (each shared gram contributes
+       exactly one raw pair row);
+    4. each posting row carries its doc's gram-set size, so both sizes ride
+       along with every pair — NO join back onto a per-doc table — and the
+       threshold test is pure integer arithmetic
        (n_inter * 10^4 >= thr_e4 * n_union) — bit-identical to the DuckDB
        oracle.
 
@@ -346,20 +357,27 @@ def ngram_jaccard_neardup(
     """
     import pyarrow.compute as pc
 
-    if isinstance(source, pa.Table):
-        docs = ray.data.from_arrow(source)
-    else:
-        docs = source
+    from invoice_extraction_ray.ops._util import as_docs_dataset
+
+    docs = as_docs_dataset(source)
     thr_e4 = int(round(threshold * 10_000))
 
     def explode_grams(t: pa.Table) -> pa.Table:
-        ids, grams = [], []
+        ids, grams, ngs = [], [], []
         for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
-            for g in word_trigrams(s):
+            gs = word_trigrams(s)
+            for g in gs:
                 ids.append(d)
                 grams.append(g)
+                ngs.append(len(gs))
         out = pa.table(
-            {"gram": pa.array(grams, pa.string()), "doc_id": pa.array(ids, pa.int64())}
+            {
+                "gram": pa.array(grams, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                # each posting carries its doc's gram-set size so the pair
+                # stage needs NO join back onto a per-doc size table
+                "ng": pa.array(ngs, pa.int64()),
+            }
         )
         shard = np.array(
             [zlib.crc32(g.encode()) & (N_BUCKET_SHARDS - 1) for g in grams],
@@ -367,15 +385,10 @@ def ngram_jaccard_neardup(
         )
         return out.append_column("shard", pa.array(shard))
 
-    def sizes_of(t: pa.Table) -> pa.Table:
-        ns = [len(word_trigrams(s)) for s in t.column("text").to_pylist()]
-        return pa.table(
-            {"doc_id": t.column("doc_id"), "n_grams": pa.array(ns, pa.int64())}
-        )
-
     def emit_pairs(t: pa.Table) -> pa.Table:
         t = t.sort_by([("gram", "ascending"), ("doc_id", "ascending")])
         did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ng = t.column("ng").to_numpy(zero_copy_only=False)
         g = t.column("gram")
         same = pc.equal(g.slice(1), g.slice(0, len(g) - 1)).to_numpy(
             zero_copy_only=False
@@ -384,19 +397,22 @@ def ngram_jaccard_neardup(
         new_run[1:] = ~same
         starts = np.flatnonzero(new_run)
         ends = np.append(starts[1:], len(did))
-        # vectorized all-pairs expansion (df cut applied per run), then the
-        # per-block pair-count combiner: only one row per distinct pair per
-        # shard shuffles into the coarse pshard combine
-        a, b = _expand_runs(did, starts, ends, max_df)
-        return _pair_partials(a, b)
+        # vectorized all-pairs index expansion (df cut applied per run), then
+        # the per-block pair-count combiner: only one row per distinct pair
+        # per shard shuffles into the coarse pshard combine, with both docs'
+        # gram counts riding along as per-pair constants
+        ia, ib = _expand_runs(did, starts, ends, max_df)
+        return _pair_partials(did[ia], did[ib], {"a_n": ng[ia], "b_n": ng[ib]})
 
     pairs = _sum_pair_counts(
         docs.map_batches(explode_grams, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(emit_pairs, batch_format="pyarrow"),
         "n_inter",
-    ).materialize()  # small by construction; branch on emptiness — Ray's
-    # hash-join aggregators crash on an empty join side
+        ("a_n", "b_n"),
+    ).materialize()  # small by construction; branch on emptiness so the
+    # declared 4-column output schema survives an empty corpus (map UDFs are
+    # never invoked on empty blocks)
     out_schema = pa.schema(
         [
             ("a_id", pa.int64()),
@@ -407,16 +423,6 @@ def ngram_jaccard_neardup(
     )
     if pairs.count() == 0:
         return ray.data.from_arrow(out_schema.empty_table())
-    sizes = docs.map_batches(sizes_of, batch_format="pyarrow")
-
-    from ._util import absorb_empty_blocks
-
-    joined = absorb_empty_blocks(
-        pairs.join(sizes, "inner", num_partitions, on=("a_id",), right_on=("doc_id",))
-        .rename_columns({"n_grams": "a_n"})
-    ).join(sizes, "inner", num_partitions, on=("b_id",), right_on=("doc_id",)).rename_columns(
-        {"n_grams": "b_n"}
-    )
 
     def finish(t: pa.Table) -> pa.Table:
         inter = t.column("n_inter").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -439,7 +445,7 @@ def ngram_jaccard_neardup(
             }
         )
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return pairs.map_batches(finish, batch_format="pyarrow")
 
 
 def contamination_check(source, eval_mod: int = 10) -> ray.data.Dataset:
@@ -466,10 +472,9 @@ def contamination_check(source, eval_mod: int = 10) -> ray.data.Dataset:
     """
     import pyarrow.compute as pc
 
-    if isinstance(source, pa.Table):
-        docs = ray.data.from_arrow(source)
-    else:
-        docs = source
+    from invoice_extraction_ray.ops._util import as_docs_dataset
+
+    docs = as_docs_dataset(source)
 
     def explode(t: pa.Table) -> pa.Table:
         ids, grams = [], []
@@ -750,10 +755,9 @@ def simhash_neardup(source, max_hamming: int = 3) -> ray.data.Dataset:
 
     ``source``: Dataset or pa.Table with (doc_id, text).
     """
-    if isinstance(source, pa.Table):
-        docs = ray.data.from_arrow(source)
-    else:
-        docs = source
+    from invoice_extraction_ray.ops._util import as_docs_dataset
+
+    docs = as_docs_dataset(source)
 
     def sketch(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()

@@ -58,10 +58,9 @@ def prepare_corpus(
     exact-duplicate group that clears the quality bar and is not a non-
     representative member of a near-dup cluster.
     """
-    if isinstance(source, pa.Table):
-        docs = ray.data.from_arrow(source)
-    else:
-        docs = source
+    from invoice_extraction_ray.ops._util import as_docs_dataset
+
+    docs = as_docs_dataset(source)
 
     def score_hash_combine(t: pa.Table) -> pa.Table:
         import hashlib
