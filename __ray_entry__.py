@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_multi": ann.ann_topk_multi,           # SQL-oracled (QUALIFY per query)
         "lsh_ann_topk": ann.lsh_topk,                   # SQL-oracled (plane literals)
         "ivf_ann_topk": ann.ivf_topk,                   # SQL-oracled (centroid literals)
+        "kmeans_clusters": lambda sf: ann.kmeans_clusters(sf, 8),  # SQL-oracled (centroid literals)
         "embedding_neardup_lsh": dedup.embedding_neardup_lsh,  # SQL-oracled (plane literals)
         # multimodal plumbing (stubbed decode/resize/frame-sample)
         "media_metadata": media_metadata,               # SQL-oracled
@@ -986,6 +987,7 @@ def oracle_sql() -> dict[str, str]:
 SF001_PINNED = [
     "conversation_stats",
     "ivf_ann_topk",
+    "kmeans_clusters",
     "extract_turns",
     "extract_consensus",
     "extract_field_coverage",
@@ -1052,6 +1054,16 @@ def _sf001_pinned_oracles(sf001: str) -> dict[str, str]:
     _IVF_DCOLS = ",".join(f"d{j}" for j in range(16))
     _IVF_ARGMAX = "CASE " + " ".join(f"WHEN d{j} = g THEN {j}" for j in range(16)) + " END"
 
+    # kmeans_clusters: an 8-centroid model trained by the same deterministic
+    # rules on the same sample; assignment is argmax of the raw dot product
+    # (normalization-invariant, numpy first-max tie-break == CASE order)
+    _k8 = _kmeans_lite(_sample, 8)
+    _K8_DOTS = ", ".join(
+        f"list_dot_product(e.embedding, {_vec_lit(_k8[j])}) AS d{j}" for j in range(8)
+    )
+    _K8_DCOLS = ",".join(f"d{j}" for j in range(8))
+    _K8_ARGMAX = "CASE " + " ".join(f"WHEN d{j} = g THEN {j}" for j in range(8)) + " END"
+
     # --- flagship extract_* family over the oracle parquet ----------------
     paths = oracle_outputs_for(sf001)
     T = f"read_parquet('{paths['turns']}')"
@@ -1107,6 +1119,12 @@ def _sf001_pinned_oracles(sf001: str) -> dict[str, str]:
             "SELECT vec_id, CAST(floor(list_cosine_similarity(embedding, qe)*10000 + 0.5) AS BIGINT) AS sim_e4 "
             f"FROM a WHERE assigned IN ({','.join(map(str, _ivf_probe))}) "
             "ORDER BY floor(list_cosine_similarity(embedding, qe)*10000 + 0.5) DESC, vec_id LIMIT 10"
+        ),
+        "kmeans_clusters": (
+            f"WITH s AS (SELECT e.vec_id, {_K8_DOTS} FROM embeddings e), "
+            f"g AS (SELECT *, greatest({_K8_DCOLS}) AS g FROM s) "
+            f"SELECT vec_id, CAST({_K8_ARGMAX} AS BIGINT) AS cluster FROM g "
+            "ORDER BY vec_id"
         ),
         "extract_turns": (
             "SELECT conv_id, turn_idx, extracted_text, confidence, notes "

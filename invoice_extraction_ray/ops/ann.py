@@ -168,19 +168,12 @@ _IVF_TRAIN_CAP = 4096  # max sample rows ever collected for centroid training
 _IVF_SAMPLE_DENOM = 3  # deterministic hash-sample rate (1/denom)
 
 
-def ivf_topk(
-    sf_dir: str,
-    k: int = 10,
-    query_vec_id: int = 0,
-    n_list: int = 16,
-    n_probe: int = 4,
-) -> ray.data.Dataset:
-    """IVF (inverted-file) ANN: coarse k-means centroids partition the corpus;
-    queries score only vectors whose nearest centroid is among the query's
-    ``n_probe`` closest centroids.  The centroid model is trained once from a
-    BOUNDED deterministic sample — a Ray-side hash-filter + limit, so only
-    <= _IVF_TRAIN_CAP sample rows ever reach the driver regardless of corpus
-    size — then broadcast; each batch does two matmuls (assign + score)."""
+def _train_centroids(sf_dir: str, n_list: int) -> np.ndarray:
+    """Coarse k-means centroid model from a BOUNDED deterministic sample — a
+    Ray-side hash-filter + limit, so only <= _IVF_TRAIN_CAP sample rows ever
+    reach the driver regardless of corpus size.  Shared by ``ivf_topk`` and
+    ``kmeans_clusters``; the sf0.01-pinned oracle re-derives the identical
+    model from the same rules."""
     ds_sample = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
     def hash_sample(t: pa.Table) -> pa.Table:
@@ -206,7 +199,48 @@ def ivf_topk(
     rows.sort(key=lambda r: r["vec_id"])
     sample = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
-    cents = _kmeans_lite(sample, n_list)
+    return _kmeans_lite(sample, n_list)
+
+
+def kmeans_clusters(sf_dir: str, n_clusters: int = 8) -> ray.data.Dataset:
+    """Semantic clustering of the embedding corpus: assign EVERY vector to its
+    nearest k-means centroid (cosine; centroids are unit vectors, so argmax of
+    the raw dot product — normalization-invariant, matching the SQL oracle's
+    list_dot_product argmax with numpy's first-max tie-break).
+
+    The building block for semantic dedup / data-mixing curricula: train on a
+    bounded sample, broadcast the tiny centroid model once (ray.put), stream
+    the corpus through a stateless task map with one matmul per batch.
+    Returns (vec_id, cluster) for every vector, sorted by vec_id."""
+    cents = _train_centroids(sf_dir, n_clusters)
+    dim = cents.shape[1]
+    cents_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        bc = ray.get(cents_ref)  # plasma zero-copy per batch
+        m = embedding_matrix(t.column("embedding"), dim=dim)
+        a = np.argmax(m @ bc.T, axis=1).astype(np.int64)
+        return pa.table(
+            {"vec_id": t.column("vec_id"), "cluster": pa.array(a, pa.int64())}
+        )
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return ds.map_batches(assign, batch_format="pyarrow").sort("vec_id")
+
+
+def ivf_topk(
+    sf_dir: str,
+    k: int = 10,
+    query_vec_id: int = 0,
+    n_list: int = 16,
+    n_probe: int = 4,
+) -> ray.data.Dataset:
+    """IVF (inverted-file) ANN: coarse k-means centroids partition the corpus;
+    queries score only vectors whose nearest centroid is among the query's
+    ``n_probe`` closest centroids.  The centroid model is trained once from a
+    bounded deterministic sample (``_train_centroids``) then broadcast; each
+    batch does two matmuls (assign + score)."""
+    cents = _train_centroids(sf_dir, n_list)
 
     q = _load_query_vec(sf_dir, query_vec_id)
     qn = q / max(np.linalg.norm(q), 1e-30)

@@ -121,6 +121,28 @@ def test_approx_ann_recall(variant):
     assert len(got & exact) >= 5
 
 
+def test_kmeans_clusters_matches_local_recompute():
+    """Distributed assignment must equal a driver-side numpy recompute with
+    the identical deterministic training rules (sample → seeded k-means →
+    raw-dot argmax), covering every vector."""
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.ann import _train_centroids, kmeans_clusters
+
+    rows = kmeans_clusters(SF, n_clusters=4).take_all()
+    got = {r["vec_id"]: r["cluster"] for r in rows}
+
+    cents = _train_centroids(SF, 4)
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_pylist()
+    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    want = dict(zip(ids, np.argmax(mat @ cents.T, axis=1).tolist()))
+    assert got == want
+    assert len(got) == len(ids)
+    # sorted output contract
+    assert [r["vec_id"] for r in rows] == sorted(ids)
+
+
 def test_prepare_corpus_composition():
     """Composed prep pipeline on the sf0.001 documents table must equal the
     brute-force composition of its three stages computed in-process."""
