@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _hll_distinct,      # SQL-oracled (splitmix64+HLL in HUGEINT)
         # text analysis
         "token_count": text.token_count,               # SQL-oracled
+        "pack_documents": text.pack_documents,         # SQL-oracled (exact window cumsum)
         "bpe_token_count": text.bpe_token_count,       # SQL-oracled (RE2 both sides)
         "langid": text.langid,                          # SQL-oracled
         "quality_features": text.quality_features,      # SQL-oracled (fixed-point)
@@ -607,6 +608,18 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
             "AS n_tokens FROM documents"
+        ),
+        # sequence packing: exact-integer window cumsum per stream shard —
+        # mirrors ops/text.py::pack_documents (budget 2048, 16 shards)
+        "pack_documents": (
+            "WITH t AS (SELECT doc_id, doc_id % 16 AS shard, "
+            "CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+')) AS BIGINT) AS n_tok "
+            "FROM documents), "
+            "w AS (SELECT *, COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t) "
+            "SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tok, "
+            "CAST(cum // 2048 AS BIGINT) AS pack_id, "
+            "CAST(cum % 2048 AS BIGINT) AS pack_offset FROM w"
         ),
         # BM25-style ranked retrieval: rank-equivalent log-free idf
         # ((N-df+0.5)/(df+0.5), the argument of the RSJ log — monotone, so

@@ -116,46 +116,79 @@ def groupby_stats(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        # sum + sum-of-squares partials: mean and sample std reassemble
-        # exactly from mergeable sums (shuffle carries |groups| rows/block)
-        t = t.append_column("value_sq", pc.multiply(t.column("value"), t.column("value")))
-        return _partial_groupby("event_type".split(), ["value", "value_sq"], "n")(t)
+        # mean-centered partials (n, sum, mean, M2 = ddof-0 variance * n) per
+        # batch-group: M2 merges via Chan's pairwise update, which bounds the
+        # catastrophic cancellation the raw sum-of-squares formula suffers on
+        # large-n low-variance groups.  Shuffle still carries |groups|
+        # rows/block.
+        g = t.group_by(["event_type"]).aggregate(
+            [
+                ("value", "count"),
+                ("value", "sum"),
+                ("value", "mean"),
+                ("value", "variance", pc.VarianceOptions(ddof=0)),
+            ]
+        )
+        import numpy as np
+
+        n = pc.cast(g.column("value_count"), pa.int64())
+        var0 = g.column("value_variance").to_numpy(zero_copy_only=False)
+        m2 = var0 * n.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "n": n,
+                "s": g.column("value_sum"),
+                "m": g.column("value_mean"),
+                "m2": pa.array(np.nan_to_num(m2, nan=0.0), pa.float64()),
+            }
+        )
+
+    def chan_merge(g: pa.Table) -> pa.Table:
+        """One group = one event_type; fold the block partials with Chan's
+        update in a DETERMINISTIC order (sorted by (n, m)) so the float
+        result is run-invariant.  The fold length is the number of input
+        blocks — trivial."""
+        import numpy as np
+
+        ns = g.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        ss = g.column("s").to_numpy(zero_copy_only=False)
+        ms = g.column("m").to_numpy(zero_copy_only=False)
+        m2s = g.column("m2").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ms, ns))
+        N, M, M2 = 0, 0.0, 0.0
+        for i in order:
+            ni = int(ns[i])
+            if ni == 0:
+                continue
+            delta = ms[i] - M
+            tot = N + ni
+            M2 = M2 + m2s[i] + delta * delta * (N * ni / tot)
+            M = M + delta * (ni / tot)
+            N = tot
+        S = float(np.sort(ss).sum())  # exact-order-pinned sum for the output
+        avg = S / N
+        # sample std of a single-row group is NULL (stddev_samp semantics),
+        # not 0.0 — mask n==1 to null so the DuckDB oracle agrees
+        std = float(np.sqrt(max(M2, 0.0) / max(N - 1, 1)))
+        return pa.table(
+            {
+                "event_type": g.column("event_type").slice(0, 1),
+                "n": pa.array([N], pa.int64()),
+                "sum_value": pa.array([S], pa.float64()),
+                "avg_value": pa.array([avg], pa.float64()),
+                "std_value": pa.array([std], pa.float64(), mask=np.array([N <= 1])),
+            }
+        )
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("event_type")
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("value", alias_name="sum_value"),
-            Sum("value_sq", alias_name="sum_sq"),
-        )
+        .map_groups(chan_merge, batch_format="pyarrow")
     )
 
-    def finish(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
-        s = t.column("sum_value").to_numpy(zero_copy_only=False)
-        sq = t.column("sum_sq").to_numpy(zero_copy_only=False)
-        avg = s / n
-        var = np.maximum(sq - s * s / n, 0.0) / np.maximum(n - 1, 1.0)
-        # sample std of a single-row group is NULL (stddev_samp semantics),
-        # not 0.0 — mask n==1 to null so the DuckDB oracle agrees
-        std = np.sqrt(var)
-        std_arr = pa.array(std, pa.float64(), mask=(n <= 1))
-        out_t = pa.table(
-            {
-                "event_type": t.column("event_type"),
-                "n": t.column("n"),
-                "sum_value": t.column("sum_value"),
-                "avg_value": pa.array(avg, pa.float64()),
-                "std_value": std_arr,
-            }
-        )
-        return out_t
-
     return _fixed_point(
-        out.map_batches(finish, batch_format="pyarrow"),
+        out,
         {"sum_value": 100, "avg_value": 10_000, "std_value": 10_000},
     )
 

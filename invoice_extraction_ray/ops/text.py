@@ -57,6 +57,63 @@ def token_count(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def pack_documents(
+    sf_dir: str, budget: int = 2048, n_shards: int = 16
+) -> ray.data.Dataset:
+    """Sequence packing (concat-and-chunk): each document's position in a
+    fixed-token-budget training stream.
+
+    Pretraining pipelines concatenate documents in a deterministic order and
+    chunk the token stream at fixed boundaries; this computes every doc's
+    (pack_id, pack_offset) in that stream WITHOUT materializing tokens —
+    only (doc_id, n_tok) counter rows ever shuffle.  Streams are sharded
+    (``doc_id % n_shards``) so packing parallelizes; within a shard the
+    stream order is doc_id ascending and the cumulative token count is exact
+    integer arithmetic (bit-identical to the DuckDB window-sum oracle).
+
+    PARTITIONING ASSUMPTION: one shard's counter rows fit in one worker
+    (3 int64s per doc, ~24 MB per million docs) — size ``n_shards`` to the
+    corpus; the document texts themselves never move.
+    """
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = pc.cast(
+            pc.count_substring_regex(pc.fill_null(t.column("text"), ""), _TOKEN_RE),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "shard": pa.array(ids % n_shards),
+                "n_tok": n,
+            }
+        )
+
+    def pack(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        n = g.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")  # stream order within shard
+        ids, n = ids[order], n[order]
+        cum = np.cumsum(n) - n  # tokens preceding each doc in the stream
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "shard": g.column("shard").take(pa.array(order)),
+                "n_tok": pa.array(n),
+                "pack_id": pa.array(cum // budget),
+                "pack_offset": pa.array(cum % budget),
+            }
+        )
+
+    return (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pack, batch_format="pyarrow")
+    )
+
+
 # GPT-2-style pre-tokenizer in the RE2-compatible subset (no lookahead, so
 # the Arrow kernel and Python `re` count identically): common English
 # contractions, letter runs (incl. Latin-ext + Devanagari), digit runs,

@@ -121,6 +121,29 @@ def test_approx_ann_recall(variant):
     assert len(got & exact) >= 5
 
 
+def test_pack_documents_stream_invariants():
+    """Every doc packed exactly once; within a (shard) stream, offsets follow
+    the exact concat-and-chunk recurrence over doc_id order."""
+    from collections import defaultdict
+
+    from invoice_extraction_ray.ops.text import pack_documents
+
+    budget = 64
+    rows = pack_documents(SF, budget=budget, n_shards=4).take_all()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    streams = defaultdict(list)
+    for r in rows:
+        assert r["shard"] == r["doc_id"] % 4
+        streams[r["shard"]].append(r)
+    for stream in streams.values():
+        stream.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in stream:
+            assert r["pack_id"] == cum // budget
+            assert r["pack_offset"] == cum % budget
+            cum += r["n_tok"]
+
+
 def test_kmeans_clusters_matches_local_recompute():
     """Distributed assignment must equal a driver-side numpy recompute with
     the identical deterministic training rules (sample → seeded k-means →
