@@ -279,10 +279,44 @@ def minhash_neardup(
     )
     if pairs.count() == 0:
         return ray.data.from_arrow(out_schema.empty_table())
-    texts = strip_schema_metadata(docs.select_columns(["doc_id", "text"]))
     thr = jaccard_threshold
 
     from ._util import absorb_empty_blocks
+
+    # Semi-join pre-filter: broadcast the distinct pair-involved doc ids
+    # (8 bytes/pair-side — orders of magnitude smaller than the texts) and
+    # stream-filter the corpus BEFORE the hash joins, so the join shuffles
+    # only the texts the verify actually needs instead of the whole corpus.
+    # The joins themselves stay — they are the 100 TB path; this just cuts
+    # their input to O(pairs).
+    id_chunks = [np.empty(0, np.int64)]
+    for b in pairs.select_columns(["a_id", "b_id"]).iter_batches(
+        batch_format="pyarrow", batch_size=65536
+    ):
+        id_chunks.append(
+            np.unique(
+                np.concatenate(
+                    [
+                        b.column("a_id").to_numpy(zero_copy_only=False),
+                        b.column("b_id").to_numpy(zero_copy_only=False),
+                    ]
+                )
+            )
+        )
+    need_ref = ray.put(pa.array(np.unique(np.concatenate(id_chunks)), pa.int64()))
+
+    def only_needed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t.column("doc_id"), value_set=ray.get(need_ref)))
+
+    texts = absorb_empty_blocks(
+        strip_schema_metadata(
+            docs.select_columns(["doc_id", "text"]).map_batches(
+                only_needed, batch_format="pyarrow"
+            )
+        )
+    )
 
     joined = absorb_empty_blocks(
         pairs.join(texts, "inner", num_partitions, on=("a_id",), right_on=("doc_id",))
