@@ -29,6 +29,8 @@ DEFAULT_SF = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # headline set: flagship extraction + representative wide/narrow operators
+# (r3 added the last three: exact inverted-index near-dup, sequence packing,
+# semantic clustering — e2e totals are NOT comparable to r2's 11-query set)
 HEADLINE = [
     "extract_turns",
     "pricing_summary",
@@ -41,6 +43,9 @@ HEADLINE = [
     "asof_purchase_view",
     "sliding_window_counts",
     "value_quantiles",
+    "ngram_jaccard_neardup",
+    "pack_documents",
+    "kmeans_clusters",
 ]
 
 
