@@ -201,7 +201,9 @@ def _sum_pair_counts(
     return pairs.groupby("pshard").map_groups(reduce_shard, batch_format="pyarrow")
 
 
-def minhash_candidate_pairs(docs: ray.data.Dataset) -> ray.data.Dataset:
+def minhash_candidate_pairs(
+    docs: ray.data.Dataset, max_bucket: int | None = None
+) -> ray.data.Dataset:
     """LSH bucketing: docs sharing any band bucket become candidate pairs.
 
     Buckets are grouped by a coarse SHARD key (hash of the bucket id), not per
@@ -209,7 +211,16 @@ def minhash_candidate_pairs(docs: ray.data.Dataset) -> ray.data.Dataset:
     group per (band, band_hash) the dispatch would dominate.  Each shard
     group runs a vectorized run-detection over its sorted sketch rows and
     emits pairs only for true buckets (size >= 2) — the same co-location, two
-    orders of magnitude fewer group dispatches."""
+    orders of magnitude fewer group dispatches.
+
+    ``max_bucket`` is the hot-bucket bound (the LSH twin of the ngram op's
+    ``max_df``): a bucket holding K mutual near-dups emits K^2/2 candidate
+    rows, but a dup CLUSTER only needs K-1 edges to stay connected — buckets
+    larger than the cap are dropped before expansion (each band's full
+    bucket is co-located in one shard, so the run length IS the global
+    bucket size).  Default None = exact (the SQL oracle requires it); at
+    real-corpus scale set a cap and let the clustering op absorb the loss.
+    """
     sketches = docs.map_batches(minhash_sketch_batch, batch_format="pyarrow")
 
     def add_shard(t: pa.Table) -> pa.Table:
@@ -238,7 +249,7 @@ def minhash_candidate_pairs(docs: ray.data.Dataset) -> ray.data.Dataset:
         new_run[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
         starts = np.flatnonzero(new_run)
         ends = np.append(starts[1:], len(band))
-        ia, ib = _expand_runs(did, starts, ends)
+        ia, ib = _expand_runs(did, starts, ends, max_bucket)
         return _pair_partials(did[ia], did[ib])
 
     pairs = (
@@ -252,7 +263,10 @@ def minhash_candidate_pairs(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def minhash_neardup(
-    source, jaccard_threshold: float = 0.8, num_partitions: int = 8
+    source,
+    jaccard_threshold: float = 0.8,
+    num_partitions: int = 8,
+    max_bucket: int | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs with verified Jaccard >= threshold.
 
@@ -273,7 +287,7 @@ def minhash_neardup(
 
     # pairs are small by construction; materialize to branch on emptiness —
     # Ray's hash-join aggregators crash on an empty join side
-    pairs = minhash_candidate_pairs(docs).materialize()
+    pairs = minhash_candidate_pairs(docs, max_bucket).materialize()
     out_schema = pa.schema(
         [("a_id", pa.int64()), ("b_id", pa.int64()), ("jaccard", pa.float64())]
     )

@@ -516,6 +516,33 @@ def test_ngram_jaccard_max_df_bounds_hot_gram_fanout():
     assert (1000, 1001) in got
 
 
+def test_minhash_max_bucket_bounds_hot_bucket_fanout():
+    """A dup cluster of K identical docs lands K docs in every LSH bucket and
+    would emit K^2/2 candidates per band; max_bucket must drop those buckets
+    while an untouched small-bucket pair still comes through."""
+    import pyarrow as pa
+
+    from invoice_extraction_ray.ops.dedup import minhash_neardup
+
+    n_hot = 20
+    hot = "all the same boilerplate text repeated across the whole corpus"
+    ids = list(range(n_hot)) + [1000, 1001]
+    texts = [hot] * n_hot + [
+        "unique planted pair body one two three four five six",
+        "unique planted pair body one two three four five seven",
+    ]
+    corpus = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+
+    uncapped = minhash_neardup(corpus, jaccard_threshold=0.5).take_all()
+    hot_pairs = [r for r in uncapped if r["a_id"] < 1000 and r["b_id"] < 1000]
+    assert len(hot_pairs) == n_hot * (n_hot - 1) // 2
+
+    capped = minhash_neardup(corpus, jaccard_threshold=0.5, max_bucket=5).take_all()
+    got = {(r["a_id"], r["b_id"]) for r in capped}
+    assert all(a >= 1000 for a, _ in got)
+    assert (1000, 1001) in got
+
+
 def test_neardup_clusters_chain_components():
     """Multi-hop components: A~B and B~C but A!~C must still share one
     cluster (min doc_id), exercising >1 label-propagation round."""
