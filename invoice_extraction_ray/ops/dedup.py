@@ -632,7 +632,7 @@ def neardup_clusters(
     the corpus itself streams only through pair generation.
     """
     import pyarrow.compute as pc
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Min
 
     pairs = (
         ngram_jaccard_neardup(source, threshold, max_df=max_df)
@@ -709,9 +709,11 @@ def neardup_clusters(
         )
         return out
 
+    # the edge rows never change between rounds — tag and materialize ONCE
+    tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
     prev_sum = None
     for _ in range(max_iters):
-        tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow")
         tagged_labels = labels.map_batches(tag_labels, batch_format="pyarrow")
         msgs = (
             tagged_edges.union(tagged_labels)
@@ -721,7 +723,13 @@ def neardup_clusters(
         labels = (
             msgs.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
         )
-        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        # convergence check over the already-materialized label blocks —
+        # no extra Ray job per round
+        cur = 0
+        for b in labels.iter_batches(batch_format="pyarrow", batch_size=65536):
+            cur += int(
+                np.sum(b.column("label").to_numpy(zero_copy_only=False), dtype=np.int64)
+            )
         if cur == prev_sum:
             break
         prev_sum = cur
