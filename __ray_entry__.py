@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_count": text.token_count,               # SQL-oracled
         "pack_documents": text.pack_documents,         # SQL-oracled (exact window cumsum)
+        "token_frequencies": lambda sf: text.token_frequencies(sf, 50),  # SQL-oracled
         "bpe_token_count": text.bpe_token_count,       # SQL-oracled (RE2 both sides)
         "langid": text.langid,                          # SQL-oracled
         "quality_features": text.quality_features,      # SQL-oracled (fixed-point)
@@ -608,6 +609,15 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
             "AS n_tokens FROM documents"
+        ),
+        # vocabulary counting: exact integer counts; ties break by token asc
+        # on both sides (DuckDB default binary collation == Arrow byte order)
+        "token_frequencies": (
+            "WITH toks AS (SELECT unnest(regexp_extract_all(coalesce(text, ''), "
+            "'\\S+')) AS token FROM documents), "
+            "c AS (SELECT token, count(*) AS n FROM toks GROUP BY token) "
+            "SELECT token, CAST(n AS BIGINT) AS n FROM c "
+            "ORDER BY n DESC, token LIMIT 50"
         ),
         # sequence packing: exact-integer window cumsum per stream shard —
         # mirrors ops/text.py::pack_documents (budget 2048, 16 shards)

@@ -124,6 +124,73 @@ _BPE_RE = re.compile(
 )
 
 
+def token_frequencies(sf_dir: str, k: int = 50) -> ray.data.Dataset:
+    """Corpus vocabulary: global top-k (token, n) — the counting pass of
+    tokenizer / vocab training.
+
+    Scale shape: each batch collapses to its own (token, count) partials (a
+    per-block combiner, so only distinct-token rows shuffle), tokens are
+    co-partitioned by a 256-way hash shard, each shard segment-sums its
+    tokens vectorized and keeps only its top-k (valid: a token lives wholly
+    in one shard, so the global top-k is a subset of the union of per-shard
+    top-ks), and the final sort/limit runs over <= 256*k survivor rows.
+    Ordering ties break by token ascending — bit-identical to the DuckDB
+    ``ORDER BY n DESC, token`` oracle."""
+    import zlib
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            c.update((s or "").split())
+        toks = list(c.keys())
+        shard = np.array(
+            [zlib.crc32(w.encode()) & 255 for w in toks], dtype=np.int32
+        )
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "n": pa.array([c[w] for w in toks], pa.int64()),
+                "tshard": pa.array(shard),
+            }
+        )
+
+    def reduce_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        g = g.sort_by([("token", "ascending")])
+        tok = g.column("token").combine_chunks()
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        new = np.ones(g.num_rows, dtype=bool)
+        if g.num_rows > 1:
+            new[1:] = ~pc.equal(tok.slice(1), tok.slice(0, g.num_rows - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        seg = np.cumsum(new) - 1
+        totals = np.bincount(seg, weights=n).astype(np.int64)
+        starts = np.flatnonzero(new)
+        out = pa.table(
+            {
+                "token": pc.take(tok, pa.array(starts)),
+                "n": pa.array(totals, pa.int64()),
+            }
+        )
+        # per-shard partial top-k (ties by token asc, like the global order)
+        return out.sort_by([("n", "descending"), ("token", "ascending")]).slice(0, k)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tshard")
+        .map_groups(reduce_shard, batch_format="pyarrow")
+    )
+    return counts.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
 def bpe_pretokenize(text: str) -> list[str]:
     return _BPE_RE.findall(text or "")
 

@@ -121,6 +121,25 @@ def test_approx_ann_recall(variant):
     assert len(got & exact) >= 5
 
 
+def test_token_frequencies_matches_counter():
+    """Distributed vocab counts must equal a local Counter, with the
+    (n desc, token asc) tie-break order preserved."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.text import token_frequencies
+
+    rows = token_frequencies(SF, k=10).take_all()
+    c = Counter()
+    for s in pq.read_table(f"{SF}/documents.parquet", columns=["text"]).column(
+        "text"
+    ).to_pylist():
+        c.update((s or "").split())
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["token"], r["n"]) for r in rows] == want
+
+
 def test_pack_documents_stream_invariants():
     """Every doc packed exactly once; within a (shard) stream, offsets follow
     the exact concat-and-chunk recurrence over doc_id order."""
