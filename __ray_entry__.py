@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": text.token_count,               # SQL-oracled
         "pack_documents": text.pack_documents,         # SQL-oracled (exact window cumsum)
         "token_frequencies": lambda sf: text.token_frequencies(sf, 50),  # SQL-oracled
+        "quality_topquantile": lambda sf: text.quality_topquantile(sf, 0.75),  # SQL-oracled
         "bpe_token_count": text.bpe_token_count,       # SQL-oracled (RE2 both sides)
         "langid": text.langid,                          # SQL-oracled
         "quality_features": text.quality_features,      # SQL-oracled (fixed-point)
@@ -609,6 +610,25 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
             "AS n_tokens FROM documents"
+        ),
+        # quality gate at the exact 0.75 score quantile: same integer score
+        # expression as quality_features; quantile_disc == the engine's
+        # ceil(q*n)-1 histogram order statistic
+        "quality_topquantile": (
+            "WITH f AS (SELECT doc_id, "
+            "  length(coalesce(text,'')) AS n_chars, "
+            "  len(regexp_extract_all(coalesce(text,''), '\\S+')) AS n_tokens, "
+            "  len(regexp_extract_all(coalesce(text,''), '[.,;:!?]')) AS n_punct, "
+            "  len(list_filter(regexp_extract_all(lower(coalesce(text,'')), '[a-z'']+'), "
+            "      x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS hits, "
+            "  greatest(len(regexp_extract_all(lower(coalesce(text,'')), '[a-z'']+')), 1) AS words "
+            "FROM documents), e AS (SELECT doc_id, "
+            "  5*CAST(floor((10000.0*hits)/words + 0.5) AS BIGINT) "
+            "  + 4*least(n_tokens,100)*100 "
+            "  + (10000 - least(CAST(floor((10000.0*n_punct)/greatest(n_chars,1) + 0.5) AS BIGINT), 10000)) "
+            "  AS score_e5 FROM f), "
+            "t AS (SELECT quantile_disc(score_e5, 0.75) AS thr FROM e) "
+            "SELECT e.doc_id, e.score_e5 FROM e, t WHERE e.score_e5 >= t.thr"
         ),
         # vocabulary counting: exact integer counts; ties break by token asc
         # on both sides (DuckDB default binary collation == Arrow byte order)

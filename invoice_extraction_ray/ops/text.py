@@ -266,6 +266,80 @@ def quality_features(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def quality_topquantile(sf_dir: str, q: float = 0.75) -> ray.data.Dataset:
+    """Quality gate at an EXACT corpus quantile: keep every document whose
+    integer quality score is >= the q-quantile of all scores (DuckDB
+    ``quantile_disc`` convention, ``ceil(q*n)-1`` on the ascending sort —
+    same rule as ops/sketch.py::value_quantiles).
+
+    Scale shape: the threshold comes from a streamed HISTOGRAM of the
+    integer scores — each batch emits (score, count) partials, a 64-way
+    score-shard groupby segment-sums them, and only the distinct-score
+    histogram (bounded by the score range, NOT the corpus) reaches the
+    driver, which reads off the exact order statistic.  The corpus then
+    streams a second time through a broadcast-threshold filter.  No sort of
+    the data, no driver materialization of rows."""
+    import math
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        s = quality_arrays(t.column("text"))["score_e5"]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "score_e5": pa.array(s, pa.int64())}
+        )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        s = t.column("score_e5").to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(s, return_counts=True)
+        return pa.table(
+            {
+                "score_e5": pa.array(vals, pa.int64()),
+                "cnt": pa.array(cnts.astype(np.int64)),
+                "hshard": pa.array((vals & 63).astype(np.int32)),
+            }
+        )
+
+    def hist_reduce(g: pa.Table) -> pa.Table:
+        s = g.column("score_e5").to_numpy(zero_copy_only=False)
+        c = g.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.argsort(s, kind="stable")
+        s, c = s[order], c[order]
+        new = np.ones(len(s), dtype=bool)
+        new[1:] = s[1:] != s[:-1]
+        seg = np.cumsum(new) - 1
+        tot = np.bincount(seg, weights=c).astype(np.int64)
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {"score_e5": pa.array(s[starts], pa.int64()), "cnt": pa.array(tot)}
+        )
+
+    scored = ds.map_batches(score_batch, batch_format="pyarrow")
+    hist_rows = (
+        scored.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("hshard")
+        .map_groups(hist_reduce, batch_format="pyarrow")
+        .take_all()
+    )
+    hist_rows.sort(key=lambda r: r["score_e5"])
+    n = sum(r["cnt"] for r in hist_rows)
+    if n == 0:
+        return scored  # empty corpus: nothing to gate
+    idx = max(0, math.ceil(q * n) - 1)
+    cum = 0
+    thr = hist_rows[-1]["score_e5"]
+    for r in hist_rows:
+        cum += r["cnt"]
+        if cum > idx:
+            thr = r["score_e5"]
+            break
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("score_e5"), thr))
+
+    return scored.map_batches(keep, batch_format="pyarrow")
+
+
 def quality_arrays(text_col: pa.Array) -> dict:
     """The quality feature kernels as numpy arrays (shared by
     ``quality_features`` and the corpus-prep composition — one definition,

@@ -121,6 +121,26 @@ def test_approx_ann_recall(variant):
     assert len(got & exact) >= 5
 
 
+def test_quality_topquantile_threshold_semantics():
+    """Kept set must be exactly {docs with score >= quantile_disc(q)} per the
+    ceil(q*n)-1 order-statistic convention, recomputed locally."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.text import quality_arrays, quality_topquantile
+
+    got = {r["doc_id"]: r["score_e5"] for r in quality_topquantile(SF, q=0.5).take_all()}
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    scores = quality_arrays(tbl.column("text"))["score_e5"]
+    ids = tbl.column("doc_id").to_pylist()
+    srt = sorted(scores.tolist())
+    thr = srt[max(0, math.ceil(0.5 * len(srt)) - 1)]
+    want = {d: int(s) for d, s in zip(ids, scores.tolist()) if s >= thr}
+    assert got == want
+
+
 def test_token_frequencies_matches_counter():
     """Distributed vocab counts must equal a local Counter, with the
     (n desc, token asc) tie-break order preserved."""
