@@ -86,6 +86,15 @@ def _ngram_jaccard_neardup(sf_dir: str):
     return ngram_jaccard_neardup(docs, threshold=0.5)
 
 
+def _novelty_scores(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.dedup import novelty_scores
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return novelty_scores(docs)
+
+
 def _neardup_clusters(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -327,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "minhash_neardup": _minhash_neardup,            # SQL-oracled (recall 1.0 measured)
         "ngram_jaccard_neardup": _ngram_jaccard_neardup,  # SQL-oracled (exact)
+        "novelty_scores": _novelty_scores,              # SQL-oracled (exact integers)
         "neardup_clusters": _neardup_clusters,            # SQL-oracled (recursive CTE)
         "contamination_check": _contamination_check,      # SQL-oracled (exact integers)
         "prepare_corpus": _prepare_corpus,                 # SQL-oracled (composed pipeline)
@@ -796,6 +806,22 @@ def oracle_sql() -> dict[str, str]:
             r"FROM g a JOIN g b ON a.doc_id < b.doc_id) "
             r"SELECT a_id, b_id, CAST(i AS BIGINT) AS n_inter, CAST(u AS BIGINT) AS n_union "
             r"FROM p WHERE i > 0 AND i * 10000 >= 5000 * u"
+        ),
+        # trigram novelty: corpus df via unnest+count, df==1 grams per doc,
+        # round-half-up integer fraction — exact on both sides
+        "novelty_scores": (
+            r"WITH g AS (SELECT doc_id, "
+            r"list_distinct(list_transform(range(1, greatest(len(ws)-2, 0) + 1), "
+            r"i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams "
+            r"FROM (SELECT doc_id, regexp_extract_all(coalesce(text,''), '\S+') AS ws "
+            r"FROM documents)), "
+            r"u AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
+            r"df AS (SELECT gram, count(*) AS df FROM u GROUP BY gram), "
+            r"per AS (SELECT u.doc_id, count(*) AS n, "
+            r"sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS uq "
+            r"FROM u JOIN df USING (gram) GROUP BY u.doc_id) "
+            r"SELECT doc_id, CAST(n AS BIGINT) AS n_grams, CAST(uq AS BIGINT) AS n_unique, "
+            r"CAST((20000*uq + n) // (2*n) AS BIGINT) AS novelty_e4 FROM per"
         ),
         # composed corpus-prep pipeline: quality gate (score_e5 >= 25000,
         # the quality_features expression) + exact-dedup keep-min-doc_id +

@@ -745,6 +745,112 @@ def neardup_clusters(
     return labels.map_batches(project, batch_format="pyarrow")
 
 
+def novelty_scores(source) -> ray.data.Dataset:
+    """Per-document trigram novelty — the repetition/boilerplate curation
+    signal: for every doc with >=1 distinct word trigram, the count of its
+    grams that appear in NO other document (corpus df == 1) and the novelty
+    fraction (round-half-up 1e-4 fixed point, exact integers both sides).
+
+    Distributed plan (inverted-index shape, nothing approximate, nothing on
+    the driver): explode docs to distinct (gram, doc_id) rows; co-partition
+    by a 256-way gram shard, where each gram's full posting list is one
+    sorted run, so the RUN LENGTH is the gram's global df; emit per-doc
+    PARTIAL (n_grams, n_unique) counters per shard; combine with a coarse
+    doc-shard groupby + vectorized segment sums."""
+    import pyarrow.compute as pc
+
+    from invoice_extraction_ray.ops._util import as_docs_dataset
+
+    docs = as_docs_dataset(source)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            for g in word_trigrams(s):
+                ids.append(d)
+                grams.append(g)
+        shard = np.array(
+            [zlib.crc32(g.encode()) & (N_BUCKET_SHARDS - 1) for g in grams],
+            dtype=np.int32,
+        )
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "shard": pa.array(shard),
+            }
+        )
+
+    _PARTIAL_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_p", pa.int64()),
+            ("u_p", pa.int64()),
+            ("dshard", pa.int32()),
+        ]
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        t = t.sort_by([("gram", "ascending"), ("doc_id", "ascending")])
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        g = t.column("gram")
+        same = pc.equal(g.slice(1), g.slice(0, len(g) - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        new_run = np.ones(len(did), dtype=bool)
+        new_run[1:] = ~same
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        unique_gram = (run_len == 1)[run_id]
+        uids, inv = np.unique(did, return_inverse=True)
+        n_p = np.bincount(inv).astype(np.int64)
+        u_p = np.bincount(inv, weights=unique_gram.astype(np.int64)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(uids, pa.int64()),
+                "n_p": pa.array(n_p),
+                "u_p": pa.array(u_p),
+                "dshard": pa.array((uids & 63).astype(np.int32)),
+            }
+        )
+
+    def reduce_docs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "n_unique": pa.array([], pa.int64()),
+                    "novelty_e4": pa.array([], pa.int64()),
+                }
+            )
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        n_p = g.column("n_p").to_numpy(zero_copy_only=False)
+        u_p = g.column("u_p").to_numpy(zero_copy_only=False)
+        uids, inv = np.unique(did, return_inverse=True)
+        n = np.bincount(inv, weights=n_p).astype(np.int64)
+        u = np.bincount(inv, weights=u_p).astype(np.int64)
+        nov = (20_000 * u + n) // (2 * n)  # round-half-up, pure integers
+        return pa.table(
+            {
+                "doc_id": pa.array(uids, pa.int64()),
+                "n_grams": pa.array(n),
+                "n_unique": pa.array(u),
+                "novelty_e4": pa.array(nov, pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(mark, batch_format="pyarrow")
+        .groupby("dshard")
+        .map_groups(reduce_docs, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-bit) — near-dup signature; Hamming-close signatures ~ similar docs
 # ---------------------------------------------------------------------------

@@ -121,6 +121,31 @@ def test_approx_ann_recall(variant):
     assert len(got & exact) >= 5
 
 
+def test_novelty_scores_planted():
+    """Two identical docs share every gram (novelty 0); a fully unique doc
+    scores 10000; a half-shared doc lands exactly between."""
+    import pyarrow as pa
+
+    from invoice_extraction_ray.ops.dedup import novelty_scores
+
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                "aa bb cc dd",  # grams: {aa bb cc, bb cc dd} — all shared with doc 2
+                "aa bb cc dd",
+                "xx yy zz ww",  # fully unique
+                "aa bb cc qq",  # {aa bb cc (shared), bb cc qq (unique)}
+            ],
+        }
+    )
+    got = {r["doc_id"]: r for r in novelty_scores(corpus).take_all()}
+    assert got[1]["novelty_e4"] == 0 and got[2]["novelty_e4"] == 0
+    assert got[3]["novelty_e4"] == 10000 and got[3]["n_unique"] == 2
+    assert got[4]["n_grams"] == 2 and got[4]["n_unique"] == 1
+    assert got[4]["novelty_e4"] == 5000
+
+
 def test_quality_topquantile_threshold_semantics():
     """Kept set must be exactly {docs with score >= quantile_disc(q)} per the
     ceil(q*n)-1 order-statistic convention, recomputed locally."""
