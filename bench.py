@@ -46,6 +46,9 @@ HEADLINE = [
     "ngram_jaccard_neardup",
     "pack_documents",
     "kmeans_clusters",
+    "token_frequencies",
+    "quality_topquantile",
+    "novelty_scores",
 ]
 
 
