@@ -84,3 +84,73 @@ def test_ngram_pairs_and_clusters_partition_invariant():
     many = run(7)
     assert one == many
     assert one[0], "fixture corpus must contain near-dup pairs"
+
+
+def test_pair_count_combine_is_partition_invariant():
+    """_pair_partials/_sum_pair_counts implement a distributive count: any
+    split of the raw pair multiset into blocks must combine to the exact
+    global per-pair counts (hypothesis over multisets AND block layouts)."""
+    from collections import Counter
+
+    import numpy as np
+    import ray.data as rd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from invoice_extraction_ray.ops.dedup import _pair_partials, _sum_pair_counts
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(10, 19)), min_size=1, max_size=60
+        ),
+        nsplit=st.integers(1, 5),
+        data=st.data(),
+    )
+    def check(pairs, nsplit, data):
+        want = Counter(pairs)
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(0, len(pairs)), min_size=nsplit - 1, max_size=nsplit - 1
+                )
+            )
+        )
+        blocks, prev = [], 0
+        for c in cuts + [len(pairs)]:
+            chunk = pairs[prev:c]
+            prev = c
+            if not chunk:
+                continue
+            a = np.array([p[0] for p in chunk], np.int64)
+            b = np.array([p[1] for p in chunk], np.int64)
+            blocks.append(_pair_partials(a, b))
+        got = {
+            (r["a_id"], r["b_id"]): r["n"]
+            for r in _sum_pair_counts(rd.from_arrow(blocks), "n").take_all()
+        }
+        assert got == dict(want)
+
+    check()
+
+
+def test_novelty_and_vocab_partition_invariant():
+    """novelty_scores and token_frequencies must be invariant to the input
+    block layout (their per-block combiners are exact)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from invoice_extraction_ray.ops.dedup import novelty_scores
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def run(nblocks):
+        ds = rd.from_arrow(docs).repartition(nblocks)
+        return sorted(
+            (r["doc_id"], r["n_grams"], r["n_unique"], r["novelty_e4"])
+            for r in novelty_scores(ds).take_all()
+        )
+
+    assert run(1) == run(9)
