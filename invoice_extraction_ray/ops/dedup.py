@@ -96,6 +96,7 @@ def minhash_sketch_batch(t: pa.Table) -> pa.Table:
 
 
 N_BUCKET_SHARDS = 256
+_SEMI_FILTER_CAP = 5_000_000  # max pair-involved ids worth broadcasting (~40 MB)
 
 
 def _expand_runs(
@@ -302,35 +303,39 @@ def minhash_neardup(
     # stream-filter the corpus BEFORE the hash joins, so the join shuffles
     # only the texts the verify actually needs instead of the whole corpus.
     # The joins themselves stay — they are the 100 TB path; this just cuts
-    # their input to O(pairs).
+    # their input to O(pairs).  If the pair set is so large that the id
+    # broadcast itself would be heavy (> _SEMI_FILTER_CAP ids ≈ 8 bytes
+    # each), skip the filter and let the hash join do the work unaided —
+    # the filter is a constant-factor optimization, never load-bearing.
     id_chunks = [np.empty(0, np.int64)]
+    n_ids = 0
     for b in pairs.select_columns(["a_id", "b_id"]).iter_batches(
         batch_format="pyarrow", batch_size=65536
     ):
-        id_chunks.append(
-            np.unique(
-                np.concatenate(
-                    [
-                        b.column("a_id").to_numpy(zero_copy_only=False),
-                        b.column("b_id").to_numpy(zero_copy_only=False),
-                    ]
-                )
+        u = np.unique(
+            np.concatenate(
+                [
+                    b.column("a_id").to_numpy(zero_copy_only=False),
+                    b.column("b_id").to_numpy(zero_copy_only=False),
+                ]
             )
         )
-    need_ref = ray.put(pa.array(np.unique(np.concatenate(id_chunks)), pa.int64()))
+        id_chunks.append(u)
+        n_ids += len(u)
+        if n_ids > _SEMI_FILTER_CAP:
+            break
 
-    def only_needed(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    texts = docs.select_columns(["doc_id", "text"])
+    if n_ids <= _SEMI_FILTER_CAP:
+        need_ref = ray.put(pa.array(np.unique(np.concatenate(id_chunks)), pa.int64()))
 
-        return t.filter(pc.is_in(t.column("doc_id"), value_set=ray.get(need_ref)))
+        def only_needed(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-    texts = absorb_empty_blocks(
-        strip_schema_metadata(
-            docs.select_columns(["doc_id", "text"]).map_batches(
-                only_needed, batch_format="pyarrow"
-            )
-        )
-    )
+            return t.filter(pc.is_in(t.column("doc_id"), value_set=ray.get(need_ref)))
+
+        texts = texts.map_batches(only_needed, batch_format="pyarrow")
+    texts = absorb_empty_blocks(strip_schema_metadata(texts))
 
     joined = absorb_empty_blocks(
         pairs.join(texts, "inner", num_partitions, on=("a_id",), right_on=("doc_id",))
