@@ -285,7 +285,7 @@ def _sliding_window(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from invoice_extraction_ray.ops import ann, dedup, relational, text
-    from invoice_extraction_ray.ops.multimodal import media_metadata
+    from invoice_extraction_ray.ops.multimodal import media_ann_topk, media_metadata
 
     return {
         # flagship transcript extraction (rows-only; oracle = tests/ pytest)
@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resized": _media_resized_flat,           # SQL-oracled (hex slices)
         "media_frames": _media_frames_flat,             # SQL-oracled (hex slices)
         "media_features": _media_features_flat,         # SQL-oracled (f32-exact nibble histogram)
+        "media_ann_topk": media_ann_topk,               # SQL-oracled (projection literals)
     }
 
 
@@ -525,6 +526,20 @@ def oracle_sql() -> dict[str, str]:
         + "')) AS DOUBLE) / greatest(nb, 1) AS FLOAT)::DOUBLE * 10000 + 0.5) "
         f"AS BIGINT) AS f{j:02d}_e4"
         for j in range(16)
+    )
+
+    # media_ann_topk: the same float32-exact feature values RAW (no e4),
+    # projected through the seeded data-independent encoder-head matrix
+    # (inlined as literals, like the LSH planes) and cosine-scored
+    _FEAT_RAW = ", ".join(
+        "CAST(CAST(CAST(len(list_filter(nibbles, x -> x = '"
+        + "0123456789ABCDEF"[j]
+        + "')) AS DOUBLE) / greatest(nb, 1) AS FLOAT) AS DOUBLE)"
+        for j in range(16)
+    )
+    _media_proj = np.random.RandomState(13579).normal(size=(16, 16))
+    _MEDIA_EV = ", ".join(
+        f"list_dot_product(fv, {_plane_lit(_media_proj[j])})" for j in range(16)
     )
 
     out = {
@@ -1010,6 +1025,21 @@ def oracle_sql() -> dict[str, str]:
             "n AS (SELECT doc_id, nb, list_transform(range(1, nb + 1), "
             "i -> substr(ph, (i-1)*2 + 1, 1)) AS nibbles FROM m) "
             "SELECT doc_id, " + _FEAT_COLS + " FROM n"
+        ),
+        "media_ann_topk": (
+            "WITH m AS (SELECT doc_id, hex(encode(coalesce(text,''))) AS ph, "
+            "octet_length(encode(coalesce(text,''))) AS nb FROM documents), "
+            "n AS (SELECT doc_id, nb, list_transform(range(1, nb + 1), "
+            "i -> substr(ph, (i-1)*2 + 1, 1)) AS nibbles FROM m), "
+            "f AS (SELECT doc_id, list_value(" + _FEAT_RAW + ") AS fv "
+            "FROM n WHERE nb > 0), "
+            "e AS (SELECT doc_id, list_value(" + _MEDIA_EV + ") AS ev FROM f), "
+            "q AS (SELECT ev AS qv FROM e WHERE doc_id = 0) "
+            "SELECT e.doc_id, "
+            "CAST(floor(list_cosine_similarity(e.ev, q.qv) * 10000 + 0.5) AS BIGINT) "
+            "AS sim_e4 FROM e, q "
+            "ORDER BY floor(list_cosine_similarity(e.ev, q.qv) * 10000 + 0.5) DESC, "
+            "e.doc_id LIMIT 10"
         ),
         "lsh_ann_topk": (
             # multiprobe = Hamming <= 2 on the 6 plane signs vs the query

@@ -229,3 +229,74 @@ def media_metadata(sf_dir: str) -> ray.data.Dataset:
         batch_size=64,
         concurrency=pool_size(),
     )
+
+
+# ---------------------------------------------------------------------------
+# Media embeddings + similarity search: the cross-modal retrieval composition
+# (feature-extract -> fixed projection -> cosine top-k).  The projection is a
+# data-independent seeded matrix standing in for a learned image/audio
+# encoder head; swap it for a real model forward in ByteHistogramFeatures'
+# place and nothing downstream changes.
+# ---------------------------------------------------------------------------
+
+import numpy as _np
+
+_MEDIA_PROJ = _np.random.RandomState(13579).normal(size=(16, 16))
+
+
+def _embed_feature_matrix(feats64: "_np.ndarray") -> "_np.ndarray":
+    """float64 feature rows -> projected embedding rows (no normalization —
+    cosine scoring normalizes; zero-norm rows are filtered by callers)."""
+    return feats64 @ _MEDIA_PROJ.T
+
+
+def media_ann_topk(
+    sf_dir: str, k: int = 10, query_doc_id: int = 0
+) -> ray.data.Dataset:
+    """Cosine top-k over media embeddings: payload -> byte-histogram features
+    (actor pool) -> fixed-projection embedding + broadcast-query scoring
+    (task map, one matmul per batch) -> global sort/limit.  The query doc's
+    payload comes from a predicate-pushdown parquet point read — the driver
+    never reads the fact table.  Zero-norm embeddings (empty payloads) are
+    excluded on both the engine and oracle sides."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from ._util import embedding_matrix
+
+    # query features, by the identical kernel, driver-side
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "==", query_doc_id)],
+    )
+    payload = (tbl.column("text")[0].as_py() or "").encode()
+    b = _np.frombuffer(payload, dtype=_np.uint8)
+    if b.size == 0:
+        raise ValueError("query doc has an empty payload")
+    hist = _np.bincount(b >> 4, minlength=N_HIST_BINS).astype(_np.float64)
+    qf = (hist / b.size).astype(_np.float32).astype(_np.float64)
+    qe = _embed_feature_matrix(qf[None, :])[0]
+    qn = qe / max(float(_np.linalg.norm(qe)), 1e-30)
+    q_ref = ray.put(qn)
+
+    def score(t: pa.Table) -> pa.Table:
+        bq = ray.get(q_ref)  # plasma zero-copy per batch
+        m = embedding_matrix(t.column("features"), dtype="float64", dim=N_HIST_BINS)
+        e = _embed_feature_matrix(m)
+        norms = _np.linalg.norm(e, axis=1)
+        keep = norms > 0
+        sims = (e[keep] @ bq) / norms[keep]
+        vid = t.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(vid, pa.int64()),
+                "sim_e4": pa.array(
+                    _np.floor(sims * 10_000.0 + 0.5).astype(_np.int64)
+                ),
+            }
+        )
+
+    scored = media_features(sf_dir).map_batches(score, batch_format="pyarrow")
+    return scored.sort(["sim_e4", "doc_id"], descending=[True, False]).limit(k)

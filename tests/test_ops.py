@@ -121,6 +121,41 @@ def test_approx_ann_recall(variant):
     assert len(got & exact) >= 5
 
 
+def test_media_ann_topk_matches_local_recompute():
+    """The media feature->projection->cosine pipeline must equal a local
+    numpy recompute over the same payload bytes."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.multimodal import (
+        N_HIST_BINS,
+        _embed_feature_matrix,
+    )
+    from invoice_extraction_ray.ops.multimodal import media_ann_topk
+
+    got = [(r["doc_id"], r["sim_e4"]) for r in media_ann_topk(SF, k=5).take_all()]
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_pylist()
+    feats = []
+    for s in tbl.column("text").to_pylist():
+        b = np.frombuffer((s or "").encode(), dtype=np.uint8)
+        if b.size == 0:
+            feats.append(np.zeros(N_HIST_BINS))
+            continue
+        h = np.bincount(b >> 4, minlength=N_HIST_BINS).astype(np.float64)
+        feats.append((h / b.size).astype(np.float32).astype(np.float64))
+    e = _embed_feature_matrix(np.asarray(feats))
+    norms = np.linalg.norm(e, axis=1)
+    q = e[ids.index(0)] / norms[ids.index(0)]
+    keep = norms > 0
+    sims = np.floor((e[keep] @ q) / norms[keep] * 10_000.0 + 0.5).astype(np.int64)
+    kept_ids = np.asarray(ids)[keep]
+    order = np.lexsort((kept_ids, -sims))
+    want = [(int(kept_ids[i]), int(sims[i])) for i in order[:5]]
+    assert got == want
+
+
 def test_novelty_scores_planted():
     """Two identical docs share every gram (novelty 0); a fully unique doc
     scores 10000; a half-shared doc lands exactly between."""
