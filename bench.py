@@ -49,6 +49,7 @@ HEADLINE = [
     "token_frequencies",
     "quality_topquantile",
     "novelty_scores",
+    "media_ann_topk",
 ]
 
 
