@@ -86,6 +86,15 @@ def _ngram_jaccard_neardup(sf_dir: str):
     return ngram_jaccard_neardup(docs, threshold=0.5)
 
 
+def _delta_neardup(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.dedup import delta_neardup
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return delta_neardup(docs, threshold=0.3)
+
+
 def _novelty_scores(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -337,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": _minhash_neardup,            # SQL-oracled (recall 1.0 measured)
         "ngram_jaccard_neardup": _ngram_jaccard_neardup,  # SQL-oracled (exact)
         "novelty_scores": _novelty_scores,              # SQL-oracled (exact integers)
+        "delta_neardup": _delta_neardup,                # SQL-oracled (exact, cross-side)
         "neardup_clusters": _neardup_clusters,            # SQL-oracled (recursive CTE)
         "contamination_check": _contamination_check,      # SQL-oracled (exact integers)
         "prepare_corpus": _prepare_corpus,                 # SQL-oracled (composed pipeline)
@@ -821,6 +831,22 @@ def oracle_sql() -> dict[str, str]:
             r"FROM g a JOIN g b ON a.doc_id < b.doc_id) "
             r"SELECT a_id, b_id, CAST(i AS BIGINT) AS n_inter, CAST(u AS BIGINT) AS n_union "
             r"FROM p WHERE i > 0 AND i * 10000 >= 5000 * u"
+        ),
+        # incremental-ingestion dedup: exact cross-side (delta x corpus)
+        # trigram Jaccard at >= 0.3; same integer threshold as the engine
+        "delta_neardup": (
+            r"WITH g AS (SELECT doc_id, "
+            r"list_distinct(list_transform(range(1, greatest(len(ws)-2, 0) + 1), "
+            r"i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams "
+            r"FROM (SELECT doc_id, regexp_extract_all(coalesce(text,''), '\S+') AS ws "
+            r"FROM documents)), "
+            r"p AS (SELECT a.doc_id AS delta_id, b.doc_id AS corpus_id, "
+            r"len(list_intersect(a.grams, b.grams)) AS i, "
+            r"len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS u "
+            r"FROM g a JOIN g b ON a.doc_id % 10 = 0 AND b.doc_id % 10 != 0) "
+            r"SELECT delta_id, corpus_id, CAST(i AS BIGINT) AS n_inter, "
+            r"CAST(u AS BIGINT) AS n_union "
+            r"FROM p WHERE i > 0 AND i * 10000 >= 3000 * u"
         ),
         # trigram novelty: corpus df via unnest+count, df==1 grams per doc,
         # round-half-up integer fraction — exact on both sides

@@ -750,6 +750,119 @@ def neardup_clusters(
     return labels.map_batches(project, batch_format="pyarrow")
 
 
+def delta_neardup(
+    source,
+    threshold: float = 0.5,
+    delta_mod: int = 10,
+    max_df: int | None = None,
+) -> ray.data.Dataset:
+    """Ingest-time dedup: EXACT trigram-Jaccard near-dup pairs between a
+    DELTA batch of new documents and the existing corpus — the check an
+    incremental ingestion pipeline runs before admitting new docs, without
+    ever comparing corpus docs to each other.
+
+    Split rule (deterministic, mirrored by the SQL oracle):
+    ``doc_id % delta_mod == 0`` -> DELTA (new), else CORPUS.  Output rows
+    are (delta_id, corpus_id, n_inter, n_union) with Jaccard >= threshold.
+
+    Same inverted-index plan as ``ngram_jaccard_neardup`` — postings carry a
+    side flag and each doc's gram count; pair expansion keeps only
+    CROSS-side (delta x corpus) pairs, so a huge corpus with a small delta
+    emits O(delta-collisions), never corpus-internal pairs."""
+    import pyarrow.compute as pc
+
+    from invoice_extraction_ray.ops._util import as_docs_dataset
+
+    docs = as_docs_dataset(source)
+    thr_e4 = int(round(threshold * 10_000))
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, grams, ngs = [], [], []
+        for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            gs = word_trigrams(s)
+            for g in gs:
+                ids.append(d)
+                grams.append(g)
+                ngs.append(len(gs))
+        shard = np.array(
+            [zlib.crc32(g.encode()) & (N_BUCKET_SHARDS - 1) for g in grams],
+            dtype=np.int32,
+        )
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "ng": pa.array(ngs, pa.int64()),
+                "shard": pa.array(shard),
+            }
+        )
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("gram", "ascending"), ("doc_id", "ascending")])
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ng = t.column("ng").to_numpy(zero_copy_only=False)
+        g = t.column("gram")
+        same = pc.equal(g.slice(1), g.slice(0, len(g) - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        new_run = np.ones(len(did), dtype=bool)
+        new_run[1:] = ~same
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(did))
+        ia, ib = _expand_runs(did, starts, ends, max_df)
+        # keep only cross-side pairs, oriented (delta, corpus)
+        a_delta = did[ia] % delta_mod == 0
+        b_delta = did[ib] % delta_mod == 0
+        cross = a_delta != b_delta
+        ia, ib, a_delta = ia[cross], ib[cross], a_delta[cross]
+        d_idx = np.where(a_delta, ia, ib)
+        c_idx = np.where(a_delta, ib, ia)
+        return _pair_partials(
+            did[d_idx], did[c_idx], {"a_n": ng[d_idx], "b_n": ng[c_idx]}
+        )
+
+    pairs = _sum_pair_counts(
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(emit_pairs, batch_format="pyarrow"),
+        "n_inter",
+        ("a_n", "b_n"),
+    ).materialize()
+    out_schema = pa.schema(
+        [
+            ("delta_id", pa.int64()),
+            ("corpus_id", pa.int64()),
+            ("n_inter", pa.int64()),
+            ("n_union", pa.int64()),
+        ]
+    )
+    if pairs.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def finish(t: pa.Table) -> pa.Table:
+        inter = t.column("n_inter").to_numpy(zero_copy_only=False).astype(np.int64)
+        union = (
+            t.column("a_n").to_numpy(zero_copy_only=False).astype(np.int64)
+            + t.column("b_n").to_numpy(zero_copy_only=False).astype(np.int64)
+            - inter
+        )
+        keep = (inter > 0) & (inter * 10_000 >= thr_e4 * union)
+        return pa.table(
+            {
+                "delta_id": pa.array(
+                    t.column("a_id").to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+                "corpus_id": pa.array(
+                    t.column("b_id").to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+                "n_inter": pa.array(inter[keep], pa.int64()),
+                "n_union": pa.array(union[keep], pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
 def novelty_scores(source) -> ray.data.Dataset:
     """Per-document trigram novelty — the repetition/boilerplate curation
     signal: for every doc with >=1 distinct word trigram, the count of its

@@ -121,6 +121,32 @@ def test_approx_ann_recall(variant):
     assert len(got & exact) >= 5
 
 
+def test_delta_neardup_cross_side_only():
+    """Near-dup pairs within the corpus side (or within the delta side) must
+    NOT be emitted; cross-side dups are, oriented (delta, corpus)."""
+    import pyarrow as pa
+
+    from invoice_extraction_ray.ops.dedup import delta_neardup
+
+    corpus = pa.table(
+        {
+            # % 10 == 0 -> delta side: docs 10, 20
+            "doc_id": pa.array([10, 20, 1, 2, 3], pa.int64()),
+            "text": [
+                "alpha beta gamma delta epsilon",  # delta: dup of corpus doc 1
+                "one two three four five",  # delta: unique
+                "alpha beta gamma delta epsilon",  # corpus: dup of delta 10 AND corpus 3
+                "six seven eight nine ten",  # corpus: unique
+                "alpha beta gamma delta epsilon",  # corpus: dup of 1 (same side!)
+            ],
+        }
+    )
+    got = {
+        (r["delta_id"], r["corpus_id"]) for r in delta_neardup(corpus, 0.5).take_all()
+    }
+    assert got == {(10, 1), (10, 3)}  # corpus-internal (1,3) and delta 20 absent
+
+
 def test_media_ann_topk_matches_local_recompute():
     """The media feature->projection->cosine pipeline must equal a local
     numpy recompute over the same payload bytes."""
