@@ -50,6 +50,7 @@ HEADLINE = [
     "quality_topquantile",
     "novelty_scores",
     "media_ann_topk",
+    "delta_neardup",
 ]
 
 
