@@ -75,23 +75,32 @@ def _sweep_shard(t: pa.Table) -> pa.Table:
     if not len(lk) or not len(rk):
         return schema.empty_table()
 
-    # dense key ranks (precision-safe composite positions regardless of key
-    # magnitude), rights sorted by (rank, start)
+    # dense key ranks; rights sorted by (rank, start)
     ku = np.unique(np.concatenate([lk, rk]))
     lkr = np.searchsorted(ku, lk)
     rkr = np.searchsorted(ku, rk)
     ro = np.lexsort((ri, rs, rkr))
     rkr, ri, rs, re_ = rkr[ro], ri[ro], rs[ro], re_[ro]
 
-    # monotone composite position: rank*span + (start - min_s) in [0, span)
-    min_s = min(ls.min(), rs.min())
-    max_s = max(ls.max(), rs.max())
-    span = (max_s - min_s) + 1.0
-    gs = rkr * span + (rs - min_s)
-    # rights of my key with r.start < l.end: [kbeg, hi)
-    kbeg = np.searchsorted(gs, lkr * span, side="left")
-    gq = lkr * span + np.minimum(le - min_s, span - 0.5)
-    hi = np.searchsorted(gs, gq, side="left")
+    # rights of my key with r.start < l.end: [kbeg, hi).  The key segment
+    # bounds come from EXACT integer searchsorted on the rank; the start
+    # bound from a vectorized bisection on the RAW floats — a composite
+    # rank*span + offset position would absorb sub-ulp start/end
+    # differences (measured: a 1.4e-14 overlap sliver vanished once shifted
+    # by rank*span ~ 1e5, dropping true pairs).
+    kbeg = np.searchsorted(rkr, lkr, side="left")
+    kend = np.searchsorted(rkr, lkr, side="right")
+    lo_b, hi_b = kbeg.copy(), kend.copy()
+    guard = max(len(rs) - 1, 0)
+    while True:
+        act = lo_b < hi_b
+        if not act.any():
+            break
+        mid = (lo_b + hi_b) // 2
+        go_right = rs[np.minimum(mid, guard)] < le  # first rs >= le is right of mid
+        lo_b = np.where(act & go_right, mid + 1, lo_b)
+        hi_b = np.where(act & ~go_right, mid, hi_b)
+    hi = lo_b
 
     counts = hi - kbeg
     total = int(counts.sum())

@@ -199,3 +199,33 @@ def test_interval_sweep_kernel_matches_bruteforce_randomized():
                 if lk == rk and ls < re_ and rs < le:
                     want.add((lk, li, ri, max(ls, rs), min(le, re_)))
         assert got == want, f"trial {trial}: {got ^ want}"
+
+
+def test_interval_sweep_sub_ulp_sliver_pairs():
+    """Regression (found at sf0.1): a sliver overlap where r.start < l.end by
+    ~1e-14 must be emitted even on a high key rank — the old composite
+    rank*span+offset position absorbed sub-ulp differences and dropped two
+    true pairs out of 105,590."""
+    import pyarrow as pa
+
+    from invoice_extraction_ray.ops.interval import _sweep_shard
+
+    le = 44.74 + 25.0  # 69.74000000000001
+    rs = 69.74  # rs < le by ~1.4e-14
+    rows = []
+    for key in (0, 259, 1174):  # include high ranks with large key values
+        rows.append((key, 1000 + key, 44.74, le, 0))  # left
+        rows.append((key, 2000 + key, rs, rs + 25.0, 1))  # right
+        # filler rights so segments have interior structure
+        rows.append((key, 3000 + key, -10.0, -5.0, 1))
+    t = pa.table(
+        {
+            "key": pa.array([r[0] for r in rows], pa.int64()),
+            "id": pa.array([r[1] for r in rows], pa.int64()),
+            "start": pa.array([r[2] for r in rows], pa.float64()),
+            "end": pa.array([r[3] for r in rows], pa.float64()),
+            "side": pa.array([r[4] for r in rows], pa.int32()),
+        }
+    )
+    got = {(r["key"], r["a_id"], r["b_id"]) for r in _sweep_shard(t).to_pylist()}
+    assert {(k, 1000 + k, 2000 + k) for k in (0, 259, 1174)} <= got
