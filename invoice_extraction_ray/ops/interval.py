@@ -55,9 +55,12 @@ def _sweep_shard(t: pa.Table) -> pa.Table:
     """Vectorized overlap sweep over ONE shard (many keys).
 
     Rights are sorted by (key-rank, start); each left's matching rights are
-    the segment prefix with ``r.start < l.end`` (one global searchsorted over
-    a rank-composited monotone position array), expanded with a repeat/arange
-    gather and masked on ``r.end > l.start``.  No per-row or per-key Python.
+    the segment prefix with ``r.start < l.end`` — key-segment bounds via
+    exact integer searchsorted on the rank, start bound via a vectorized
+    log-n bisection on the raw floats (a composite rank*span+offset
+    position loses sub-ulp start/end distinctions) — expanded with a
+    repeat/arange gather and masked on ``r.end > l.start``.  No per-row or
+    per-key Python.
     """
     key_type = t.schema.field("key").type
     schema = pa.schema([("key", key_type)] + _OUT_FIELDS)
