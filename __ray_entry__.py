@@ -293,7 +293,7 @@ def _sliding_window(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from invoice_extraction_ray.ops import ann, dedup, relational, text
+    from invoice_extraction_ray.ops import ann, curate, dedup, relational, text
     from invoice_extraction_ray.ops.multimodal import media_ann_topk, media_metadata
 
     return {
@@ -353,6 +353,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhashes": dedup.simhashes,                   # SQL-oracled (CRC32 in SQL)
         "simhash_neardup": _simhash_neardup,            # SQL-oracled (exact by pigeonhole)
         "embedding_neardup": lambda sf: dedup.embedding_neardup(sf, threshold=0.3),  # SQL-oracled
+        "semantic_neardup": lambda sf: dedup.semantic_neardup(sf, 8, 0.3),  # SQL-oracled (centroid literals)
+        # corpus curation
+        "split_assign": curate.split_assign,            # SQL-oracled (splitmix64 in HUGEINT)
+        "mixture_sample": curate.mixture_sample,        # SQL-oracled (splitmix64 + IEEE sqrt)
+        "repetition_scores": curate.repetition_scores,  # SQL-oracled (exact integers)
         # similarity search
         "ann_topk": ann.ann_topk,                       # SQL-oracled
         "ann_topk_multi": ann.ann_topk_multi,           # SQL-oracled (QUALIFY per query)
@@ -528,6 +533,16 @@ def oracle_sql() -> dict[str, str]:
         "AS approx_distinct FROM g"
     )
 
+    # split_assign / mixture_sample: the same splitmix64 mirror over doc_id
+    # (curate.py uses sketch._hash64 — identical constants/shifts)
+    _SPLITMIX_DOC = (
+        f"WITH e AS (SELECT doc_id, lang, ((CAST(doc_id AS HUGEINT) % {_M64}) + {_M64}) % {_M64} AS x FROM documents), "
+        f"s0 AS (SELECT doc_id, lang, (x + {0x9E3779B97F4A7C15}) % {_M64} AS z FROM e), "
+        f"s1 AS (SELECT doc_id, lang, {_mul64('xor(z, z // 1073741824)', 0xBF58476D1CE4E5B9)} AS z FROM s0), "
+        f"s2 AS (SELECT doc_id, lang, {_mul64('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FROM s1), "
+        "h AS (SELECT doc_id, lang, xor(z, z // 2147483648) AS h FROM s2)"
+    )
+
     # media_features: 16 nibble-histogram bins; each mirrors the engine's
     # float32 quantization (ratio cast to FLOAT then widened) exactly
     _FEAT_COLS = ", ".join(
@@ -607,6 +622,37 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY text"
         ),
         "distinct_lang_source": "SELECT DISTINCT lang, source FROM documents",
+        "split_assign": (
+            _SPLITMIX_DOC
+            + " SELECT doc_id, CAST(h % 100 AS BIGINT) AS bucket, "
+            "CASE WHEN h % 100 < 5 THEN 'test' WHEN h % 100 < 10 THEN 'val' "
+            "ELSE 'train' END AS split FROM h ORDER BY doc_id"
+        ),
+        "mixture_sample": (
+            _SPLITMIX_DOC
+            + ", c AS (SELECT lang AS lg, count(*) AS n FROM documents GROUP BY 1), "
+            "m AS (SELECT min(n) AS nmin FROM c), "
+            "r AS (SELECT lg, CAST(floor(sqrt(CAST(nmin AS DOUBLE) / n) "
+            f"* {1 << 30} + 0.5) AS BIGINT) AS th FROM c, m) "
+            "SELECT doc_id, lang FROM h JOIN r ON h.lang = r.lg "
+            f"WHERE h % {1 << 30} < th ORDER BY doc_id"
+        ),
+        "repetition_scores": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
+            "unnest(range(len(string_split(text, ' ')))) AS pos FROM documents), "
+            "tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2), "
+            "n AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1), "
+            "dup AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_toks FROM tc GROUP BY 1), "
+            "big AS (SELECT doc_id, tok || ' ' || lead(tok) OVER "
+            "(PARTITION BY doc_id ORDER BY pos) AS bg FROM toks), "
+            "bgc AS (SELECT doc_id, bg, count(*) AS c FROM big WHERE bg IS NOT NULL GROUP BY 1, 2), "
+            "topbg AS (SELECT doc_id, max(c) AS top_bg FROM bgc GROUP BY 1) "
+            "SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(floor(1000000.0 * coalesce(dup.dup_toks, 0) / n.n_tokens + 0.5) AS BIGINT) AS dup_token_frac_e6, "
+            "CAST(floor(1000000.0 * coalesce(topbg.top_bg, 0) / greatest(n.n_tokens - 1, 1) + 0.5) AS BIGINT) AS top_bigram_frac_e6 "
+            "FROM n LEFT JOIN dup USING (doc_id) LEFT JOIN topbg USING (doc_id) "
+            "ORDER BY doc_id"
+        ),
         "hourly_rollup": (
             "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, "
             "CAST(round(sum(value)*100) AS BIGINT) AS sum_value FROM events GROUP BY 1, 2"
@@ -1113,6 +1159,7 @@ SF001_PINNED = [
     "conversation_stats",
     "ivf_ann_topk",
     "kmeans_clusters",
+    "semantic_neardup",
     "extract_turns",
     "extract_consensus",
     "extract_field_coverage",
@@ -1250,6 +1297,17 @@ def _sf001_pinned_oracles(sf001: str) -> dict[str, str]:
             f"g AS (SELECT *, greatest({_K8_DCOLS}) AS g FROM s) "
             f"SELECT vec_id, CAST({_K8_ARGMAX} AS BIGINT) AS cluster FROM g "
             "ORDER BY vec_id"
+        ),
+        "semantic_neardup": (
+            # same 8-centroid model; pairs cosine-scored within a cluster only
+            f"WITH s AS (SELECT e.vec_id, e.embedding, {_K8_DOTS} FROM embeddings e), "
+            f"g AS (SELECT *, greatest({_K8_DCOLS}) AS g FROM s), "
+            f"a AS (SELECT vec_id, embedding, {_K8_ARGMAX} AS cluster FROM g) "
+            "SELECT x.vec_id AS a_id, y.vec_id AS b_id, "
+            "CAST(floor(list_cosine_similarity(x.embedding, y.embedding) * 10000 + 0.5) AS BIGINT) AS sim_e4 "
+            "FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id "
+            "WHERE list_cosine_similarity(x.embedding, y.embedding) > 0.3 "
+            "ORDER BY a_id, b_id"
         ),
         "extract_turns": (
             "SELECT conv_id, turn_idx, extracted_text, confidence, notes "

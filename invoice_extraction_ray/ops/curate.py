@@ -1,0 +1,158 @@
+"""Corpus-curation operators for training-data preparation.
+
+The reference pipeline curates per-document extractions one record at a time
+(reference ``main.py`` loop; ``error_analysis.py`` summary passes); these are
+the corpus-LEVEL curation steps a 100 TB training-data pipeline needs around
+that extraction core:
+
+- ``split_assign``: deterministic train/val/test assignment by a splitmix64
+  hash of the stable ``doc_id`` — reproducible across runs, cluster sizes and
+  partitionings, with no RNG state to coordinate.
+- ``mixture_sample``: temperature-based language rebalancing (the data-mixing
+  step of multilingual corpus prep): big languages are down-sampled toward
+  the smallest with per-lang keep rate ``sqrt(n_min/n_lang)`` (temperature
+  alpha = 0.5), applied as a deterministic per-doc hash threshold.
+- ``repetition_scores``: Gopher-style repetition quality signals per document
+  (duplicate-token fraction, top-bigram fraction) used to drop degenerate /
+  boilerplate text before training.
+
+All three are single-shuffle-or-less: ``split_assign`` and
+``repetition_scores`` are pure per-batch maps (the trailing sort exists only
+for stable presentation and is dropped by callers that stream into a sink);
+``mixture_sample`` runs one tiny pre-aggregated groupby (<= |langs| rows
+reach the driver) and broadcasts the resulting threshold table into a
+stateless filter map.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from .sketch import _hash64
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def split_assign(
+    sf_dir: str, test_pct: int = 5, val_pct: int = 5
+) -> ray.data.Dataset:
+    """Deterministic train/val/test split: bucket = splitmix64(doc_id) % 100;
+    ``test`` below ``test_pct``, ``val`` below ``test_pct + val_pct``, else
+    ``train``.  A pure map — no shuffle, no RNG, identical assignment at any
+    parallelism — so a 100 TB corpus splits at read speed."""
+    cut_val = test_pct + val_pct
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (_hash64(ids) % np.uint64(100)).astype(np.int64)
+        split = np.where(
+            bucket < test_pct, "test", np.where(bucket < cut_val, "val", "train")
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "bucket": pa.array(bucket, pa.int64()),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id"])
+    return ds.map_batches(assign, batch_format="pyarrow").sort("doc_id")
+
+
+_MIX_DENOM = 1 << 30  # hash-threshold granularity for mixture sampling
+
+
+def mixture_sample(sf_dir: str) -> ray.data.Dataset:
+    """Temperature-based language rebalancing (alpha = 0.5): keep each doc of
+    language L with probability ``sqrt(n_min / n_L)`` where ``n_min`` is the
+    smallest language's count — the standard multilingual mixing step that
+    tempers head languages without touching the tail.
+
+    Shape: one pre-aggregated counting pass (per-batch partial counts; only
+    |langs| rows reach the driver), then the tiny threshold table rides the
+    task closure into a stateless vectorized filter map.  The keep decision
+    is a deterministic splitmix64 threshold on doc_id — reproducible at any
+    parallelism, no RNG.  sqrt and the one division are IEEE-exact, so the
+    DuckDB oracle reproduces the thresholds bit-for-bit."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        return t.group_by("lang").aggregate([([], "count_all")])
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("lang")
+        .sum("count_all")
+        .take_all()
+    )  # <= |langs| rows ever reach the driver
+    n_by_lang = {r["lang"]: int(r["sum(count_all)"]) for r in counts}
+    n_min = min(n_by_lang.values())
+    thresh = {
+        lang: math.floor(math.sqrt(n_min / n) * _MIX_DENOM + 0.5)
+        for lang, n in n_by_lang.items()
+    }
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = t.column("lang").to_pylist()
+        h = (_hash64(ids) % np.uint64(_MIX_DENOM)).astype(np.int64)
+        th = np.fromiter((thresh[l] for l in langs), dtype=np.int64, count=len(langs))
+        return t.filter(pa.array(h < th))
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+def repetition_scores(source) -> ray.data.Dataset:
+    """Gopher-style per-document repetition signals over whitespace tokens:
+
+    - ``dup_token_frac_e6``: fraction of tokens whose token TYPE occurs more
+      than once in the doc (1e-6 fixed point — float round-trips differ
+      between engines, integers don't).
+    - ``top_bigram_frac_e6``: occurrences of the most frequent adjacent
+      bigram over (n_tokens - 1).
+
+    Pure per-batch map + presentation sort; token counting is per-doc local
+    (a Counter over the doc's own tokens — no corpus state), so the stage
+    scales linearly with bytes read."""
+    from ._util import as_docs_dataset
+
+    if isinstance(source, str):
+        docs = ray.data.read_parquet(
+            _pq(source, "documents"), columns=["doc_id", "text"]
+        )
+    else:
+        docs = as_docs_dataset(source)
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        n_toks, dup_e6, big_e6 = [], [], []
+        for text in texts:
+            toks = text.split(" ")
+            n = len(toks)
+            c = Counter(toks)
+            dup = sum(v for v in c.values() if v > 1)
+            bg = Counter(zip(toks, toks[1:]))
+            top = max(bg.values()) if bg else 0
+            n_toks.append(n)
+            dup_e6.append(math.floor(1_000_000.0 * dup / n + 0.5))
+            big_e6.append(math.floor(1_000_000.0 * top / max(n - 1, 1) + 0.5))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "dup_token_frac_e6": pa.array(dup_e6, pa.int64()),
+                "top_bigram_frac_e6": pa.array(big_e6, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")

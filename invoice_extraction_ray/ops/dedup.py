@@ -1220,3 +1220,63 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
 
     ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return ds.map_batches(block_score, batch_format="pyarrow", batch_size=1024)
+
+
+def semantic_neardup(
+    sf_dir: str, n_clusters: int = 8, threshold: float = 0.3
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic near-dup: k-means clusters partition the
+    embedding corpus; pairs are cosine-scored only WITHIN a cluster (near-dups
+    land in the same cluster by construction, so the cluster is the candidate
+    block — the semantic analogue of an LSH bucket, but model-driven).
+
+    Scale shape: the centroid model is trained once on a bounded
+    deterministic sample (``ops.ann._train_centroids``, shared with IVF /
+    kmeans_clusters) and broadcast; assignment is a stateless one-matmul task
+    map; only then does the corpus shuffle — ONE groupby on the cluster id —
+    and the O(c^2) scoring is confined to each cluster.  At 100 TB the knob
+    is ``n_clusters`` ~ corpus/1000 so every cluster's pairwise block fits a
+    worker (the standard SemDeDup operating point); skewed clusters are the
+    residual hazard and would take the same ``max_bucket`` cap as the minhash
+    path.  Within-cluster scoring is exact — no false positives; misses are
+    only cross-cluster pairs (recall measured vs the exact op in tests).
+
+    Returns (a_id < b_id, sim_e4) for in-cluster pairs with cosine >
+    ``threshold``, sorted for stable presentation."""
+    from .ann import _train_centroids
+
+    cents = _train_centroids(sf_dir, n_clusters)
+    dim = cents.shape[1]
+    cents_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        bc = ray.get(cents_ref)  # plasma zero-copy per batch
+        m = embedding_matrix(t.column("embedding"), dim=dim)
+        # argmax of the RAW dot product: normalization-invariant, matches the
+        # SQL oracle's list_dot_product argmax (numpy first-max tie-break)
+        a = np.argmax(m @ bc.T, axis=1).astype(np.int64)
+        return t.append_column("cluster", pa.array(a, pa.int64()))
+
+    def pairs_in_cluster(g: pa.Table) -> pa.Table:
+        vid = g.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = embedding_matrix(g.column("embedding"), dim=dim)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = mn @ mn.T
+        bi, cj = np.nonzero(sims > threshold)
+        keep = vid[bi] < vid[cj]  # each unordered pair once, no self-pairs
+        e4 = np.floor(sims[bi[keep], cj[keep]] * 10_000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "a_id": pa.array(vid[bi[keep]]),
+                "b_id": pa.array(vid[cj[keep]]),
+                "sim_e4": pa.array(e4),
+            }
+        )
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(pairs_in_cluster, batch_format="pyarrow")
+        .sort(["a_id", "b_id"])
+    )

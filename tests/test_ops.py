@@ -773,3 +773,151 @@ def test_neardup_ops_handle_empty_and_singleton_corpora():
         assert ngram_jaccard_neardup(src).take_all() == []
         assert neardup_clusters(src).take_all() == []
         assert simhash_neardup(src).take_all() == []
+
+
+def test_split_assign_deterministic_and_complete():
+    """Every doc gets exactly one split; assignment matches a local splitmix64
+    recompute (partition-independent by construction — pure hash of doc_id)."""
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.curate import split_assign
+    from invoice_extraction_ray.ops.sketch import _hash64
+
+    rows = split_assign(SF).take_all()
+    ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    all_ids = ids.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    assert sorted(r["doc_id"] for r in rows) == sorted(all_ids.tolist())
+
+    buckets = (_hash64(all_ids) % np.uint64(100)).astype(np.int64)
+    expect = {
+        int(d): ("test" if b < 5 else "val" if b < 10 else "train")
+        for d, b in zip(all_ids, buckets)
+    }
+    for r in rows:
+        assert r["split"] == expect[r["doc_id"]]
+        assert 0 <= r["bucket"] < 100
+    # all three splits are populated on a 60-doc corpus only probabilistically;
+    # train must dominate by construction
+    from collections import Counter
+
+    c = Counter(r["split"] for r in rows)
+    assert c["train"] > c["test"] + c["val"]
+
+
+def test_mixture_sample_matches_local_thresholds():
+    """Kept set == docs whose splitmix64 hash clears the per-language
+    sqrt(n_min/n_lang) threshold — the exact temperature-0.5 keep rule."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.curate import _MIX_DENOM, mixture_sample
+    from invoice_extraction_ray.ops.sketch import _hash64
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    langs = t.column("lang").to_pylist()
+    from collections import Counter
+
+    n = Counter(langs)
+    n_min = min(n.values())
+    th = {l: math.floor(math.sqrt(n_min / c) * _MIX_DENOM + 0.5) for l, c in n.items()}
+    h = (_hash64(ids) % np.uint64(_MIX_DENOM)).astype(np.int64)
+    expect = {int(d) for d, lg, hv in zip(ids, langs, h) if hv < th[lg]}
+
+    got = {r["doc_id"] for r in mixture_sample(SF).take_all()}
+    assert got == expect
+    # tempering direction: the smallest language keeps everything
+    smallest = min(n, key=n.get)
+    small_ids = {int(d) for d, lg in zip(ids, langs) if lg == smallest}
+    assert small_ids <= got
+
+
+def test_repetition_scores_match_bruteforce():
+    from collections import Counter as C
+
+    import math
+
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.curate import repetition_scores
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    for r in repetition_scores(SF).take_all():
+        toks = texts[r["doc_id"]].split(" ")
+        nt = len(toks)
+        c = C(toks)
+        dup = sum(v for v in c.values() if v > 1)
+        bg = C(zip(toks, toks[1:]))
+        top = max(bg.values()) if bg else 0
+        assert r["n_tokens"] == nt
+        assert r["dup_token_frac_e6"] == math.floor(1_000_000.0 * dup / nt + 0.5)
+        assert r["top_bigram_frac_e6"] == math.floor(
+            1_000_000.0 * top / max(nt - 1, 1) + 0.5
+        )
+
+
+def test_semantic_neardup_exact_within_cluster_and_no_false_positives():
+    """Every returned pair truly clears the cosine threshold (within-cluster
+    scoring is exact), and pairs are a subset of the exact all-pairs op."""
+    import math
+
+    from invoice_extraction_ray.ops.dedup import embedding_neardup, semantic_neardup
+
+    got = semantic_neardup(SF, n_clusters=4, threshold=0.3).take_all()
+    assert got, "clustered corpus must contain in-cluster near pairs"
+    exact = {
+        (r["a_id"], r["b_id"]) for r in embedding_neardup(SF, threshold=0.3).take_all()
+    }
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    idx = {int(v): i for i, v in enumerate(vid)}
+    for r in got:
+        assert (r["a_id"], r["b_id"]) in exact
+        sim = float(mat[idx[r["a_id"]]] @ mat[idx[r["b_id"]]])
+        assert sim > 0.3
+        assert abs(r["sim_e4"] - math.floor(sim * 10_000 + 0.5)) <= 1  # f32 vs f64
+
+
+def test_semantic_neardup_recovers_planted_near_duplicates(tmp_path):
+    """True near-duplicates (cosine ~0.9999) co-cluster by construction, so
+    the within-cluster exact scoring must recover essentially all of them —
+    the SemDeDup guarantee the op exists for.  (The natural sf0.001 corpus has
+    no pairs above cosine 0.5, so recall must be tested on planted dups.)"""
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.dedup import semantic_neardup
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    rng_free = np.linspace(-1.0, 1.0, mat.shape[1])  # deterministic jitter
+    dup_ids, dup_vecs, expected = [], [], set()
+    for i in range(0, len(vid), 10):
+        nd = int(vid[i]) + 10_000_000
+        dup_ids.append(nd)
+        dup_vecs.append(mat[i] + 1e-4 * rng_free)
+        expected.add((int(vid[i]), nd))
+    planted = pa.table(
+        {
+            "vec_id": pa.array(vid.tolist() + dup_ids, pa.int64()),
+            "embedding": pa.array(
+                mat.tolist() + [v.tolist() for v in dup_vecs],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    d = tmp_path / "planted_sf"
+    d.mkdir()
+    pq.write_table(planted, d / "embeddings.parquet")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in semantic_neardup(str(d), n_clusters=4, threshold=0.95).take_all()
+    }
+    # allow at most one boundary-straddling miss
+    assert len(expected & got) >= len(expected) - 1
