@@ -179,6 +179,21 @@ def _failure_summary(sf_dir: str):
     return failure_summary(ds)
 
 
+def _boilerplate_scrub(sf_dir: str):
+    from invoice_extraction_ray.corpus import transcripts_for
+    from invoice_extraction_ray.ops.curate import boilerplate_scrub
+
+    return boilerplate_scrub(transcripts_for(sf_dir))
+
+
+def _redact_names(sf_dir: str):
+    from invoice_extraction_ray.corpus import transcripts_for
+    from invoice_extraction_ray.fixtures import NAMES
+    from invoice_extraction_ray.ops.curate import redact_names
+
+    return redact_names(transcripts_for(sf_dir), NAMES)
+
+
 def _conversation_stats(sf_dir: str):
     from invoice_extraction_ray.corpus import transcripts_for
     from invoice_extraction_ray.pipelines.metrics import conversation_stats
@@ -355,6 +370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": lambda sf: dedup.embedding_neardup(sf, threshold=0.3),  # SQL-oracled
         "semantic_neardup": lambda sf: dedup.semantic_neardup(sf, 8, 0.3),  # SQL-oracled (centroid literals)
         # corpus curation
+        "boilerplate_scrub": _boilerplate_scrub,        # SQL-oracled (pinned; line-df mirror)
+        "redact_names": _redact_names,                  # SQL-oracled (pinned; nested replace)
         "split_assign": curate.split_assign,            # SQL-oracled (splitmix64 in HUGEINT)
         "mixture_sample": curate.mixture_sample,        # SQL-oracled (splitmix64 + IEEE sqrt)
         "repetition_scores": curate.repetition_scores,  # SQL-oracled (exact integers)
@@ -1157,6 +1174,8 @@ def oracle_sql() -> dict[str, str]:
 # callers (tools/check_queries.py) compare these rows-only
 SF001_PINNED = [
     "conversation_stats",
+    "boilerplate_scrub",
+    "redact_names",
     "ivf_ann_topk",
     "kmeans_clusters",
     "semantic_neardup",
@@ -1236,6 +1255,18 @@ def _sf001_pinned_oracles(sf001: str) -> dict[str, str]:
     _K8_DCOLS = ",".join(f"d{j}" for j in range(8))
     _K8_ARGMAX = "CASE " + " ".join(f"WHEN d{j} = g THEN {j}" for j in range(8)) + " END"
 
+    # redact_names: nested literal replace + per-name occurrence counts on
+    # the ORIGINAL text (names never overlap, so order is immaterial)
+    from invoice_extraction_ray.fixtures import NAMES as _NAMES
+
+    _redact_expr = "text"
+    _count_terms = []
+    for _nm in _NAMES:
+        _count_terms.append(
+            f"(length(text) - length(replace(text, '{_nm}', ''))) // {len(_nm)}"
+        )
+        _redact_expr = f"replace({_redact_expr}, '{_nm}', '[NAME]')"
+
     # --- flagship extract_* family over the oracle parquet ----------------
     paths = oracle_outputs_for(sf001)
     T = f"read_parquet('{paths['turns']}')"
@@ -1282,6 +1313,30 @@ def _sf001_pinned_oracles(sf001: str) -> dict[str, str]:
             "CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns, "
             "CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec "
             f"FROM read_parquet('{_conv_glob}') GROUP BY conv_id"
+        ),
+        "boilerplate_scrub": (
+            # line df counted once per turn over non-blank lines; hot lines
+            # (df >= 30) dropped; text reassembled in original line order
+            f"WITH t AS (SELECT conv_id, turn_idx, text FROM read_parquet('{_conv_glob}') "
+            "WHERE text IS NOT NULL), "
+            "l AS (SELECT conv_id, turn_idx, unnest(string_split(text, chr(10))) AS line, "
+            "unnest(range(len(string_split(text, chr(10))))) AS pos FROM t), "
+            "d AS (SELECT line, count(*) AS df FROM "
+            "(SELECT DISTINCT conv_id, turn_idx, line FROM l "
+            "WHERE trim(line, ' ' || chr(9) || chr(13)) <> '') GROUP BY line), "
+            "hot AS (SELECT line FROM d WHERE df >= 30) "
+            "SELECT conv_id, turn_idx, "
+            "coalesce(string_agg(CASE WHEN line IN (SELECT line FROM hot) THEN NULL "
+            "ELSE line END, chr(10) ORDER BY pos), '') AS clean_text, "
+            "CAST(sum(CASE WHEN line IN (SELECT line FROM hot) THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_dropped "
+            "FROM l GROUP BY conv_id, turn_idx ORDER BY conv_id, turn_idx"
+        ),
+        "redact_names": (
+            f"SELECT conv_id, turn_idx, {_redact_expr} AS clean_text, "
+            f"CAST({' + '.join(_count_terms)} AS BIGINT) AS n_redactions "
+            f"FROM read_parquet('{_conv_glob}') WHERE text IS NOT NULL "
+            "ORDER BY conv_id, turn_idx"
         ),
         "ivf_ann_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "

@@ -156,3 +156,126 @@ def repetition_scores(source) -> ray.data.Dataset:
         )
 
     return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+def boilerplate_scrub(source, min_df: int = 30) -> ray.data.Dataset:
+    """Corpus-level boilerplate line removal (the C4 / RefinedWeb
+    "deduplicate lines across documents" step): a line occurring in at least
+    ``min_df`` turns is boilerplate — greetings, sign-offs, table headers,
+    code fences — and is stripped from EVERY turn.  Blank lines (trim of
+    `` \\t\\r`` empty) neither count toward df nor get dropped, so document
+    structure survives.
+
+    Shape: two streaming passes over the corpus plus ONE tiny shuffle.
+    Pass 1 pre-aggregates per-batch line→document-frequency partials (a line
+    counts once per turn), a groupby over DISTINCT LINES (not corpus rows)
+    sums them, and only the hot lines come back to the driver for a
+    ``ray.put`` broadcast — the hot set is the high-df line vocabulary,
+    inherently small (479 lines at sf0.01), not corpus-sized.  Pass 2 is a
+    stateless task map that drops hot lines and reassembles the text.  The
+    line loops are per-doc local (same budget class as
+    ``repetition_scores``); at 100 TB the only global state is the broadcast
+    hot set.
+
+    Returns (conv_id, turn_idx, clean_text, n_dropped); null-text turns are
+    excluded (no content to scrub).  Reference analogue: the per-document
+    boilerplate strip (reference ``ocr.py`` region filtering) generalized to
+    corpus-level evidence."""
+    from ..pipelines.extract import to_dataset
+
+    ds = to_dataset(source, columns=["conv_id", "turn_idx", "text"])
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for text in t.column("text").to_pylist():
+            if not text:
+                continue
+            seen = set()
+            for ln in text.split("\n"):
+                if ln not in seen and ln.strip(" \t\r"):
+                    seen.add(ln)
+                    c[ln] += 1
+        return pa.table(
+            {
+                "line": pa.array(list(c.keys()), pa.string()),
+                "partial": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t.column("sum(partial)"), min_df))
+
+    hot_rows = (
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("line")
+        .sum("partial")
+        .map_batches(keep_hot, batch_format="pyarrow")
+        .take_all()
+    )
+    hot_ref = ray.put(frozenset(r["line"] for r in hot_rows))
+
+    def scrub(t: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)  # plasma zero-copy; one copy per node
+        t = t.filter(pa.compute.is_valid(t.column("text")))
+        clean, dropped = [], []
+        for text in t.column("text").to_pylist():
+            lines = text.split("\n")
+            kept = [ln for ln in lines if ln not in hot]
+            clean.append("\n".join(kept))
+            dropped.append(len(lines) - len(kept))
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "clean_text": pa.array(clean, pa.string()),
+                "n_dropped": pa.array(dropped, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow").sort(
+        ["conv_id", "turn_idx"]
+    )
+
+
+def redact_names(source, names: list[str], token: str = "[NAME]") -> ray.data.Dataset:
+    """Broadcast-dictionary PII redaction: every occurrence of a known name
+    is replaced with ``token``, with a per-turn redaction count.  The
+    dictionary is master data riding the task closure (the S7 broadcast
+    pattern applied to scrubbing); at a million-entry dictionary this becomes
+    a ``ray.put``-broadcast Aho-Corasick automaton in the same stage shape —
+    the per-name Arrow kernel pass below is the small-dictionary fast path.
+
+    Fully vectorized: one ``count_substring`` + one literal
+    ``replace_substring`` Arrow kernel pass per dictionary entry, zero
+    per-row Python.  Counts are taken against the ORIGINAL text (entries
+    never overlap each other, so sequential replacement cannot create or
+    destroy later matches).  Null-text turns are excluded."""
+
+    from ..pipelines.extract import to_dataset
+
+    ds = to_dataset(source, columns=["conv_id", "turn_idx", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_valid(t.column("text")))
+        orig = t.column("text")
+        txt = orig
+        counts = np.zeros(t.num_rows, np.int64)
+        for nm in names:
+            counts += pc.count_substring(orig, nm).to_numpy(zero_copy_only=False)
+            txt = pc.replace_substring(txt, nm, token)
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "clean_text": txt,
+                "n_redactions": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow").sort(
+        ["conv_id", "turn_idx"]
+    )

@@ -921,3 +921,62 @@ def test_semantic_neardup_recovers_planted_near_duplicates(tmp_path):
     }
     # allow at most one boundary-straddling miss
     assert len(expected & got) >= len(expected) - 1
+
+
+def test_boilerplate_scrub_planted_hot_lines():
+    """A line planted in >= min_df docs is stripped from every doc; rare and
+    blank lines survive; n_dropped is exact."""
+    from invoice_extraction_ray.ops.curate import boilerplate_scrub
+
+    hot = "-- COMPANY CONFIDENTIAL --"
+    rows = []
+    for i in range(40):
+        body = f"unique line {i}\n\n{hot}" if i < 35 else f"unique line {i}\nrare footer"
+        rows.append((f"c{i:03d}", 0, body))
+    src = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in boilerplate_scrub(src, min_df=30).take_all()
+    }
+    assert len(got) == 40
+    for i in range(40):
+        r = got[(f"c{i:03d}", 0)]
+        if i < 35:
+            # hot line dropped; the blank line survives
+            assert r["clean_text"] == f"unique line {i}\n"
+            assert r["n_dropped"] == 1
+        else:
+            assert r["clean_text"] == f"unique line {i}\nrare footer"
+            assert r["n_dropped"] == 0
+
+
+def test_redact_names_counts_and_replaces():
+    from invoice_extraction_ray.ops.curate import redact_names
+
+    src = pa.table(
+        {
+            "conv_id": pa.array(["a", "a", "b"], pa.string()),
+            "turn_idx": pa.array([0, 1, 0], pa.int64()),
+            "text": pa.array(
+                [
+                    "Regards, Dana Lee and Dana Lee again",
+                    "no names here",
+                    None,  # null text rows are excluded
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    rows = redact_names(src, ["Dana Lee", "Sam Okafor"]).take_all()
+    assert len(rows) == 2
+    by = {(r["conv_id"], r["turn_idx"]): r for r in rows}
+    assert by[("a", 0)]["clean_text"] == "Regards, [NAME] and [NAME] again"
+    assert by[("a", 0)]["n_redactions"] == 2
+    assert by[("a", 1)]["clean_text"] == "no names here"
+    assert by[("a", 1)]["n_redactions"] == 0
