@@ -51,6 +51,13 @@ HEADLINE = [
     "novelty_scores",
     "media_ann_topk",
     "delta_neardup",
+    # r3 curation additions
+    "semantic_neardup",
+    "split_assign",
+    "mixture_sample",
+    "repetition_scores",
+    "boilerplate_scrub",
+    "redact_names",
 ]
 
 

@@ -1223,7 +1223,10 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
 
 
 def semantic_neardup(
-    sf_dir: str, n_clusters: int = 8, threshold: float = 0.3
+    sf_dir: str,
+    n_clusters: int = 8,
+    threshold: float = 0.3,
+    max_cluster: int | None = None,
 ) -> ray.data.Dataset:
     """SemDeDup-style semantic near-dup: k-means clusters partition the
     embedding corpus; pairs are cosine-scored only WITHIN a cluster (near-dups
@@ -1236,10 +1239,15 @@ def semantic_neardup(
     map; only then does the corpus shuffle — ONE groupby on the cluster id —
     and the O(c^2) scoring is confined to each cluster.  At 100 TB the knob
     is ``n_clusters`` ~ corpus/1000 so every cluster's pairwise block fits a
-    worker (the standard SemDeDup operating point); skewed clusters are the
-    residual hazard and would take the same ``max_bucket`` cap as the minhash
-    path.  Within-cluster scoring is exact — no false positives; misses are
-    only cross-cluster pairs (recall measured vs the exact op in tests).
+    worker (the standard SemDeDup operating point); ``max_cluster`` is the
+    skewed-cluster bound (the semantic twin of the minhash path's
+    ``max_bucket``): a cluster above the cap is pair-scored only over its
+    ``max_cluster`` smallest vec_ids — deterministic, bounded O(cap^2) per
+    group — instead of exploding quadratically.  Default None = exact (the
+    SQL oracle requires it); at real-corpus scale set a cap and let the
+    clustering op absorb the loss.  Within-cluster scoring is exact — no
+    false positives; misses are only cross-cluster pairs (recall measured vs
+    the exact op in tests).
 
     Returns (a_id < b_id, sim_e4) for in-cluster pairs with cosine >
     ``threshold``, sorted for stable presentation."""
@@ -1258,6 +1266,10 @@ def semantic_neardup(
         return t.append_column("cluster", pa.array(a, pa.int64()))
 
     def pairs_in_cluster(g: pa.Table) -> pa.Table:
+        if max_cluster is not None and g.num_rows > max_cluster:
+            # deterministic bound: keep the cap smallest vec_ids (order-
+            # independent of block arrival, like the IVF training sample)
+            g = g.sort_by([("vec_id", "ascending")]).slice(0, max_cluster)
         vid = g.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         m = embedding_matrix(g.column("embedding"), dim=dim)
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)

@@ -980,3 +980,19 @@ def test_redact_names_counts_and_replaces():
     assert by[("a", 0)]["n_redactions"] == 2
     assert by[("a", 1)]["clean_text"] == "no names here"
     assert by[("a", 1)]["n_redactions"] == 0
+
+
+def test_semantic_neardup_max_cluster_bounds_fanout():
+    """With the cap, an oversized cluster pair-scores only its cap smallest
+    vec_ids — bounded O(cap^2) fanout; without it, results are exact."""
+    from invoice_extraction_ray.ops.dedup import semantic_neardup
+
+    capped = semantic_neardup(SF, n_clusters=2, threshold=0.3, max_cluster=50).take_all()
+    full = semantic_neardup(SF, n_clusters=2, threshold=0.3).take_all()
+    full_pairs = {(r["a_id"], r["b_id"]) for r in full}
+    capped_pairs = {(r["a_id"], r["b_id"]) for r in capped}
+    assert capped_pairs <= full_pairs  # never invents pairs
+    assert len(capped_pairs) < len(full_pairs)  # cap binds on 2 fat clusters
+    # every surviving id is within the cap-smallest of SOME cluster: at most
+    # 2 clusters x C(50,2) pairs can exist
+    assert len(capped_pairs) <= 2 * (50 * 49) // 2
