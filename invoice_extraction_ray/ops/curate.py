@@ -172,65 +172,93 @@ def boilerplate_scrub(source, min_df: int = 30) -> ray.data.Dataset:
     sums them, and only the hot lines come back to the driver for a
     ``ray.put`` broadcast — the hot set is the high-df line vocabulary,
     inherently small (479 lines at sf0.01), not corpus-sized.  Pass 2 is a
-    stateless task map that drops hot lines and reassembles the text.  The
-    line loops are per-doc local (same budget class as
-    ``repetition_scores``); at 100 TB the only global state is the broadcast
-    hot set.
+    stateless task map that drops hot lines and reassembles the text.  Both
+    passes are fully Arrow-vectorized: split_pattern → list_flatten /
+    list_parent_indices, per-batch distinct + count via Arrow group_by,
+    hot-set membership via one hashed ``is_in`` over the flattened lines,
+    reassembly via offset surgery + ``binary_join`` — zero per-row Python.
 
     Returns (conv_id, turn_idx, clean_text, n_dropped); null-text turns are
     excluded (no content to scrub).  Reference analogue: the per-document
     boilerplate strip (reference ``ocr.py`` region filtering) generalized to
     corpus-level evidence."""
+    import pyarrow.compute as pc
+
     from ..pipelines.extract import to_dataset
 
     ds = to_dataset(source, columns=["conv_id", "turn_idx", "text"])
 
+    def _flat_lines(t: pa.Table):
+        """(filtered table, list<string> lines, flat lines, parent indices)."""
+        t = t.filter(pc.is_valid(t.column("text")))
+        lines = pc.split_pattern(t.column("text"), "\n").combine_chunks()
+        flat = pc.list_flatten(lines)
+        parent = pc.list_parent_indices(lines)
+        return t, lines, flat, parent
+
     def partial_df(t: pa.Table) -> pa.Table:
-        c = Counter()
-        for text in t.column("text").to_pylist():
-            if not text:
-                continue
-            seen = set()
-            for ln in text.split("\n"):
-                if ln not in seen and ln.strip(" \t\r"):
-                    seen.add(ln)
-                    c[ln] += 1
+        _, _, flat, parent = _flat_lines(t)
+        sub = pa.table({"row": parent, "line": flat}).filter(
+            pc.not_equal(pc.utf8_trim(flat, " \t\r"), "")
+        )
+        distinct = sub.group_by(["row", "line"]).aggregate([])
+        g = distinct.group_by("line").aggregate([([], "count_all")])
+        # coarse int shard key: Ray's sort-based groupby pays for sorting the
+        # KEY column — 256 int32 shards sort far faster than 600k distinct
+        # line strings; the exact per-line sum happens inside each shard
+        # (crc32 loop runs over the per-batch DISTINCT lines only)
+        import zlib
+
+        shard = np.array(
+            [zlib.crc32(s.encode()) & 255 for s in g.column("line").to_pylist()],
+            dtype=np.int32,
+        )
         return pa.table(
             {
-                "line": pa.array(list(c.keys()), pa.string()),
-                "partial": pa.array(list(c.values()), pa.int64()),
+                "shard": pa.array(shard),
+                "line": g.column("line"),
+                "partial": pc.cast(g.column("count_all"), pa.int64()),
             }
         )
 
-    def keep_hot(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return t.filter(pc.greater_equal(t.column("sum(partial)"), min_df))
+    def hot_in_shard(g: pa.Table) -> pa.Table:
+        s = g.group_by("line").aggregate([("partial", "sum")])
+        return s.filter(
+            pc.greater_equal(s.column("partial_sum"), min_df)
+        ).select(["line"])
 
     hot_rows = (
         ds.map_batches(partial_df, batch_format="pyarrow")
-        .groupby("line")
-        .sum("partial")
-        .map_batches(keep_hot, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(hot_in_shard, batch_format="pyarrow")
         .take_all()
     )
-    hot_ref = ray.put(frozenset(r["line"] for r in hot_rows))
+    hot_ref = ray.put(pa.array([r["line"] for r in hot_rows], pa.string()))
 
     def scrub(t: pa.Table) -> pa.Table:
         hot = ray.get(hot_ref)  # plasma zero-copy; one copy per node
-        t = t.filter(pa.compute.is_valid(t.column("text")))
-        clean, dropped = [], []
-        for text in t.column("text").to_pylist():
-            lines = text.split("\n")
-            kept = [ln for ln in lines if ln not in hot]
-            clean.append("\n".join(kept))
-            dropped.append(len(lines) - len(kept))
+        t, lines, flat, parent = _flat_lines(t)
+        n = t.num_rows
+        drop = pc.is_in(flat, value_set=hot).to_numpy(zero_copy_only=False)
+        keep = ~drop
+        par = parent.to_numpy(zero_copy_only=False)
+        kept_per_row = np.bincount(par[keep], minlength=n).astype(np.int64)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(kept_per_row, out=offsets[1:])
+        kept_flat = pc.cast(flat.filter(pa.array(keep)), pa.string())
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), kept_flat
+        )
+        clean = pc.binary_join(kept_lists, pa.scalar("\n", pa.string()))
+        total_per_row = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "conv_id": t.column("conv_id"),
                 "turn_idx": t.column("turn_idx"),
-                "clean_text": pa.array(clean, pa.string()),
-                "n_dropped": pa.array(dropped, pa.int64()),
+                "clean_text": pc.cast(clean, pa.string()),
+                "n_dropped": pa.array(total_per_row - kept_per_row, pa.int64()),
             }
         )
 
