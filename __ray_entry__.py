@@ -104,6 +104,15 @@ def _novelty_scores(sf_dir: str):
     return novelty_scores(docs)
 
 
+def _substring_dup_spans(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.dedup import substring_dup_spans
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return substring_dup_spans(docs, l=4)
+
+
 def _neardup_clusters(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -361,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": _minhash_neardup,            # SQL-oracled (recall 1.0 measured)
         "ngram_jaccard_neardup": _ngram_jaccard_neardup,  # SQL-oracled (exact)
         "novelty_scores": _novelty_scores,              # SQL-oracled (exact integers)
+        "substring_dup_spans": _substring_dup_spans,    # SQL-oracled (exact spans)
         "delta_neardup": _delta_neardup,                # SQL-oracled (exact, cross-side)
         "neardup_clusters": _neardup_clusters,            # SQL-oracled (recursive CTE)
         "contamination_check": _contamination_check,      # SQL-oracled (exact integers)
@@ -910,6 +920,28 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT delta_id, corpus_id, CAST(i AS BIGINT) AS n_inter, "
             r"CAST(u AS BIGINT) AS n_union "
             r"FROM p WHERE i > 0 AND i * 10000 >= 3000 * u"
+        ),
+        # exact duplicated-substring spans: 4-gram site counts >= 2, islands
+        # via lag + window cumsum, half-open 0-based token spans — exact
+        # integers both sides
+        "substring_dup_spans": (
+            r"WITH toks AS (SELECT doc_id, "
+            r"regexp_extract_all(coalesce(text,''), '\S+') AS tk FROM documents), "
+            r"posi AS (SELECT doc_id, tk, "
+            r"unnest(generate_series(1, len(tk) - 4 + 1)) AS pos FROM toks), "
+            r"grams AS (SELECT doc_id, pos, "
+            r"array_to_string(tk[pos:pos+3], ' ') AS gram FROM posi), "
+            r"dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2), "
+            r"sites AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)), "
+            r"flag AS (SELECT doc_id, pos, CASE WHEN pos - "
+            r"lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4 "
+            r"THEN 0 ELSE 1 END AS brk FROM sites), "
+            r"isl AS (SELECT doc_id, pos, "
+            r"SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM flag) "
+            r"SELECT doc_id, CAST(MIN(pos) - 1 AS BIGINT) AS span_start, "
+            r"CAST(MAX(pos) - 1 + 4 AS BIGINT) AS span_end, "
+            r"CAST(MAX(pos) - MIN(pos) + 4 AS BIGINT) AS span_len "
+            r"FROM isl GROUP BY doc_id, island"
         ),
         # trigram novelty: corpus df via unnest+count, df==1 grams per doc,
         # round-half-up integer fraction — exact on both sides

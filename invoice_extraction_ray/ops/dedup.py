@@ -969,6 +969,126 @@ def novelty_scores(source) -> ray.data.Dataset:
     )
 
 
+def substring_dup_spans(source, l: int = 4, min_sites: int = 2) -> ray.data.Dataset:
+    """Exact duplicated-substring spans — the suffix-array dedup of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed as an inverted L-gram index so it distributes: a token
+    position is DUPLICATED when its L-token gram occurs at >= ``min_sites``
+    sites corpus-wide (cross- or within-document), and overlapping/adjacent
+    duplicated grams merge into maximal half-open spans
+    ``[span_start, span_end)`` in 0-based token coordinates (merge rule:
+    consecutive duplicated positions join while ``pos - prev_pos <= l``,
+    i.e. their L-token windows overlap or touch).
+
+    Distributed plan (nothing approximate, nothing on the driver):
+    explode docs to (gram, doc_id, pos) posting rows; co-partition by a
+    256-way crc gram shard so each gram's posting list is one sorted run
+    whose RUN LENGTH is the gram's global site count — positions in
+    qualifying runs survive, everything else dies in the shard (no pair
+    emission, so a hot gram costs O(sites), never O(sites^2)); then one
+    coarse doc-shard groupby merges each doc's sorted positions into spans
+    with a vectorized break/cumsum scan.  Two posting-row shuffles total;
+    at 100 TB the gram strings could be compacted to 16-byte digests
+    (exact_dedup's trick) to shrink the first exchange.
+
+    Reference analogue: the reference's only dedup is per-document box
+    suppression (ocr.py:134-179); this is the corpus-level generalization
+    a training-data pipeline needs.  Tokenization mirrors the SQL oracle's
+    regexp_extract_all('\\S+') via str.split()."""
+    import pyarrow.compute as pc
+
+    from invoice_extraction_ray.ops._util import as_docs_dataset
+
+    docs = as_docs_dataset(source)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, poss, grams = [], [], []
+        for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            toks = (s or "").split()
+            for i in range(len(toks) - l + 1):
+                ids.append(d)
+                poss.append(i)
+                grams.append(" ".join(toks[i : i + l]))
+        shard = np.array(
+            [zlib.crc32(g.encode()) & (N_BUCKET_SHARDS - 1) for g in grams],
+            dtype=np.int32,
+        )
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "shard": pa.array(shard),
+            }
+        )
+
+    _SITE_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("pos", pa.int64()), ("dshard", pa.int32())]
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SITE_SCHEMA.empty_table()
+        t = t.sort_by([("gram", "ascending")])
+        g = t.column("gram").combine_chunks()
+        same = pc.equal(g.slice(1), g.slice(0, len(g) - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        new_run = np.ones(t.num_rows, dtype=bool)
+        new_run[1:] = ~same
+        run_id = np.cumsum(new_run) - 1
+        dup = (np.bincount(run_id) >= min_sites)[run_id]
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)[dup]
+        pos = t.column("pos").to_numpy(zero_copy_only=False)[dup]
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "dshard": pa.array((did & 63).astype(np.int32)),
+            }
+        )
+
+    _SPAN_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("span_start", pa.int64()),
+            ("span_end", pa.int64()),
+            ("span_len", pa.int64()),
+        ]
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SPAN_SCHEMA.empty_table()
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = t.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, did))
+        did, pos = did[order], pos[order]
+        brk = np.ones(len(did), dtype=bool)
+        brk[1:] = (did[1:] != did[:-1]) | (pos[1:] - pos[:-1] > l)
+        last = np.empty(len(did), dtype=bool)
+        last[:-1] = brk[1:]
+        last[-1] = True
+        starts = pos[brk]
+        ends = pos[last] + l
+        return pa.table(
+            {
+                "doc_id": pa.array(did[brk], pa.int64()),
+                "span_start": pa.array(starts, pa.int64()),
+                "span_end": pa.array(ends, pa.int64()),
+                "span_len": pa.array(ends - starts, pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(mark, batch_format="pyarrow")
+        .groupby("dshard")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-bit) — near-dup signature; Hamming-close signatures ~ similar docs
 # ---------------------------------------------------------------------------

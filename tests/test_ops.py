@@ -207,6 +207,43 @@ def test_novelty_scores_planted():
     assert got[4]["novelty_e4"] == 5000
 
 
+def test_substring_dup_spans_planted():
+    """Cross-doc run -> one merged span; within-doc repeats count as sites;
+    positions exactly l apart (windows touching) merge, l+1 apart break."""
+    import pyarrow as pa
+
+    from invoice_extraction_ray.ops.dedup import substring_dup_spans
+
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+            "text": [
+                "p1 a b c d e f g h q1 r1 s1 t1",  # 8-token run shared with doc 2
+                "p2 a b c d e f g h q2 r2 s2 t2",
+                "m m m m m m",  # within-doc repeated gram (3 sites)
+                "u0 u1 u2 u3 u4 u5 u6 u7",  # fully unique
+                "s t u v x5 y5 z5 w5 q5 s t u w",  # dup pos {0, 9}: gap > l, 2 spans
+                "s t u v n6 n7 n8 n9 n10 s t u w",
+                "k1 k2 k3 k4 k5 k6 k7 k8",  # dup pos {0, 4}: touching, 1 span
+                "k1 k2 k3 k4 Z k5 k6 k7 k8",  # dup pos {0, 5}: gap > l, 2 spans
+            ],
+        }
+    )
+    rows = substring_dup_spans(corpus, l=4).take_all()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_len"])
+        )
+    got = {d: sorted(v) for d, v in got.items()}
+    assert got[1] == [(1, 9, 8)] and got[2] == [(1, 9, 8)]
+    assert got[3] == [(0, 6, 6)]
+    assert 4 not in got
+    assert got[5] == [(0, 4, 4), (9, 13, 4)] and got[6] == got[5]
+    assert got[7] == [(0, 8, 8)]
+    assert got[8] == [(0, 4, 4), (5, 9, 4)]
+
+
 def test_quality_topquantile_threshold_semantics():
     """Kept set must be exactly {docs with score >= quantile_disc(q)} per the
     ceil(q*n)-1 order-statistic convention, recomputed locally."""
