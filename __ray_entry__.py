@@ -113,6 +113,15 @@ def _substring_dup_spans(sf_dir: str):
     return substring_dup_spans(docs, l=4)
 
 
+def _substring_scrub(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.dedup import substring_scrub
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return substring_scrub(docs, l=4)
+
+
 def _neardup_clusters(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -371,6 +380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_neardup": _ngram_jaccard_neardup,  # SQL-oracled (exact)
         "novelty_scores": _novelty_scores,              # SQL-oracled (exact integers)
         "substring_dup_spans": _substring_dup_spans,    # SQL-oracled (exact spans)
+        "substring_scrub": _substring_scrub,            # SQL-oracled (exact rebuild)
+        "unigram_surprisal": text.unigram_surprisal,    # SQL-oracled (bitlen-exact)
         "delta_neardup": _delta_neardup,                # SQL-oracled (exact, cross-side)
         "neardup_clusters": _neardup_clusters,            # SQL-oracled (recursive CTE)
         "contamination_check": _contamination_check,      # SQL-oracled (exact integers)
@@ -942,6 +953,51 @@ def oracle_sql() -> dict[str, str]:
             r"CAST(MAX(pos) - 1 + 4 AS BIGINT) AS span_end, "
             r"CAST(MAX(pos) - MIN(pos) + 4 AS BIGINT) AS span_len "
             r"FROM isl GROUP BY doc_id, island"
+        ),
+        # substring_scrub: the spans pipeline above, then a covered-position
+        # anti-join and ordered string_agg rebuild — exact strings/integers
+        "substring_scrub": (
+            r"WITH toks AS (SELECT doc_id, "
+            r"regexp_extract_all(coalesce(text,''), '\S+') AS tk FROM documents), "
+            r"posi AS (SELECT doc_id, tk, "
+            r"unnest(generate_series(1, len(tk) - 4 + 1)) AS pos FROM toks), "
+            r"grams AS (SELECT doc_id, pos, "
+            r"array_to_string(tk[pos:pos+3], ' ') AS gram FROM posi), "
+            r"dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2), "
+            r"sites AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)), "
+            r"flag AS (SELECT doc_id, pos, CASE WHEN pos - "
+            r"lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4 "
+            r"THEN 0 ELSE 1 END AS brk FROM sites), "
+            r"isl AS (SELECT doc_id, pos, "
+            r"SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM flag), "
+            r"spans AS (SELECT doc_id, MIN(pos) AS s1, MAX(pos) + 3 AS e1 "
+            r"FROM isl GROUP BY doc_id, island), "
+            r"cov AS (SELECT DISTINCT doc_id, "
+            r"unnest(generate_series(s1, e1)) AS i FROM spans), "
+            r"tokpos AS (SELECT doc_id, unnest(tk) AS tok, "
+            r"unnest(generate_series(1, len(tk))) AS i FROM toks), "
+            r"kept AS (SELECT t.doc_id, t.tok, t.i FROM tokpos t "
+            r"LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i "
+            r"WHERE c.i IS NULL) "
+            r"SELECT d.doc_id, coalesce(k.ct, '') AS clean_text, "
+            r"CAST(d.n - coalesce(k.kn, 0) AS BIGINT) AS n_removed "
+            r"FROM (SELECT doc_id, len(tk) AS n FROM toks) d "
+            r"LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ct, "
+            r"count(*) AS kn FROM kept GROUP BY doc_id) k USING (doc_id)"
+        ),
+        # unigram surprisal: bitlen(N) - bitlen(count) per token instance —
+        # floor-log2 -log2 p, exact integers (length(bin(x)) == np.frexp exp)
+        "unigram_surprisal": (
+            r"WITH tk AS (SELECT doc_id, "
+            r"unnest(regexp_extract_all(coalesce(text,''), '\S+')) AS tok "
+            r"FROM documents), "
+            r"cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok), "
+            r"tot AS (SELECT length(bin(count(*))) AS bn FROM tk) "
+            r"SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            r"CAST(sum(bn - length(bin(c))) AS BIGINT) AS surprisal, "
+            r"CAST((20000 * sum(bn - length(bin(c))) + count(*)) "
+            r"// (2 * count(*)) AS BIGINT) AS mean_surprisal_e4 "
+            r"FROM tk JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id"
         ),
         # trigram novelty: corpus df via unnest+count, df==1 grams per doc,
         # round-half-up integer fraction — exact on both sides

@@ -1089,6 +1089,93 @@ def substring_dup_spans(source, l: int = 4, min_sites: int = 2) -> ray.data.Data
     )
 
 
+def substring_scrub(source, l: int = 4, min_sites: int = 2) -> ray.data.Dataset:
+    """Apply ``substring_dup_spans``: rebuild every document with the tokens
+    of each duplicated span REMOVED — the conservative C4-style removal
+    (ALL occurrences drop; electing one canonical copy to keep would need a
+    cross-document ownership vote on each gram cluster, which the span
+    table supports but this op deliberately avoids).  Emits
+    (doc_id, clean_text, n_removed) for EVERY doc; clean_text is the
+    space-joined survivor tokens, so whitespace is normalized identically
+    on both engine and oracle sides.
+
+    Join-free: doc rows and span rows are tagged and unioned onto the SAME
+    64-way doc-shard key (the neardup_clusters message-passing trick — no
+    ``Dataset.join``, no empty-partition hazard), ONE groupby co-locates
+    each doc with its spans, and the rebuild masks tokens with numpy."""
+    from invoice_extraction_ray.ops._util import as_docs_dataset
+
+    docs = as_docs_dataset(source)
+    spans = substring_dup_spans(source, l=l, min_sites=min_sites)
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "kind": pa.array(np.zeros(n, np.int32)),
+                "text": t.column("text").cast(pa.string()),
+                "s": pa.array(np.full(n, -1, np.int64)),
+                "e": pa.array(np.full(n, -1, np.int64)),
+                "dshard": pa.array((did & 63).astype(np.int32)),
+            }
+        )
+
+    def tag_spans(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "kind": pa.array(np.ones(n, np.int32)),
+                "text": pa.nulls(n, pa.string()),
+                "s": t.column("span_start").cast(pa.int64()),
+                "e": t.column("span_end").cast(pa.int64()),
+                "dshard": pa.array((did & 63).astype(np.int32)),
+            }
+        )
+
+    tagged = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        spans.map_batches(tag_spans, batch_format="pyarrow")
+    )
+
+    _OUT = pa.schema(
+        [("doc_id", pa.int64()), ("clean_text", pa.string()), ("n_removed", pa.int64())]
+    )
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        kind = g.column("kind").to_numpy(zero_copy_only=False)
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        s = g.column("s").to_numpy(zero_copy_only=False)
+        e = g.column("e").to_numpy(zero_copy_only=False)
+        span_map: dict[int, list[tuple[int, int]]] = {}
+        for i in np.flatnonzero(kind == 1):
+            span_map.setdefault(int(did[i]), []).append((int(s[i]), int(e[i])))
+        doc_idx = np.flatnonzero(kind == 0)
+        texts = g.column("text").take(pa.array(doc_idx)).to_pylist()
+        out_ids, out_txt, out_rm = [], [], []
+        for i, txt in zip(doc_idx, texts):
+            toks = (txt or "").split()
+            mask = np.ones(len(toks), dtype=bool)
+            for a, b in span_map.get(int(did[i]), ()):
+                mask[a:b] = False
+            out_ids.append(int(did[i]))
+            out_txt.append(" ".join(tok for tok, m in zip(toks, mask.tolist()) if m))
+            out_rm.append(len(toks) - int(mask.sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "clean_text": pa.array(out_txt, pa.string()),
+                "n_removed": pa.array(out_rm, pa.int64()),
+            }
+        )
+
+    return tagged.groupby("dshard").map_groups(rebuild, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-bit) — near-dup signature; Hamming-close signatures ~ similar docs
 # ---------------------------------------------------------------------------

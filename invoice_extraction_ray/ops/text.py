@@ -191,6 +191,123 @@ def token_frequencies(sf_dir: str, k: int = 50) -> ray.data.Dataset:
     return counts.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
+def unigram_surprisal(sf_dir: str) -> ray.data.Dataset:
+    """Integer-exact unigram-LM quality score — the corpus-statistics
+    perplexity filter of training-data pipelines, quantized so no float
+    log ever crosses the engine/oracle boundary: the surprisal of a token
+    instance is ``bitlen(N) - bitlen(count(tok))`` (a floor-log2 -log2 p;
+    bitlen via np.frexp engine-side == length(bin(x)) oracle-side, exact
+    for counts < 2^53).  Per doc: n_tokens, total surprisal, and the
+    round-half-up e4 mean.  High mean = rare-token-heavy (novel or noisy),
+    low mean = stopword/boilerplate-heavy.
+
+    Two passes: (1) exact global token counts via per-block Counter
+    combiners + a 256-way token-shard segment sum (only distinct-token
+    rows shuffle); the counts table is driver-collected and ray.put ONCE —
+    bounded by VOCABULARY size (~millions of rows at web scale, a few
+    hundred MB; for an unbounded-vocab corpus swap the broadcast for a
+    token-shard join of the posting rows).  (2) a stateless task map
+    resolves each batch's tokens with one vectorized np.searchsorted
+    against the broadcast sorted vocab and segment-sums per doc."""
+    import zlib
+
+    import ray
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            c.update((s or "").split())
+        toks = list(c.keys())
+        shard = np.array(
+            [zlib.crc32(w.encode()) & 255 for w in toks], dtype=np.int32
+        )
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "n": pa.array([c[w] for w in toks], pa.int64()),
+                "tshard": pa.array(shard),
+            }
+        )
+
+    def reduce_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        g = g.sort_by([("token", "ascending")])
+        tok = g.column("token").combine_chunks()
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        new = np.ones(g.num_rows, dtype=bool)
+        if g.num_rows > 1:
+            new[1:] = ~pc.equal(tok.slice(1), tok.slice(0, g.num_rows - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        seg = np.cumsum(new) - 1
+        totals = np.bincount(seg, weights=n).astype(np.int64)
+        return pa.table(
+            {
+                "token": pc.take(tok, pa.array(np.flatnonzero(new))),
+                "n": pa.array(totals, pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tshard")
+        .map_groups(reduce_shard, batch_format="pyarrow")
+        .take_all()
+    )
+    vocab = np.array([r["token"] for r in counts])
+    cnt = np.array([r["n"] for r in counts], dtype=np.int64)
+    order = np.argsort(vocab)
+    vocab, cnt = vocab[order], cnt[order]
+    total = int(cnt.sum())
+    bitlen_total = int(np.frexp(np.float64(max(total, 1)))[1])
+    surp = bitlen_total - np.frexp(cnt.astype(np.float64))[1]
+    lut_ref = ray.put((vocab, surp.astype(np.int64)))
+
+    _OUT = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("surprisal", pa.int64()),
+            ("mean_surprisal_e4", pa.int64()),
+        ]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab_s, surp_s = ray.get(lut_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        flat: list[str] = []
+        lens = np.empty(t.num_rows, dtype=np.int64)
+        for i, s in enumerate(t.column("text").to_pylist()):
+            toks = (s or "").split()
+            lens[i] = len(toks)
+            flat.extend(toks)
+        keep = lens > 0
+        if not keep.any():
+            return _OUT.empty_table()
+        idx = np.searchsorted(vocab_s, np.array(flat))
+        sums = np.add.reduceat(
+            surp_s[idx], np.r_[0, np.cumsum(lens[keep])[:-1]]
+        ).astype(np.int64)
+        n = lens[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_tokens": pa.array(n),
+                "surprisal": pa.array(sums),
+                "mean_surprisal_e4": pa.array((20_000 * sums + n) // (2 * n)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def bpe_pretokenize(text: str) -> list[str]:
     return _BPE_RE.findall(text or "")
 

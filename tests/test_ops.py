@@ -244,6 +244,73 @@ def test_substring_dup_spans_planted():
     assert got[8] == [(0, 4, 4), (5, 9, 4)]
 
 
+def test_substring_scrub_removes_all_span_tokens():
+    """clean_text drops exactly the span-covered tokens (all occurrences),
+    keeps everything else in order, and emits untouched docs verbatim."""
+    import pyarrow as pa
+
+    from invoice_extraction_ray.ops.dedup import substring_scrub
+
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 8], pa.int64()),
+            "text": [
+                "p1 a b c d e f g h q1 r1 s1 t1",
+                "p2 a b c d e f g h q2 r2 s2 t2",
+                "m m m m m m",
+                "u0 u1 u2 u3 u4 u5 u6 u7",
+                "k1 k2 k3 k4 Z k5 k6 k7 k8",
+            ],
+        }
+    )
+    # doc 8's halves duplicate doc 2's? no — they duplicate NOTHING here, so
+    # plant a partner for them to keep the span structure from the spans test
+    corpus = pa.concat_tables(
+        [
+            corpus,
+            pa.table(
+                {
+                    "doc_id": pa.array([7], pa.int64()),
+                    "text": ["k1 k2 k3 k4 k5 k6 k7 k8"],
+                }
+            ),
+        ]
+    )
+    got = {r["doc_id"]: r for r in substring_scrub(corpus, l=4).take_all()}
+    assert got[1]["clean_text"] == "p1 q1 r1 s1 t1" and got[1]["n_removed"] == 8
+    assert got[2]["clean_text"] == "p2 q2 r2 s2 t2" and got[2]["n_removed"] == 8
+    assert got[3]["clean_text"] == "" and got[3]["n_removed"] == 6
+    assert got[4]["clean_text"] == "u0 u1 u2 u3 u4 u5 u6 u7"
+    assert got[4]["n_removed"] == 0
+    assert got[7]["clean_text"] == "" and got[7]["n_removed"] == 8
+    assert got[8]["clean_text"] == "Z" and got[8]["n_removed"] == 8
+    assert len(got) == 6
+
+
+def test_unigram_surprisal_known_answer(tmp_path):
+    """bitlen quantization by hand: counts a=3 b=2 c=1, N=6 (bitlen 3) ->
+    surprisal(a)=surprisal(b)=1, surprisal(c)=2."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.text import unigram_surprisal
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": ["a a a b", "b c"],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {r["doc_id"]: r for r in unigram_surprisal(str(tmp_path)).take_all()}
+    assert got[1]["n_tokens"] == 4 and got[1]["surprisal"] == 4
+    assert got[1]["mean_surprisal_e4"] == 10000
+    assert got[2]["n_tokens"] == 2 and got[2]["surprisal"] == 3
+    assert got[2]["mean_surprisal_e4"] == 15000
+
+
 def test_quality_topquantile_threshold_semantics():
     """Kept set must be exactly {docs with score >= quantile_disc(q)} per the
     ceil(q*n)-1 order-statistic convention, recomputed locally."""
