@@ -325,6 +325,18 @@ def _sliding_window(sf_dir: str):
     return sliding_window_counts(sf_dir)
 
 
+def _cms_heavy_hitters(sf_dir: str):
+    from invoice_extraction_ray.ops.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(sf_dir)
+
+
+def _user_cumulative_value(sf_dir: str):
+    from invoice_extraction_ray.ops.window import user_cumulative_value
+
+    return user_cumulative_value(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from invoice_extraction_ray.ops import ann, curate, dedup, relational, text
     from invoice_extraction_ray.ops.multimodal import media_ann_topk, media_metadata
@@ -362,9 +374,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_overlap": _interval_overlap,
         "asof_purchase_view": _asof_purchase_view,
         "sliding_window_counts": _sliding_window,
+        "user_cumulative_value": _user_cumulative_value,  # SQL-oracled (ROWS frame, cents)
         "value_quantiles": _value_quantiles,
         "value_quantiles_sketch": _value_quantiles_sketch,  # SQL-oracled (log-bin mirror)
         "hll_distinct_users": _hll_distinct,      # SQL-oracled (splitmix64+HLL in HUGEINT)
+        "cms_heavy_hitters": _cms_heavy_hitters,  # SQL-oracled (CRC32 buckets, exact min)
         # text analysis
         "token_count": text.token_count,               # SQL-oracled
         "pack_documents": text.pack_documents,         # SQL-oracled (exact window cumsum)
@@ -382,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_spans": _substring_dup_spans,    # SQL-oracled (exact spans)
         "substring_scrub": _substring_scrub,            # SQL-oracled (exact rebuild)
         "unigram_surprisal": text.unigram_surprisal,    # SQL-oracled (bitlen-exact)
+        "tfidf_top_terms": text.tfidf_top_terms,        # SQL-oracled (float-free order)
         "delta_neardup": _delta_neardup,                # SQL-oracled (exact, cross-side)
         "neardup_clusters": _neardup_clusters,            # SQL-oracled (recursive CTE)
         "contamination_check": _contamination_check,      # SQL-oracled (exact integers)
@@ -832,6 +847,16 @@ def oracle_sql() -> dict[str, str]:
             "v.event_id AS view_id "
             "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"
         ),
+        # expanding per-user running totals: explicit ROWS frame (the default
+        # RANGE frame would include ts peers), value summed in exact cents
+        "user_cumulative_value": (
+            "SELECT event_id, user_id, "
+            "CAST(count(*) OVER w AS BIGINT) AS cum_n, "
+            "CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w AS BIGINT) "
+            "AS cum_value_c FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
         "sliding_window_counts": (
             # 60-min windows sliding every 15 min; value summed in cents
             "SELECT make_timestamp(CAST((epoch_us(ts)//900000000)*900000000 "
@@ -999,6 +1024,21 @@ def oracle_sql() -> dict[str, str]:
             r"// (2 * count(*)) AS BIGINT) AS mean_surprisal_e4 "
             r"FROM tk JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id"
         ),
+        # tf-idf top terms: (tf DESC, df ASC, token ASC) == tf*idf order for
+        # any strictly-df-decreasing idf — float-free, exact tie-break
+        "tfidf_top_terms": (
+            r"WITH tk AS (SELECT doc_id, "
+            r"unnest(regexp_extract_all(coalesce(text,''), '\S+')) AS tok "
+            r"FROM documents), "
+            r"tfd AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2), "
+            r"dfx AS (SELECT tok, count(*) AS df FROM tfd GROUP BY tok), "
+            r"r AS (SELECT doc_id, tok, tf, df, row_number() OVER "
+            r"(PARTITION BY doc_id ORDER BY tf DESC, df ASC, tok ASC) AS rank "
+            r"FROM tfd JOIN dfx USING (tok)) "
+            r"SELECT doc_id, tok AS token, CAST(tf AS BIGINT) AS tf, "
+            r"CAST(df AS BIGINT) AS df, CAST(rank AS BIGINT) AS rank "
+            r"FROM r WHERE rank <= 3"
+        ),
         # trigram novelty: corpus df via unnest+count, df==1 grams per doc,
         # round-half-up integer fraction — exact on both sides
         "novelty_scores": (
@@ -1164,6 +1204,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "value_quantiles_sketch": _QSK_SQL,
         "hll_distinct_users": _HLL_SQL,
+        # count-min sketch heavy hitters: bucket sums over distinct-token
+        # counts (== the engine's per-batch-partial build, since addition is
+        # per-token-total), min across the 4 CRC32 rows, threshold est*64 >= N
+        "cms_heavy_hitters": (
+            r"WITH tk AS (SELECT unnest(regexp_extract_all(coalesce(text,''), "
+            r"'\S+')) AS tok FROM documents), "
+            r"cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok), "
+            f"b AS (SELECT tok, c, ({_crc_sql(chr(39) + '0' + chr(39) + ' || tok')}) % 64 AS h0, "
+            f"({_crc_sql(chr(39) + '1' + chr(39) + ' || tok')}) % 64 AS h1, "
+            f"({_crc_sql(chr(39) + '2' + chr(39) + ' || tok')}) % 64 AS h2, "
+            f"({_crc_sql(chr(39) + '3' + chr(39) + ' || tok')}) % 64 AS h3 "
+            f"FROM (SELECT tok, c, {_TBL} AS tb FROM cnt)), "
+            r"s0 AS (SELECT h0, sum(c) AS v0 FROM b GROUP BY h0), "
+            r"s1 AS (SELECT h1, sum(c) AS v1 FROM b GROUP BY h1), "
+            r"s2 AS (SELECT h2, sum(c) AS v2 FROM b GROUP BY h2), "
+            r"s3 AS (SELECT h3, sum(c) AS v3 FROM b GROUP BY h3), "
+            r"tot AS (SELECT sum(c) AS n FROM cnt) "
+            r"SELECT b.tok AS token, CAST(least(v0, v1, v2, v3) AS BIGINT) AS est_n "
+            r"FROM b JOIN s0 USING (h0) JOIN s1 USING (h1) "
+            r"JOIN s2 USING (h2) JOIN s3 USING (h3), tot "
+            r"WHERE least(v0, v1, v2, v3) * 64 >= tot.n"
+        ),
         "simhashes": _SIMHASH_SQL,
         "minhash_neardup": (
             # exact all-pairs Jaccard over crc32 shingle-hash sets (mirrors

@@ -222,3 +222,112 @@ def hll_distinct_users(sf_dir: str) -> ray.data.Dataset:
         .groupby("event_type")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable heavy-hitter counts (Cormode & Muthukrishnan)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 64  # counters per row (small on purpose: collisions are the point)
+
+
+def _cms_hash(tokens: list[str], d: int) -> np.ndarray:
+    import zlib
+
+    return np.array(
+        [zlib.crc32((str(d) + t).encode()) & (CMS_W - 1) for t in tokens],
+        dtype=np.int64,
+    )
+
+
+def cms_heavy_hitters(sf_dir: str, denom: int = 64) -> ray.data.Dataset:
+    """Count-min-sketch heavy hitters over the corpus token stream (Cormode
+    & Muthukrishnan 2005): per-batch partial sketches (a D x W integer
+    counter matrix filled from a Counter combiner), merged by ONE
+    elementwise sum — associative and commutative, so the sketch is
+    partitioning-invariant and cross-node mergeable, and the merged state
+    is O(D*W) = 2 KB regardless of corpus size (the 100 TB path where an
+    exact vocabulary count would not fit).  A second stateless pass probes
+    every distinct token against the broadcast sketch and keeps those with
+    ``est * denom >= N`` where ``est = min_d sketch[d][h_d(tok)]`` — an
+    upper bound on the true count, so the readout has NO false negatives
+    and only deterministic false positives, which the DuckDB oracle
+    reproduces bit-exactly via the same CRC32 bucket hash."""
+    import zlib
+
+    import ray
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: "Counter[str]" = Counter()
+        for s in t.column("text").to_pylist():
+            c.update((s or "").split())
+        m = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        toks = list(c.keys())
+        cnts = np.array([c[w] for w in toks], dtype=np.int64)
+        for d in range(CMS_D):
+            np.add.at(m[d], _cms_hash(toks, d), cnts)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int32()),
+                "counts": pa.array([m.reshape(-1).tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int32()), "counts": pa.array([], pa.list_(pa.int64()))}
+            )
+        m = np.asarray(t.column("counts").to_pylist(), dtype=np.int64).sum(axis=0)
+        return pa.table(
+            {"k": pa.array([0], pa.int32()), "counts": pa.array([m.tolist()], pa.list_(pa.int64()))}
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(merge, batch_format="pyarrow")
+        .take_all()
+    )
+    sketch = np.asarray(rows[0]["counts"], dtype=np.int64).reshape(CMS_D, CMS_W)
+    n_total = int(sketch[0].sum())  # every row sums to the full stream length
+    sk_ref = ray.put(sketch)
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        toks: set[str] = set()
+        for s in t.column("text").to_pylist():
+            toks.update((s or "").split())
+        out = sorted(toks)
+        shard = np.array([zlib.crc32(w.encode()) & 255 for w in out], dtype=np.int32)
+        return pa.table(
+            {"token": pa.array(out, pa.string()), "tshard": pa.array(shard)}
+        )
+
+    _OUT = pa.schema([("token", pa.string()), ("est_n", pa.int64())])
+
+    def probe(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        sk = ray.get(sk_ref)
+        toks = sorted(set(g.column("token").to_pylist()))
+        est = np.full(len(toks), np.iinfo(np.int64).max, dtype=np.int64)
+        for d in range(CMS_D):
+            est = np.minimum(est, sk[d][_cms_hash(toks, d)])
+        keep = est * denom >= n_total
+        return pa.table(
+            {
+                "token": pa.array([w for w, k in zip(toks, keep) if k], pa.string()),
+                "est_n": pa.array(est[keep]),
+            }
+        )
+
+    return (
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("tshard")
+        .map_groups(probe, batch_format="pyarrow")
+    )

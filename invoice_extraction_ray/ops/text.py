@@ -620,3 +620,116 @@ def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"doc_id": t.column("doc_id"), "fp": fps})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Per-document salient terms — tf-idf ranking made float-free: terms
+    order by (tf DESC, df ASC, token ASC), which is exactly the tf·idf
+    ordering for any strictly-df-decreasing idf, so no log/float ever
+    crosses the oracle boundary.  Emits (doc_id, token, tf, df, rank) for
+    each document's top-k terms.
+
+    Inverted-index shape: per-doc Counter combiners emit DISTINCT
+    (token, doc_id, tf) postings; a 256-way token-shard groupby computes
+    df as the posting-run length and stamps it onto every posting (df
+    rides ON the rows — no join back, the novelty_scores trick); a 64-way
+    doc-shard groupby ranks each doc's terms with one vectorized lexsort."""
+    import zlib
+
+    import ray
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, toks, tfs = [], [], []
+        for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            for w, c in Counter((s or "").split()).items():
+                ids.append(d)
+                toks.append(w)
+                tfs.append(c)
+        shard = np.array([zlib.crc32(w.encode()) & 255 for w in toks], dtype=np.int32)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "tf": pa.array(tfs, pa.int64()),
+                "tshard": pa.array(shard),
+            }
+        )
+
+    _POST = pa.schema(
+        [
+            ("token", pa.string()),
+            ("doc_id", pa.int64()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+            ("dshard", pa.int32()),
+        ]
+    )
+
+    def stamp_df(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _POST.empty_table()
+        g = g.sort_by([("token", "ascending")])
+        tok = g.column("token").combine_chunks()
+        new = np.ones(g.num_rows, dtype=bool)
+        if g.num_rows > 1:
+            new[1:] = ~pc.equal(tok.slice(1), tok.slice(0, g.num_rows - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        run = np.cumsum(new) - 1
+        df = np.bincount(run)[run]
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "token": tok,
+                "doc_id": pa.array(did, pa.int64()),
+                "tf": g.column("tf"),
+                "df": pa.array(df.astype(np.int64)),
+                "dshard": pa.array((did & 63).astype(np.int32)),
+            }
+        )
+
+    _OUT = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("token", pa.string()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+            ("rank", pa.int64()),
+        ]
+    )
+
+    def topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = g.column("tf").to_numpy(zero_copy_only=False)
+        df = g.column("df").to_numpy(zero_copy_only=False)
+        tok = np.asarray(g.column("token").to_pylist())
+        order = np.lexsort((tok, df, -tf, did))
+        did, tf, df, tok = did[order], tf[order], df[order], tok[order]
+        new = np.ones(len(did), dtype=bool)
+        new[1:] = did[1:] != did[:-1]
+        seg = np.cumsum(new) - 1
+        rank = np.arange(len(did), dtype=np.int64) - np.flatnonzero(new)[seg] + 1
+        keep = rank <= k
+        return pa.table(
+            {
+                "doc_id": pa.array(did[keep], pa.int64()),
+                "token": pa.array(tok[keep].tolist(), pa.string()),
+                "tf": pa.array(tf[keep], pa.int64()),
+                "df": pa.array(df[keep], pa.int64()),
+                "rank": pa.array(rank[keep]),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("tshard")
+        .map_groups(stamp_df, batch_format="pyarrow")
+        .groupby("dshard")
+        .map_groups(topk, batch_format="pyarrow")
+    )

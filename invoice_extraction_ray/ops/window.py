@@ -226,3 +226,65 @@ def sliding_window_counts(sf_dir: str) -> ray.data.Dataset:
         .groupby(["window_start", "event_type"])
         .aggregate(Sum("n", alias_name="n"), Sum("value_c", alias_name="sum_value_c"))
     )
+
+
+def user_cumulative_value(sf_dir: str) -> ray.data.Dataset:
+    """Expanding (cumulative) per-key window — the running-total window
+    function ``SUM(...) OVER (PARTITION BY user ORDER BY ts, event_id ROWS
+    UNBOUNDED PRECEDING)``: per event, the user's running event count and
+    fixed-point value sum in (ts, event_id) order.  Values sum as exact
+    integer cents (floor(v*100 + 0.5)) so the running totals are
+    order-exact on both engine and oracle sides.
+
+    One 64-way user-shard groupby (never one group per user — map_groups
+    costs ~1 ms per GROUP), then a fully vectorized segment cumsum inside:
+    lexsort by (user, ts, event_id), global cumsum, subtract each
+    segment's base.  A user's history must fit one shard's group — the
+    same per-key assumption as sessionize/asof; salt hot keys upstream."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    _OUT = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("cum_n", pa.int64()),
+            ("cum_value_c", pa.int64()),
+        ]
+    )
+
+    def cum(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, eid, v = u[order], eid[order], v[order]
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        total = np.cumsum(cents)
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        seg_id = np.cumsum(new) - 1
+        base_total = np.where(starts > 0, total[starts - 1], 0)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "cum_n": pa.array(
+                    np.arange(1, len(u) + 1, dtype=np.int64) - starts[seg_id]
+                ),
+                "cum_value_c": pa.array(total - base_total[seg_id]),
+            }
+        )
+
+    return (
+        ds.map_batches(_add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(cum, batch_format="pyarrow")
+    )

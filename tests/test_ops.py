@@ -311,6 +311,91 @@ def test_unigram_surprisal_known_answer(tmp_path):
     assert got[2]["mean_surprisal_e4"] == 15000
 
 
+def test_user_cumulative_value_known_answer(tmp_path):
+    """Running totals reset per user and follow (ts, event_id) order,
+    including the equal-ts tie broken by event_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.window import user_cumulative_value
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "ts": pa.array([100, 50, 50, 200, 10], pa.timestamp("us")),
+                "user_id": pa.array([7, 7, 7, 9, 9], pa.int64()),
+                "value": [1.005, 2.0, 3.0, 10.0, 0.994],
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {r["event_id"]: r for r in user_cumulative_value(str(tmp_path)).take_all()}
+    # user 7 order: (50,#2) -> (50,#3) -> (100,#1).  1.005*100 is the double
+    # 100.4999... so floor(x+0.5) gives 100 — the point of doing the cents
+    # conversion identically on both engine and oracle sides.
+    assert (got[2]["cum_n"], got[2]["cum_value_c"]) == (1, 200)
+    assert (got[3]["cum_n"], got[3]["cum_value_c"]) == (2, 500)
+    assert (got[1]["cum_n"], got[1]["cum_value_c"]) == (3, 600)
+    # user 9 order: (10,#5) -> (200,#4); 0.994 -> 99 cents
+    assert (got[5]["cum_n"], got[5]["cum_value_c"]) == (1, 99)
+    assert (got[4]["cum_n"], got[4]["cum_value_c"]) == (2, 1099)
+
+
+def test_cms_heavy_hitters_no_false_negatives():
+    """CMS estimates upper-bound true counts, so every token whose TRUE
+    count clears N/denom must be reported, and every reported estimate
+    must be >= the token's true count."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.sketch import cms_heavy_hitters
+
+    got = {r["token"]: r["est_n"] for r in cms_heavy_hitters(SF, denom=64).take_all()}
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).column("text")
+    true = Counter()
+    for s in texts.to_pylist():
+        true.update((s or "").split())
+    n = sum(true.values())
+    for tok, c in true.items():
+        if c * 64 >= n:
+            assert tok in got, f"false negative: {tok}"
+    for tok, est in got.items():
+        assert est >= true[tok], f"CMS under-estimated {tok}"
+
+
+def test_tfidf_top_terms_matches_local_recompute():
+    """Engine top-3 equals a brute-force (tf desc, df asc, token asc)
+    ranking recomputed locally with Counters."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.text import tfidf_top_terms
+
+    got = {
+        (r["doc_id"], r["rank"]): (r["token"], r["tf"], r["df"])
+        for r in tfidf_top_terms(SF, k=3).take_all()
+    }
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    tf_by_doc = {
+        d: Counter((s or "").split())
+        for d, s in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    }
+    df = Counter()
+    for c in tf_by_doc.values():
+        df.update(c.keys())
+    want = {}
+    for d, c in tf_by_doc.items():
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], df[kv[0]], kv[0]))[:3]
+        for i, (tok, tf) in enumerate(ranked, 1):
+            want[(d, i)] = (tok, tf, df[tok])
+    assert got == want
+
+
 def test_quality_topquantile_threshold_semantics():
     """Kept set must be exactly {docs with score >= quantile_disc(q)} per the
     ceil(q*n)-1 order-statistic convention, recomputed locally."""
