@@ -325,6 +325,18 @@ def _sliding_window(sf_dir: str):
     return sliding_window_counts(sf_dir)
 
 
+def _media_exact_dedup(sf_dir: str):
+    from invoice_extraction_ray.ops.multimodal import media_exact_dedup
+
+    return media_exact_dedup(sf_dir)
+
+
+def _event_transitions(sf_dir: str):
+    from invoice_extraction_ray.ops.window import event_transitions
+
+    return event_transitions(sf_dir)
+
+
 def _cms_heavy_hitters(sf_dir: str):
     from invoice_extraction_ray.ops.sketch import cms_heavy_hitters
 
@@ -375,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_view": _asof_purchase_view,
         "sliding_window_counts": _sliding_window,
         "user_cumulative_value": _user_cumulative_value,  # SQL-oracled (ROWS frame, cents)
+        "event_transitions": _event_transitions,          # SQL-oracled (lag pairs)
         "value_quantiles": _value_quantiles,
         "value_quantiles_sketch": _value_quantiles_sketch,  # SQL-oracled (log-bin mirror)
         "hll_distinct_users": _hll_distinct,      # SQL-oracled (splitmix64+HLL in HUGEINT)
@@ -410,7 +423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_names": _redact_names,                  # SQL-oracled (pinned; nested replace)
         "split_assign": curate.split_assign,            # SQL-oracled (splitmix64 in HUGEINT)
         "mixture_sample": curate.mixture_sample,        # SQL-oracled (splitmix64 + IEEE sqrt)
-        "repetition_scores": curate.repetition_scores,  # SQL-oracled (exact integers)
+        "repetition_scores": curate.repetition_scores,  # SQL-oracled
+        "dsir_logweights": curate.dsir_logweights,      # SQL-oracled (bitlen-exact) (exact integers)
         # similarity search
         "ann_topk": ann.ann_topk,                       # SQL-oracled
         "ann_topk_multi": ann.ann_topk_multi,           # SQL-oracled (QUALIFY per query)
@@ -424,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _media_frames_flat,             # SQL-oracled (hex slices)
         "media_features": _media_features_flat,         # SQL-oracled (f32-exact nibble histogram)
         "media_ann_topk": media_ann_topk,               # SQL-oracled (projection literals)
+        "media_exact_dedup": _media_exact_dedup,        # SQL-oracled (sha256 both sides)
     }
 
 
@@ -690,6 +705,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM h JOIN r ON h.lang = r.lg "
             f"WHERE h % {1 << 30} < th ORDER BY doc_id"
         ),
+        # DSIR log importance weights: hashed-unigram counts, floor-log2
+        # quantized with add-one smoothing — exact integers both sides
+        "dsir_logweights": (
+            r"WITH tk AS (SELECT doc_id, "
+            r"unnest(regexp_extract_all(coalesce(text,''), '\S+')) AS tok "
+            r"FROM documents), "
+            f"fe AS (SELECT doc_id, ({_crc_sql('tok')}) % 256 AS f "
+            f"FROM (SELECT doc_id, tok, {_TBL} AS tb FROM tk)), "
+            r"raw AS (SELECT f, count(*) AS cr FROM fe GROUP BY f), "
+            r"tgt AS (SELECT fe.f, count(*) AS ct FROM fe "
+            r"JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY fe.f), "
+            r"nr AS (SELECT sum(cr) AS nr FROM raw), "
+            r"nt AS (SELECT coalesce(sum(ct), 0) AS nt FROM tgt), "
+            r"lam AS (SELECT raw.f, "
+            r"(length(bin(coalesce(ct, 0) + 1)) - length(bin(nt + 1))) "
+            r"- (length(bin(cr + 1)) - length(bin(nr + 1))) AS lam "
+            r"FROM raw LEFT JOIN tgt ON raw.f = tgt.f, nr, nt) "
+            r"SELECT fe.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            r"CAST(sum(lam.lam) AS BIGINT) AS logw_q2 "
+            r"FROM fe JOIN lam ON fe.f = lam.f GROUP BY fe.doc_id"
+        ),
         "repetition_scores": (
             "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
             "unnest(range(len(string_split(text, ' ')))) AS pos FROM documents), "
@@ -847,6 +883,14 @@ def oracle_sql() -> dict[str, str]:
             "v.event_id AS view_id "
             "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"
         ),
+        # per-user consecutive-event transition counts (Markov estimation)
+        "event_transitions": (
+            "WITH o AS (SELECT event_type, lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) "
+            "SELECT prev AS from_type, event_type AS to_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM o "
+            "WHERE prev IS NOT NULL GROUP BY 1, 2"
+        ),
         # expanding per-user running totals: explicit ROWS frame (the default
         # RANGE frame would include ts peers), value summed in exact cents
         "user_cumulative_value": (
@@ -909,6 +953,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS a_id, b.vec_id AS b_id "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.3"
+        ),
+        # media content-hash dedup: sha256(VARCHAR) == hashlib over the same
+        # UTF-8 payload bytes
+        "media_exact_dedup": (
+            "SELECT sha256(coalesce(text,'')) AS sha256, "
+            "CAST(min(doc_id) AS BIGINT) AS keep_id, "
+            "CAST(count(*) AS BIGINT) AS n_copies "
+            "FROM documents GROUP BY 1"
         ),
         "media_metadata": (
             # mirror of ops.multimodal.StubDecoder: pseudo-dimensions derived

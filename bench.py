@@ -58,6 +58,13 @@ HEADLINE = [
     "repetition_scores",
     "boilerplate_scrub",
     "redact_names",
+    # substring dedup + window/sketch/text additions
+    "substring_dup_spans",
+    "unigram_surprisal",
+    "user_cumulative_value",
+    "tfidf_top_terms",
+    "dsir_logweights",
+    "media_exact_dedup",
 ]
 
 

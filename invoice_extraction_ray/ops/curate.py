@@ -307,3 +307,116 @@ def redact_names(source, names: list[str], token: str = "[NAME]") -> ray.data.Da
     return ds.map_batches(scrub, batch_format="pyarrow").sort(
         ["conv_id", "turn_idx"]
     )
+
+
+DSIR_BUCKETS = 256  # hashed-feature space (Xie et al. 2023 use hashed n-grams)
+
+
+def dsir_logweights(sf_dir: str, target_lang: str = "en") -> ray.data.Dataset:
+    """DSIR importance weights (Data Selection via Importance Resampling,
+    Xie et al. 2023), integer-quantized: per document, the log importance
+    ratio of a hashed-unigram bag-of-words model between the TARGET
+    distribution (docs with ``lang == target_lang``) and the RAW corpus.
+    log2 p(f) is quantized to ``bitlen(count+1) - bitlen(N+1)`` (floor-log2
+    with add-one smoothing so unseen target features stay finite), making
+    every weight an exact integer the DuckDB oracle reproduces via
+    length(bin(x)).  Emits (doc_id, n_tokens, logw_q2); resample by keeping
+    the top-weight docs (or hash-thresholding on logw_q2).
+
+    One pass builds BOTH feature-count vectors as per-batch dense partials
+    (2 x 256 int64 — the CMS trick), merged by elementwise sum; the
+    resulting 256-entry lambda table broadcasts into a stateless scoring
+    map.  Feature hashing is crc32(token) % 256, identical in the oracle."""
+    import zlib
+
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        raw = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+        tgt = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+        for s, lg in zip(
+            t.column("text").to_pylist(), t.column("lang").to_pylist()
+        ):
+            for w in (s or "").split():
+                f = zlib.crc32(w.encode()) % DSIR_BUCKETS
+                raw[f] += 1
+                if lg == target_lang:
+                    tgt[f] += 1
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int32()),
+                "raw": pa.array([raw.tolist()], pa.list_(pa.int64())),
+                "tgt": pa.array([tgt.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int32()),
+                    "raw": pa.array([], pa.list_(pa.int64())),
+                    "tgt": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        raw = np.asarray(t.column("raw").to_pylist(), dtype=np.int64).sum(axis=0)
+        tgt = np.asarray(t.column("tgt").to_pylist(), dtype=np.int64).sum(axis=0)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int32()),
+                "raw": pa.array([raw.tolist()], pa.list_(pa.int64())),
+                "tgt": pa.array([tgt.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(merge, batch_format="pyarrow")
+        .take_all()
+    )
+    raw = np.asarray(rows[0]["raw"], dtype=np.int64)
+    tgt = np.asarray(rows[0]["tgt"], dtype=np.int64)
+
+    def _bitlen(x: np.ndarray) -> np.ndarray:
+        return np.frexp(x.astype(np.float64))[1].astype(np.int64)
+
+    n_raw, n_tgt = int(raw.sum()), int(tgt.sum())
+    lam = (
+        _bitlen(tgt + 1) - int(np.frexp(np.float64(n_tgt + 1))[1])
+    ) - (_bitlen(raw + 1) - int(np.frexp(np.float64(n_raw + 1))[1]))
+    lam_ref = ray.put(lam.astype(np.int64))
+
+    _OUT = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("logw_q2", pa.int64())]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        lam_b = ray.get(lam_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        feats: list[int] = []
+        lens = np.empty(t.num_rows, dtype=np.int64)
+        for i, s in enumerate(t.column("text").to_pylist()):
+            toks = (s or "").split()
+            lens[i] = len(toks)
+            feats.extend(zlib.crc32(w.encode()) % DSIR_BUCKETS for w in toks)
+        keep = lens > 0
+        if not keep.any():
+            return _OUT.empty_table()
+        vals = lam_b[np.asarray(feats, dtype=np.int64)]
+        sums = np.add.reduceat(vals, np.r_[0, np.cumsum(lens[keep])[:-1]]).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_tokens": pa.array(lens[keep]),
+                "logw_q2": pa.array(sums),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

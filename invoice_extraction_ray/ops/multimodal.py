@@ -300,3 +300,54 @@ def media_ann_topk(
 
     scored = media_features(sf_dir).map_batches(score, batch_format="pyarrow")
     return scored.sort(["sim_e4", "doc_id"], descending=[True, False]).limit(k)
+
+
+def media_exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Content-hash dedup of media assets: one row per DISTINCT payload
+    digest with the canonical keeper (min doc_id) and copy count — the
+    asset-level twin of ``ops/relational.py::exact_dedup`` (which keys on
+    text), keyed on the full sha256 of the binary payload so identical
+    uploads dedup regardless of their metadata.
+
+    Scale shape: digests are computed per batch (C-speed sha over the
+    zero-copy payload buffers; only digest+id rows ever shuffle — the
+    payloads themselves never move), co-partitioned by the digest's first
+    byte, and each shard group-reduces (min, count) vectorized."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ds = text_as_binary(sf_dir)
+
+    def digest(t: pa.Table) -> pa.Table:
+        payloads = t.column("payload").to_pylist()
+        shas = [hashlib.sha256(p or b"").hexdigest() for p in payloads]
+        shard = np.array([int(s[:2], 16) for s in shas], dtype=np.int32)
+        return pa.table(
+            {
+                "sha256": pa.array(shas, pa.string()),
+                "doc_id": t.column("doc_id"),
+                "shard": pa.array(shard),
+            }
+        )
+
+    _OUT = pa.schema(
+        [("sha256", pa.string()), ("keep_id", pa.int64()), ("n_copies", pa.int64())]
+    )
+
+    def reduce_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        agg = g.group_by("sha256").aggregate([("doc_id", "min"), ([], "count_all")])
+        return pa.table(
+            {
+                "sha256": agg.column("sha256"),
+                "keep_id": agg.column("doc_id_min"),
+                "n_copies": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(digest, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(reduce_shard, batch_format="pyarrow")
+    )

@@ -288,3 +288,58 @@ def user_cumulative_value(sf_dir: str) -> ray.data.Dataset:
         .groupby("shard")
         .map_groups(cum, batch_format="pyarrow")
     )
+
+
+def event_transitions(sf_dir: str) -> ray.data.Dataset:
+    """First-order transition counts over each user's event sequence — the
+    Markov-chain estimation step of behavioral analytics: for every
+    consecutive pair in (ts, event_id) order within a user, count
+    (from_type -> to_type) corpus-wide.
+
+    One 64-way user-shard groupby; inside each shard the pairs are formed
+    by one lexsort + shifted compare and collapsed to (from, to, n)
+    partials vectorized, so only a few-dozen-row partial table per shard
+    reaches the final tiny groupby."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    _OUT = pa.schema(
+        [("from_type", pa.string()), ("to_type", pa.string()), ("n", pa.int64())]
+    )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _OUT.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(g.column("event_type").to_pylist())
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return _OUT.empty_table()
+        types, codes = np.unique(et, return_inverse=True)
+        k = len(types)
+        pair_code = codes[:-1][same] * k + codes[1:][same]
+        counts = np.bincount(pair_code, minlength=k * k)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "from_type": pa.array(types[nz // k].tolist(), pa.string()),
+                "to_type": pa.array(types[nz % k].tolist(), pa.string()),
+                "n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

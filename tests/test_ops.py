@@ -396,6 +396,87 @@ def test_tfidf_top_terms_matches_local_recompute():
     assert got == want
 
 
+def test_media_exact_dedup_planted(tmp_path):
+    """Identical payloads collapse to one row keyed by content hash with the
+    min doc_id as keeper; distinct payloads stay separate."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.multimodal import media_exact_dedup
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([5, 1, 3, 2], pa.int64()),
+                "text": ["same body", "same body", "other", "same body"],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {r["sha256"]: r for r in media_exact_dedup(str(tmp_path)).take_all()}
+    dup = got[hashlib.sha256(b"same body").hexdigest()]
+    assert dup["keep_id"] == 1 and dup["n_copies"] == 3
+    other = got[hashlib.sha256(b"other").hexdigest()]
+    assert other["keep_id"] == 3 and other["n_copies"] == 1
+    assert len(got) == 2
+
+
+def test_event_transitions_known_answer(tmp_path):
+    """Pairs form within users only, in (ts, event_id) order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.window import event_transitions
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "ts": pa.array([10, 20, 30, 10, 20], pa.timestamp("us")),
+                "user_id": pa.array([7, 7, 7, 9, 9], pa.int64()),
+                "event_type": ["A", "B", "A", "A", "A"],
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in event_transitions(str(tmp_path)).take_all()
+    }
+    assert got == {("A", "B"): 1, ("B", "A"): 1, ("A", "A"): 1}
+
+
+def test_dsir_logweights_known_answer(tmp_path):
+    """Hand-quantized DSIR: raw counts a=2 b=2 (N=4), target(en) a=2 (N=2);
+    lambda(a) = (bitlen(3)-bitlen(3)) - (bitlen(3)-bitlen(5)) = +1,
+    lambda(b) = (bitlen(1)-bitlen(3)) - (bitlen(3)-bitlen(5)) = 0."""
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.curate import DSIR_BUCKETS, dsir_logweights
+
+    assert (
+        zlib.crc32(b"a") % DSIR_BUCKETS != zlib.crc32(b"b") % DSIR_BUCKETS
+    ), "test tokens must not collide"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": ["a a", "b b"],
+                "lang": ["en", "de"],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {r["doc_id"]: r for r in dsir_logweights(str(tmp_path)).take_all()}
+    assert got[1]["logw_q2"] == 2 and got[1]["n_tokens"] == 2
+    assert got[2]["logw_q2"] == 0 and got[2]["n_tokens"] == 2
+
+
 def test_quality_topquantile_threshold_semantics():
     """Kept set must be exactly {docs with score >= quantile_disc(q)} per the
     ceil(q*n)-1 order-statistic convention, recomputed locally."""
