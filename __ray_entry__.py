@@ -337,6 +337,12 @@ def _event_transitions(sf_dir: str):
     return event_transitions(sf_dir)
 
 
+def _bloom_contamination(sf_dir: str):
+    from invoice_extraction_ray.ops.sketch import bloom_contamination
+
+    return bloom_contamination(sf_dir)
+
+
 def _cms_heavy_hitters(sf_dir: str):
     from invoice_extraction_ray.ops.sketch import cms_heavy_hitters
 
@@ -392,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_sketch": _value_quantiles_sketch,  # SQL-oracled (log-bin mirror)
         "hll_distinct_users": _hll_distinct,      # SQL-oracled (splitmix64+HLL in HUGEINT)
         "cms_heavy_hitters": _cms_heavy_hitters,  # SQL-oracled (CRC32 buckets, exact min)
+        "bloom_contamination": _bloom_contamination,  # SQL-oracled (exact bit sets)
         # text analysis
         "token_count": text.token_count,               # SQL-oracled
         "pack_documents": text.pack_documents,         # SQL-oracled (exact window cumsum)
@@ -1256,6 +1263,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "value_quantiles_sketch": _QSK_SQL,
         "hll_distinct_users": _HLL_SQL,
+        # bloom-filter contamination: eval doc flagged iff its CRC32 bucket
+        # is in the train split's bucket set for ALL 4 hash rows
+        "bloom_contamination": (
+            f"WITH d AS (SELECT doc_id, coalesce(text,'') AS t, {_TBL} AS tb "
+            "FROM documents), "
+            "tr AS (SELECT t, tb FROM d WHERE doc_id % 10 != 0), "
+            "ev AS (SELECT doc_id, t, tb FROM d WHERE doc_id % 10 = 0), "
+            + " ".join(
+                f"tb{j} AS (SELECT DISTINCT ({_crc_sql(chr(39) + str(j) + chr(39) + ' || t')}) % 8192 AS b FROM tr),"
+                for j in range(4)
+            )
+            + " eb AS (SELECT doc_id, "
+            + ", ".join(
+                f"({_crc_sql(chr(39) + str(j) + chr(39) + ' || t')}) % 8192 AS b{j}"
+                for j in range(4)
+            )
+            + " FROM ev) "
+            "SELECT doc_id, ("
+            + " AND ".join(f"b{j} IN (SELECT b FROM tb{j})" for j in range(4))
+            + ") AS flagged FROM eb"
+        ),
         # count-min sketch heavy hitters: bucket sums over distinct-token
         # counts (== the engine's per-batch-partial build, since addition is
         # per-token-total), min across the 4 CRC32 rows, threshold est*64 >= N

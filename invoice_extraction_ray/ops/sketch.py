@@ -331,3 +331,112 @@ def cms_heavy_hitters(sf_dir: str, denom: int = 64) -> ray.data.Dataset:
         .groupby("tshard")
         .map_groups(probe, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — OR-mergeable set membership (Bloom 1970)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 13  # bits
+BLOOM_K = 4  # hash functions
+_BLOOM_WORDS = BLOOM_M // 64
+
+
+def _bloom_bits(texts: list[str], j: int) -> np.ndarray:
+    import zlib
+
+    return np.array(
+        [zlib.crc32((str(j) + (t or "")).encode()) % BLOOM_M for t in texts],
+        dtype=np.int64,
+    )
+
+
+def bloom_contamination(sf_dir: str, eval_mod: int = 10) -> ray.data.Dataset:
+    """Bloom-filter exact-membership contamination check: build an
+    OR-MERGEABLE bloom over the TRAIN split's document texts, probe every
+    EVAL doc (same ``doc_id % eval_mod == 0 -> eval`` convention as
+    ``ops/dedup.py::contamination_check``, which tests n-gram OVERLAP where
+    this tests exact-duplicate membership).  Emits (doc_id, flagged) for
+    eval docs; flagged iff all K bloom bits are set — NO false negatives
+    (an exact train duplicate always flags) and only deterministic false
+    positives, reproduced bit-exactly by the SQL oracle via the same CRC32
+    bucket hashes.
+
+    PARTITIONED bloom (one M-bit array PER hash row — the standard variant
+    whose per-row membership sets the SQL oracle mirrors directly; a
+    shared array would let hash row j's insertions satisfy row i's probes
+    and saturate at scale).  The K x M bits are carried as 64-bit words:
+    per-batch partials OR-merge (associative, commutative, idempotent —
+    any partitioning and any retry gives the same filter), and the merged
+    state is K*M/8 bytes regardless of corpus size; the probe is a
+    stateless task map against the ray.put filter."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        train = np.asarray(ids % eval_mod != 0)
+        texts = [s for s, k in zip(t.column("text").to_pylist(), train) if k]
+        bits = np.zeros((BLOOM_K, BLOOM_M), dtype=bool)
+        for j in range(BLOOM_K):
+            bits[j, _bloom_bits(texts, j)] = True
+        words = (
+            np.packbits(bits.reshape(-1), bitorder="little")
+            .view("<u8")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int32()),
+                "words": pa.array([words.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int32()), "words": pa.array([], pa.list_(pa.int64()))}
+            )
+        w = np.asarray(t.column("words").to_pylist(), dtype=np.int64)
+        out = np.bitwise_or.reduce(w, axis=0)
+        return pa.table(
+            {"k": pa.array([0], pa.int32()), "words": pa.array([out.tolist()], pa.list_(pa.int64()))}
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(merge, batch_format="pyarrow")
+        .take_all()
+    )
+    bits = (
+        np.unpackbits(
+            np.asarray(rows[0]["words"], dtype=np.int64).astype("<u8").view(np.uint8),
+            bitorder="little",
+        )
+        .astype(bool)
+        .reshape(BLOOM_K, BLOOM_M)
+    )
+    bloom_ref = ray.put(bits)
+
+    _OUT = pa.schema([("doc_id", pa.int64()), ("flagged", pa.bool_())])
+
+    def probe(t: pa.Table) -> pa.Table:
+        bl = ray.get(bloom_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        is_eval = np.asarray(ids % eval_mod == 0)
+        if not is_eval.any():
+            return _OUT.empty_table()
+        texts = [s for s, k in zip(t.column("text").to_pylist(), is_eval) if k]
+        flagged = np.ones(len(texts), dtype=bool)
+        for j in range(BLOOM_K):
+            flagged &= bl[j, _bloom_bits(texts, j)]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[is_eval], pa.int64()),
+                "flagged": pa.array(flagged),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")

@@ -477,6 +477,36 @@ def test_dsir_logweights_known_answer(tmp_path):
     assert got[2]["logw_q2"] == 0 and got[2]["n_tokens"] == 2
 
 
+def test_bloom_contamination_no_false_negatives(tmp_path):
+    """An eval doc whose text exactly matches a train doc MUST flag (bloom
+    has no false negatives); a unique eval doc stays clean at this load
+    (5 insertions into 4x8192 bits -> fpp ~ 1e-13)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.sketch import bloom_contamination
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 10, 1, 2, 3, 4, 5], pa.int64()),
+                "text": [
+                    "shared body text",  # eval, dup of train doc 3
+                    "totally novel eval body",  # eval, unique
+                    "train one",
+                    "train two",
+                    "shared body text",
+                    "train four",
+                    "train five",
+                ],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {r["doc_id"]: r["flagged"] for r in bloom_contamination(str(tmp_path)).take_all()}
+    assert got == {0: True, 10: False}
+
+
 def test_quality_topquantile_threshold_semantics():
     """Kept set must be exactly {docs with score >= quantile_disc(q)} per the
     ceil(q*n)-1 order-statistic convention, recomputed locally."""
