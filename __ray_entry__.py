@@ -438,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann_topk": ann.lsh_topk,                   # SQL-oracled (plane literals)
         "ivf_ann_topk": ann.ivf_topk,                   # SQL-oracled (centroid literals)
         "kmeans_clusters": lambda sf: ann.kmeans_clusters(sf, 8),  # SQL-oracled (centroid literals)
+        "pq_ann_topk": ann.pq_topk,                     # SQL-oracled (codebook literals, pinned)
         "embedding_neardup_lsh": dedup.embedding_neardup_lsh,  # SQL-oracled (plane literals)
         # multimodal plumbing (stubbed decode/resize/frame-sample)
         "media_metadata": media_metadata,               # SQL-oracled
@@ -1408,6 +1409,7 @@ SF001_PINNED = [
     "redact_names",
     "ivf_ann_topk",
     "kmeans_clusters",
+    "pq_ann_topk",
     "semantic_neardup",
     "extract_turns",
     "extract_consensus",
@@ -1484,6 +1486,47 @@ def _sf001_pinned_oracles(sf001: str) -> dict[str, str]:
     )
     _K8_DCOLS = ",".join(f"d{j}" for j in range(8))
     _K8_ARGMAX = "CASE " + " ".join(f"WHEN d{j} = g THEN {j}" for j in range(8)) + " END"
+
+    # pq_ann_topk: per-subspace codebooks from the same deterministic sample;
+    # encoding cost mirrored as e7 fixed-point integers (first-min argmin ==
+    # list_position of list_min), ADC score = integer LUT sum.  Embeddings are
+    # CAST to DOUBLE[] — DuckDB computes float32-list dots in float32, which
+    # is too coarse for the e7 cost integers (engine is float64 throughout).
+    from invoice_extraction_ray.ops.ann import _PQ_KSUB, _PQ_M, _kmeans_l2
+
+    _pq_sub = _sample.shape[1] // _PQ_M
+    _pq_books = [
+        _kmeans_l2(_sample[:, j * _pq_sub : (j + 1) * _pq_sub], _PQ_KSUB)
+        for j in range(_PQ_M)
+    ]
+    _pq_q = _emat[list(_eids).index(0)]
+    _pq_qn = _pq_q / max(np.linalg.norm(_pq_q), 1e-30)
+    _pq_cost_lists = []
+    _pq_lut_lits = []
+    for j, _bk in enumerate(_pq_books):
+        _lo, _hi = j * _pq_sub + 1, (j + 1) * _pq_sub
+        _costs = ", ".join(
+            "CAST(floor(({cn} - list_dot_product(de[{lo}:{hi}], {lit})/nrm) "
+            "* 10000000.0 + 0.5) AS BIGINT)".format(
+                cn=repr(float((_bk[c] * _bk[c]).sum() / 2.0)),
+                lo=_lo,
+                hi=_hi,
+                lit=_vec_lit(_bk[c]),
+            )
+            for c in range(_PQ_KSUB)
+        )
+        _pq_cost_lists.append(f"[{_costs}] AS c{j}")
+        _lut = np.floor(
+            (_bk @ _pq_qn[j * _pq_sub : (j + 1) * _pq_sub]) * 1e6 + 0.5
+        ).astype("int64")
+        _pq_lut_lits.append("[" + ",".join(str(int(v)) for v in _lut) + "]")
+    _PQ_COSTS = ", ".join(_pq_cost_lists)
+    _PQ_POS = ", ".join(
+        f"list_position(c{j}, list_min(c{j})) AS p{j}" for j in range(_PQ_M)
+    )
+    _PQ_SCORE = " + ".join(
+        f"({_pq_lut_lits[j]})[p{j}]" for j in range(_PQ_M)
+    )
 
     # redact_names: nested literal replace + per-name occurrence counts on
     # the ORIGINAL text (names never overlap, so order is immaterial)
@@ -1582,6 +1625,15 @@ def _sf001_pinned_oracles(sf001: str) -> dict[str, str]:
             f"g AS (SELECT *, greatest({_K8_DCOLS}) AS g FROM s) "
             f"SELECT vec_id, CAST({_K8_ARGMAX} AS BIGINT) AS cluster FROM g "
             "ORDER BY vec_id"
+        ),
+        "pq_ann_topk": (
+            "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de, "
+            "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+            "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), "
+            f"c AS (SELECT vec_id, {_PQ_COSTS} FROM n), "
+            f"p AS (SELECT vec_id, {_PQ_POS} FROM c) "
+            f"SELECT vec_id, CAST({_PQ_SCORE} AS BIGINT) AS score_e6 FROM p "
+            "ORDER BY score_e6 DESC, vec_id LIMIT 10"
         ),
         "semantic_neardup": (
             # same 8-centroid model; pairs cosine-scored within a cluster only

@@ -65,6 +65,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "dsir_logweights",
     "media_exact_dedup",
+    "pq_ann_topk",
 ]
 
 

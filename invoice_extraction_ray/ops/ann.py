@@ -168,12 +168,12 @@ _IVF_TRAIN_CAP = 4096  # max sample rows ever collected for centroid training
 _IVF_SAMPLE_DENOM = 3  # deterministic hash-sample rate (1/denom)
 
 
-def _train_centroids(sf_dir: str, n_list: int) -> np.ndarray:
-    """Coarse k-means centroid model from a BOUNDED deterministic sample — a
-    Ray-side hash-filter + limit, so only <= _IVF_TRAIN_CAP sample rows ever
-    reach the driver regardless of corpus size.  Shared by ``ivf_topk`` and
-    ``kmeans_clusters``; the sf0.01-pinned oracle re-derives the identical
-    model from the same rules."""
+def _train_sample(sf_dir: str) -> np.ndarray:
+    """Bounded deterministic training sample (normalized rows) — a Ray-side
+    hash-filter + limit, so only <= _IVF_TRAIN_CAP sample rows ever reach the
+    driver regardless of corpus size.  Shared by ``ivf_topk``,
+    ``kmeans_clusters`` and ``pq_topk``; the sf0.01-pinned oracles re-derive
+    the identical sample from the same rules."""
     ds_sample = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
     def hash_sample(t: pa.Table) -> pa.Table:
@@ -199,7 +199,12 @@ def _train_centroids(sf_dir: str, n_list: int) -> np.ndarray:
     rows.sort(key=lambda r: r["vec_id"])
     sample = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
-    return _kmeans_lite(sample, n_list)
+    return sample
+
+
+def _train_centroids(sf_dir: str, n_list: int) -> np.ndarray:
+    """Coarse k-means centroid model over the bounded deterministic sample."""
+    return _kmeans_lite(_train_sample(sf_dir), n_list)
 
 
 def kmeans_clusters(sf_dir: str, n_clusters: int = 8) -> ray.data.Dataset:
@@ -302,3 +307,90 @@ def lsh_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> ray.data.Datase
     ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     scored = ds.map_batches(probe_score, batch_format="pyarrow")
     return scored.sort(["sim_e4", "vec_id"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (memory-compression scale path)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_KSUB = 16  # codewords per sub-quantizer (a 4-bit code per subspace)
+
+
+def _kmeans_l2(mat: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
+    """Deterministic plain-L2 k-means for PQ sub-quantizer codebooks (seeded
+    evenly-spaced init, first-min argmin ties).  Unlike ``_kmeans_lite`` the
+    inputs are subspace SLICES, not unit vectors, so centroids are plain means
+    and assignment is Euclidean."""
+    idx = np.linspace(0, len(mat) - 1, k).astype(np.int64)
+    cents = mat[idx].copy()
+    for _ in range(iters):
+        # argmin ||x-c||^2 == argmin(||c||^2 - 2 x.c); ||x||^2 is constant/row
+        cost = (cents * cents).sum(axis=1)[None, :] - 2.0 * (mat @ cents.T)
+        assign = np.argmin(cost, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def _pq_codebooks(sf_dir: str, m: int = _PQ_M, ksub: int = _PQ_KSUB) -> list[np.ndarray]:
+    """Per-subspace codebooks trained on the bounded deterministic sample.
+    The whole model is m*ksub*(dim/m) floats — a few KB, broadcast once."""
+    sample = _train_sample(sf_dir)
+    sub = sample.shape[1] // m
+    return [_kmeans_l2(sample[:, j * sub : (j + 1) * sub], ksub) for j in range(m)]
+
+
+def pq_topk(
+    sf_dir: str, k: int = 10, query_vec_id: int = 0, m: int = _PQ_M, ksub: int = _PQ_KSUB
+) -> ray.data.Dataset:
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring — the
+    memory-compression scale path: at 100 TB the corpus is stored as tiny
+    codes (here 8x4 bits per 64-dim float32 vector, a 64x compression), and a query
+    scores a vector with m integer TABLE LOOKUPS instead of a d-dim matmul.
+
+    Shape: train per-subspace codebooks on the bounded sample, broadcast the
+    tiny model + the query's per-codeword lookup table once (ray.put); each
+    corpus batch encodes (one small matmul per subspace, argmin over
+    fixed-point e7 cost integers so assignment is engine/oracle-exact) and
+    accumulates the e6-integer LUT scores.  Only (vec_id, score) rows ever
+    shuffle; sort+limit finishes.  Approximate by design — tests measure
+    recall vs the brute-force baseline; the SQL oracle mirrors codebook
+    literals, e7 cost argmin (first-min ties) and integer LUT sums exactly.
+    """
+    books = _pq_codebooks(sf_dir, m, ksub)
+    sub = books[0].shape[1]
+    q = _load_query_vec(sf_dir, query_vec_id)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    # ||c||^2/2 enters the encoding cost; LUT = e6 fixed-point <q_sub, c>
+    cn2h = [(b * b).sum(axis=1) / 2.0 for b in books]
+    luts = [
+        np.floor((b @ qn[j * sub : (j + 1) * sub]) * 1e6 + 0.5).astype(np.int64)
+        for j, b in enumerate(books)
+    ]
+    state_ref = ray.put((books, cn2h, luts, sub))
+
+    def encode_score(t: pa.Table) -> pa.Table:
+        bbooks, bcn, bluts, bsub = ray.get(state_ref)  # plasma zero-copy
+        x = embedding_matrix(t.column("embedding"), dim=bsub * len(bbooks))
+        nrm = np.maximum(np.linalg.norm(x, axis=1), 1e-30)
+        score = np.zeros(x.shape[0], dtype=np.int64)
+        for j, bk in enumerate(bbooks):
+            dots = x[:, j * bsub : (j + 1) * bsub] @ bk.T
+            # encoding cost of codeword c for unit-normalized x_sub:
+            # ||x_sub - c||^2/2 - const == ||c||^2/2 - <x_sub, c>; e7
+            # fixed-point so the oracle's argmin sees the SAME integers
+            cost = np.floor((bcn[j][None, :] - dots / nrm[:, None]) * 1e7 + 0.5).astype(
+                np.int64
+            )
+            codes = np.argmin(cost, axis=1)  # first-min tie-break
+            score += bluts[j][codes]
+        return pa.table(
+            {"vec_id": t.column("vec_id"), "score_e6": pa.array(score, pa.int64())}
+        )
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    scored = ds.map_batches(encode_score, batch_format="pyarrow")
+    return scored.sort(["score_e6", "vec_id"], descending=[True, False]).limit(k)

@@ -121,6 +121,40 @@ def test_approx_ann_recall(variant):
     assert len(got & exact) >= 5
 
 
+def test_pq_ann_topk_matches_local_adc_recompute():
+    """The distributed PQ pipeline must equal a driver-side numpy recompute
+    of the full encode+ADC scoring (same codebooks, same e7-integer argmin,
+    same e6 LUT sums) — and keep useful recall vs the exact baseline."""
+    from invoice_extraction_ray.ops.ann import _pq_codebooks, pq_topk
+
+    rows = pq_topk(SF, k=10).take_all()
+    got = [(r["vec_id"], r["score_e6"]) for r in rows]
+
+    books = _pq_codebooks(SF)
+    sub = books[0].shape[1]
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    nrm = np.maximum(np.linalg.norm(mat, axis=1), 1e-30)
+    q = mat[list(ids).index(0)]
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    score = np.zeros(len(ids), dtype=np.int64)
+    for j, bk in enumerate(books):
+        dots = mat[:, j * sub : (j + 1) * sub] @ bk.T
+        cn = (bk * bk).sum(axis=1) / 2.0
+        cost = np.floor((cn[None, :] - dots / nrm[:, None]) * 1e7 + 0.5).astype(np.int64)
+        lut = np.floor((bk @ qn[j * sub : (j + 1) * sub]) * 1e6 + 0.5).astype(np.int64)
+        score += lut[np.argmin(cost, axis=1)]
+    order = np.lexsort((ids, -score))[:10]
+    want = list(zip(ids[order].tolist(), score[order].tolist()))
+    assert got == want
+    # 8x4-bit codes are a coarse quantizer (random gaussian corpora are PQ's
+    # worst case): require the query itself plus meaningful exact-top overlap
+    top_ids = {v for v, _ in got}
+    assert 0 in top_ids
+    assert len(top_ids & set(_brute_force_topk(10))) >= 3
+
+
 def test_delta_neardup_cross_side_only():
     """Near-dup pairs within the corpus side (or within the delta side) must
     NOT be emitted; cross-side dups are, oriented (delta, corpus)."""
