@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": text.token_count,               # SQL-oracled
         "pack_documents": text.pack_documents,         # SQL-oracled (exact window cumsum)
         "token_frequencies": lambda sf: text.token_frequencies(sf, 50),  # SQL-oracled
+        "bpe_merge_pairs": lambda sf: text.bpe_merge_pairs(sf, 30),  # SQL-oracled
         "quality_topquantile": lambda sf: text.quality_topquantile(sf, 0.75),  # SQL-oracled
         "bpe_token_count": text.bpe_token_count,       # SQL-oracled (RE2 both sides)
         "langid": text.langid,                          # SQL-oracled
@@ -816,6 +817,19 @@ def oracle_sql() -> dict[str, str]:
             "c AS (SELECT token, count(*) AS n FROM toks GROUP BY token) "
             "SELECT token, CAST(n AS BIGINT) AS n FROM c "
             "ORDER BY n DESC, token LIMIT 50"
+        ),
+        # BPE merge-pair counting: adjacent codepoint pairs within whitespace
+        # tokens (the pinned 4-char ws set); binary collation == codepoint
+        # order, so ORDER BY pair matches the engine's int-key tie-break
+        "bpe_merge_pairs": (
+            "WITH ch AS (SELECT unnest(range(1, length(coalesce(text, '')))) AS i, "
+            "coalesce(text, '') AS text FROM documents), "
+            "p AS (SELECT substr(text, CAST(i AS INTEGER), 2) AS pair FROM ch), "
+            "f AS (SELECT pair FROM p "
+            "WHERE substr(pair, 1, 1) NOT IN (' ', chr(9), chr(10), chr(13)) "
+            "AND substr(pair, 2, 1) NOT IN (' ', chr(9), chr(10), chr(13))) "
+            "SELECT pair, CAST(count(*) AS BIGINT) AS n FROM f "
+            "GROUP BY pair ORDER BY n DESC, pair LIMIT 30"
         ),
         # sequence packing: exact-integer window cumsum per stream shard —
         # mirrors ops/text.py::pack_documents (budget 2048, 16 shards)

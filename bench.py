@@ -66,6 +66,7 @@ HEADLINE = [
     "dsir_logweights",
     "media_exact_dedup",
     "pq_ann_topk",
+    "bpe_merge_pairs",
 ]
 
 

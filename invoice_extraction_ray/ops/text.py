@@ -191,6 +191,95 @@ def token_frequencies(sf_dir: str, k: int = 50) -> ray.data.Dataset:
     return counts.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
+_PAIR_BASE = 1114112  # 0x110000: pair key = left_codepoint * base + right
+_PAIR_WS = (0x20, 0x09, 0x0A, 0x0D)  # the pinned whitespace set
+
+
+def bpe_merge_pairs(sf_dir: str, k: int = 30) -> ray.data.Dataset:
+    """The BPE tokenizer-training inner loop: corpus-wide counts of ADJACENT
+    character pairs within whitespace tokens, global top-k — the statistic
+    whose argmax is BPE's next merge.  A pair is counted when both codepoints
+    are outside the pinned whitespace set (so pairs never span tokens).
+
+    Fully vectorized: each batch does ONE ``str.encode`` of its
+    space-joined texts (the joiner prevents cross-document pairs), one
+    ``np.frombuffer`` to codepoints, and one ``np.unique`` over int64 pair
+    keys — no per-character Python.  Scale shape mirrors
+    ``token_frequencies``: per-block (key, count) partials (only distinct
+    pairs shuffle), 256-way key-shard segment sums, per-shard partial top-k
+    (valid: a pair lives wholly in one shard), final sort/limit over
+    <= 256*k survivors, then keys decode to 2-char strings.  Ordering ties
+    break by pair ascending — codepoint order, which equals DuckDB's binary
+    UTF-8 collation in the ``ORDER BY n DESC, pair`` oracle."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        joined = " ".join(s or "" for s in t.column("text").to_pylist())
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        empty = pa.table(
+            {
+                "pk": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "pshard": pa.array([], pa.int32()),
+            }
+        )
+        if cp.size < 2:
+            return empty
+        a = cp[:-1].astype(np.int64)
+        b = cp[1:].astype(np.int64)
+        ws = np.array(_PAIR_WS, dtype=np.int64)
+        mask = ~np.isin(a, ws) & ~np.isin(b, ws)
+        if not mask.any():
+            return empty
+        keys = a[mask] * _PAIR_BASE + b[mask]
+        uk, cnt = np.unique(keys, return_counts=True)
+        shard = (((uk * 2654435761) % (1 << 32)) % 256).astype(np.int32)
+        return pa.table(
+            {
+                "pk": pa.array(uk, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                "pshard": pa.array(shard),
+            }
+        )
+
+    def reduce_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"pk": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        g = g.sort_by([("pk", "ascending")])
+        pk = g.column("pk").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        new = np.ones(len(pk), dtype=bool)
+        new[1:] = pk[1:] != pk[:-1]
+        seg = np.cumsum(new) - 1
+        totals = np.bincount(seg, weights=n).astype(np.int64)
+        starts = np.flatnonzero(new)
+        out = pa.table(
+            {
+                "pk": pa.array(pk[starts], pa.int64()),
+                "n": pa.array(totals, pa.int64()),
+            }
+        )
+        # per-shard partial top-k (ties by key asc == pair asc, global order)
+        return out.sort_by([("n", "descending"), ("pk", "ascending")]).slice(0, k)
+
+    def decode(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        pairs = [chr(int(v) // _PAIR_BASE) + chr(int(v) % _PAIR_BASE) for v in pk]
+        return pa.table(
+            {"pair": pa.array(pairs, pa.string()), "n": t.column("n")}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pshard")
+        .map_groups(reduce_shard, batch_format="pyarrow")
+    )
+    top = counts.sort(["n", "pk"], descending=[True, False]).limit(k)
+    return top.map_batches(decode, batch_format="pyarrow")
+
+
 def unigram_surprisal(sf_dir: str) -> ray.data.Dataset:
     """Integer-exact unigram-LM quality score — the corpus-statistics
     perplexity filter of training-data pipelines, quantized so no float

@@ -121,6 +121,27 @@ def test_approx_ann_recall(variant):
     assert len(got & exact) >= 5
 
 
+def test_bpe_merge_pairs_matches_pure_python_recompute():
+    """Distributed pair counting must equal a per-character pure-Python
+    Counter over the same corpus, including the (n desc, pair asc) order."""
+    from collections import Counter
+
+    from invoice_extraction_ray.ops.text import _PAIR_WS, bpe_merge_pairs
+
+    got = [(r["pair"], r["n"]) for r in bpe_merge_pairs(SF, k=30).take_all()]
+
+    ws = {chr(c) for c in _PAIR_WS}
+    c: Counter = Counter()
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    for s in tbl.column("text").to_pylist():
+        s = s or ""
+        for a, b in zip(s, s[1:]):
+            if a not in ws and b not in ws:
+                c[a + b] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    assert got == want
+
+
 def test_pq_ann_topk_matches_local_adc_recompute():
     """The distributed PQ pipeline must equal a driver-side numpy recompute
     of the full encode+ADC scoring (same codebooks, same e7-integer argmin,
