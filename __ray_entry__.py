@@ -440,6 +440,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_topk": ann.ivf_topk,                   # SQL-oracled (centroid literals)
         "kmeans_clusters": lambda sf: ann.kmeans_clusters(sf, 8),  # SQL-oracled (centroid literals)
         "pq_ann_topk": ann.pq_topk,                     # SQL-oracled (codebook literals, pinned)
+        "ann_recall_report": ann.ann_recall_report,     # SQL-oracled (composed index oracles, pinned)
+        "embedding_quantize": ann.embedding_quantize,   # SQL-oracled (exact integers)
         "embedding_neardup_lsh": dedup.embedding_neardup_lsh,  # SQL-oracled (plane literals)
         # multimodal plumbing (stubbed decode/resize/frame-sample)
         "media_metadata": media_metadata,               # SQL-oracled
@@ -1401,6 +1403,17 @@ def oracle_sql() -> dict[str, str]:
             "QUALIFY row_number() OVER (PARTITION BY q.query_id "
             "ORDER BY floor(list_cosine_similarity(e.embedding, q.qe)*10000 + 0.5) DESC, e.vec_id) <= 5"
         ),
+        # int8 quantization: identical float64 bits flow through identical
+        # exact-rounded ops on both sides, so this oracle is EXACT
+        "embedding_quantize": (
+            "WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings), "
+            "s AS (SELECT vec_id, de, "
+            "greatest(list_max(list_transform(de, x -> abs(x))), 1e-30) AS scale FROM d), "
+            "u AS (SELECT vec_id, unnest(range(len(de))) AS dim_idx, unnest(de) AS x, scale FROM s) "
+            "SELECT vec_id, CAST(dim_idx AS BIGINT) AS dim_idx, "
+            "CAST(floor(x / scale * 127.0 + 0.5) AS BIGINT) AS q, "
+            "CAST(floor(scale * 1000000.0 + 0.5) AS BIGINT) AS scale_e6 FROM u"
+        ),
         "ann_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id, CAST(round(list_cosine_similarity(e.embedding, q.qe) * 10000) AS BIGINT) AS sim_e4 "
@@ -1410,6 +1423,22 @@ def oracle_sql() -> dict[str, str]:
     }
     if os.path.isdir(_SF001):
         out.update(_sf001_pinned_oracles(_SF001))
+        # ann_recall_report: intersect each (already value-verified) index
+        # oracle with the exact top-k oracle — nested WITH-statements are
+        # legal CTE bodies, so the composed oracle reuses them verbatim
+        _union = " UNION ALL ".join(
+            f"SELECT '{nm}' AS index_name, CAST(count(*) AS BIGINT) AS hits, "
+            f"CAST(floor(10000.0 * count(*) / 10 + 0.5) AS BIGINT) AS recall_e4 "
+            f"FROM {cte} JOIN ex USING (vec_id)"
+            for nm, cte in (("ivf", "ivf"), ("lsh", "lsh"), ("pq", "pq"))
+        )
+        out["ann_recall_report"] = (
+            f"WITH ex AS ({out['ann_topk']}), "
+            f"ivf AS ({out['ivf_ann_topk']}), "
+            f"lsh AS ({out['lsh_ann_topk']}), "
+            f"pq AS ({out['pq_ann_topk']}) "
+            f"SELECT * FROM ({_union}) ORDER BY index_name"
+        )
     return out
 
 
@@ -1424,6 +1453,7 @@ SF001_PINNED = [
     "ivf_ann_topk",
     "kmeans_clusters",
     "pq_ann_topk",
+    "ann_recall_report",
     "semantic_neardup",
     "extract_turns",
     "extract_consensus",

@@ -67,6 +67,7 @@ HEADLINE = [
     "media_exact_dedup",
     "pq_ann_topk",
     "bpe_merge_pairs",
+    "embedding_quantize",
 ]
 
 

@@ -394,3 +394,67 @@ def pq_topk(
     ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     scored = ds.map_batches(encode_score, batch_format="pyarrow")
     return scored.sort(["score_e6", "vec_id"], descending=[True, False]).limit(k)
+
+
+def embedding_quantize(sf_dir: str) -> ray.data.Dataset:
+    """Symmetric per-vector int8 quantization of the embedding corpus — the
+    storage-compression step before an index build (4x smaller than float32,
+    16x smaller than float64).  Pure stateless map: scale = max|x| per vector,
+    q_i = floor(x_i / scale * 127 + 0.5) (half-up toward +inf on BOTH sides of
+    zero — the same floor(v + 0.5) convention the SQL oracle reproduces), plus
+    the e6 fixed-point scale needed to dequantize.  Output is flattened to
+    (vec_id, dim_idx, q) rows so the value gate compares scalars, not lists;
+    at 100 TB the same map would emit fixed-size-list columns instead."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t.column("embedding"))
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "dim_idx": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.int64()),
+                    "scale_e6": pa.array([], pa.int64()),
+                }
+            )
+        scale = np.maximum(np.abs(m).max(axis=1), 1e-30)
+        q = np.floor(m / scale[:, None] * 127.0 + 0.5).astype(np.int64)
+        n, d = q.shape
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vid, d), pa.int64()),
+                "dim_idx": pa.array(np.tile(np.arange(d, dtype=np.int64), n), pa.int64()),
+                "q": pa.array(q.reshape(-1), pa.int64()),
+                "scale_e6": pa.array(
+                    np.repeat(np.floor(scale * 1e6 + 0.5).astype(np.int64), d), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+def ann_recall_report(sf_dir: str, k: int = 10) -> pa.Table:
+    """Index-quality evaluation harness: recall@k of each approximate index
+    (IVF, LSH, PQ) against the exact brute-force top-k for the standard
+    query.  The per-index pipelines stream the corpus exactly as their
+    standalone queries do; only the k-row result sets reach the driver, so
+    the report is bounded regardless of corpus size (at 100 TB this is how
+    an index build is accepted before serving).  The SQL oracle nests the
+    four already-value-verified per-index oracles and intersects them."""
+    exact = {r["vec_id"] for r in ann_topk(sf_dir, k).take_all()}
+    rows = []
+    for name, fn in (("ivf", ivf_topk), ("lsh", lsh_topk), ("pq", pq_topk)):
+        got = {r["vec_id"] for r in fn(sf_dir, k).take_all()}
+        hits = len(got & exact)
+        rows.append((name, hits, int(np.floor(10000.0 * hits / k + 0.5))))
+    rows.sort()
+    return pa.table(
+        {
+            "index_name": pa.array([r[0] for r in rows], pa.string()),
+            "hits": pa.array([r[1] for r in rows], pa.int64()),
+            "recall_e4": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )

@@ -121,6 +121,49 @@ def test_approx_ann_recall(variant):
     assert len(got & exact) >= 5
 
 
+def test_embedding_quantize_roundtrip_error_bounded():
+    """int8 codes must match a local recompute and dequantize back to within
+    half a quantization step of the original values."""
+    from invoice_extraction_ray.ops.ann import embedding_quantize
+
+    rows = embedding_quantize(SF).take_all()
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_pylist()
+    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    want = {}
+    for i, vid in enumerate(ids):
+        scale = max(np.abs(mat[i]).max(), 1e-30)
+        q = np.floor(mat[i] / scale * 127.0 + 0.5).astype(np.int64)
+        want[vid] = (q, scale)
+    assert len(rows) == mat.size
+    for r in rows[:500]:
+        q, scale = want[r["vec_id"]]
+        assert r["q"] == q[r["dim_idx"]]
+        assert r["scale_e6"] == int(np.floor(scale * 1e6 + 0.5))
+        # dequantized value within half a step of the original
+        x = mat[ids.index(r["vec_id"])][r["dim_idx"]]
+        assert abs(r["q"] * scale / 127.0 - x) <= scale / 127.0 / 2 + 1e-12
+
+
+def test_ann_recall_report_consistent_with_component_indexes():
+    """The report's hits must equal the individually-computed overlaps and
+    the fixed-point recall must be derived from them."""
+    from invoice_extraction_ray.ops.ann import (
+        ann_recall_report,
+        ivf_topk,
+        lsh_topk,
+        pq_topk,
+    )
+
+    rpt = {r["index_name"]: r for r in ann_recall_report(SF, k=10).to_pylist()}
+    assert sorted(rpt) == ["ivf", "lsh", "pq"]
+    exact = set(_brute_force_topk(10))
+    for name, fn in (("ivf", ivf_topk), ("lsh", lsh_topk), ("pq", pq_topk)):
+        hits = len({r["vec_id"] for r in fn(SF, k=10).take_all()} & exact)
+        assert rpt[name]["hits"] == hits
+        assert rpt[name]["recall_e4"] == int(np.floor(10000.0 * hits / 10 + 0.5))
+
+
 def test_bpe_merge_pairs_matches_pure_python_recompute():
     """Distributed pair counting must equal a per-character pure-Python
     Counter over the same corpus, including the (n desc, pair asc) order."""
