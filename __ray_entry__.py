@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": relational.pricing_summary,
         "orders_by_segment": relational.orders_by_segment,
         "lineitem_order_priority": relational.lineitem_order_priority,
+        "top_revenue_orders": relational.top_revenue_orders,  # SQL-oracled (TPC-H Q3, exact integers)
         "exact_dedup": relational.exact_dedup,
         "distinct_lang_source": relational.distinct_lang_source,
         "hourly_rollup": relational.hourly_rollup,
@@ -695,6 +696,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(sum(l_extendedprice)*100) AS BIGINT) AS sum_price "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
+        ),
+        # TPC-H Q3 analogue: exact-integer revenue (cents x discount bp) so
+        # no float-sum ordering can split the engines
+        "top_revenue_orders": (
+            "SELECT l.l_orderkey AS o_orderkey, o.o_orderdate, o.o_orderpriority, "
+            "CAST(sum(CAST(floor(l.l_extendedprice*100.0 + 0.5) AS BIGINT) * "
+            "(10000 - CAST(floor(l.l_discount*10000.0 + 0.5) AS BIGINT))) AS BIGINT) "
+            "AS revenue_i "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "WHERE c.c_mktsegment = 'BUILDING' "
+            "AND o.o_orderdate < TIMESTAMP '1998-07-01' "
+            "AND l.l_shipdate > TIMESTAMP '1998-07-01' "
+            "GROUP BY 1, 2, 3 ORDER BY revenue_i DESC, o_orderkey LIMIT 10"
         ),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_copies "

@@ -68,6 +68,7 @@ HEADLINE = [
     "pq_ann_topk",
     "bpe_merge_pairs",
     "embedding_quantize",
+    "top_revenue_orders",
 ]
 
 

@@ -466,6 +466,105 @@ def lineitem_order_priority(sf_dir: str, num_partitions: int = 16) -> ray.data.D
     return _fixed_point(out, {"sum_price": 100})
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = __import__("datetime").datetime(1998, 7, 1)
+
+
+def top_revenue_orders(
+    sf_dir: str, k: int = 10, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """TPC-H Q3 analogue: top-k unshipped orders by revenue for one market
+    segment — the canonical dimension-filter -> fact-fact join -> top-k
+    composition.
+
+    Scale shape: the customer DIMENSION filters to the segment and only its
+    distinct key set broadcasts (ray.put once, vectorized is_in probe —
+    bounded by dimension cardinality, never the fact tables); orders prune
+    columns + push the date filter to the read; lineitem pushes its date
+    filter to the read, computes EXACT-INTEGER revenue per row
+    (cents x (10000 - discount_bp), so no float sum order-dependence can
+    split engine and oracle) and pre-aggregates per l_orderkey per batch;
+    the order-revenue rows then hash-join the filtered orders — both sides
+    genuinely large at scale, the one case that earns ``Dataset.join`` —
+    and sort/limit finishes on (revenue desc, orderkey asc)."""
+    import numpy as np
+
+    from ._util import absorb_empty_blocks, strip_schema_metadata
+
+    seg_keys = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "customer"),
+            columns=["c_custkey"],
+            filter=(pc.field("c_mktsegment") == Q3_SEGMENT),
+        )
+        .map_batches(
+            lambda t: t.group_by("c_custkey").aggregate([]), batch_format="pyarrow"
+        )
+        .unique("c_custkey")
+    )
+    key_ref = ray.put(pa.array(sorted(seg_keys), pa.int64()))
+
+    def ord_filter(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("o_custkey"), value_set=ray.get(key_ref))
+        return t.filter(keep).select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    orders = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+            filter=(pc.field("o_orderdate") < Q3_CUTOFF),
+        )
+    ).map_batches(ord_filter, batch_format="pyarrow")
+
+    def li_rev(t: pa.Table) -> pa.Table:
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * 100.0 + 0.5).astype(np.int64) * (
+            10000 - np.floor(dc * 10000.0 + 0.5).astype(np.int64)
+        )
+        tt = pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "rev_i": pa.array(rev, pa.int64())}
+        )
+        return _partial_groupby(["l_orderkey"], sums=["rev_i"])(tt)
+
+    li = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+            filter=(pc.field("l_shipdate") > Q3_CUTOFF),
+        )
+    )
+    rev = (
+        li.map_batches(li_rev, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_i", alias_name="revenue_i"))
+    )
+    joined = rev.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "revenue_i": t.column("revenue_i"),
+            }
+        )
+
+    return (
+        absorb_empty_blocks(joined)
+        .map_batches(project, batch_format="pyarrow")
+        .sort(["revenue_i", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # D-layer: exact dedup (hash-partition + per-group first; ray_guide pattern)
 # ---------------------------------------------------------------------------

@@ -121,6 +121,42 @@ def test_approx_ann_recall(variant):
     assert len(got & exact) >= 5
 
 
+def test_top_revenue_orders_matches_pandas_recompute():
+    """The Q3 composition (segment filter -> date filters -> join -> top-k)
+    must equal a driver-side pandas recompute with the same exact-integer
+    revenue quantization."""
+    from invoice_extraction_ray.ops.relational import (
+        Q3_CUTOFF,
+        Q3_SEGMENT,
+        top_revenue_orders,
+    )
+
+    got = [
+        (r["o_orderkey"], r["o_orderpriority"], r["revenue_i"])
+        for r in top_revenue_orders(SF, k=10).take_all()
+    ]
+
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    keys = set(cust[cust.c_mktsegment == Q3_SEGMENT].c_custkey)
+    o = orders[(orders.o_orderdate < Q3_CUTOFF) & orders.o_custkey.isin(keys)]
+    l = li[li.l_shipdate > Q3_CUTOFF].copy()
+    l["rev_i"] = np.floor(l.l_extendedprice * 100.0 + 0.5).astype(np.int64) * (
+        10000 - np.floor(l.l_discount * 10000.0 + 0.5).astype(np.int64)
+    )
+    m = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    g = (
+        m.groupby(["l_orderkey", "o_orderpriority"], as_index=False)
+        .rev_i.sum()
+        .sort_values(["rev_i", "l_orderkey"], ascending=[False, True])
+        .head(10)
+    )
+    want = list(zip(g.l_orderkey, g.o_orderpriority, g.rev_i))
+    assert got == want
+    assert len(got) == 10
+
+
 def test_embedding_quantize_roundtrip_error_bounded():
     """int8 codes must match a local recompute and dequantize back to within
     half a quantization step of the original values."""
