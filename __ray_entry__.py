@@ -406,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_frequencies": lambda sf: text.token_frequencies(sf, 50),  # SQL-oracled
         "bpe_merge_pairs": lambda sf: text.bpe_merge_pairs(sf, 30),  # SQL-oracled
         "quality_topquantile": lambda sf: text.quality_topquantile(sf, 0.75),  # SQL-oracled
+        "quality_percentiles": text.quality_percentiles,  # SQL-oracled (cume_dist mirror)
         "bpe_token_count": text.bpe_token_count,       # SQL-oracled (RE2 both sides)
         "langid": text.langid,                          # SQL-oracled
         "quality_features": text.quality_features,      # SQL-oracled (fixed-point)
@@ -825,6 +826,26 @@ def oracle_sql() -> dict[str, str]:
             "  AS score_e5 FROM f), "
             "t AS (SELECT quantile_disc(score_e5, 0.75) AS thr FROM e) "
             "SELECT e.doc_id, e.score_e5 FROM e, t WHERE e.score_e5 >= t.thr"
+        ),
+        # percentile rank of the same integer score: n_le via a window count
+        # (cume_dist numerator), engine expression order (1e6 * n_le) / n
+        "quality_percentiles": (
+            "WITH f AS (SELECT doc_id, "
+            "  length(coalesce(text,'')) AS n_chars, "
+            "  len(regexp_extract_all(coalesce(text,''), '\\S+')) AS n_tokens, "
+            "  len(regexp_extract_all(coalesce(text,''), '[.,;:!?]')) AS n_punct, "
+            "  len(list_filter(regexp_extract_all(lower(coalesce(text,'')), '[a-z'']+'), "
+            "      x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS hits, "
+            "  greatest(len(regexp_extract_all(lower(coalesce(text,'')), '[a-z'']+')), 1) AS words "
+            "FROM documents), e AS (SELECT doc_id, "
+            "  5*CAST(floor((10000.0*hits)/words + 0.5) AS BIGINT) "
+            "  + 4*least(n_tokens,100)*100 "
+            "  + (10000 - least(CAST(floor((10000.0*n_punct)/greatest(n_chars,1) + 0.5) AS BIGINT), 10000)) "
+            "  AS score_e5 FROM f) "
+            "SELECT doc_id, score_e5, "
+            "CAST(floor(1000000.0 * (count(*) OVER (ORDER BY score_e5 "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+            "/ (SELECT count(*) FROM e) + 0.5) AS BIGINT) AS pct_e6 FROM e"
         ),
         # vocabulary counting: exact integer counts; ties break by token asc
         # on both sides (DuckDB default binary collation == Arrow byte order)

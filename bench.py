@@ -69,6 +69,7 @@ HEADLINE = [
     "bpe_merge_pairs",
     "embedding_quantize",
     "top_revenue_orders",
+    "quality_percentiles",
 ]
 
 

@@ -546,6 +546,78 @@ def quality_topquantile(sf_dir: str, q: float = 0.75) -> ray.data.Dataset:
     return scored.map_batches(keep, batch_format="pyarrow")
 
 
+def quality_percentiles(sf_dir: str) -> ray.data.Dataset:
+    """Percentile rank of every document's integer quality score — the
+    normalization step for quality-based curricula / mixing weights (a raw
+    score is corpus-relative; its percentile is comparable across corpora).
+
+    Convention: ``pct_e6 = floor(1e6 * n_le / n + 0.5)`` with ``n_le`` the
+    count of scores <= the doc's score — DuckDB's ``cume_dist`` numerator,
+    so the oracle mirrors it with one window count.  Scale shape: same
+    streamed bounded histogram as ``quality_topquantile`` (only the
+    distinct-score histogram reaches the driver), then the cumulative table
+    broadcasts (ray.put) and a stateless searchsorted probe emits every
+    doc's rank — the corpus itself is never sorted or collected."""
+    import ray as _ray
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        s = quality_arrays(t.column("text"))["score_e5"]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "score_e5": pa.array(s, pa.int64())}
+        )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        s = t.column("score_e5").to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(s, return_counts=True)
+        return pa.table(
+            {
+                "score_e5": pa.array(vals, pa.int64()),
+                "cnt": pa.array(cnts.astype(np.int64)),
+                "hshard": pa.array((vals & 63).astype(np.int32)),
+            }
+        )
+
+    def hist_reduce(g: pa.Table) -> pa.Table:
+        s = g.column("score_e5").to_numpy(zero_copy_only=False)
+        c = g.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.argsort(s, kind="stable")
+        s, c = s[order], c[order]
+        new = np.ones(len(s), dtype=bool)
+        new[1:] = s[1:] != s[:-1]
+        seg = np.cumsum(new) - 1
+        tot = np.bincount(seg, weights=c).astype(np.int64)
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {"score_e5": pa.array(s[starts], pa.int64()), "cnt": pa.array(tot)}
+        )
+
+    scored = ds.map_batches(score_batch, batch_format="pyarrow")
+    hist_rows = (
+        scored.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("hshard")
+        .map_groups(hist_reduce, batch_format="pyarrow")
+        .take_all()
+    )
+    hist_rows.sort(key=lambda r: r["score_e5"])
+    hs = np.array([r["score_e5"] for r in hist_rows], dtype=np.int64)
+    cum = np.cumsum([r["cnt"] for r in hist_rows]).astype(np.int64)
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return scored
+    state_ref = _ray.put((hs, cum))
+
+    def rank(t: pa.Table) -> pa.Table:
+        bhs, bcum = _ray.get(state_ref)  # plasma zero-copy per batch
+        s = t.column("score_e5").to_numpy(zero_copy_only=False)
+        n_le = bcum[np.searchsorted(bhs, s, side="right") - 1]
+        pct = np.floor(1000000.0 * n_le / n + 0.5).astype(np.int64)
+        return t.append_column("pct_e6", pa.array(pct, pa.int64()))
+
+    return scored.map_batches(rank, batch_format="pyarrow")
+
+
 def quality_arrays(text_col: pa.Array) -> dict:
     """The quality feature kernels as numpy arrays (shared by
     ``quality_features`` and the corpus-prep composition — one definition,

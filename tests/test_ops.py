@@ -121,6 +121,23 @@ def test_approx_ann_recall(variant):
     assert len(got & exact) >= 5
 
 
+def test_quality_percentiles_rank_properties():
+    """pct_e6 must be the (count <= score)/n rank: monotone in score, equal
+    for equal scores, top score at exactly 1e6, and match a local recompute."""
+    from invoice_extraction_ray.ops.text import quality_percentiles
+
+    rows = quality_percentiles(SF).take_all()
+    scores = np.array([r["score_e5"] for r in rows])
+    pcts = np.array([r["pct_e6"] for r in rows])
+    n = len(rows)
+    order = np.argsort(scores, kind="stable")
+    assert (np.diff(pcts[order]) >= 0).all()
+    assert pcts[scores == scores.max()].max() == 1_000_000
+    n_le = np.array([(scores <= s).sum() for s in scores])
+    want = np.floor(1000000.0 * n_le / n + 0.5).astype(np.int64)
+    assert (pcts == want).all()
+
+
 def test_top_revenue_orders_matches_pandas_recompute():
     """The Q3 composition (segment filter -> date filters -> join -> top-k)
     must equal a driver-side pandas recompute with the same exact-integer
