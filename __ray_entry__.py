@@ -405,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": text.pack_documents,         # SQL-oracled (exact window cumsum)
         "token_frequencies": lambda sf: text.token_frequencies(sf, 50),  # SQL-oracled
         "bpe_merge_pairs": lambda sf: text.bpe_merge_pairs(sf, 30),  # SQL-oracled
+        "vocab_coverage": text.vocab_coverage,          # SQL-oracled (exact integers)
         "quality_topquantile": lambda sf: text.quality_topquantile(sf, 0.75),  # SQL-oracled
         "quality_percentiles": text.quality_percentiles,  # SQL-oracled (cume_dist mirror)
         "bpe_token_count": text.bpe_token_count,       # SQL-oracled (RE2 both sides)
@@ -855,6 +856,23 @@ def oracle_sql() -> dict[str, str]:
             "c AS (SELECT token, count(*) AS n FROM toks GROUP BY token) "
             "SELECT token, CAST(n AS BIGINT) AS n FROM c "
             "ORDER BY n DESC, token LIMIT 50"
+        ),
+        # vocab coverage: top-50 vocabulary by the token_frequencies
+        # tie-break, per-doc in-vocab fraction as exact integers (zero-token
+        # docs kept via the left join, denominator floored at 1)
+        "vocab_coverage": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), "
+            "'\\S+')) AS token FROM documents), "
+            "c AS (SELECT token, count(*) AS n FROM toks GROUP BY token), "
+            "v AS (SELECT token FROM c ORDER BY n DESC, token LIMIT 50), "
+            "d AS (SELECT doc_id, count(*) AS n_tokens, "
+            "sum(CASE WHEN token IN (SELECT token FROM v) THEN 1 ELSE 0 END) AS n_in "
+            "FROM toks GROUP BY doc_id) "
+            "SELECT doc.doc_id, CAST(coalesce(d.n_tokens, 0) AS BIGINT) AS n_tokens, "
+            "CAST(coalesce(d.n_in, 0) AS BIGINT) AS n_in_vocab, "
+            "CAST(floor(1000000.0 * coalesce(d.n_in, 0) "
+            "/ greatest(coalesce(d.n_tokens, 0), 1) + 0.5) AS BIGINT) AS coverage_e6 "
+            "FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id"
         ),
         # BPE merge-pair counting: adjacent codepoint pairs within whitespace
         # tokens (the pinned 4-char ws set); binary collation == codepoint

@@ -70,6 +70,7 @@ HEADLINE = [
     "embedding_quantize",
     "top_revenue_orders",
     "quality_percentiles",
+    "vocab_coverage",
 ]
 
 

@@ -191,6 +191,49 @@ def token_frequencies(sf_dir: str, k: int = 50) -> ray.data.Dataset:
     return counts.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
+def vocab_coverage(sf_dir: str, vocab_k: int = 50) -> ray.data.Dataset:
+    """Per-document coverage of a fixed top-k vocabulary — the tokenizer-eval
+    metric that decides a vocab before committing to it (what fraction of
+    each document's token instances would be in-vocab vs OOV).
+
+    Scale shape: the vocabulary comes from ``token_frequencies``' streaming
+    shard top-k (only <= 256*k survivor rows ever reach the driver),
+    broadcasts once (ray.put — one plasma copy per node), and a stateless
+    probe map emits (doc_id, n_tokens, n_in_vocab, coverage_e6) per doc;
+    the corpus streams exactly twice and nothing big shuffles."""
+    import ray as _ray
+
+    vocab = frozenset(
+        r["token"] for r in token_frequencies(sf_dir, vocab_k).take_all()
+    )
+    ref = _ray.put(vocab)
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        v = _ray.get(ref)
+        ntok, ninv = [], []
+        for s in t.column("text").to_pylist():
+            toks = (s or "").split()
+            ntok.append(len(toks))
+            ninv.append(sum(1 for w in toks if w in v))
+        ntok_a = np.array(ntok, dtype=np.int64)
+        ninv_a = np.array(ninv, dtype=np.int64)
+        cov = np.floor(
+            1000000.0 * ninv_a / np.maximum(ntok_a, 1) + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(ntok_a, pa.int64()),
+                "n_in_vocab": pa.array(ninv_a, pa.int64()),
+                "coverage_e6": pa.array(cov, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
 _PAIR_BASE = 1114112  # 0x110000: pair key = left_codepoint * base + right
 _PAIR_WS = (0x20, 0x09, 0x0A, 0x0D)  # the pinned whitespace set
 

@@ -121,6 +121,30 @@ def test_approx_ann_recall(variant):
     assert len(got & exact) >= 5
 
 
+def test_vocab_coverage_matches_pure_python_recompute():
+    from collections import Counter
+
+    from invoice_extraction_ray.ops.text import vocab_coverage
+
+    got = {r["doc_id"]: r for r in vocab_coverage(SF, vocab_k=50).take_all()}
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    c: Counter = Counter()
+    texts = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    for s in texts.values():
+        c.update((s or "").split())
+    vocab = {w for w, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]}
+    assert len(got) == len(texts)
+    for did, s in texts.items():
+        toks = (s or "").split()
+        n_in = sum(1 for w in toks if w in vocab)
+        r = got[did]
+        assert (r["n_tokens"], r["n_in_vocab"]) == (len(toks), n_in)
+        assert r["coverage_e6"] == int(
+            np.floor(1000000.0 * n_in / max(len(toks), 1) + 0.5)
+        )
+
+
 def test_quality_percentiles_rank_properties():
     """pct_e6 must be the (count <= score)/n rank: monotone in score, equal
     for equal scores, top score at exactly 1e6, and match a local recompute."""
