@@ -857,14 +857,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, CAST(n AS BIGINT) AS n FROM c "
             "ORDER BY n DESC, token LIMIT 50"
         ),
-        # vocab coverage: top-50 vocabulary by the token_frequencies
-        # tie-break, per-doc in-vocab fraction as exact integers (zero-token
-        # docs kept via the left join, denominator floored at 1)
+        # vocab coverage: top-10 vocabulary by the token_frequencies
+        # tie-break (the synthetic corpus has only 31 distinct tokens, so a
+        # larger k saturates at 100%), per-doc in-vocab fraction as exact
+        # integers (zero-token docs kept via the left join, denom floor 1)
         "vocab_coverage": (
             "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), "
             "'\\S+')) AS token FROM documents), "
             "c AS (SELECT token, count(*) AS n FROM toks GROUP BY token), "
-            "v AS (SELECT token FROM c ORDER BY n DESC, token LIMIT 50), "
+            "v AS (SELECT token FROM c ORDER BY n DESC, token LIMIT 10), "
             "d AS (SELECT doc_id, count(*) AS n_tokens, "
             "sum(CASE WHEN token IN (SELECT token FROM v) THEN 1 ELSE 0 END) AS n_in "
             "FROM toks GROUP BY doc_id) "

@@ -191,7 +191,7 @@ def token_frequencies(sf_dir: str, k: int = 50) -> ray.data.Dataset:
     return counts.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
-def vocab_coverage(sf_dir: str, vocab_k: int = 50) -> ray.data.Dataset:
+def vocab_coverage(sf_dir: str, vocab_k: int = 10) -> ray.data.Dataset:
     """Per-document coverage of a fixed top-k vocabulary — the tokenizer-eval
     metric that decides a vocab before committing to it (what fraction of
     each document's token instances would be in-vocab vs OOV).

@@ -126,14 +126,14 @@ def test_vocab_coverage_matches_pure_python_recompute():
 
     from invoice_extraction_ray.ops.text import vocab_coverage
 
-    got = {r["doc_id"]: r for r in vocab_coverage(SF, vocab_k=50).take_all()}
+    got = {r["doc_id"]: r for r in vocab_coverage(SF, vocab_k=10).take_all()}
 
     tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
     c: Counter = Counter()
     texts = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
     for s in texts.values():
         c.update((s or "").split())
-    vocab = {w for w, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]}
+    vocab = {w for w, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]}
     assert len(got) == len(texts)
     for did, s in texts.items():
         toks = (s or "").split()
