@@ -262,9 +262,14 @@ def boilerplate_scrub(source, min_df: int = 30) -> ray.data.Dataset:
             }
         )
 
-    return ds.map_batches(scrub, batch_format="pyarrow").sort(
-        ["conv_id", "turn_idx"]
-    )
+    from ._util import absorb_empty_blocks
+
+    # coalesce before the presentation sort: its cost is per-TASK dispatch
+    # (90-block input -> 224 sort tasks for ~1.2s of remote work); a few
+    # right-sized blocks cut that to single digits
+    return absorb_empty_blocks(
+        ds.map_batches(scrub, batch_format="pyarrow"), batch_size=131072
+    ).sort(["conv_id", "turn_idx"])
 
 
 def redact_names(source, names: list[str], token: str = "[NAME]") -> ray.data.Dataset:
@@ -304,9 +309,12 @@ def redact_names(source, names: list[str], token: str = "[NAME]") -> ray.data.Da
             }
         )
 
-    return ds.map_batches(scrub, batch_format="pyarrow").sort(
-        ["conv_id", "turn_idx"]
-    )
+    from ._util import absorb_empty_blocks
+
+    # same per-task-dispatch cut as boilerplate_scrub's presentation sort
+    return absorb_empty_blocks(
+        ds.map_batches(scrub, batch_format="pyarrow"), batch_size=131072
+    ).sort(["conv_id", "turn_idx"])
 
 
 DSIR_BUCKETS = 256  # hashed-feature space (Xie et al. 2023 use hashed n-grams)
