@@ -385,6 +385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_lang_source": relational.distinct_lang_source,
         "hourly_rollup": relational.hourly_rollup,
         "sessionize": relational.sessionize,
+        "funnel_counts": relational.funnel_counts,      # SQL-oracled (exact integers)
+        "retention_cohorts": relational.retention_cohorts,  # SQL-oracled (exact integers)
         "price_in_band": relational.price_in_band,
         "union_lang_counts": relational.union_lang_counts,
         "sample_docs": relational.sample_docs,
@@ -773,6 +775,30 @@ def oracle_sql() -> dict[str, str]:
         "hourly_rollup": (
             "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, "
             "CAST(round(sum(value)*100) AS BIGINT) AS sum_value FROM events GROUP BY 1, 2"
+        ),
+        # strict-order behavioral funnel: each step's min ts must be strictly
+        # later than the user's earliest completion of the previous step
+        "funnel_counts": (
+            "WITH v AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN v ON e.user_id = v.user_id AND e.ts > v.t1 "
+            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "JOIN c ON e.user_id = c.user_id AND e.ts > c.t2 "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+            "SELECT '1_view' AS step, CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users "
+            "UNION ALL SELECT '2_click', CAST((SELECT count(*) FROM c) AS BIGINT) "
+            "UNION ALL SELECT '3_purchase', CAST((SELECT count(*) FROM p) AS BIGINT) "
+            "ORDER BY step"
+        ),
+        # retention triangle: cohort = week of first event, active weeks
+        "retention_cohorts": (
+            "WITH w AS (SELECT DISTINCT user_id, "
+            "CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week FROM events), "
+            "f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id) "
+            "SELECT f.cohort_week, w.week, CAST(count(*) AS BIGINT) AS n_users "
+            "FROM w JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "sessionize": (
             "SELECT user_id, count(*) AS n_events, "

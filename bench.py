@@ -71,6 +71,8 @@ HEADLINE = [
     "top_revenue_orders",
     "quality_percentiles",
     "vocab_coverage",
+    "funnel_counts",
+    "retention_cohorts",
 ]
 
 

@@ -748,6 +748,158 @@ SESSION_GAP_MIN = 30
 SESSION_SHARDS = 64
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_counts(sf_dir: str, num_shards: int = 64) -> pa.Table:
+    """Behavioral funnel analysis: how many users progressed view -> click ->
+    purchase in strict timestamp order (each step's event must be strictly
+    later than the user's earliest completion of the previous step).
+
+    Scale shape: one coarse user-shard groupby co-locates each user's funnel
+    events (a user lives wholly in one shard, so per-shard completion counts
+    are exact and mergeable); inside a shard the three step times resolve
+    with np.minimum.at over unique-user indices — no per-user Python.  Only
+    one 3-integer partial row leaves each shard; the driver sums 64 of
+    them.  Output: (step, n_users), 3 rows."""
+    import numpy as np
+
+    steps = {s: i for i, s in enumerate(FUNNEL_STEPS)}
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"),
+        columns=["user_id", "event_type", "ts"],
+        filter=(pc.field("event_type").isin(list(FUNNEL_STEPS))),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        st = np.array(
+            [steps[s] for s in t.column("event_type").to_pylist()], dtype=np.int8
+        )
+        shard = (((u * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+        return pa.table(
+            {
+                "ushard": pa.array(shard),
+                "user_id": pa.array(u, pa.int64()),
+                "ts_us": pa.array(ts, pa.int64()),
+                "stage": pa.array(st, pa.int8()),
+            }
+        )
+
+    _PART = pa.schema([("n1", pa.int64()), ("n2", pa.int64()), ("n3", pa.int64())])
+
+    def funnel_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PART.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        st = g.column("stage").to_numpy(zero_copy_only=False)
+        _, seg = np.unique(u, return_inverse=True)
+        nu = int(seg.max()) + 1
+        inf = np.int64(1) << 62
+        t_prev = None
+        counts = []
+        for stage in range(len(FUNNEL_STEPS)):
+            m = st == stage
+            if t_prev is not None:
+                m = m & (ts > t_prev[seg])
+            t_cur = np.full(nu, inf, dtype=np.int64)
+            np.minimum.at(t_cur, seg[m], ts[m])
+            counts.append(int((t_cur < inf).sum()))
+            t_prev = t_cur
+        return pa.table(
+            {k: pa.array([v], pa.int64()) for k, v in zip(("n1", "n2", "n3"), counts)}
+        )
+
+    parts = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("ushard")
+        .map_groups(funnel_shard, batch_format="pyarrow")
+        .take_all()
+    )
+    totals = [sum(p[k] for p in parts) for k in ("n1", "n2", "n3")]
+    labels = ["1_view", "2_click", "3_purchase"]
+    return pa.table(
+        {
+            "step": pa.array(labels, pa.string()),
+            "n_users": pa.array(totals, pa.int64()),
+        }
+    )
+
+
+WEEK_US = 7 * 86400 * 1_000_000
+
+
+def retention_cohorts(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
+    """Retention-cohort triangle: users grouped by the week of their FIRST
+    event (cohort), counted as active in every week they have any event —
+    the engagement-analysis standard.
+
+    Scale shape: per-batch distinct (user, week) partials (only distinct
+    rows shuffle), one coarse user-shard groupby (a user's history lives
+    wholly in one shard, so its cohort week is shard-locally exact), then a
+    tiny (cohort_week, week) Sum groupby — bounded by weeks^2 pairs, never
+    users."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        wk = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // WEEK_US
+        ).astype(np.int64)
+        # per-batch distinct combine: composite key, weeks < 2^20 in practice
+        key = u * (1 << 20) + wk
+        uk = np.unique(key)
+        uu, ww = uk // (1 << 20), uk % (1 << 20)
+        shard = (((uu * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+        return pa.table(
+            {
+                "ushard": pa.array(shard),
+                "user_id": pa.array(uu, pa.int64()),
+                "week": pa.array(ww, pa.int64()),
+            }
+        )
+
+    _PAIR = pa.schema(
+        [("cohort_week", pa.int64()), ("week", pa.int64()), ("n", pa.int64())]
+    )
+
+    def cohort_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PAIR.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        wk = g.column("week").to_numpy(zero_copy_only=False)
+        _, seg = np.unique(u, return_inverse=True)
+        nu = int(seg.max()) + 1
+        first = np.full(nu, np.int64(1) << 62, dtype=np.int64)
+        np.minimum.at(first, seg, wk)
+        # distinct (user, week) may repeat across batches of the same shard
+        key = seg.astype(np.int64) * (1 << 20) + wk
+        uk = np.unique(key)
+        useg, uwk = (uk // (1 << 20)).astype(np.int64), uk % (1 << 20)
+        pair = first[useg] * (1 << 20) + uwk
+        pk, cnt = np.unique(pair, return_counts=True)
+        return pa.table(
+            {
+                "cohort_week": pa.array(pk // (1 << 20), pa.int64()),
+                "week": pa.array(pk % (1 << 20), pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("ushard")
+        .map_groups(cohort_shard, batch_format="pyarrow")
+        .groupby(["cohort_week", "week"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+    return out.sort(["cohort_week", "week"])
+
+
 def sessionize(sf_dir: str) -> ray.data.Dataset:
     """Per-user gap sessionization.  Groups by a 64-way shard of user_id
     (NOT per user: map_groups pays ~1ms dispatch per group) and runs one

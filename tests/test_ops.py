@@ -162,6 +162,55 @@ def test_quality_percentiles_rank_properties():
     assert (pcts == want).all()
 
 
+def test_funnel_counts_matches_pandas_recompute():
+    """Strict-order funnel completions must equal a per-user pandas scan."""
+    from invoice_extraction_ray.ops.relational import funnel_counts
+
+    got = {
+        r["step"]: r["n_users"] for r in funnel_counts(SF).to_pylist()
+    }
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    n1 = n2 = n3 = 0
+    for _, g in ev.groupby("user_id"):
+        views = g[g.event_type == "view"].ts
+        if views.empty:
+            continue
+        n1 += 1
+        t1 = views.min()
+        clicks = g[(g.event_type == "click") & (g.ts > t1)].ts
+        if clicks.empty:
+            continue
+        n2 += 1
+        t2 = clicks.min()
+        if ((g.event_type == "purchase") & (g.ts > t2)).any():
+            n3 += 1
+    assert got == {"1_view": n1, "2_click": n2, "3_purchase": n3}
+    assert n1 >= n2 >= n3 > 0
+
+
+def test_retention_cohorts_matches_pandas_recompute():
+    from invoice_extraction_ray.ops.relational import WEEK_US, retention_cohorts
+
+    got = {
+        (r["cohort_week"], r["week"]): r["n_users"]
+        for r in retention_cohorts(SF).take_all()
+    }
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["week"] = (
+        ev.ts.astype("datetime64[us]").astype("int64") // WEEK_US
+    ).astype("int64")
+    w = ev[["user_id", "week"]].drop_duplicates()
+    first = w.groupby("user_id").week.min().rename("cohort_week")
+    m = w.merge(first, on="user_id")
+    want = m.groupby(["cohort_week", "week"]).size().to_dict()
+    assert got == want
+    # every cohort's week-0 cell counts the whole cohort
+    for (cw, wk), n in want.items():
+        assert got[(cw, wk)] == n
+
+
 def test_top_revenue_orders_matches_pandas_recompute():
     """The Q3 composition (segment filter -> date filters -> join -> top-k)
     must equal a driver-side pandas recompute with the same exact-integer
