@@ -356,7 +356,7 @@ def _user_cumulative_value(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from invoice_extraction_ray.ops import ann, curate, dedup, relational, text
+    from invoice_extraction_ray.ops import ann, curate, dedup, relational, sketch, text
     from invoice_extraction_ray.ops.multimodal import media_ann_topk, media_metadata
 
     return {
@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_cumulative_value": _user_cumulative_value,  # SQL-oracled (ROWS frame, cents)
         "event_transitions": _event_transitions,          # SQL-oracled (lag pairs)
         "value_quantiles": _value_quantiles,
+        "value_mad_outliers": sketch.value_mad_outliers,  # SQL-oracled (exact integers)
         "value_quantiles_sketch": _value_quantiles_sketch,  # SQL-oracled (log-bin mirror)
         "hll_distinct_users": _hll_distinct,      # SQL-oracled (splitmix64+HLL in HUGEINT)
         "cms_heavy_hitters": _cms_heavy_hitters,  # SQL-oracled (CRC32 buckets, exact min)
@@ -970,6 +971,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_mktsegment FROM customer c "
             "WHERE NOT EXISTS (SELECT 1 FROM orders o "
             "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)"
+        ),
+        # robust stats: cents-exact median/MAD/3-MAD outliers, quantile_disc
+        # order statistics on BOTH levels (values, then |x - median|)
+        "value_mad_outliers": (
+            "WITH e AS (SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS c "
+            "FROM events), "
+            "m AS (SELECT event_type, quantile_disc(c, 0.5) AS med FROM e GROUP BY event_type), "
+            "d AS (SELECT e.event_type, abs(e.c - m.med) AS ad FROM e JOIN m USING (event_type)), "
+            "md AS (SELECT event_type, quantile_disc(ad, 0.5) AS mad FROM d GROUP BY event_type) "
+            "SELECT e.event_type, CAST(m.med AS BIGINT) AS median_c, "
+            "CAST(md.mad AS BIGINT) AS mad_c, "
+            "CAST(sum(CASE WHEN abs(e.c - m.med) > 3*md.mad THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_outliers "
+            "FROM e JOIN m USING (event_type) JOIN md USING (event_type) "
+            "GROUP BY 1, 2, 3"
         ),
         "value_quantiles": (
             "SELECT event_type, "

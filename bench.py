@@ -73,6 +73,7 @@ HEADLINE = [
     "vocab_coverage",
     "funnel_counts",
     "retention_cohorts",
+    "value_mad_outliers",
 ]
 
 

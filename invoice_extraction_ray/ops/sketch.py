@@ -133,6 +133,102 @@ def value_quantiles_sketch(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def value_mad_outliers(sf_dir: str) -> ray.data.Dataset:
+    """EXACT robust statistics per event_type: median, MAD (median absolute
+    deviation) and the 3-MAD outlier count — the standard
+    mean/std-resistant anomaly gate.
+
+    Scale shape: values quantize to cents (bounded integer range), so each
+    batch emits a per-(group, cent) COUNT histogram partial and one tiny
+    groupby merges them; median, the MAD (itself an exact order statistic of
+    the |x - median| histogram, re-binned without touching rows), and the
+    outlier count all read off the merged histogram.  The corpus is never
+    sorted and no row leaves its block — only distinct-cent histogram rows
+    shuffle (bounded by the VALUE RANGE, not the corpus).  Order-statistic
+    convention = DuckDB ``quantile_disc`` (ceil(q*n)-1 ascending), matching
+    ``value_quantiles``."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        etypes, cents, cnts = [], [], []
+        g = t.group_by("event_type").aggregate([("value", "list")])
+        for row in g.to_pylist():
+            vals = np.asarray(row["value_list"], dtype=np.float64)
+            c = np.floor(vals * 100.0 + 0.5).astype(np.int64)
+            uc, n = np.unique(c, return_counts=True)
+            etypes.extend([row["event_type"]] * len(uc))
+            cents.extend(uc.tolist())
+            cnts.extend(n.astype(np.int64).tolist())
+        return pa.table(
+            {
+                "event_type": pa.array(etypes, pa.string()),
+                "cent": pa.array(cents, pa.int64()),
+                "n": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    _OUT = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("median_c", pa.int64()),
+            ("mad_c", pa.int64()),
+            ("n_outliers", pa.int64()),
+        ]
+    )
+
+    def _disc(vals: "np.ndarray", counts: "np.ndarray", q: float) -> int:
+        """quantile_disc order statistic off a sorted histogram."""
+        n = int(counts.sum())
+        idx = max(0, math.ceil(q * n) - 1)
+        cum = np.cumsum(counts)
+        return int(vals[int(np.searchsorted(cum, idx + 1))])
+
+    def finish(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        c = g.column("cent").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(c, kind="stable")
+        c, n = c[order], n[order]
+        # merge duplicate cents across block partials
+        new = np.ones(len(c), dtype=bool)
+        new[1:] = c[1:] != c[:-1]
+        seg = np.cumsum(new) - 1
+        tot = np.zeros(int(seg[-1]) + 1, dtype=np.int64)
+        np.add.at(tot, seg, n)
+        c = c[np.flatnonzero(new)]
+        med = _disc(c, tot, 0.5)
+        # |x - med| histogram by re-binning the cents histogram
+        d = np.abs(c - med)
+        dorder = np.argsort(d, kind="stable")
+        d, dn = d[dorder], tot[dorder]
+        dnew = np.ones(len(d), dtype=bool)
+        dnew[1:] = d[1:] != d[:-1]
+        dseg = np.cumsum(dnew) - 1
+        dtot = np.zeros(int(dseg[-1]) + 1, dtype=np.int64)
+        np.add.at(dtot, dseg, dn)
+        dd = d[np.flatnonzero(dnew)]
+        mad = _disc(dd, dtot, 0.5)
+        n_out = int(dtot[dd > 3 * mad].sum())
+        return pa.table(
+            {
+                "event_type": pa.array([g.column("event_type")[0].as_py()]),
+                "median_c": pa.array([med], pa.int64()),
+                "mad_c": pa.array([mad], pa.int64()),
+                "n_outliers": pa.array([n_out], pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    return (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog
 # ---------------------------------------------------------------------------

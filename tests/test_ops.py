@@ -162,6 +162,27 @@ def test_quality_percentiles_rank_properties():
     assert (pcts == want).all()
 
 
+def test_value_mad_outliers_matches_numpy_recompute():
+    """Histogram-derived median/MAD/outlier counts must equal a direct
+    per-group numpy recompute with the quantile_disc convention."""
+    import math
+
+    from invoice_extraction_ray.ops.sketch import value_mad_outliers
+
+    got = {r["event_type"]: r for r in value_mad_outliers(SF).take_all()}
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["c"] = np.floor(ev.value * 100.0 + 0.5).astype(np.int64)
+    for et, g in ev.groupby("event_type"):
+        c = np.sort(g.c.to_numpy())
+        med = int(c[max(0, math.ceil(0.5 * len(c)) - 1)])
+        d = np.sort(np.abs(g.c.to_numpy() - med))
+        mad = int(d[max(0, math.ceil(0.5 * len(d)) - 1)])
+        n_out = int((np.abs(g.c.to_numpy() - med) > 3 * mad).sum())
+        r = got[et]
+        assert (r["median_c"], r["mad_c"], r["n_outliers"]) == (med, mad, n_out)
+
+
 def test_funnel_counts_matches_pandas_recompute():
     """Strict-order funnel completions must equal a per-user pandas scan."""
     from invoice_extraction_ray.ops.relational import funnel_counts
