@@ -203,22 +203,27 @@ def vocab_coverage(sf_dir: str, vocab_k: int = 10) -> ray.data.Dataset:
     the corpus streams exactly twice and nothing big shuffles."""
     import ray as _ray
 
-    vocab = frozenset(
-        r["token"] for r in token_frequencies(sf_dir, vocab_k).take_all()
+    vocab = pa.array(
+        sorted(r["token"] for r in token_frequencies(sf_dir, vocab_k).take_all()),
+        pa.string(),
     )
     ref = _ray.put(vocab)
 
     ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def probe(t: pa.Table) -> pa.Table:
-        v = _ray.get(ref)
-        ntok, ninv = [], []
-        for s in t.column("text").to_pylist():
-            toks = (s or "").split()
-            ntok.append(len(toks))
-            ninv.append(sum(1 for w in toks if w in v))
-        ntok_a = np.array(ntok, dtype=np.int64)
-        ninv_a = np.array(ninv, dtype=np.int64)
+        v = _ray.get(ref)  # plasma zero-copy per batch
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.split_pattern_regex(text, r"\s+").combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        # split_pattern_regex emits empty strings at leading/trailing ws —
+        # exclude them so counts match str.split() semantics
+        real = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        inv = pc.is_in(flat, value_set=v).to_numpy(zero_copy_only=False) & real
+        n = t.num_rows
+        ntok_a = np.bincount(parent[real], minlength=n).astype(np.int64)
+        ninv_a = np.bincount(parent[inv], minlength=n).astype(np.int64)
         cov = np.floor(
             1000000.0 * ninv_a / np.maximum(ntok_a, 1) + 0.5
         ).astype(np.int64)
