@@ -764,7 +764,7 @@ def funnel_counts(sf_dir: str, num_shards: int = 64) -> pa.Table:
     them.  Output: (step, n_users), 3 rows."""
     import numpy as np
 
-    steps = {s: i for i, s in enumerate(FUNNEL_STEPS)}
+    step_arr = pa.array(list(FUNNEL_STEPS), pa.string())
     ds = ray.data.read_parquet(
         _pq(sf_dir, "events"),
         columns=["user_id", "event_type", "ts"],
@@ -774,8 +774,11 @@ def funnel_counts(sf_dir: str, num_shards: int = 64) -> pa.Table:
     def prep(t: pa.Table) -> pa.Table:
         u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
         ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        st = np.array(
-            [steps[s] for s in t.column("event_type").to_pylist()], dtype=np.int8
+        # vectorized stage lookup: position in FUNNEL_STEPS IS the stage
+        st = (
+            pc.index_in(t.column("event_type"), value_set=step_arr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int8)
         )
         shard = (((u * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
         return pa.table(
