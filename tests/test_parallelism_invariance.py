@@ -154,3 +154,31 @@ def test_novelty_and_vocab_partition_invariant():
         )
 
     assert run(1) == run(9)
+
+
+def test_funnel_retention_q3_shard_count_invariant():
+    """The coarse-shard message-passing ops must be exact for ANY shard
+    count (each key lives wholly in one shard; per-shard logic is exact)."""
+    from invoice_extraction_ray.ops.relational import (
+        funnel_counts,
+        retention_cohorts,
+        top_revenue_orders,
+    )
+
+    SF = "/root/testdata/sf0.001"
+
+    assert funnel_counts(SF, num_shards=1).to_pylist() == funnel_counts(
+        SF, num_shards=7
+    ).to_pylist()
+
+    rc = lambda n: sorted(
+        (r["cohort_week"], r["week"], r["n_users"])
+        for r in retention_cohorts(SF, num_shards=n).take_all()
+    )
+    assert rc(1) == rc(7)
+
+    q3 = lambda n: [
+        (r["o_orderkey"], r["revenue_i"])
+        for r in top_revenue_orders(SF, num_shards=n).take_all()
+    ]
+    assert q3(1) == q3(7)
