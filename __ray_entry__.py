@@ -399,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _event_transitions,          # SQL-oracled (lag pairs)
         "value_quantiles": _value_quantiles,
         "value_mad_outliers": sketch.value_mad_outliers,  # SQL-oracled (exact integers)
+        "corpus_stats_report": sketch.corpus_stats_report,  # SQL-oracled (exact + HLL mirror)
         "value_quantiles_sketch": _value_quantiles_sketch,  # SQL-oracled (log-bin mirror)
         "hll_distinct_users": _hll_distinct,      # SQL-oracled (splitmix64+HLL in HUGEINT)
         "cms_heavy_hitters": _cms_heavy_hitters,  # SQL-oracled (CRC32 buckets, exact min)
@@ -616,6 +617,40 @@ def oracle_sql() -> dict[str, str]:
         "SELECT event_type, CAST(floor((CASE WHEN est <= 2560.0 AND zeros > 0 "
         "THEN 1024 * ln(1024 / CAST(zeros AS DOUBLE)) ELSE est END) + 0.5) AS BIGINT) "
         "AS approx_distinct FROM g"
+    )
+
+    # corpus_stats_report: exact counts + the SAME splitmix HLL registers
+    # over crc32(distinct token) — crc32 via the table-driven list_reduce
+    _CARD_SQL = (
+        f"WITH tb AS (SELECT {_TBL} AS tb), "
+        "b AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_text, "
+        "CAST(sum(len(regexp_extract_all(coalesce(text,''), '\\S+'))) AS BIGINT) AS total_tokens, "
+        "CAST(sum(length(coalesce(text,''))) AS BIGINT) AS total_chars, "
+        "CAST(max(len(regexp_extract_all(coalesce(text,''), '\\S+'))) AS BIGINT) AS max_doc_tokens "
+        "FROM documents), "
+        "toks AS (SELECT DISTINCT unnest(regexp_extract_all(coalesce(text,''), '\\S+')) AS tok "
+        "FROM documents), "
+        f"hh AS (SELECT {_crc_sql('tok')} AS key FROM toks, tb), "
+        f"e AS (SELECT ((CAST(key AS HUGEINT) % {_M64}) + {_M64}) % {_M64} AS x FROM hh), "
+        f"s0 AS (SELECT (x + {0x9E3779B97F4A7C15}) % {_M64} AS z FROM e), "
+        f"s1 AS (SELECT {_mul64('xor(z, z // 1073741824)', 0xBF58476D1CE4E5B9)} AS z FROM s0), "
+        f"s2 AS (SELECT {_mul64('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FROM s1), "
+        "h AS (SELECT xor(z, z // 2147483648) AS h FROM s2), "
+        f"r AS (SELECT h // {1 << 54} AS reg, "
+        f"max(CASE WHEN (h * 1024) % {_M64} = 0 THEN 55 "
+        f"ELSE 65 - length(bin((h * 1024) % {_M64})) END) AS rk FROM h GROUP BY 1), "
+        f"a AS (SELECT sum(({_PW55})[rk + 1]) AS num_present, count(*) AS n_present FROM r), "
+        f"f AS (SELECT num_present + (1024 - n_present) * CAST({1 << 55} AS HUGEINT) AS num, "
+        "1024 - n_present AS zeros FROM a), "
+        "g AS (SELECT zeros, "
+        f"((((0.7213/(1 + 1.079/1024)) * 1024) * 1024) * {float(1 << 55)!r}) / CAST(num AS DOUBLE) AS est FROM f) "
+        "SELECT b.*, "
+        "CAST(floor(10000.0 * b.total_tokens / greatest(b.n_docs, 1) + 0.5) AS BIGINT) "
+        "AS mean_tokens_e4, "
+        "CAST(floor((CASE WHEN g.est <= 2560.0 AND g.zeros > 0 "
+        "THEN 1024 * ln(1024 / CAST(g.zeros AS DOUBLE)) ELSE g.est END) + 0.5) AS BIGINT) "
+        "AS approx_distinct_tokens FROM b, g"
     )
 
     # split_assign / mixture_sample: the same splitmix64 mirror over doc_id
@@ -1377,6 +1412,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "value_quantiles_sketch": _QSK_SQL,
         "hll_distinct_users": _HLL_SQL,
+        "corpus_stats_report": _CARD_SQL,
         # bloom-filter contamination: eval doc flagged iff its CRC32 bucket
         # is in the train split's bucket set for ALL 4 hash rows
         "bloom_contamination": (

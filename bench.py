@@ -74,6 +74,7 @@ HEADLINE = [
     "funnel_counts",
     "retention_cohorts",
     "value_mad_outliers",
+    "corpus_stats_report",
 ]
 
 

@@ -320,6 +320,101 @@ def hll_distinct_users(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def corpus_stats_report(sf_dir: str) -> ray.data.Dataset:
+    """Dataset card in ONE streaming pass: exact doc/token/char counts, the
+    max document length, the e4 mean tokens/doc, and an HLL estimate of the
+    distinct-token vocabulary — the summary every corpus release ships with.
+
+    Scale shape: each batch emits one partial row carrying exact integer
+    sums/max plus an HLL register vector over the batch's DISTINCT tokens
+    (crc32 -> splitmix64, the same mergeable registers as
+    ``hll_distinct_users``); a single tiny groupby merges (sums, max,
+    register-max) and reads out.  Nothing but 1-row partials ever shuffles,
+    and every merge op is associative+commutative, so the card is
+    partitioning-invariant."""
+    import zlib
+
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column("text"), "")
+        n = t.num_rows
+        n_text = n - t.column("text").null_count
+        ntok = pc.cast(
+            pc.count_substring_regex(text, r"\S+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        nchr = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy(zero_copy_only=False)
+        toks: set[str] = set()
+        for s in t.column("text").to_pylist():
+            toks.update((s or "").split())
+        keys = np.array([zlib.crc32(w.encode()) for w in sorted(toks)], dtype=np.int64)
+        regs = _partial_registers(keys) if len(keys) else np.zeros(HLL_M, dtype=np.int64)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int32()),
+                "n_docs": pa.array([n], pa.int64()),
+                "n_with_text": pa.array([n_text], pa.int64()),
+                "total_tokens": pa.array([int(ntok.sum())], pa.int64()),
+                "total_chars": pa.array([int(nchr.sum())], pa.int64()),
+                "max_doc_tokens": pa.array(
+                    [int(ntok.max()) if n else 0], pa.int64()
+                ),
+                "regs": pa.array([regs.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    _OUT = pa.schema(
+        [
+            ("n_docs", pa.int64()),
+            ("n_with_text", pa.int64()),
+            ("total_tokens", pa.int64()),
+            ("total_chars", pa.int64()),
+            ("max_doc_tokens", pa.int64()),
+            ("mean_tokens_e4", pa.int64()),
+            ("approx_distinct_tokens", pa.int64()),
+        ]
+    )
+
+    def finish(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        n_docs = int(pa.compute.sum(g.column("n_docs")).as_py())
+        regs = np.asarray(g.column("regs").to_pylist(), dtype=np.int64).max(axis=0)
+        total_tokens = int(pa.compute.sum(g.column("total_tokens")).as_py())
+        return pa.table(
+            {
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "n_with_text": pa.array(
+                    [int(pa.compute.sum(g.column("n_with_text")).as_py())], pa.int64()
+                ),
+                "total_tokens": pa.array([total_tokens], pa.int64()),
+                "total_chars": pa.array(
+                    [int(pa.compute.sum(g.column("total_chars")).as_py())], pa.int64()
+                ),
+                "max_doc_tokens": pa.array(
+                    [int(pa.compute.max(g.column("max_doc_tokens")).as_py())],
+                    pa.int64(),
+                ),
+                "mean_tokens_e4": pa.array(
+                    [int(math.floor(10000.0 * total_tokens / max(n_docs, 1) + 0.5))],
+                    pa.int64(),
+                ),
+                "approx_distinct_tokens": pa.array(
+                    [int(math.floor(hll_estimate(regs) + 0.5))], pa.int64()
+                ),
+            },
+            schema=_OUT,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch — mergeable heavy-hitter counts (Cormode & Muthukrishnan)
 # ---------------------------------------------------------------------------

@@ -162,6 +162,30 @@ def test_quality_percentiles_rank_properties():
     assert (pcts == want).all()
 
 
+def test_corpus_stats_report_exact_fields_and_hll_bound():
+    """The card's exact fields must match a local recompute; the HLL distinct
+    estimate must be within the sketch's error of the true vocabulary."""
+    from invoice_extraction_ray.ops.sketch import corpus_stats_report
+
+    (row,) = corpus_stats_report(SF).take_all()
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    texts = tbl.column("text").to_pylist()
+    ntok = [len((s or "").split()) for s in texts]
+    vocab = {w for s in texts for w in (s or "").split()}
+    assert row["n_docs"] == len(texts)
+    assert row["n_with_text"] == sum(1 for s in texts if s is not None)
+    assert row["total_tokens"] == sum(ntok)
+    assert row["total_chars"] == sum(len(s or "") for s in texts)
+    assert row["max_doc_tokens"] == max(ntok)
+    assert row["mean_tokens_e4"] == int(
+        np.floor(10000.0 * sum(ntok) / len(texts) + 0.5)
+    )
+    assert abs(row["approx_distinct_tokens"] - len(vocab)) <= max(
+        3, 0.1 * len(vocab)
+    )
+
+
 def test_value_mad_outliers_matches_numpy_recompute():
     """Histogram-derived median/MAD/outlier counts must equal a direct
     per-group numpy recompute with the quantile_disc convention."""
