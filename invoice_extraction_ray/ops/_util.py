@@ -62,6 +62,34 @@ def as_docs_dataset(source, max_blocks: int = 32, min_rows: int = 256):
     )
 
 
+def int_segment_sum(weights, starts):
+    """Exact int64 sums of CONSECUTIVE runs (callers pass ``starts =
+    np.flatnonzero(new_run)`` over run-sorted rows).  ``np.bincount(seg,
+    weights=...)`` accumulates in float64 — exact only below 2**53 — while
+    ``np.add.reduceat`` on an int64 view is exact over the full int64 range
+    (the repo's exactness discipline: integer counts never touch floats)."""
+    import numpy as np
+
+    w = np.asarray(weights).astype(np.int64, copy=False)
+    if len(w) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.add.reduceat(w, starts)
+
+
+def int_bincount(idx, weights, minlength: int = 0):
+    """Exact int64 bincount for UNSORTED indices: np.add.at on an int64
+    accumulator (same rationale as ``int_segment_sum``; np.add.at is
+    unbuffered-exact, and these run on shard-sized groups, not the corpus)."""
+    import numpy as np
+
+    idx = np.asarray(idx)
+    n = max(minlength, (int(idx.max()) + 1) if len(idx) else 0)
+    out = np.zeros(n, dtype=np.int64)
+    if len(idx):
+        np.add.at(out, idx, np.asarray(weights).astype(np.int64, copy=False))
+    return out
+
+
 def embedding_matrix(col, dtype="float64", dim: int = 0):
     """Zero-copy-ish (n, dim) numpy matrix from an Arrow list<float> column
     with equal-length lists — flatten + reshape instead of to_pylist (the

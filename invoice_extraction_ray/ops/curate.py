@@ -31,6 +31,7 @@ from collections import Counter
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -133,6 +134,10 @@ def repetition_scores(source) -> ray.data.Dataset:
         docs = as_docs_dataset(source)
 
     def score(t: pa.Table) -> pa.Table:
+        # null-text docs are SKIPPED, matching the SQL oracle (unnest of a
+        # NULL string_split emits no rows, so such docs never reach the
+        # output); empty strings still score (one empty token, like SQL)
+        t = t.filter(pc.is_valid(t.column("text")))
         ids = t.column("doc_id").to_pylist()
         texts = t.column("text").to_pylist()
         n_toks, dup_e6, big_e6 = [], [], []

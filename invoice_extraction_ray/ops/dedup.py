@@ -15,7 +15,7 @@ holds a corpus copy, so the same plan runs at 100 TB.
 
 from __future__ import annotations
 
-from ._util import embedding_matrix
+from ._util import embedding_matrix, int_bincount, int_segment_sum
 
 import zlib
 
@@ -186,9 +186,8 @@ def _sum_pair_counts(
         a, b, n = a[order], b[order], n[order]
         new = np.ones(len(a), dtype=bool)
         new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        seg = np.cumsum(new) - 1
-        totals = np.bincount(seg, weights=n).astype(np.int64)
         starts = np.flatnonzero(new)
+        totals = int_segment_sum(n, starts)
         cols = {
             "a_id": pa.array(a[starts], pa.int64()),
             "b_id": pa.array(b[starts], pa.int64()),
@@ -576,9 +575,7 @@ def contamination_check(source, eval_mod: int = 10) -> ray.data.Dataset:
             )
         uids, inv = np.unique(did[ev], return_inverse=True)
         n_p = np.bincount(inv)
-        c_p = np.bincount(inv, weights=contaminated[ev].astype(np.int64)).astype(
-            np.int64
-        )
+        c_p = int_bincount(inv, contaminated[ev])
         return pa.table(
             {
                 "doc_id": pa.array(uids, pa.int64()),
@@ -924,7 +921,7 @@ def novelty_scores(source) -> ray.data.Dataset:
         unique_gram = (run_len == 1)[run_id]
         uids, inv = np.unique(did, return_inverse=True)
         n_p = np.bincount(inv).astype(np.int64)
-        u_p = np.bincount(inv, weights=unique_gram.astype(np.int64)).astype(np.int64)
+        u_p = int_bincount(inv, unique_gram)
         return pa.table(
             {
                 "doc_id": pa.array(uids, pa.int64()),
@@ -948,8 +945,8 @@ def novelty_scores(source) -> ray.data.Dataset:
         n_p = g.column("n_p").to_numpy(zero_copy_only=False)
         u_p = g.column("u_p").to_numpy(zero_copy_only=False)
         uids, inv = np.unique(did, return_inverse=True)
-        n = np.bincount(inv, weights=n_p).astype(np.int64)
-        u = np.bincount(inv, weights=u_p).astype(np.int64)
+        n = int_bincount(inv, n_p)
+        u = int_bincount(inv, u_p)
         nov = (20_000 * u + n) // (2 * n)  # round-half-up, pure integers
         return pa.table(
             {

@@ -14,6 +14,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ._util import int_segment_sum
+
 _TOKEN_RE = r"\S+"
 _WORD_RE = re.compile(r"[a-zA-Z']+")
 
@@ -171,9 +173,8 @@ def token_frequencies(sf_dir: str, k: int = 50) -> ray.data.Dataset:
             new[1:] = ~pc.equal(tok.slice(1), tok.slice(0, g.num_rows - 1)).to_numpy(
                 zero_copy_only=False
             )
-        seg = np.cumsum(new) - 1
-        totals = np.bincount(seg, weights=n).astype(np.int64)
         starts = np.flatnonzero(new)
+        totals = int_segment_sum(n, starts)
         out = pa.table(
             {
                 "token": pc.take(tok, pa.array(starts)),
@@ -300,9 +301,8 @@ def bpe_merge_pairs(sf_dir: str, k: int = 30) -> ray.data.Dataset:
         n = g.column("n").to_numpy(zero_copy_only=False)
         new = np.ones(len(pk), dtype=bool)
         new[1:] = pk[1:] != pk[:-1]
-        seg = np.cumsum(new) - 1
-        totals = np.bincount(seg, weights=n).astype(np.int64)
         starts = np.flatnonzero(new)
+        totals = int_segment_sum(n, starts)
         out = pa.table(
             {
                 "pk": pa.array(pk[starts], pa.int64()),
@@ -383,11 +383,11 @@ def unigram_surprisal(sf_dir: str) -> ray.data.Dataset:
             new[1:] = ~pc.equal(tok.slice(1), tok.slice(0, g.num_rows - 1)).to_numpy(
                 zero_copy_only=False
             )
-        seg = np.cumsum(new) - 1
-        totals = np.bincount(seg, weights=n).astype(np.int64)
+        starts = np.flatnonzero(new)
+        totals = int_segment_sum(n, starts)
         return pa.table(
             {
-                "token": pc.take(tok, pa.array(np.flatnonzero(new))),
+                "token": pc.take(tok, pa.array(starts)),
                 "n": pa.array(totals, pa.int64()),
             }
         )
@@ -561,9 +561,8 @@ def quality_topquantile(sf_dir: str, q: float = 0.75) -> ray.data.Dataset:
         s, c = s[order], c[order]
         new = np.ones(len(s), dtype=bool)
         new[1:] = s[1:] != s[:-1]
-        seg = np.cumsum(new) - 1
-        tot = np.bincount(seg, weights=c).astype(np.int64)
         starts = np.flatnonzero(new)
+        tot = int_segment_sum(c, starts)
         return pa.table(
             {"score_e5": pa.array(s[starts], pa.int64()), "cnt": pa.array(tot)}
         )
@@ -634,9 +633,8 @@ def quality_percentiles(sf_dir: str) -> ray.data.Dataset:
         s, c = s[order], c[order]
         new = np.ones(len(s), dtype=bool)
         new[1:] = s[1:] != s[:-1]
-        seg = np.cumsum(new) - 1
-        tot = np.bincount(seg, weights=c).astype(np.int64)
         starts = np.flatnonzero(new)
+        tot = int_segment_sum(c, starts)
         return pa.table(
             {"score_e5": pa.array(s[starts], pa.int64()), "cnt": pa.array(tot)}
         )

@@ -24,7 +24,9 @@ _CACHE_ROOT = os.environ.get("IER_ORACLE_CACHE", "/tmp/ier_oracle")
 def _code_hash() -> str:
     here = os.path.dirname(__file__)
     h = hashlib.sha256()
-    for name in ("oracle.py", "config.py", "fixtures.py", "corpus.py"):
+    # oracle_gate.py itself is in the hash: an edit to the expectation-table
+    # construction below must invalidate cached parquet too
+    for name in ("oracle.py", "config.py", "fixtures.py", "corpus.py", "oracle_gate.py"):
         with open(os.path.join(here, name), "rb") as f:
             h.update(f.read())
     return h.hexdigest()[:12]
