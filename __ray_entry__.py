@@ -355,109 +355,151 @@ def _user_cumulative_value(sf_dir: str):
     return user_cumulative_value(sf_dir)
 
 
-def queries() -> dict[str, Callable[[str], Any]]:
+def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
+    """Registered queries grouped by operator family (each list in its
+    natural documentation order).  ``queries()`` round-robin-interleaves
+    these so ANY prefix the driver samples spans every family — round 3's
+    driver gate took the first 50 insertion-order entries and the entire
+    dedup/ANN/curation/media families fell outside them."""
     from invoice_extraction_ray.ops import ann, curate, dedup, relational, sketch, text
     from invoice_extraction_ray.ops.multimodal import media_ann_topk, media_metadata
 
     return {
-        # flagship transcript extraction (rows-only; oracle = tests/ pytest)
-        "extract_turns": _flagship,
-        "extract_field_coverage": _extract_metrics,
-        "extract_error_categories": _error_categories,
-        "extract_pseudo_labels": _pseudo_labels,
-        "extract_consensus": _extract_consensus,
-        "extract_confidence_bins": _confidence_bins,
-        "conversation_stats": _conversation_stats,
-        "extract_worst_turns": _worst_turns,
-        "extract_failure_summary": _failure_summary,
+        # flagship transcript extraction (materialized-oracle DuckDB rows)
+        "flagship": [
+            ("extract_turns", _flagship),
+            ("extract_field_coverage", _extract_metrics),
+            ("extract_error_categories", _error_categories),
+            ("extract_pseudo_labels", _pseudo_labels),
+            ("extract_consensus", _extract_consensus),
+            ("extract_confidence_bins", _confidence_bins),
+            ("conversation_stats", _conversation_stats),
+            ("extract_worst_turns", _worst_turns),
+            ("extract_failure_summary", _failure_summary),
+        ],
         # relational operator library (all SQL-oracled)
-        "coverage_summary": relational.coverage_summary,
-        "groupby_stats": relational.groupby_stats,
-        "severity_rollup": relational.severity_rollup,
-        "value_bins": relational.value_bins,
-        "topk_docs": relational.topk_docs,
-        "topk_docs_per_lang": relational.topk_docs_per_lang,
-        "pricing_summary": relational.pricing_summary,
-        "orders_by_segment": relational.orders_by_segment,
-        "lineitem_order_priority": relational.lineitem_order_priority,
-        "top_revenue_orders": relational.top_revenue_orders,  # SQL-oracled (TPC-H Q3, exact integers)
-        "exact_dedup": relational.exact_dedup,
-        "distinct_lang_source": relational.distinct_lang_source,
-        "hourly_rollup": relational.hourly_rollup,
-        "sessionize": relational.sessionize,
-        "funnel_counts": relational.funnel_counts,      # SQL-oracled (exact integers)
-        "retention_cohorts": relational.retention_cohorts,  # SQL-oracled (exact integers)
-        "price_in_band": relational.price_in_band,
-        "union_lang_counts": relational.union_lang_counts,
-        "sample_docs": relational.sample_docs,
-        "stratified_sample_docs": relational.stratified_sample_docs,
-        "customers_without_big_order": relational.customers_without_big_order,
-        "interval_overlap": _interval_overlap,
-        "asof_purchase_view": _asof_purchase_view,
-        "sliding_window_counts": _sliding_window,
-        "user_cumulative_value": _user_cumulative_value,  # SQL-oracled (ROWS frame, cents)
-        "event_transitions": _event_transitions,          # SQL-oracled (lag pairs)
-        "value_quantiles": _value_quantiles,
-        "value_mad_outliers": sketch.value_mad_outliers,  # SQL-oracled (exact integers)
-        "corpus_stats_report": sketch.corpus_stats_report,  # SQL-oracled (exact + HLL mirror)
-        "value_quantiles_sketch": _value_quantiles_sketch,  # SQL-oracled (log-bin mirror)
-        "hll_distinct_users": _hll_distinct,      # SQL-oracled (splitmix64+HLL in HUGEINT)
-        "cms_heavy_hitters": _cms_heavy_hitters,  # SQL-oracled (CRC32 buckets, exact min)
-        "bloom_contamination": _bloom_contamination,  # SQL-oracled (exact bit sets)
+        "relational": [
+            ("coverage_summary", relational.coverage_summary),
+            ("groupby_stats", relational.groupby_stats),
+            ("severity_rollup", relational.severity_rollup),
+            ("value_bins", relational.value_bins),
+            ("topk_docs", relational.topk_docs),
+            ("topk_docs_per_lang", relational.topk_docs_per_lang),
+            ("pricing_summary", relational.pricing_summary),
+            ("orders_by_segment", relational.orders_by_segment),
+            ("lineitem_order_priority", relational.lineitem_order_priority),
+            # TPC-H Q3 analogue (exact integers)
+            ("top_revenue_orders", relational.top_revenue_orders),
+            ("exact_dedup", relational.exact_dedup),
+            ("distinct_lang_source", relational.distinct_lang_source),
+            ("hourly_rollup", relational.hourly_rollup),
+            ("sessionize", relational.sessionize),
+            ("funnel_counts", relational.funnel_counts),
+            ("retention_cohorts", relational.retention_cohorts),
+            ("price_in_band", relational.price_in_band),
+            ("union_lang_counts", relational.union_lang_counts),
+            ("sample_docs", relational.sample_docs),
+            ("stratified_sample_docs", relational.stratified_sample_docs),
+            ("customers_without_big_order", relational.customers_without_big_order),
+        ],
+        # window / interval operators
+        "window": [
+            ("interval_overlap", _interval_overlap),
+            ("asof_purchase_view", _asof_purchase_view),
+            ("sliding_window_counts", _sliding_window),
+            ("user_cumulative_value", _user_cumulative_value),  # ROWS frame, cents
+            ("event_transitions", _event_transitions),  # lag pairs
+        ],
+        # mergeable sketches
+        "sketch": [
+            ("value_quantiles", _value_quantiles),
+            ("value_mad_outliers", sketch.value_mad_outliers),  # exact integers
+            ("corpus_stats_report", sketch.corpus_stats_report),  # exact + HLL mirror
+            ("value_quantiles_sketch", _value_quantiles_sketch),  # log-bin mirror
+            ("hll_distinct_users", _hll_distinct),  # splitmix64+HLL in HUGEINT
+            ("cms_heavy_hitters", _cms_heavy_hitters),  # CRC32 buckets, exact min
+            ("bloom_contamination", _bloom_contamination),  # exact bit sets
+        ],
         # text analysis
-        "token_count": text.token_count,               # SQL-oracled
-        "pack_documents": text.pack_documents,         # SQL-oracled (exact window cumsum)
-        "token_frequencies": lambda sf: text.token_frequencies(sf, 50),  # SQL-oracled
-        "bpe_merge_pairs": lambda sf: text.bpe_merge_pairs(sf, 30),  # SQL-oracled
-        "vocab_coverage": text.vocab_coverage,          # SQL-oracled (exact integers)
-        "quality_topquantile": lambda sf: text.quality_topquantile(sf, 0.75),  # SQL-oracled
-        "quality_percentiles": text.quality_percentiles,  # SQL-oracled (cume_dist mirror)
-        "bpe_token_count": text.bpe_token_count,       # SQL-oracled (RE2 both sides)
-        "langid": text.langid,                          # SQL-oracled
-        "quality_features": text.quality_features,      # SQL-oracled (fixed-point)
-        "doc_fingerprints": text.doc_fingerprints,      # SQL-oracled (HUGEINT rolling hash)
-        "bm25_topk": text.bm25_topk,                    # SQL-oracled (log-free idf, e6 fixed-point)
+        "text": [
+            ("token_count", text.token_count),
+            ("pack_documents", text.pack_documents),  # exact window cumsum
+            ("token_frequencies", lambda sf: text.token_frequencies(sf, 50)),
+            ("bpe_merge_pairs", lambda sf: text.bpe_merge_pairs(sf, 30)),
+            ("vocab_coverage", text.vocab_coverage),  # exact integers
+            ("quality_topquantile", lambda sf: text.quality_topquantile(sf, 0.75)),
+            ("quality_percentiles", text.quality_percentiles),  # cume_dist mirror
+            ("bpe_token_count", text.bpe_token_count),  # RE2 both sides
+            ("langid", text.langid),
+            ("quality_features", text.quality_features),  # fixed-point
+            ("doc_fingerprints", text.doc_fingerprints),  # HUGEINT rolling hash
+            ("bm25_topk", text.bm25_topk),  # log-free idf, e6 fixed-point
+            ("unigram_surprisal", text.unigram_surprisal),  # bitlen-exact
+            ("tfidf_top_terms", text.tfidf_top_terms),  # float-free order
+        ],
         # dedup family
-        "minhash_neardup": _minhash_neardup,            # SQL-oracled (recall 1.0 measured)
-        "ngram_jaccard_neardup": _ngram_jaccard_neardup,  # SQL-oracled (exact)
-        "novelty_scores": _novelty_scores,              # SQL-oracled (exact integers)
-        "substring_dup_spans": _substring_dup_spans,    # SQL-oracled (exact spans)
-        "substring_scrub": _substring_scrub,            # SQL-oracled (exact rebuild)
-        "unigram_surprisal": text.unigram_surprisal,    # SQL-oracled (bitlen-exact)
-        "tfidf_top_terms": text.tfidf_top_terms,        # SQL-oracled (float-free order)
-        "delta_neardup": _delta_neardup,                # SQL-oracled (exact, cross-side)
-        "neardup_clusters": _neardup_clusters,            # SQL-oracled (recursive CTE)
-        "contamination_check": _contamination_check,      # SQL-oracled (exact integers)
-        "prepare_corpus": _prepare_corpus,                 # SQL-oracled (composed pipeline)
-        "simhashes": dedup.simhashes,                   # SQL-oracled (CRC32 in SQL)
-        "simhash_neardup": _simhash_neardup,            # SQL-oracled (exact by pigeonhole)
-        "embedding_neardup": lambda sf: dedup.embedding_neardup(sf, threshold=0.3),  # SQL-oracled
-        "semantic_neardup": lambda sf: dedup.semantic_neardup(sf, 8, 0.3),  # SQL-oracled (centroid literals)
+        "dedup": [
+            ("minhash_neardup", _minhash_neardup),  # recall 1.0 measured
+            ("ngram_jaccard_neardup", _ngram_jaccard_neardup),  # exact
+            ("novelty_scores", _novelty_scores),  # exact integers
+            ("substring_dup_spans", _substring_dup_spans),  # exact spans
+            ("substring_scrub", _substring_scrub),  # exact rebuild
+            ("delta_neardup", _delta_neardup),  # exact, cross-side
+            ("neardup_clusters", _neardup_clusters),  # recursive CTE oracle
+            ("contamination_check", _contamination_check),  # exact integers
+            ("prepare_corpus", _prepare_corpus),  # composed pipeline
+            ("simhashes", dedup.simhashes),  # CRC32 in SQL
+            ("simhash_neardup", _simhash_neardup),  # exact by pigeonhole
+            ("embedding_neardup", lambda sf: dedup.embedding_neardup(sf, threshold=0.3)),
+            ("semantic_neardup", lambda sf: dedup.semantic_neardup(sf, 8, 0.3)),
+        ],
         # corpus curation
-        "boilerplate_scrub": _boilerplate_scrub,        # SQL-oracled (pinned; line-df mirror)
-        "redact_names": _redact_names,                  # SQL-oracled (pinned; nested replace)
-        "split_assign": curate.split_assign,            # SQL-oracled (splitmix64 in HUGEINT)
-        "mixture_sample": curate.mixture_sample,        # SQL-oracled (splitmix64 + IEEE sqrt)
-        "repetition_scores": curate.repetition_scores,  # SQL-oracled
-        "dsir_logweights": curate.dsir_logweights,      # SQL-oracled (bitlen-exact) (exact integers)
+        "curation": [
+            ("boilerplate_scrub", _boilerplate_scrub),  # pinned; line-df mirror
+            ("redact_names", _redact_names),  # pinned; nested replace
+            ("split_assign", curate.split_assign),  # splitmix64 in HUGEINT
+            ("mixture_sample", curate.mixture_sample),  # splitmix64 + IEEE sqrt
+            ("repetition_scores", curate.repetition_scores),
+            ("dsir_logweights", curate.dsir_logweights),  # bitlen-exact integers
+        ],
         # similarity search
-        "ann_topk": ann.ann_topk,                       # SQL-oracled
-        "ann_topk_multi": ann.ann_topk_multi,           # SQL-oracled (QUALIFY per query)
-        "lsh_ann_topk": ann.lsh_topk,                   # SQL-oracled (plane literals)
-        "ivf_ann_topk": ann.ivf_topk,                   # SQL-oracled (centroid literals)
-        "kmeans_clusters": lambda sf: ann.kmeans_clusters(sf, 8),  # SQL-oracled (centroid literals)
-        "pq_ann_topk": ann.pq_topk,                     # SQL-oracled (codebook literals, pinned)
-        "ann_recall_report": ann.ann_recall_report,     # SQL-oracled (composed index oracles, pinned)
-        "embedding_quantize": ann.embedding_quantize,   # SQL-oracled (exact integers)
-        "embedding_neardup_lsh": dedup.embedding_neardup_lsh,  # SQL-oracled (plane literals)
+        "ann": [
+            ("ann_topk", ann.ann_topk),
+            ("ann_topk_multi", ann.ann_topk_multi),  # QUALIFY per query
+            ("lsh_ann_topk", ann.lsh_topk),  # plane literals
+            ("ivf_ann_topk", ann.ivf_topk),  # centroid literals
+            ("kmeans_clusters", lambda sf: ann.kmeans_clusters(sf, 8)),
+            ("pq_ann_topk", ann.pq_topk),  # codebook literals, pinned
+            ("ann_recall_report", ann.ann_recall_report),  # composed, pinned
+            ("embedding_quantize", ann.embedding_quantize),  # exact integers
+            ("embedding_neardup_lsh", dedup.embedding_neardup_lsh),  # plane literals
+        ],
         # multimodal plumbing (stubbed decode/resize/frame-sample)
-        "media_metadata": media_metadata,               # SQL-oracled
-        "media_resized": _media_resized_flat,           # SQL-oracled (hex slices)
-        "media_frames": _media_frames_flat,             # SQL-oracled (hex slices)
-        "media_features": _media_features_flat,         # SQL-oracled (f32-exact nibble histogram)
-        "media_ann_topk": media_ann_topk,               # SQL-oracled (projection literals)
-        "media_exact_dedup": _media_exact_dedup,        # SQL-oracled (sha256 both sides)
+        "media": [
+            ("media_metadata", media_metadata),
+            ("media_resized", _media_resized_flat),  # hex slices
+            ("media_frames", _media_frames_flat),  # hex slices
+            ("media_features", _media_features_flat),  # f32-exact nibble histogram
+            ("media_ann_topk", media_ann_topk),  # projection literals
+            ("media_exact_dedup", _media_exact_dedup),  # sha256 both sides
+        ],
     }
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    """All registered queries, round-robin-interleaved across families so a
+    driver that value-checks only the first N entries still touches every
+    operator family (flagship, relational, window, sketch, text, dedup,
+    curation, ANN, media appear within the first 9 entries, then repeat)."""
+    fams = _query_families()
+    out: dict[str, Callable[[str], Any]] = {}
+    pending = [list(entries) for entries in fams.values()]
+    while pending:
+        for entries in pending:
+            name, fn = entries.pop(0)
+            out[name] = fn
+        pending = [e for e in pending if e]
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
