@@ -1390,16 +1390,41 @@ def embedding_neardup_lsh(
     )
 
 
-def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
-    """Pairs (a_id < b_id) with cosine similarity > threshold.
+# embedding_neardup is the EXACT O(N^2) small-corpus tool: the whole matrix
+# is broadcast and every batch matmuls against it.  Past this row cap the
+# broadcast (rows x dim x 8 bytes) and the quadratic scoring stop being a
+# "small side", so the guard fails fast and points at the scale twins
+# instead of silently melting a cluster.  2^18 rows x 64 dims ~ 128 MiB
+# broadcast and ~34B similarity cells across the job — the practical knee.
+EMBEDDING_NEARDUP_MAX_ROWS = 1 << 18
+
+
+def embedding_neardup(
+    sf_dir: str, threshold: float = 0.95, max_rows: int = EMBEDDING_NEARDUP_MAX_ROWS
+) -> ray.data.Dataset:
+    """Pairs (a_id < b_id) with cosine similarity > threshold — EXACT variant.
 
     The full (small) embedding matrix is broadcast once; each batch computes
-    its block of the similarity matrix with one matmul.  At larger scale the
-    broadcast side becomes LSH/IVF buckets (see ops.ann).
+    its block of the similarity matrix with one matmul.  This is O(N^2) by
+    construction and guarded by ``max_rows`` (checked against parquet
+    metadata, no data read): beyond the cap it raises and directs callers to
+    the scale paths, ``embedding_neardup_lsh`` (banded hyperplane buckets)
+    or ``semantic_neardup`` (SemDeDup cluster blocking) — both value-checked
+    against this exact op on the corpora where both run.
     """
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    path = _pq(sf_dir, "embeddings")
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    if n_rows > max_rows:
+        raise ValueError(
+            f"embedding_neardup is the exact O(N^2) small-corpus tool: "
+            f"{path} has {n_rows} rows > max_rows={max_rows}. Use "
+            f"embedding_neardup_lsh (banded hyperplane LSH) or "
+            f"semantic_neardup (cluster-blocked SemDeDup) at this scale."
+        )
+
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
     ids = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
     mat = embedding_matrix(tbl.column("embedding"))
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)

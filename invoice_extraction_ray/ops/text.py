@@ -14,7 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ._util import int_segment_sum
+from ._util import int_bincount, int_segment_sum
 
 _TOKEN_RE = r"\S+"
 _WORD_RE = re.compile(r"[a-zA-Z']+")
@@ -328,7 +328,15 @@ def bpe_merge_pairs(sf_dir: str, k: int = 30) -> ray.data.Dataset:
     return top.map_batches(decode, batch_format="pyarrow")
 
 
-def unigram_surprisal(sf_dir: str) -> ray.data.Dataset:
+# past this many distinct tokens the driver-collected broadcast LUT stops
+# being a "small side" (5M tokens x ~30 bytes ~ 150 MB per node) and
+# unigram_surprisal switches to the distributed token-shard join path
+VOCAB_BROADCAST_CAP = 5_000_000
+
+
+def unigram_surprisal(
+    sf_dir: str, vocab_cap: int = VOCAB_BROADCAST_CAP
+) -> ray.data.Dataset:
     """Integer-exact unigram-LM quality score — the corpus-statistics
     perplexity filter of training-data pipelines, quantized so no float
     log ever crosses the engine/oracle boundary: the surprisal of a token
@@ -338,14 +346,20 @@ def unigram_surprisal(sf_dir: str) -> ray.data.Dataset:
     round-half-up e4 mean.  High mean = rare-token-heavy (novel or noisy),
     low mean = stopword/boilerplate-heavy.
 
-    Two passes: (1) exact global token counts via per-block Counter
+    Pass 1 is shared: exact global token counts via per-block Counter
     combiners + a 256-way token-shard segment sum (only distinct-token
-    rows shuffle); the counts table is driver-collected and ray.put ONCE —
-    bounded by VOCABULARY size (~millions of rows at web scale, a few
-    hundred MB; for an unbounded-vocab corpus swap the broadcast for a
-    token-shard join of the posting rows).  (2) a stateless task map
-    resolves each batch's tokens with one vectorized np.searchsorted
-    against the broadcast sorted vocab and segment-sums per doc."""
+    rows shuffle), materialized so vocabulary size is known.  Then:
+
+    - vocab <= ``vocab_cap``: the counts are driver-collected and ray.put
+      ONCE; a stateless task map resolves each batch's tokens with one
+      vectorized np.searchsorted against the broadcast sorted vocab.
+    - vocab > ``vocab_cap`` (open-vocab web corpora): NOTHING
+      vocabulary-sized touches the driver — per-doc posting rows
+      (doc_id, token, k) are unioned with the count rows into the same
+      256-way token-shard groupby, each shard resolves token -> surprisal
+      locally (sentinel doc_id=-1 count rows sort first in each token
+      run), and per-doc partials are re-sharded by doc and summed.  Both
+      paths produce identical integer rows (pytest-equated)."""
     import zlib
 
     import ray
@@ -392,20 +406,15 @@ def unigram_surprisal(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    counts = (
+    counts_ds = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("tshard")
         .map_groups(reduce_shard, batch_format="pyarrow")
-        .take_all()
+        .materialize()  # vocab-bounded; blocks stay in the object store
     )
-    vocab = np.array([r["token"] for r in counts])
-    cnt = np.array([r["n"] for r in counts], dtype=np.int64)
-    order = np.argsort(vocab)
-    vocab, cnt = vocab[order], cnt[order]
-    total = int(cnt.sum())
+    n_vocab = counts_ds.count()
+    total = int(counts_ds.sum("n") or 0)
     bitlen_total = int(np.frexp(np.float64(max(total, 1)))[1])
-    surp = bitlen_total - np.frexp(cnt.astype(np.float64))[1]
-    lut_ref = ray.put((vocab, surp.astype(np.int64)))
 
     _OUT = pa.schema(
         [
@@ -415,6 +424,17 @@ def unigram_surprisal(sf_dir: str) -> ray.data.Dataset:
             ("mean_surprisal_e4", pa.int64()),
         ]
     )
+
+    if n_vocab > vocab_cap:
+        return _surprisal_join_path(ds, counts_ds, bitlen_total, _OUT)
+
+    counts = counts_ds.take_all()
+    vocab = np.array([r["token"] for r in counts])
+    cnt = np.array([r["n"] for r in counts], dtype=np.int64)
+    order = np.argsort(vocab)
+    vocab, cnt = vocab[order], cnt[order]
+    surp = bitlen_total - np.frexp(cnt.astype(np.float64))[1]
+    lut_ref = ray.put((vocab, surp.astype(np.int64)))
 
     def score(t: pa.Table) -> pa.Table:
         vocab_s, surp_s = ray.get(lut_ref)
@@ -443,6 +463,125 @@ def unigram_surprisal(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _surprisal_join_path(
+    docs: ray.data.Dataset,
+    counts_ds: ray.data.Dataset,
+    bitlen_total: int,
+    out_schema: pa.Schema,
+) -> ray.data.Dataset:
+    """Open-vocabulary surprisal: distributed token-shard join instead of a
+    driver broadcast.  Count rows (sentinel ``doc_id = -1``) and per-doc
+    posting rows (doc_id, token, k) are unioned and grouped by the SAME
+    256-way crc32 token shard, so every token's count row co-locates with
+    all its postings; each shard group resolves token -> surprisal with one
+    run-detection pass (the sentinel sorts first in its token run) and
+    emits per-doc partials, which a 64-way doc-shard groupby sums.  State
+    per group is O(shard postings), never O(vocabulary); the driver sees
+    only scalars.  Join-free by design: union + coarse-shard groupby beats
+    Dataset.join on fact-fact shapes (see CLAUDE.md / ops.relational)."""
+    import zlib
+
+    def doc_postings(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        did_out: list[int] = []
+        tok_out: list[str] = []
+        k_out: list[int] = []
+        for i, s in enumerate(t.column("text").to_pylist()):
+            c = Counter((s or "").split())
+            for w, k in c.items():
+                did_out.append(int(ids[i]))
+                tok_out.append(w)
+                k_out.append(k)
+        shard = np.array(
+            [zlib.crc32(w.encode()) & 255 for w in tok_out], dtype=np.int32
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(did_out, pa.int64()),
+                "token": pa.array(tok_out, pa.string()),
+                "k": pa.array(k_out, pa.int64()),
+                "tshard": pa.array(shard),
+            }
+        )
+
+    def count_rows(t: pa.Table) -> pa.Table:
+        toks = t.column("token").to_pylist()
+        shard = np.array([zlib.crc32(w.encode()) & 255 for w in toks], dtype=np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "token": t.column("token"),
+                "k": pc.cast(t.column("n"), pa.int64()),
+                "tshard": pa.array(shard),
+            }
+        )
+
+    _PART = pa.schema(
+        [("doc_id", pa.int64()), ("n_p", pa.int64()), ("s_p", pa.int64()),
+         ("dshard", pa.int32())]
+    )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PART.empty_table()
+        g = g.sort_by([("token", "ascending"), ("doc_id", "ascending")])
+        tok = g.column("token").combine_chunks()
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        new = np.ones(g.num_rows, dtype=bool)
+        if g.num_rows > 1:
+            new[1:] = ~pc.equal(tok.slice(1), tok.slice(0, g.num_rows - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        run_id = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        # the count sentinel (doc_id = -1) sorts first in each token run
+        surp_tok = bitlen_total - np.frexp(k[starts].astype(np.float64))[1]
+        post = did >= 0
+        if not post.any():
+            return _PART.empty_table()
+        uids, inv = np.unique(did[post], return_inverse=True)
+        n_p = int_bincount(inv, k[post])
+        s_p = int_bincount(inv, k[post] * surp_tok[run_id[post]].astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(uids, pa.int64()),
+                "n_p": pa.array(n_p),
+                "s_p": pa.array(s_p),
+                "dshard": pa.array((uids & 63).astype(np.int32)),
+            }
+        )
+
+    def reduce_docs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        uids, inv = np.unique(did, return_inverse=True)
+        n = int_bincount(inv, g.column("n_p").to_numpy(zero_copy_only=False))
+        s = int_bincount(inv, g.column("s_p").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "doc_id": pa.array(uids, pa.int64()),
+                "n_tokens": pa.array(n),
+                "surprisal": pa.array(s),
+                "mean_surprisal_e4": pa.array((20_000 * s + n) // (2 * n)),
+            }
+        )
+
+    unioned = counts_ds.map_batches(count_rows, batch_format="pyarrow").union(
+        docs.map_batches(doc_postings, batch_format="pyarrow")
+    )
+    return (
+        unioned.groupby("tshard")
+        .map_groups(resolve, batch_format="pyarrow")
+        .groupby("dshard")
+        .map_groups(reduce_docs, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens", "surprisal", "mean_surprisal_e4"])
+    )
 
 
 def bpe_pretokenize(text: str) -> list[str]:

@@ -580,6 +580,53 @@ def test_unigram_surprisal_known_answer(tmp_path):
     assert got[2]["mean_surprisal_e4"] == 15000
 
 
+def test_unigram_surprisal_join_path_equals_broadcast():
+    """The open-vocab token-shard-join path (forced via vocab_cap=0) must
+    produce byte-identical integer rows to the broadcast fast path on a
+    synthetic high-vocabulary corpus (every doc contributes unique tokens,
+    so the vocab outnumbers any realistic per-doc dedup)."""
+    from invoice_extraction_ray.ops.text import unigram_surprisal
+
+    fast = sorted(
+        (r["doc_id"], r["n_tokens"], r["surprisal"], r["mean_surprisal_e4"])
+        for r in unigram_surprisal(SF).take_all()
+    )
+    joined = sorted(
+        (r["doc_id"], r["n_tokens"], r["surprisal"], r["mean_surprisal_e4"])
+        for r in unigram_surprisal(SF, vocab_cap=0).take_all()
+    )
+    assert fast == joined and len(fast) > 0
+
+
+def test_unigram_surprisal_join_path_high_vocab(tmp_path):
+    """Synthetic corpus whose vocabulary exceeds the (tiny, test-set) cap —
+    the auto-dispatch itself takes the join path, and the bitlen math stays
+    exact: 600 distinct singleton tokens + 'x' repeated 424 times gives
+    N=1024 (bitlen 11); singleton surprisal 10, x surprisal (bitlen 424=9)
+    -> 2."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.text import unigram_surprisal
+
+    texts = []
+    for d in range(6):
+        uniq = " ".join(f"tok{d}_{i}" for i in range(100))
+        texts.append(uniq if d else uniq + " " + " ".join(["x"] * 424))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(6), pa.int64()), "text": texts}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: r
+        for r in unigram_surprisal(str(tmp_path), vocab_cap=500).take_all()
+    }
+    assert len(got) == 6
+    assert got[1]["n_tokens"] == 100 and got[1]["surprisal"] == 1000
+    assert got[0]["n_tokens"] == 524 and got[0]["surprisal"] == 1000 + 424 * 2
+    assert got[1]["mean_surprisal_e4"] == 100000
+
+
 def test_user_cumulative_value_known_answer(tmp_path):
     """Running totals reset per user and follow (ts, event_id) order,
     including the equal-ts tie broken by event_id."""
@@ -1045,6 +1092,19 @@ def test_embedding_lsh_neardup_recall_vs_exact():
     assert approx <= exact  # within-bucket scoring is exact: no false positives
     if exact:
         assert len(approx) / len(exact) >= 0.4  # 4x3 banded recall floor (theory ~0.6)
+
+
+def test_embedding_neardup_size_guard():
+    """The exact O(N^2) variant must refuse corpora past its row cap (from
+    parquet metadata, before any data is read) and point at the scale twins."""
+    import pytest
+
+    from invoice_extraction_ray.ops.dedup import embedding_neardup
+
+    with pytest.raises(ValueError, match="embedding_neardup_lsh"):
+        embedding_neardup(SF, threshold=0.3, max_rows=10)
+    # under the cap the pipeline builds as before
+    assert embedding_neardup(SF, threshold=0.3).count() >= 0
 
 
 def test_media_resize_and_frames():
