@@ -126,6 +126,43 @@ _BPE_RE = re.compile(
 )
 
 
+def _ws_tokens(text_col) -> tuple[pa.Array, np.ndarray]:
+    """Vectorized whitespace tokenization for a batch: Arrow
+    ``utf8_split_whitespace`` + flatten, with the empty strings Arrow emits
+    at string edges filtered out — instance-for-instance identical to
+    Python ``str.split()`` (the engines' oracle-verified tokenizer), with
+    no per-row Python.  Returns (flat token array, parent row index per
+    token)."""
+    col = pc.fill_null(text_col, "")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = pc.utf8_split_whitespace(col)
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    parent = parent.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, parent
+
+
+def _crc32_shard(col, mask: int) -> pa.Array:
+    """crc32-derived shard id per string row, vectorized through the batch's
+    dictionary: hash each DISTINCT value once in Python, gather by index —
+    the seal stage's trick (stages/seal.py::_shard_of), reused so token
+    sharding never loops over instances."""
+    import zlib
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.dictionary_encode()
+    hashed = np.fromiter(
+        (zlib.crc32(v.encode()) & mask for v in d.dictionary.to_pylist()),
+        dtype=np.int32,
+        count=len(d.dictionary),
+    )
+    return pa.array(hashed[d.indices.to_numpy(zero_copy_only=False)], pa.int32())
+
+
 def token_frequencies(sf_dir: str, k: int = 50) -> ray.data.Dataset:
     """Corpus vocabulary: global top-k (token, n) — the counting pass of
     tokenizer / vocab training.
@@ -138,25 +175,16 @@ def token_frequencies(sf_dir: str, k: int = 50) -> ray.data.Dataset:
     top-ks), and the final sort/limit runs over <= 256*k survivor rows.
     Ordering ties break by token ascending — bit-identical to the DuckDB
     ``ORDER BY n DESC, token`` oracle."""
-    import zlib
-
     ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        c: Counter = Counter()
-        for s in t.column("text").to_pylist():
-            c.update((s or "").split())
-        toks = list(c.keys())
-        shard = np.array(
-            [zlib.crc32(w.encode()) & 255 for w in toks], dtype=np.int32
-        )
+        flat, _ = _ws_tokens(t.column("text"))
+        g = pa.table({"token": flat}).group_by("token").aggregate([([], "count_all")])
         return pa.table(
             {
-                "token": pa.array(toks, pa.string()),
-                "n": pa.array([c[w] for w in toks], pa.int64()),
-                "tshard": pa.array(shard),
+                "token": g.column("token"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+                "tshard": _crc32_shard(g.column("token"), 255),
             }
         )
 
@@ -360,27 +388,18 @@ def unigram_surprisal(
       locally (sentinel doc_id=-1 count rows sort first in each token
       run), and per-doc partials are re-sharded by doc and summed.  Both
       paths produce identical integer rows (pytest-equated)."""
-    import zlib
-
     import ray
 
     ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        c: Counter = Counter()
-        for s in t.column("text").to_pylist():
-            c.update((s or "").split())
-        toks = list(c.keys())
-        shard = np.array(
-            [zlib.crc32(w.encode()) & 255 for w in toks], dtype=np.int32
-        )
+        flat, _ = _ws_tokens(t.column("text"))
+        g = pa.table({"token": flat}).group_by("token").aggregate([([], "count_all")])
         return pa.table(
             {
-                "token": pa.array(toks, pa.string()),
-                "n": pa.array([c[w] for w in toks], pa.int64()),
-                "tshard": pa.array(shard),
+                "token": g.column("token"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+                "tshard": _crc32_shard(g.column("token"), 255),
             }
         )
 
@@ -439,26 +458,26 @@ def unigram_surprisal(
     def score(t: pa.Table) -> pa.Table:
         vocab_s, surp_s = ray.get(lut_ref)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        flat: list[str] = []
-        lens = np.empty(t.num_rows, dtype=np.int64)
-        for i, s in enumerate(t.column("text").to_pylist()):
-            toks = (s or "").split()
-            lens[i] = len(toks)
-            flat.extend(toks)
-        keep = lens > 0
-        if not keep.any():
+        flat, parent = _ws_tokens(t.column("text"))
+        if len(flat) == 0:
             return _OUT.empty_table()
-        idx = np.searchsorted(vocab_s, np.array(flat))
-        sums = np.add.reduceat(
-            surp_s[idx], np.r_[0, np.cumsum(lens[keep])[:-1]]
-        ).astype(np.int64)
+        # resolve each DISTINCT batch token against the broadcast vocab once
+        # (dictionary-encode), then gather per instance — no per-token Python
+        enc = flat.dictionary_encode()
+        dic = enc.dictionary.to_numpy(zero_copy_only=False).astype(str)
+        surp_dic = surp_s[np.searchsorted(vocab_s, dic)]
+        inst = surp_dic[enc.indices.to_numpy(zero_copy_only=False)]
+        lens = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        sums = int_bincount(parent, inst, minlength=t.num_rows)
+        keep = lens > 0
         n = lens[keep]
+        s = sums[keep]
         return pa.table(
             {
                 "doc_id": pa.array(ids[keep], pa.int64()),
                 "n_tokens": pa.array(n),
-                "surprisal": pa.array(sums),
-                "mean_surprisal_e4": pa.array((20_000 * sums + n) // (2 * n)),
+                "surprisal": pa.array(s),
+                "mean_surprisal_e4": pa.array((20_000 * s + n) // (2 * n)),
             }
         )
 
@@ -481,42 +500,30 @@ def _surprisal_join_path(
     per group is O(shard postings), never O(vocabulary); the driver sees
     only scalars.  Join-free by design: union + coarse-shard groupby beats
     Dataset.join on fact-fact shapes (see CLAUDE.md / ops.relational)."""
-    import zlib
-
     def doc_postings(t: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        did_out: list[int] = []
-        tok_out: list[str] = []
-        k_out: list[int] = []
-        for i, s in enumerate(t.column("text").to_pylist()):
-            c = Counter((s or "").split())
-            for w, k in c.items():
-                did_out.append(int(ids[i]))
-                tok_out.append(w)
-                k_out.append(k)
-        shard = np.array(
-            [zlib.crc32(w.encode()) & 255 for w in tok_out], dtype=np.int32
+        flat, parent = _ws_tokens(t.column("text"))
+        did = pc.take(t.column("doc_id").combine_chunks(), pa.array(parent))
+        g = (
+            pa.table({"doc_id": did, "token": flat})
+            .group_by(["doc_id", "token"])
+            .aggregate([([], "count_all")])
         )
         return pa.table(
             {
-                "doc_id": pa.array(did_out, pa.int64()),
-                "token": pa.array(tok_out, pa.string()),
-                "k": pa.array(k_out, pa.int64()),
-                "tshard": pa.array(shard),
+                "doc_id": pc.cast(g.column("doc_id"), pa.int64()),
+                "token": g.column("token"),
+                "k": pc.cast(g.column("count_all"), pa.int64()),
+                "tshard": _crc32_shard(g.column("token"), 255),
             }
         )
 
     def count_rows(t: pa.Table) -> pa.Table:
-        toks = t.column("token").to_pylist()
-        shard = np.array([zlib.crc32(w.encode()) & 255 for w in toks], dtype=np.int32)
         return pa.table(
             {
                 "doc_id": pa.array(np.full(t.num_rows, -1, np.int64)),
                 "token": t.column("token"),
                 "k": pc.cast(t.column("n"), pa.int64()),
-                "tshard": pa.array(shard),
+                "tshard": _crc32_shard(t.column("token"), 255),
             }
         )
 
