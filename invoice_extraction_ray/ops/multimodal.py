@@ -1,13 +1,15 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio/video decode libraries are NOT available in this environment, so
-the decode kernel is a clearly-marked deterministic STUB — but the Ray-side
-plumbing is real and tested: binary columns through zero-copy Arrow batches,
-an actor-pool decode stage with per-actor setup, small batch sizes for large
-payloads, and a typed metadata output schema.
+Image/audio/video decode libraries are usually NOT available in this
+environment, so the default decode kernel is a clearly-marked deterministic
+STUB — but the Ray-side plumbing is real and tested: binary columns through
+zero-copy Arrow batches, an actor-pool decode stage with per-actor setup,
+small batch sizes for large payloads, and a typed metadata output schema.
 
-Swap ``StubDecoder._decode`` for a real cv2/PIL/librosa call on a cluster
-with the codecs installed; nothing else changes.
+``real=True`` soft-imports Pillow: on a cluster with codecs installed the
+decode / resize / frame-sample stages run for real (PIL.Image.open,
+thumbnail, multi-frame seek) with the SAME schemas; when Pillow is absent
+they raise the honest NotImplementedError instead of pretending.
 """
 
 from __future__ import annotations
@@ -18,6 +20,18 @@ import hashlib
 
 import pyarrow as pa
 import ray.data
+
+
+def _pil():
+    """Soft import: PIL.Image when Pillow is installed, else None.  Imported
+    inside the actor/task, so the real path works on codec-equipped worker
+    nodes even if the driver lacks Pillow."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
 
 MEDIA_META_SCHEMA = pa.schema(
     [
@@ -32,21 +46,28 @@ MEDIA_META_SCHEMA = pa.schema(
 
 
 class StubDecoder:
-    """Actor-pool decode stage.  ``real=True`` raises NotImplementedError —
-    the honest marker that no codec exists here; ``real=False`` derives
-    deterministic fake dimensions from the payload hash so downstream layout,
-    batching, and schema handling are fully exercised."""
+    """Actor-pool decode stage.  ``real=True`` decodes with Pillow when it
+    is installed and raises NotImplementedError otherwise — the honest
+    marker that no codec exists here; ``real=False`` derives deterministic
+    fake dimensions from the payload hash so downstream layout, batching,
+    and schema handling are fully exercised either way."""
 
     def __init__(self, real: bool = False):
         self.real = real
+        self._image_mod = _pil() if real else None  # once per actor
 
     def _decode(self, payload: bytes) -> tuple[int, int, str]:
         if self.real:
-            raise NotImplementedError(
-                "image/audio decode libraries are not available in this "
-                "environment; run with real=False (deterministic stub) or "
-                "install codecs on the cluster"
-            )
+            if self._image_mod is None:
+                raise NotImplementedError(
+                    "image/audio decode libraries are not available in this "
+                    "environment; run with real=False (deterministic stub) or "
+                    "install Pillow on the cluster"
+                )
+            import io
+
+            with self._image_mod.open(io.BytesIO(payload)) as im:
+                return im.width, im.height, (im.format or "unknown").lower()
         digest = hashlib.sha256(payload).digest()
         width = 64 + digest[0] % 192  # deterministic pseudo-dimensions
         height = 64 + digest[1] % 192
@@ -95,14 +116,31 @@ class StubResizer:
     def __init__(self, max_dim: int = 256, real: bool = False):
         self.max_dim = max_dim
         self.real = real
+        self._image_mod = _pil() if real else None  # once per actor
+
+    def _resize_real(self, payload: bytes) -> tuple[bytes, int, int]:
+        import io
+
+        with self._image_mod.open(io.BytesIO(payload)) as im:
+            im.thumbnail((self.max_dim, self.max_dim))
+            buf = io.BytesIO()
+            im.save(buf, format="PNG")
+            return buf.getvalue(), im.width, im.height
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        if self.real:
-            raise NotImplementedError("install an image codec to resize for real")
+        if self.real and self._image_mod is None:
+            raise NotImplementedError("install Pillow to resize for real")
         metas = StubDecoder(real=False)
         out_doc, out_payload, out_w, out_h = [], [], [], []
         for d, p in zip(t.column("doc_id").to_pylist(), t.column("payload").to_pylist()):
             p = p or b""
+            if self.real:
+                np_, nw, nh = self._resize_real(p)
+                out_doc.append(d)
+                out_payload.append(np_)
+                out_w.append(nw)
+                out_h.append(nh)
+                continue
             w, h, _ = metas._decode(p)
             scale = min(1.0, self.max_dim / max(w, h))
             nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
@@ -129,13 +167,38 @@ class StubFrameSampler:
     def __init__(self, n_frames: int = 4, real: bool = False):
         self.n_frames = n_frames
         self.real = real
+        self._image_mod = _pil() if real else None  # once per actor
+
+    def _frames_real(self, payload: bytes) -> list[bytes]:
+        """Evenly sample up to n_frames from a multi-frame image (GIF/TIFF
+        via Pillow seek); single-frame images yield one frame.  Each frame
+        re-encodes as PNG bytes — same schema as the stub."""
+        import io
+
+        with self._image_mod.open(io.BytesIO(payload)) as im:
+            total = getattr(im, "n_frames", 1)
+            k = min(self.n_frames, total)
+            picks = [round(i * (total - 1) / max(k - 1, 1)) for i in range(k)]
+            out = []
+            for fi in picks:
+                im.seek(fi)
+                buf = io.BytesIO()
+                im.convert("RGB").save(buf, format="PNG")
+                out.append(buf.getvalue())
+            return out
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        if self.real:
-            raise NotImplementedError("install a video codec to sample frames")
+        if self.real and self._image_mod is None:
+            raise NotImplementedError("install Pillow to sample frames for real")
         out_doc, out_idx, out_frame = [], [], []
         for d, p in zip(t.column("doc_id").to_pylist(), t.column("payload").to_pylist()):
             p = p or b""
+            if self.real:
+                for i, fr in enumerate(self._frames_real(p)):
+                    out_doc.append(d)
+                    out_idx.append(i)
+                    out_frame.append(fr)
+                continue
             k = min(self.n_frames, max(1, len(p)))
             step = max(1, len(p) // k)
             for i in range(k):

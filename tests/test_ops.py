@@ -1059,9 +1059,11 @@ def test_media_metadata_schema_and_determinism():
     assert all(len(r["sha256"]) == 64 and r["width"] >= 64 for r in a)
 
 
-def test_stub_decoder_real_mode_raises():
-    from invoice_extraction_ray.ops.multimodal import StubDecoder
+def test_stub_decoder_real_mode_raises_without_codec():
+    from invoice_extraction_ray.ops.multimodal import StubDecoder, _pil
 
+    if _pil() is not None:
+        pytest.skip("Pillow installed: real mode decodes (test_real_codec_decode_png)")
     with pytest.raises(NotImplementedError):
         StubDecoder(real=True)._decode(b"xx")
 
@@ -1124,10 +1126,52 @@ def test_media_resize_and_frames():
         by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
     assert all(sorted(v) == list(range(len(v))) and len(v) <= 3 for v in by_doc.values())
 
-    with pytest.raises(NotImplementedError):
-        StubResizer(real=True)(pa.table({"doc_id": [1], "payload": [b"x"]}))
-    with pytest.raises(NotImplementedError):
-        StubFrameSampler(real=True)(pa.table({"doc_id": [1], "payload": [b"x"]}))
+    from invoice_extraction_ray.ops.multimodal import _pil
+
+    if _pil() is None:  # no codec installed: real=True must raise, honestly
+        with pytest.raises(NotImplementedError):
+            StubResizer(real=True)(pa.table({"doc_id": [1], "payload": [b"x"]}))
+        with pytest.raises(NotImplementedError):
+            StubFrameSampler(real=True)(pa.table({"doc_id": [1], "payload": [b"x"]}))
+
+
+def test_real_codec_decode_png():
+    """When Pillow IS installed, the real=True path must actually decode:
+    a PNG generated by Pillow round-trips through decode, resize, and
+    frame sampling with true dimensions.  Skipped where codecs are absent
+    (this sandbox) — the soft-import contract either works or raises."""
+    import pytest
+
+    pytest.importorskip("PIL.Image")
+    import io
+
+    from PIL import Image
+
+    from invoice_extraction_ray.ops.multimodal import (
+        StubDecoder,
+        StubFrameSampler,
+        StubResizer,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (300, 200), (255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    w, h, fmt = StubDecoder(real=True)._decode(png)
+    assert (w, h, fmt) == (300, 200, "png")
+
+    resized = StubResizer(max_dim=128, real=True)(
+        pa.table({"doc_id": [1], "payload": [png]})
+    )
+    assert resized.column("width")[0].as_py() == 128
+    assert resized.column("height")[0].as_py() == 85  # 200 * 128/300, floor
+
+    frames = StubFrameSampler(n_frames=3, real=True)(
+        pa.table({"doc_id": [1], "payload": [png]})
+    )
+    assert frames.num_rows == 1  # single-frame image -> one frame
+    with Image.open(io.BytesIO(frames.column("frame")[0].as_py())) as fr:
+        assert fr.size == (300, 200)
 
 
 def test_hll_distinct_error_bound():
