@@ -693,23 +693,34 @@ def neardup_clusters(
             }
         )
 
-    def deliver(df):
-        """One shard: each gnode has exactly one label row (lbl non-null);
-        min-transform spreads it to the gnode's edge rows, which forward it
-        to their peers; label rows re-emit it for the node itself."""
-        import pandas as pd
+    _MSG = pa.schema([("node", pa.int64()), ("label", pa.int64())])
 
-        m = df.groupby("gnode")["lbl"].transform("min")
-        is_edge = df["peer"].notna()
-        out = pd.DataFrame(
-            {
-                "node": pd.concat(
-                    [df.loc[is_edge, "peer"], df.loc[~is_edge, "gnode"]]
-                ).astype("int64"),
-                "label": pd.concat([m[is_edge], m[~is_edge]]).astype("int64"),
-            }
+    def deliver(g: pa.Table) -> pa.Table:
+        """One shard: each gnode has exactly one label row (lbl non-null);
+        a run-detected gather spreads it to the gnode's edge rows, which
+        forward it to their peers; label rows re-emit it for the node
+        itself.  numpy on Arrow — no pandas copy of the shard."""
+        if g.num_rows == 0:
+            return _MSG.empty_table()
+        g = g.sort_by([("gnode", "ascending")])
+        gnode = g.column("gnode").to_numpy(zero_copy_only=False)
+        peer_col = g.column("peer").combine_chunks()
+        lbl_col = g.column("lbl").combine_chunks()
+        is_edge = pc.is_valid(peer_col).to_numpy(zero_copy_only=False)
+        lbl_valid = pc.is_valid(lbl_col).to_numpy(zero_copy_only=False)
+        new = np.ones(len(gnode), dtype=bool)
+        new[1:] = gnode[1:] != gnode[:-1]
+        run_id = np.cumsum(new) - 1
+        run_label = np.empty(run_id[-1] + 1, dtype=np.int64)
+        lbl_np = lbl_col.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        run_label[run_id[lbl_valid]] = lbl_np[lbl_valid]
+        m = run_label[run_id]
+        peer_np = peer_col.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([peer_np[is_edge], gnode[~is_edge]])
+        label = np.concatenate([m[is_edge], m[~is_edge]])
+        return pa.table(
+            {"node": pa.array(node.astype(np.int64)), "label": pa.array(label)}
         )
-        return out
 
     # the edge rows never change between rounds — tag and materialize ONCE
     tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
@@ -720,7 +731,7 @@ def neardup_clusters(
         msgs = (
             tagged_edges.union(tagged_labels)
             .groupby("shard")
-            .map_groups(deliver, batch_format="pandas")
+            .map_groups(deliver, batch_format="pyarrow")
         )
         labels = (
             msgs.groupby("node").aggregate(Min("label", alias_name="label")).materialize()

@@ -906,39 +906,56 @@ def retention_cohorts(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
 def sessionize(sf_dir: str) -> ray.data.Dataset:
     """Per-user gap sessionization.  Groups by a 64-way shard of user_id
     (NOT per user: map_groups pays ~1ms dispatch per group) and runs one
-    vectorized pandas groupby inside each shard — same co-location, far
-    fewer dispatches."""
-    import pandas as pd
+    vectorized numpy-on-Arrow pass inside each shard — same co-location,
+    far fewer dispatches, and no Arrow->pandas shard copy (the funnel_shard
+    idiom)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ._util import int_segment_sum
 
     ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
-    gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
 
     def add_shard(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc2
-
-        shard = pc2.cast(
-            pc2.bit_wise_and(t.column("user_id"), SESSION_SHARDS - 1), pa.int32()
+        shard = pc.cast(
+            pc.bit_wise_and(t.column("user_id"), SESSION_SHARDS - 1), pa.int32()
         )
         return t.append_column("shard", shard)
 
-    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts"])
-        diff = g.groupby("user_id")["ts"].diff()
-        new_session = (diff > gap) | diff.isna()
-        out = (
-            g.assign(is_new=new_session.astype("int64"))
-            .groupby("user_id")
-            .agg(n_events=("ts", "size"), n_sessions=("is_new", "sum"))
-            .reset_index()
-        )
-        return out[["user_id", "n_events", "n_sessions"]].astype(
-            {"n_events": "int64", "n_sessions": "int64"}
+    _OUT = pa.schema(
+        [("user_id", pa.int64()), ("n_events", pa.int64()), ("n_sessions", pa.int64())]
+    )
+
+    def per_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        new_user = np.ones(len(uid), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        diff = np.empty(len(ts), dtype=np.int64)
+        diff[0] = 0
+        diff[1:] = ts[1:] - ts[:-1]
+        # a session opens at each user's first event or on a gap STRICTLY
+        # longer than the threshold (the oracle's `ts - lag(ts) > INTERVAL`)
+        new_session = new_user | (diff > gap_us)
+        starts = np.flatnonzero(new_user)
+        n_events = np.diff(np.append(starts, len(uid))).astype(np.int64)
+        n_sessions = int_segment_sum(new_session, starts)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts].astype(np.int64)),
+                "n_events": pa.array(n_events),
+                "n_sessions": pa.array(n_sessions),
+            }
         )
 
     return (
         ds.map_batches(add_shard, batch_format="pyarrow")
         .groupby("shard")
-        .map_groups(per_shard, batch_format="pandas")
+        .map_groups(per_shard, batch_format="pyarrow")
     )
 
 

@@ -69,43 +69,60 @@ def asof_join_tagged(
     side: 0=left/1=right) — lets callers derive both sides from ONE scan of
     a shared source instead of reading it twice."""
 
-    def per_shard(g):
-        """One pd.merge_asof per shard — vectorized backward as-of across all
-        keys of the shard at once (``by=key``); no per-key Python loop."""
-        import pandas as pd
+    import numpy as np
+    import pyarrow.compute as pc
 
-        lm = g["side"].to_numpy() == 0
-        l = pd.DataFrame(
+    def per_shard(g: pa.Table) -> pa.Table:
+        """Vectorized backward as-of across ALL keys of the shard at once —
+        numpy on Arrow, no pandas copy: sort by (key, ts, side) with right
+        rows BEFORE left at equal ts (backward is at-or-before), then a
+        global cummax of right-row indices; a pointed-to right row is valid
+        iff it carries the SAME key (rows are key-sorted, so a different key
+        means this key has no prior right row)."""
+        ts_type = g.column(ts).type
+        out_schema = pa.schema(
+            [
+                (key, pa.int64()),
+                ("left_id", pa.int64()),
+                ("left_ts", ts_type),
+                ("right_id", pa.int64()),
+                ("right_ts", ts_type),
+            ]
+        )
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        k = g.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        t_us = pc.cast(g.column(ts), pa.int64()).to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        ids = g.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        # side: 0=left, 1=right — at equal (key, ts) the right row must sort
+        # FIRST so the left row can match it (backward = at-or-before);
+        # lexsort ascending puts 0 first, so sort on the negated side
+        order = np.lexsort((-side, t_us, k))
+        k, t_us, side, ids = k[order], t_us[order], side[order], ids[order]
+        n = len(k)
+        is_right = side == 1
+        last_right = np.maximum.accumulate(np.where(is_right, np.arange(n), -1))
+        lm = ~is_right
+        ptr = last_right[lm]
+        valid = ptr >= 0
+        valid[valid] &= k[ptr[valid]] == k[lm][valid]
+        r_id = np.where(valid, ids[np.where(valid, ptr, 0)], 0)
+        r_ts = np.where(valid, t_us[np.where(valid, ptr, 0)], 0)
+        return pa.table(
             {
-                key: g[key].to_numpy()[lm],
-                ts: g[ts].to_numpy()[lm],
-                "left_id": g["id"].to_numpy()[lm],
-            }
-        ).sort_values(ts, kind="mergesort")
-        r = pd.DataFrame(
-            {
-                key: g[key].to_numpy()[~lm],
-                ts: g[ts].to_numpy()[~lm],
-                # nullable Int64 so missing matches stay true nulls
-                "right_id": pd.array(g["id"].to_numpy()[~lm], dtype="Int64"),
-                "right_ts": g[ts].to_numpy()[~lm],
-            }
-        ).sort_values(ts, kind="mergesort")
-        m = pd.merge_asof(l, r, on=ts, by=key, direction="backward")
-        return pd.DataFrame(
-            {
-                key: m[key],
-                "left_id": m["left_id"].astype("int64"),
-                "left_ts": m[ts],
-                "right_id": m["right_id"].astype("Int64"),
-                "right_ts": m["right_ts"],
+                key: pa.array(k[lm]),
+                "left_id": pa.array(ids[lm]),
+                "left_ts": pa.array(t_us[lm]).cast(ts_type),
+                "right_id": pa.array(r_id, mask=~valid),
+                "right_ts": pa.array(r_ts, mask=~valid).cast(ts_type),
             }
         )
 
     return (
         both.map_batches(lambda t: _add_shard(t, key), batch_format="pyarrow")
         .groupby("shard")
-        .map_groups(per_shard, batch_format="pandas")
+        .map_groups(per_shard, batch_format="pyarrow")
     )
 
 
