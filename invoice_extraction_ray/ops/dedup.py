@@ -97,6 +97,11 @@ def minhash_sketch_batch(t: pa.Table) -> pa.Table:
 
 N_BUCKET_SHARDS = 256
 _SEMI_FILTER_CAP = 5_000_000  # max pair-involved ids worth broadcasting (~40 MB)
+# max total bytes of pair-involved TEXTS worth broadcasting for the verify
+# stage: under this, two Dataset.joins (~0.75s of aggregator startup EACH,
+# measured at bench scale for 256 pairs) are replaced by one ray.put of the
+# filtered texts + a stateless verify map over the pair rows
+_PAIR_TEXT_BROADCAST_BYTES = 128 << 20
 
 
 def _expand_runs(
@@ -334,6 +339,54 @@ def minhash_neardup(
             return t.filter(pc.is_in(t.column("doc_id"), value_set=ray.get(need_ref)))
 
         texts = texts.map_batches(only_needed, batch_format="pyarrow")
+
+        # Broadcast-verify fast path: the filtered texts are O(pair ids); if
+        # they also fit a byte budget, skip BOTH hash joins (each pays
+        # ~0.75s of aggregator-actor startup regardless of size — CLAUDE.md)
+        # and verify with one stateless map over the pair rows against a
+        # ray.put text table (plasma zero-copy, one physical copy per node).
+        # The byte check streams the filtered texts once and falls back to
+        # the join path if the budget is exceeded — never load-bearing.
+        chunks: list[pa.Table] = []
+        total_bytes = 0
+        fits = True
+        for b in texts.iter_batches(batch_format="pyarrow", batch_size=8192):
+            total_bytes += b.nbytes
+            if total_bytes > _PAIR_TEXT_BROADCAST_BYTES:
+                fits = False
+                break
+            chunks.append(b)
+        if fits:
+            tbl = (
+                pa.concat_tables(chunks)
+                if chunks
+                else pa.schema([("doc_id", pa.int64()), ("text", pa.string())]).empty_table()
+            )
+            tbl = tbl.sort_by([("doc_id", "ascending")])
+            text_ref = ray.put(
+                (tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64), tbl)
+            )
+
+            def verify_direct(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                ids_s, txt_tbl = ray.get(text_ref)
+                a = t.column("a_id").to_numpy(zero_copy_only=False).astype(np.int64)
+                b_ = t.column("b_id").to_numpy(zero_copy_only=False).astype(np.int64)
+                txt = txt_tbl.column("text")
+                a_txt = pc.take(txt, pa.array(np.searchsorted(ids_s, a))).to_pylist()
+                b_txt = pc.take(txt, pa.array(np.searchsorted(ids_s, b_))).to_pylist()
+                ja = [round(jaccard(x, y), 4) for x, y in zip(a_txt, b_txt)]
+                out = pa.table(
+                    {
+                        "a_id": pa.array(a),
+                        "b_id": pa.array(b_),
+                        "jaccard": pa.array(ja, pa.float64()),
+                    }
+                )
+                return out.filter(pc.greater_equal(out.column("jaccard"), thr))
+
+            return pairs.map_batches(verify_direct, batch_format="pyarrow")
     texts = absorb_empty_blocks(strip_schema_metadata(texts))
 
     joined = absorb_empty_blocks(
