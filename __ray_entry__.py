@@ -436,6 +436,8 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("bm25_topk", text.bm25_topk),  # log-free idf, e6 fixed-point
             ("unigram_surprisal", text.unigram_surprisal),  # bitlen-exact
             ("tfidf_top_terms", text.tfidf_top_terms),  # float-free order
+            ("chunk_documents", text.chunk_documents),  # token windows
+            ("word_bigram_counts", lambda sf: text.word_bigram_counts(sf, 30)),
         ],
         # dedup family
         "dedup": [
@@ -461,6 +463,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("mixture_sample", curate.mixture_sample),  # splitmix64 + IEEE sqrt
             ("repetition_scores", curate.repetition_scores),
             ("dsir_logweights", curate.dsir_logweights),  # bitlen-exact integers
+            ("weighted_sample", lambda sf: curate.weighted_sample(sf, 50)),
         ],
         # similarity search
         "ann": [
@@ -849,6 +852,42 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(1000000.0 * coalesce(topbg.top_bg, 0) / greatest(n.n_tokens - 1, 1) + 0.5) AS BIGINT) AS top_bigram_frac_e6 "
             "FROM n LEFT JOIN dup USING (doc_id) LEFT JOIN topbg USING (doc_id) "
             "ORDER BY doc_id"
+        ),
+        # weighted_sample: Efraimidis-Spirakis-style integer priority
+        # sampling — the identical splitmix64 mirror, hash >> 1 (// 2) so the
+        # priority fits BIGINT, floor-divided by the n_chars weight
+        "weighted_sample": (
+            _SPLITMIX_DOC
+            + " SELECT d.doc_id, d.n_chars, "
+            "CAST((h.h // 2) // greatest(CAST(d.n_chars AS HUGEINT), 1) AS BIGINT) "
+            "AS priority FROM h JOIN documents d USING (doc_id) "
+            "ORDER BY priority, doc_id LIMIT 50"
+        ),
+        # chunk_documents: 64-token windows, stride 48 (overlap 16); token =
+        # str.split() whitespace run, mirrored by regexp '\S+'; DuckDB list
+        # slices are 1-based end-inclusive so python [s:e) = toks[s+1:e]
+        "chunk_documents": (
+            r"WITH tk AS (SELECT doc_id, "
+            r"regexp_extract_all(coalesce(text, ''), '\S+') AS toks FROM documents), "
+            "n AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0), "
+            "ch AS (SELECT doc_id, toks, n, unnest(range(greatest(1, "
+            "CAST(ceil((n - 16) / 48.0) AS BIGINT)))) AS ci FROM n) "
+            "SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, "
+            "CAST(ci * 48 AS BIGINT) AS start_tok, "
+            "CAST(least(ci * 48 + 64, n) - ci * 48 AS BIGINT) AS n_tok, "
+            "array_to_string(toks[ci * 48 + 1 : least(ci * 48 + 64, n)], ' ') "
+            "AS chunk_text FROM ch ORDER BY doc_id, chunk_idx"
+        ),
+        # word_bigram_counts: adjacent-token collocations, global top-30 by
+        # (count desc, bigram asc) — both sides share the tiebreak
+        "word_bigram_counts": (
+            r"WITH tk AS (SELECT regexp_extract_all(coalesce(text, ''), '\S+') "
+            "AS toks FROM documents), "
+            "bg AS (SELECT unnest(list_transform(range(1, len(toks)), "
+            "i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM tk "
+            "WHERE len(toks) >= 2) "
+            "SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg "
+            "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30"
         ),
         "hourly_rollup": (
             "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, "

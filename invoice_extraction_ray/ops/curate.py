@@ -69,6 +69,46 @@ def split_assign(
     return ds.map_batches(assign, batch_format="pyarrow").sort("doc_id")
 
 
+def weighted_sample(sf_dir: str, k: int = 50) -> ray.data.Dataset:
+    """Deterministic weighted sampling without replacement: priority =
+    splitmix64(doc_id) // max(weight, 1) with weight = n_chars, keep the k
+    SMALLEST priorities (ties by doc_id).  A doc with twice the weight
+    halves its priority scale, so selection probability grows with weight —
+    the integer-exact, RNG-free analogue of Efraimidis-Spirakis priority
+    sampling (u^(1/w) keys), chosen because integer division is
+    bit-identical between numpy uint64 and DuckDB HUGEINT while float pow
+    is not.  The hash is shifted right one bit before the division so the
+    priority is < 2^63 even at weight 1 — it always fits int64 (Arrow and
+    DuckDB BIGINT alike) with no wrap-around.  Per-batch partial top-k,
+    then a global sort over <= blocks*k survivor rows — the corpus is
+    never globally sorted."""
+
+    def prio(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.maximum(
+            t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64), 1
+        )
+        p = ((_hash64(ids) >> np.uint64(1)) // w.astype(np.uint64)).astype(np.int64)
+        out = pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_chars": t.column("n_chars"),
+                "priority": pa.array(p),
+            }
+        )
+        # per-block partial top-k: the global winners are a subset
+        return out.sort_by(
+            [("priority", "ascending"), ("doc_id", "ascending")]
+        ).slice(0, k)
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    return (
+        ds.map_batches(prio, batch_format="pyarrow")
+        .sort(["priority", "doc_id"])
+        .limit(k)
+    )
+
+
 _MIX_DENOM = 1 << 30  # hash-threshold granularity for mixture sampling
 
 

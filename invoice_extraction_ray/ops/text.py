@@ -59,6 +59,134 @@ def token_count(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def chunk_documents(
+    sf_dir: str, chunk_tokens: int = 64, overlap: int = 16
+) -> ray.data.Dataset:
+    """Token-window document chunking — the context-window splitting step of
+    RAG / long-document training pipelines: each doc becomes ceil((n - ov) /
+    stride) chunks of up to ``chunk_tokens`` whitespace tokens with
+    ``overlap`` tokens shared between consecutive chunks (stride =
+    chunk_tokens - overlap; last chunk keeps the tail).  Embarrassingly
+    parallel per-batch map (no shuffle); tokens come from the vectorized
+    ``_ws_tokens`` kernel and chunk text is rebuilt with a single Python
+    join per chunk (output-bounded).  Zero-token docs emit no chunks, like
+    the SQL oracle's empty generate_series.  The trailing sort exists only
+    for stable presentation (oracle comparison); sink-bound callers drop it
+    and stream chunks straight out of the map.
+
+    Output: (doc_id, chunk_idx, start_tok, n_tok, chunk_text)."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    _OUT = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("chunk_idx", pa.int64()),
+            ("start_tok", pa.int64()),
+            ("n_tok", pa.int64()),
+            ("chunk_text", pa.string()),
+        ]
+    )
+
+    def chunk(t: pa.Table) -> pa.Table:
+        flat, parent = _ws_tokens(t.column("text"))
+        if len(flat) == 0:
+            return _OUT.empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        toks = flat.to_pylist()
+        offsets = np.zeros(t.num_rows + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        o_id, o_ci, o_st, o_n, o_tx = [], [], [], [], []
+        for row in np.flatnonzero(lens > 0):
+            n = int(lens[row])
+            base = int(offsets[row])
+            n_chunks = max(1, -(-(n - overlap) // stride))
+            for ci in range(n_chunks):
+                s = ci * stride
+                e = min(s + chunk_tokens, n)
+                o_id.append(int(ids[row]))
+                o_ci.append(ci)
+                o_st.append(s)
+                o_n.append(e - s)
+                o_tx.append(" ".join(toks[base + s : base + e]))
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "chunk_idx": pa.array(o_ci, pa.int64()),
+                "start_tok": pa.array(o_st, pa.int64()),
+                "n_tok": pa.array(o_n, pa.int64()),
+                "chunk_text": pa.array(o_tx, pa.string()),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow").sort(["doc_id", "chunk_idx"])
+
+
+def word_bigram_counts(sf_dir: str, k: int = 30) -> ray.data.Dataset:
+    """Global top-k adjacent word-bigram counts — the phrase-mining /
+    collocation pass (distinct from ``bpe_merge_pairs``' codepoint pairs).
+    Same scale shape as token_frequencies: per-batch Arrow combine, 256-way
+    bigram-shard segment sums with per-shard partial top-k, global
+    sort/limit over <= 256*k survivors.  Ties break by bigram ascending."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent = _ws_tokens(t.column("text"))
+        if len(flat) < 2:
+            return pa.table(
+                {
+                    "bigram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "tshard": pa.array([], pa.int32()),
+                }
+            )
+        same_doc = parent[1:] == parent[:-1]
+        left = pc.take(flat, pa.array(np.flatnonzero(same_doc)))
+        right = pc.take(flat, pa.array(np.flatnonzero(same_doc) + 1))
+        bg = pc.binary_join_element_wise(left, right, " ")
+        g = pa.table({"bigram": bg}).group_by("bigram").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "bigram": g.column("bigram"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+                "tshard": _crc32_shard(g.column("bigram"), 255),
+            }
+        )
+
+    def reduce_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        g = g.sort_by([("bigram", "ascending")])
+        bg = g.column("bigram").combine_chunks()
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        new = np.ones(g.num_rows, dtype=bool)
+        if g.num_rows > 1:
+            new[1:] = ~pc.equal(bg.slice(1), bg.slice(0, g.num_rows - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        starts = np.flatnonzero(new)
+        totals = int_segment_sum(n, starts)
+        out = pa.table(
+            {
+                "bigram": pc.take(bg, pa.array(starts)),
+                "n": pa.array(totals, pa.int64()),
+            }
+        )
+        return out.sort_by([("n", "descending"), ("bigram", "ascending")]).slice(0, k)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tshard")
+        .map_groups(reduce_shard, batch_format="pyarrow")
+    )
+    return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
 def pack_documents(
     sf_dir: str, budget: int = 2048, n_shards: int = 16
 ) -> ray.data.Dataset:

@@ -1669,3 +1669,64 @@ def test_semantic_neardup_max_cluster_bounds_fanout():
     # every surviving id is within the cap-smallest of SOME cluster: at most
     # 2 clusters x C(50,2) pairs can exist
     assert len(capped_pairs) <= 2 * (50 * 49) // 2
+
+
+def test_chunk_documents_matches_bruteforce():
+    """Distributed token-window chunking must equal the local str.split()
+    recurrence (stride = chunk - overlap, last chunk keeps the tail, empty
+    docs emit nothing)."""
+    from invoice_extraction_ray.ops.text import chunk_documents
+
+    chunk_tokens, overlap, stride = 16, 4, 12
+    rows = chunk_documents(SF, chunk_tokens=chunk_tokens, overlap=overlap).take_all()
+    want = []
+    docs = _docs()
+    for d, s in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()):
+        toks = (s or "").split()
+        n = len(toks)
+        if n == 0:
+            continue
+        n_chunks = max(1, -(-(n - overlap) // stride))
+        for ci in range(n_chunks):
+            lo, hi = ci * stride, min(ci * stride + chunk_tokens, n)
+            want.append((d, ci, lo, hi - lo, " ".join(toks[lo:hi])))
+    got = [
+        (r["doc_id"], r["chunk_idx"], r["start_tok"], r["n_tok"], r["chunk_text"])
+        for r in rows
+    ]
+    assert sorted(got) == sorted(want)
+
+
+def test_word_bigram_counts_matches_counter():
+    """Sharded bigram top-k must equal a local Counter with the
+    (n desc, bigram asc) tie-break."""
+    from collections import Counter
+
+    from invoice_extraction_ray.ops.text import word_bigram_counts
+
+    rows = word_bigram_counts(SF, k=15).take_all()
+    c = Counter()
+    for s in _docs().column("text").to_pylist():
+        toks = (s or "").split()
+        c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert [(r["bigram"], r["n"]) for r in rows] == want
+
+
+def test_weighted_sample_matches_local_recompute():
+    """Per-block partial top-k + global sort must equal the driver-side
+    priority recompute; priorities stay in int64 even at weight 1."""
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.curate import weighted_sample
+    from invoice_extraction_ray.ops.sketch import _hash64
+
+    k = 25
+    rows = weighted_sample(SF, k=k).take_all()
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"])
+    ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+    w = np.maximum(np.asarray(t.column("n_chars").to_pylist(), dtype=np.int64), 1)
+    prio = ((_hash64(ids) >> np.uint64(1)) // w.astype(np.uint64)).astype(np.int64)
+    assert (prio >= 0).all()  # h >> 1 keeps the division inside int64
+    order = sorted(zip(prio.tolist(), ids.tolist()))[:k]
+    assert [(r["priority"], r["doc_id"]) for r in rows] == order
