@@ -464,6 +464,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("repetition_scores", curate.repetition_scores),
             ("dsir_logweights", curate.dsir_logweights),  # bitlen-exact integers
             ("weighted_sample", lambda sf: curate.weighted_sample(sf, 50)),
+            ("source_cap", lambda sf: curate.source_cap(sf, 20)),  # domain caps
         ],
         # similarity search
         "ann": [
@@ -862,6 +863,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST((h.h // 2) // greatest(CAST(d.n_chars AS HUGEINT), 1) AS BIGINT) "
             "AS priority FROM h JOIN documents d USING (doc_id) "
             "ORDER BY priority, doc_id LIMIT 50"
+        ),
+        # source_cap: keep at most 20 docs per source by the splitmix64>>1
+        # priority (ties by doc_id) — row_number QUALIFY mirror
+        "source_cap": (
+            _SPLITMIX_DOC
+            + " SELECT doc_id, source, priority FROM ("
+            "SELECT d.doc_id, d.source, CAST(h.h // 2 AS BIGINT) AS priority, "
+            "row_number() OVER (PARTITION BY d.source "
+            "ORDER BY h.h // 2, d.doc_id) AS rn "
+            "FROM h JOIN documents d USING (doc_id)) "
+            "WHERE rn <= 20 ORDER BY source, priority, doc_id"
         ),
         # chunk_documents: 64-token windows, stride 48 (overlap 16); token =
         # str.split() whitespace run, mirrored by regexp '\S+'; DuckDB list

@@ -75,6 +75,10 @@ HEADLINE = [
     "retention_cohorts",
     "value_mad_outliers",
     "corpus_stats_report",
+    # r4 additions
+    "weighted_sample",
+    "chunk_documents",
+    "word_bigram_counts",
 ]
 
 

@@ -109,6 +109,79 @@ def weighted_sample(sf_dir: str, k: int = 50) -> ray.data.Dataset:
     )
 
 
+def source_cap(sf_dir: str, cap: int = 20, n_shards: int = 64) -> ray.data.Dataset:
+    """Per-source document cap — the domain-cap step of C4/RefinedWeb-style
+    web curation: keep at most ``cap`` docs per source, selected by the
+    deterministic priority splitmix64(doc_id) >> 1 (smallest first, ties by
+    doc_id), so the survivors are a reproducible pseudo-random sample of
+    each over-represented source at any parallelism.
+
+    Scale shape: a per-batch partial combiner first reduces every block to
+    <= cap rows per (block, source) — valid because the global per-source
+    winners are a subset of each block's per-source winners — then sources
+    are co-partitioned by a crc32 shard of the source string (coarse:
+    ``n_shards`` groups total, never one group per source, per the
+    ~1ms/group map_groups cost) and the same vectorized run-rank kernel
+    finishes each shard.  Only <= cap rows per distinct source ever
+    shuffle; the corpus is never globally sorted (the trailing sort is
+    presentation-only over the capped survivor set)."""
+    import zlib
+
+    def keep_top(t: pa.Table) -> pa.Table:
+        t = t.sort_by(
+            [
+                ("source", "ascending"),
+                ("priority", "ascending"),
+                ("doc_id", "ascending"),
+            ]
+        )
+        src = t.column("source").combine_chunks()
+        n = t.num_rows
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = ~pc.equal(src.slice(1), src.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        rank = np.arange(n, dtype=np.int64) - starts[run_id]
+        return t.filter(pa.array(rank < cap))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = (_hash64(ids) >> np.uint64(1)).astype(np.int64)
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = src.dictionary_encode()
+        shard_of = np.fromiter(
+            (zlib.crc32(v.encode()) % n_shards for v in d.dictionary.to_pylist()),
+            dtype=np.int32,
+            count=len(d.dictionary),
+        )
+        out = pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "source": src,
+                "priority": pa.array(p),
+                "sshard": pa.array(
+                    shard_of[d.indices.to_numpy(zero_copy_only=False)], pa.int32()
+                ),
+            }
+        )
+        return keep_top(out)
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "source"])
+    capped = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("sshard")
+        .map_groups(
+            lambda t: keep_top(t).drop_columns(["sshard"]), batch_format="pyarrow"
+        )
+    )
+    return capped.sort(["source", "priority", "doc_id"])
+
+
 _MIX_DENOM = 1 << 30  # hash-threshold granularity for mixture sampling
 
 

@@ -1730,3 +1730,29 @@ def test_weighted_sample_matches_local_recompute():
     assert (prio >= 0).all()  # h >> 1 keeps the division inside int64
     order = sorted(zip(prio.tolist(), ids.tolist()))[:k]
     assert [(r["priority"], r["doc_id"]) for r in rows] == order
+
+
+def test_source_cap_matches_local_recompute():
+    """Per-source cap must keep exactly the cap smallest (priority, doc_id)
+    docs per source, regardless of block/shard layout."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.curate import source_cap
+    from invoice_extraction_ray.ops.sketch import _hash64
+
+    cap = 5
+    rows = source_cap(SF, cap=cap, n_shards=8).take_all()
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "source"])
+    ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+    prio = (_hash64(ids) >> np.uint64(1)).astype(np.int64)
+    per_src = defaultdict(list)
+    for d, s, p in zip(ids.tolist(), t.column("source").to_pylist(), prio.tolist()):
+        per_src[s].append((p, d))
+    want = []
+    for s, lst in per_src.items():
+        for p, d in sorted(lst)[:cap]:
+            want.append((s, p, d))
+    want.sort()
+    assert [(r["source"], r["priority"], r["doc_id"]) for r in rows] == want
