@@ -79,6 +79,7 @@ HEADLINE = [
     "weighted_sample",
     "chunk_documents",
     "word_bigram_counts",
+    "source_cap",
 ]
 
 

@@ -171,9 +171,13 @@ def source_cap(sf_dir: str, cap: int = 20, n_shards: int = 64) -> ray.data.Datas
         )
         return keep_top(out)
 
+    from ._util import absorb_empty_blocks
+
     ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "source"])
+    # partials are <= cap rows per (block, source): coalesce the skinny
+    # blocks before the shuffle so the groupby pays per-row, not per-task
     capped = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        absorb_empty_blocks(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby("sshard")
         .map_groups(
             lambda t: keep_top(t).drop_columns(["sshard"]), batch_format="pyarrow"
