@@ -1756,3 +1756,52 @@ def test_source_cap_matches_local_recompute():
             want.append((s, p, d))
     want.sort()
     assert [(r["source"], r["priority"], r["doc_id"]) for r in rows] == want
+
+
+def test_byte_histogram_features_edge_layouts():
+    """The zero-copy buffer kernel must equal the naive per-row histogram on
+    sliced, chunked, null-bearing, and empty-payload Arrow layouts."""
+    from invoice_extraction_ray.ops.multimodal import N_HIST_BINS, ByteHistogramFeatures
+
+    def naive(payloads):
+        out = []
+        for p in payloads:
+            b = np.frombuffer(p or b"", dtype=np.uint8)
+            if b.size == 0:
+                out.append([0.0] * N_HIST_BINS)
+            else:
+                h = np.bincount(b >> 4, minlength=N_HIST_BINS).astype(np.float64)
+                out.append((h / b.size).astype(np.float32).tolist())
+        return out
+
+    payloads = [b"hello", b"", None, bytes(range(256)), b"\xff" * 7, b"x"]
+    base = pa.array(payloads, pa.binary())
+    cases = {
+        "plain": pa.table({"doc_id": pa.array(range(6), pa.int64()), "payload": base}),
+        "sliced": pa.table(
+            {"doc_id": pa.array(range(2, 6), pa.int64()), "payload": base.slice(2)}
+        ),
+        "chunked": pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "payload": pa.chunked_array([base.slice(0, 3), base.slice(3)]),
+            }
+        ),
+        "large": pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        ),
+        "empty": pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "payload": pa.array([], pa.binary()),
+            }
+        ),
+    }
+    fe = ByteHistogramFeatures()
+    for name, t in cases.items():
+        got = fe(t).column("features").to_pylist()
+        want = naive(t.column("payload").to_pylist())
+        assert got == want, name
