@@ -28,6 +28,7 @@ LANG_PROFILES = {
 }
 CJK_RANGE = (0x4E00, 0x9FFF)
 STOPWORDS_EN = LANG_PROFILES["en"]
+_STOPWORDS_ARR = pa.array(sorted(STOPWORDS_EN), pa.string())  # is_in value set
 
 # 64-bit rolling-hash parameters (deterministic, no RNG).  Bases are chosen
 # so CPython's C-speed big-int machinery evaluates each polynomial in ONE
@@ -754,12 +755,53 @@ def _predict_lang(text: str) -> str:
     return best_lang
 
 
+_PROFILE_ARRS = {
+    lang: pa.array(sorted(ws), pa.string()) for lang, ws in LANG_PROFILES.items()
+}
+
+
 def langid_batch(t: pa.Table) -> pa.Table:
-    """Stateless language-ID map (profiles are module-level constants)."""
-    preds = pa.array(
-        [_predict_lang(s) for s in t.column("text").to_pylist()], pa.string()
+    """Stateless language-ID map (profiles are module-level constants),
+    vectorized: CJK ratio via one count_substring_regex over the batch,
+    word extraction via split_pattern_regex (== _WORD_RE.findall on lowered
+    text), per-language stopword hits via is_in + bincount, and the strict
+    `hits > best` argmax in sorted-language order done columnwise — instance
+    -identical to the scalar ``_predict_lang`` (pinned by test)."""
+    text = pc.fill_null(t.column("text"), "")
+    n = len(text)
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy(zero_copy_only=False)
+    cjk = pc.cast(
+        pc.count_substring_regex(
+            text, f"[{chr(CJK_RANGE[0])}-{chr(CJK_RANGE[1])}]"
+        ),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+    lists = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z']+")
+    wflat = pc.list_flatten(lists)
+    wparent = pc.list_parent_indices(lists)
+    keep = pc.not_equal(wflat, "")
+    wflat = wflat.filter(keep)
+    wparent = wparent.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+    best_hits = np.zeros(n, dtype=np.int64)
+    best_idx = np.full(n, -1, dtype=np.int64)
+    langs = sorted(LANG_PROFILES)
+    for i, lang in enumerate(langs):
+        member = pc.is_in(wflat, value_set=_PROFILE_ARRS[lang]).to_numpy(
+            zero_copy_only=False
+        )
+        hits = np.bincount(wparent[member], minlength=n)
+        win = hits > best_hits  # strict: earlier sorted lang keeps ties
+        best_hits = np.where(win, hits, best_hits)
+        best_idx = np.where(win, i, best_idx)
+    lut = np.array(langs + ["und"], dtype=object)
+    preds = lut[best_idx]  # -1 -> "und" (no words / zero hits)
+    preds = np.where(5 * cjk > n_chars, "zh", preds)  # cjk gate first
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "lang_pred": pa.array(preds.tolist(), pa.string()),
+        }
     )
-    return pa.table({"doc_id": t.column("doc_id"), "lang_pred": preds})
 
 
 def langid(sf_dir: str) -> ray.data.Dataset:
@@ -947,16 +989,19 @@ def quality_arrays(text_col: pa.Array) -> dict:
     n_tokens = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64()).to_numpy()
     n_punct = pc.cast(pc.count_substring_regex(text, r"[.,;:!?]"), pa.int64()).to_numpy()
     n_upper = pc.cast(pc.count_substring_regex(text, r"[A-Z]"), pa.int64()).to_numpy()
-    # stopword hits need tokenization — numpy/python per batch
-    stop_pairs = [
-        (
-            sum(1 for w in _WORD_RE.findall(s.lower()) if w in STOPWORDS_EN),
-            len(_WORD_RE.findall(s.lower())),
-        )
-        for s in text.to_pylist()
-    ]
-    hits = np.array([h for h, _ in stop_pairs], dtype=np.float64)
-    words = np.array([max(1, w) for _, w in stop_pairs], dtype=np.float64)
+    # stopword hits, vectorized: findall([a-zA-Z']+) on lowered text ==
+    # split on [^a-z']+ with edge-empties filtered; membership via pc.is_in
+    # against the stopword set, per-doc totals via bincount on parents
+    lists = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z']+")
+    wflat = pc.list_flatten(lists)
+    wparent = pc.list_parent_indices(lists)
+    keep = pc.not_equal(wflat, "")
+    wflat = wflat.filter(keep)
+    wparent = wparent.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+    is_stop = pc.is_in(wflat, value_set=_STOPWORDS_ARR).to_numpy(zero_copy_only=False)
+    n = len(text)
+    hits = np.bincount(wparent[is_stop], minlength=n).astype(np.float64)
+    words = np.maximum(np.bincount(wparent, minlength=n), 1).astype(np.float64)
     denom = np.maximum(n_chars, 1).astype(np.float64)
     punct_e4 = np.floor((10000.0 * n_punct) / denom + 0.5).astype(np.int64)
     upper_e4 = np.floor((10000.0 * n_upper) / denom + 0.5).astype(np.int64)
@@ -1040,13 +1085,16 @@ def bm25_topk(
     ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def stats_partial(t: pa.Table) -> pa.Table:
-        toks = [(s or "").split() for s in t.column("text").to_pylist()]
+        # vectorized: _ws_tokens (== str.split()) + bincount/unique per term
+        flat, parent = _ws_tokens(t.column("text"))
+        dl = np.bincount(parent, minlength=t.num_rows)
         row: dict = {
-            "n_docs": [len(toks)],
-            "sum_dl": [sum(len(x) for x in toks)],
+            "n_docs": [t.num_rows],
+            "sum_dl": [int(dl.sum())],
         }
         for i, term in enumerate(terms):
-            row[f"df_{i}"] = [sum(1 for x in toks if term in x)]
+            hits = parent[pc.equal(flat, term).to_numpy(zero_copy_only=False)]
+            row[f"df_{i}"] = [int(np.unique(hits).size)]
         return pa.table(row)
 
     parts = ds.map_batches(stats_partial, batch_format="pyarrow").take_all()
@@ -1060,14 +1108,19 @@ def bm25_topk(
     k1p1 = k1 + 1.0  # computed (not literal) on both sides
 
     def score_batch(t: pa.Table) -> pa.Table:
-        toks = [(s or "").split() for s in t.column("text").to_pylist()]
-        dl = np.array([len(x) for x in toks], dtype=np.float64)
+        # same vectorized tokenization; tf per (doc, term) via masked
+        # bincount — integer counts are exact in float64, so the IEEE
+        # arithmetic below is bit-identical to the per-row version
+        flat, parent = _ws_tokens(t.column("text"))
+        n = t.num_rows
+        dl = np.bincount(parent, minlength=n).astype(np.float64)
         # pinned order: k1 * ((1-b) + b*(dl/avgdl)) — mirrored verbatim in SQL
         norm = k1 * ((1.0 - b) + b * (dl / avgdl))
-        score = np.zeros(len(toks), dtype=np.float64)
-        matched = np.zeros(len(toks), dtype=np.int64)
+        score = np.zeros(n, dtype=np.float64)
+        matched = np.zeros(n, dtype=np.int64)
         for term, idf in zip(terms, idfs):
-            tf = np.array([x.count(term) for x in toks], dtype=np.float64)
+            mask = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(parent[mask], minlength=n).astype(np.float64)
             # contribution order: idf * ((tf*(k1+1)) / (tf + norm));
             # accumulation is left-to-right like the SQL's c0 + c1 + c2
             score = score + idf * ((tf * k1p1) / (tf + norm))
@@ -1122,21 +1175,22 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        ids, toks, tfs = [], [], []
-        for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
-            for w, c in Counter((s or "").split()).items():
-                ids.append(d)
-                toks.append(w)
-                tfs.append(c)
-        shard = np.array([zlib.crc32(w.encode()) & 255 for w in toks], dtype=np.int32)
+        # vectorized posting build: _ws_tokens + one Arrow group_by replaces
+        # the per-doc Counter loop; tshard hashes each DISTINCT token once
+        # through the batch dictionary (_crc32_shard)
+        flat, parent = _ws_tokens(t.column("text"))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (
+            pa.table({"token": flat, "doc_id": pa.array(ids[parent])})
+            .group_by(["doc_id", "token"])
+            .aggregate([([], "count_all")])
+        )
         return pa.table(
             {
-                "token": pa.array(toks, pa.string()),
-                "doc_id": pa.array(ids, pa.int64()),
-                "tf": pa.array(tfs, pa.int64()),
-                "tshard": pa.array(shard),
+                "token": g.column("token"),
+                "doc_id": g.column("doc_id"),
+                "tf": pc.cast(g.column("count_all"), pa.int64()),
+                "tshard": _crc32_shard(g.column("token"), 255),
             }
         )
 

@@ -1805,3 +1805,28 @@ def test_byte_histogram_features_edge_layouts():
         got = fe(t).column("features").to_pylist()
         want = naive(t.column("payload").to_pylist())
         assert got == want, name
+
+
+def test_langid_batch_matches_scalar_predictor():
+    """The vectorized langid kernel must be instance-identical to the scalar
+    _predict_lang on corpus docs plus CJK/empty/symbol edge cases."""
+    from invoice_extraction_ray.ops.text import _predict_lang, langid_batch
+
+    texts = _docs().column("text").to_pylist()[:300] + [
+        "",
+        None,
+        "!!! ??? 123",
+        "一鿿二三",  # pure CJK
+        "the 一二三四五六 of",  # cjk-majority w/ words
+        "THE AND OF",  # uppercase stopwords
+        "l'avenir d'une societe",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = langid_batch(t).column("lang_pred").to_pylist()
+    want = [_predict_lang(s or "") for s in texts]
+    assert got == want
