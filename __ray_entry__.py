@@ -355,6 +355,12 @@ def _user_cumulative_value(sf_dir: str):
     return user_cumulative_value(sf_dir)
 
 
+def _lag_features(sf_dir: str):
+    from invoice_extraction_ray.ops.window import lag_features
+
+    return lag_features(sf_dir)
+
+
 def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
     """Registered queries grouped by operator family (each list in its
     natural documentation order).  ``queries()`` round-robin-interleaves
@@ -401,6 +407,8 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("sample_docs", relational.sample_docs),
             ("stratified_sample_docs", relational.stratified_sample_docs),
             ("customers_without_big_order", relational.customers_without_big_order),
+            ("parse_props", relational.parse_props),  # JSON field extraction
+            ("event_type_pivot", relational.event_type_pivot),  # long->wide
         ],
         # window / interval operators
         "window": [
@@ -409,6 +417,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("sliding_window_counts", _sliding_window),
             ("user_cumulative_value", _user_cumulative_value),  # ROWS frame, cents
             ("event_transitions", _event_transitions),  # lag pairs
+            ("lag_features", _lag_features),  # per-key lag deltas
         ],
         # mergeable sketches
         "sketch": [
@@ -419,6 +428,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("hll_distinct_users", _hll_distinct),  # splitmix64+HLL in HUGEINT
             ("cms_heavy_hitters", _cms_heavy_hitters),  # CRC32 buckets, exact min
             ("bloom_contamination", _bloom_contamination),  # exact bit sets
+            ("dataset_fingerprint", sketch.dataset_fingerprint),  # mod-2^64 sum
         ],
         # text analysis
         "text": [
@@ -454,6 +464,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("simhash_neardup", _simhash_neardup),  # exact by pigeonhole
             ("embedding_neardup", lambda sf: dedup.embedding_neardup(sf, threshold=0.3)),
             ("semantic_neardup", lambda sf: dedup.semantic_neardup(sf, 8, 0.3)),
+            ("dedup_keep_best", dedup.dedup_keep_best),  # argmax-per-digest
         ],
         # corpus curation
         "curation": [
@@ -733,6 +744,35 @@ def oracle_sql() -> dict[str, str]:
         f"list_dot_product(fv, {_plane_lit(_media_proj[j])})" for j in range(16)
     )
 
+    _QUALITY_SQL = (
+        "WITH f AS (SELECT doc_id, "
+        "  length(coalesce(text,'')) AS n_chars, "
+        "  len(regexp_extract_all(coalesce(text,''), '\\S+')) AS n_tokens, "
+        "  len(regexp_extract_all(coalesce(text,''), '[.,;:!?]')) AS n_punct, "
+        "  len(regexp_extract_all(coalesce(text,''), '[A-Z]')) AS n_upper, "
+        "  len(list_filter(regexp_extract_all(lower(coalesce(text,'')), '[a-z'']+'), "
+        "      x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS hits, "
+        "  greatest(len(regexp_extract_all(lower(coalesce(text,'')), '[a-z'']+')), 1) AS words "
+        "FROM documents), e AS (SELECT doc_id, n_chars, n_tokens, "
+        "  CAST(floor((10000.0*n_punct)/greatest(n_chars,1) + 0.5) AS BIGINT) AS punct_e4, "
+        "  CAST(floor((10000.0*n_upper)/greatest(n_chars,1) + 0.5) AS BIGINT) AS upper_e4, "
+        "  CAST(floor((10000.0*hits)/words + 0.5) AS BIGINT) AS stop_e4 "
+        "FROM f) "
+        "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+        "CAST(n_tokens AS BIGINT) AS n_tokens, punct_e4, upper_e4, stop_e4, "
+        "5*stop_e4 + 4*least(n_tokens,100)*100 + (10000 - least(punct_e4,10000)) "
+        "AS score_e5 FROM e"
+    )
+
+    # event_type_pivot column list derives from the same public vocabulary
+    from invoice_extraction_ray.ops.relational import EVENT_TYPES as _ETYPES
+
+    _PIVOT_COLS = ", ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _ETYPES
+    )
+
+    _COAL_TEXT = "coalesce(text,'')"  # crc input for dataset_fingerprint
+
     out = {
         "coverage_summary": (
             "SELECT count(*) AS total, count(text) AS n_text, "
@@ -816,6 +856,21 @@ def oracle_sql() -> dict[str, str]:
             f"* {1 << 30} + 0.5) AS BIGINT) AS th FROM c, m) "
             "SELECT doc_id, lang FROM h JOIN r ON h.lang = r.lg "
             f"WHERE h % {1 << 30} < th ORDER BY doc_id"
+        ),
+        # order-invariant corpus checksum: splitmix64(doc_id) + crc32(text) *
+        # 2654435761, summed mod 2^64 in HUGEINT — commutative, so ANY row
+        # order / partitioning yields the same fingerprint on both engines
+        "dataset_fingerprint": (
+            _SPLITMIX_DOC
+            + f", c AS (SELECT doc_id, CAST({_crc_sql(_COAL_TEXT)} AS HUGEINT) AS crc "
+            f"FROM (SELECT doc_id, text, {_TBL} AS tb FROM documents)), "
+            "t AS (SELECT (CAST(h.h AS HUGEINT) + c.crc * 2654435761) "
+            "% 18446744073709551616 AS term, length(coalesce(d.text,'')) AS nc "
+            "FROM h JOIN c USING (doc_id) JOIN documents d USING (doc_id)), "
+            "s AS (SELECT count(*) AS n_docs, CAST(sum(nc) AS BIGINT) AS n_chars, "
+            "sum(term) % 18446744073709551616 AS fp FROM t) "
+            "SELECT n_docs, n_chars, CAST(fp // 4294967296 AS BIGINT) AS fp_hi, "
+            "CAST(fp % 4294967296 AS BIGINT) AS fp_lo FROM s"
         ),
         # DSIR log importance weights: hashed-unigram counts, floor-log2
         # quantized with add-one smoothing — exact integers both sides
@@ -1179,24 +1234,41 @@ def oracle_sql() -> dict[str, str]:
             "WHEN h_en >= greatest(h_es,h_fr) THEN 'en' "
             "WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_pred FROM c"
         ),
-        "quality_features": (
-            "WITH f AS (SELECT doc_id, "
-            "  length(coalesce(text,'')) AS n_chars, "
-            "  len(regexp_extract_all(coalesce(text,''), '\\S+')) AS n_tokens, "
-            "  len(regexp_extract_all(coalesce(text,''), '[.,;:!?]')) AS n_punct, "
-            "  len(regexp_extract_all(coalesce(text,''), '[A-Z]')) AS n_upper, "
-            "  len(list_filter(regexp_extract_all(lower(coalesce(text,'')), '[a-z'']+'), "
-            "      x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS hits, "
-            "  greatest(len(regexp_extract_all(lower(coalesce(text,'')), '[a-z'']+')), 1) AS words "
-            "FROM documents), e AS (SELECT doc_id, n_chars, n_tokens, "
-            "  CAST(floor((10000.0*n_punct)/greatest(n_chars,1) + 0.5) AS BIGINT) AS punct_e4, "
-            "  CAST(floor((10000.0*n_upper)/greatest(n_chars,1) + 0.5) AS BIGINT) AS upper_e4, "
-            "  CAST(floor((10000.0*hits)/words + 0.5) AS BIGINT) AS stop_e4 "
-            "FROM f) "
-            "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
-            "CAST(n_tokens AS BIGINT) AS n_tokens, punct_e4, upper_e4, stop_e4, "
-            "5*stop_e4 + 4*least(n_tokens,100)*100 + (10000 - least(punct_e4,10000)) "
-            "AS score_e5 FROM e"
+        "quality_features": _QUALITY_SQL,
+        # dedup keeping the best-quality copy per NORMALIZED-text group
+        # (lower + \s+ collapsed): same quality expression as
+        # quality_features on the RAW text, argmax via row_number
+        "dedup_keep_best": (
+            "SELECT doc_id, score_e5, n_copies FROM ("
+            "SELECT q.doc_id, q.score_e5, "
+            "count(*) OVER w AS n_copies, "
+            "row_number() OVER (w ORDER BY q.score_e5 DESC, q.doc_id) AS rn "
+            f"FROM ({_QUALITY_SQL}) q JOIN documents d USING (doc_id) "
+            "WINDOW w AS (PARTITION BY "
+            r"lower(regexp_replace(coalesce(d.text,''), '\s+', ' ', 'g')))"
+            ") WHERE rn = 1"
+        ),
+        # JSON field extraction: RE2 capture on both engines; TRY_CAST('')
+        # = NULL mirrors Arrow extract_regex's no-match NULL
+        "parse_props": (
+            "SELECT event_id, event_type, "
+            "TRY_CAST(regexp_extract(coalesce(props,''), '\"k\": ([0-9]+)', 1) "
+            "AS BIGINT) AS k FROM events"
+        ),
+        # long->wide pivot over the fixed public event-type vocabulary
+        "event_type_pivot": (
+            f"SELECT user_id, {_PIVOT_COLS}, count(*) AS n_total "
+            "FROM events GROUP BY user_id"
+        ),
+        # per-key lag features: exact integer microsecond gaps + cents deltas,
+        # first-row sentinels COALESCE'd identically on both engines
+        "lag_features": (
+            "WITH e AS (SELECT event_id, user_id, ts, "
+            "CAST(floor(value*100.0 + 0.5) AS BIGINT) AS vc FROM events) "
+            "SELECT event_id, user_id, "
+            "coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS gap_us, "
+            "coalesce(vc - lag(vc) OVER w, 0) AS delta_value_c "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
         "embedding_neardup": (
             "SELECT a.vec_id AS a_id, b.vec_id AS b_id "

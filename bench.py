@@ -80,6 +80,11 @@ HEADLINE = [
     "chunk_documents",
     "word_bigram_counts",
     "source_cap",
+    "parse_props",
+    "event_type_pivot",
+    "lag_features",
+    "dedup_keep_best",
+    "dataset_fingerprint",
 ]
 
 

@@ -1585,3 +1585,113 @@ def semantic_neardup(
         .map_groups(pairs_in_cluster, batch_format="pyarrow")
         .sort(["a_id", "b_id"])
     )
+
+
+def dedup_keep_best(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """Dedup keeping the BEST copy per duplicate group — real curation
+    pipelines keep the highest-quality duplicate (cleanest rendering), not
+    the arbitrary first.  Group key = case/whitespace-NORMALIZED text
+    (lower + ``\\s+`` collapsed, one vectorized Arrow regex pass), so raw
+    copies that differ only in casing or spacing fold together while their
+    quality scores (computed on the RAW text) genuinely differ; the keeper
+    is the doc with max ``score_e5`` (ties: min doc_id), emitted with the
+    group's copy count.
+
+    Scale shape mirrors ``relational.exact_dedup``: group key = first 16
+    sha256 digest bytes as two int64 columns; each batch pre-combines to one
+    (keeper, count) row per distinct digest BEFORE the shuffle (argmax+count
+    are associative, so partials merge exactly); digests co-partition by a
+    coarse 64-way shard (never one group per digest) and each shard merges
+    with one lexsort + run-detected firsts / exact int64 segment sums.
+    Texts themselves never shuffle — only digest+scalar rows move.
+
+    Output: (doc_id, score_e5, n_copies)."""
+    import hashlib
+
+    from .text import quality_arrays
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    _PART = pa.schema(
+        [
+            ("h1", pa.int64()),
+            ("h2", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("score_e5", pa.int64()),
+            ("n", pa.int64()),
+            ("dshard", pa.int32()),
+        ]
+    )
+    _OUT = pa.schema(
+        [("doc_id", pa.int64()), ("score_e5", pa.int64()), ("n_copies", pa.int64())]
+    )
+
+    def _combine(h1, h2, doc_id, score, n):
+        """Merge rows sharing (h1,h2): keep (max score, min doc_id), sum n."""
+        order = np.lexsort((doc_id, -score, h2, h1))
+        h1, h2 = h1[order], h2[order]
+        doc_id, score, n = doc_id[order], score[order], n[order]
+        new = np.ones(len(h1), dtype=bool)
+        if len(h1) > 1:
+            new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        starts = np.flatnonzero(new)
+        return (
+            h1[starts],
+            h2[starts],
+            doc_id[starts],
+            score[starts],
+            int_segment_sum(n, starts),
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PART.empty_table()
+        import pyarrow.compute as pc
+
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(pc.fill_null(t.column("text"), "")), r"\s+", " "
+        )
+        digests = b"".join(
+            hashlib.sha256(s.encode()).digest()[:16] for s in norm.to_pylist()
+        )
+        h = np.frombuffer(digests, dtype="<i8").reshape(-1, 2)
+        score = quality_arrays(t.column("text"))["score_e5"]
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h1, h2, keep, sc, n = _combine(
+            h[:, 0].copy(), h[:, 1].copy(), ids, score, np.ones(len(ids), np.int64)
+        )
+        return pa.table(
+            {
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "doc_id": pa.array(keep),
+                "score_e5": pa.array(sc),
+                "n": pa.array(n),
+                "dshard": pa.array((h1 & (n_shards - 1)).astype(np.int32)),
+            }
+        )
+
+    def merge_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        _, _, keep, sc, n = _combine(
+            g.column("h1").to_numpy(zero_copy_only=False),
+            g.column("h2").to_numpy(zero_copy_only=False),
+            g.column("doc_id").to_numpy(zero_copy_only=False),
+            g.column("score_e5").to_numpy(zero_copy_only=False),
+            g.column("n").to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(keep),
+                "score_e5": pa.array(sc),
+                "n_copies": pa.array(n),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dshard")
+        .map_groups(merge_shard, batch_format="pyarrow")
+        .select_columns(["doc_id", "score_e5", "n_copies"])
+    )

@@ -1099,6 +1099,103 @@ def sample_docs(sf_dir: str) -> ray.data.Dataset:
 BIG_ORDER_THRESHOLD = 300_000.0
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def parse_props(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured field extraction (the log/JSON-ingestion step of an
+    event pipeline): pull the integer ``k`` field out of the JSON-ish
+    ``events.props`` string into a typed column.  One vectorized
+    ``pc.extract_regex`` pass per batch (RE2 on both engines, so the DuckDB
+    ``regexp_extract`` oracle matches the capture exactly); rows whose props
+    don't match emit a NULL, like SQL TRY_CAST.  Pure per-batch map — no
+    shuffle, embarrassingly parallel at any corpus size."""
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "event_type", "props"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(
+            pc.fill_null(t.column("props"), ""), r'"k": (?P<k>[0-9]+)'
+        )
+        k = pc.cast(pc.struct_field(hit, "k"), pa.int64())
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "k": k,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def event_type_pivot(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """Pivot (long -> wide): per-user event counts with one column per event
+    type plus the row total — the feature-table layout classifiers consume.
+
+    Scale shape: each batch collapses to per-user partial count VECTORS
+    (np.unique + one np.add.at scatter — only one row per distinct user per
+    block ever shuffles), users are co-partitioned by a coarse 64-way shard
+    (never one group per user: map_groups costs ~1 ms per GROUP), and each
+    shard merges its partials with run-detected exact int64 segment sums.
+    The type set is the fixed public ``EVENT_TYPES`` vocabulary, so the wide
+    schema is static."""
+    import numpy as np
+
+    from ._util import int_segment_sum
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "event_type"])
+    n_types = len(EVENT_TYPES)
+    type_arr = pa.array(EVENT_TYPES, pa.string())
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ti = pc.index_in(t.column("event_type"), value_set=type_arr).to_numpy(
+            zero_copy_only=False
+        )
+        uu, inv = np.unique(u, return_inverse=True)
+        mat = np.zeros((len(uu), n_types), dtype=np.int64)
+        np.add.at(mat, (inv, ti.astype(np.int64)), 1)
+        out = {"user_id": pa.array(uu), "ushard": pa.array((uu % n_shards).astype(np.int32))}
+        for j, c in enumerate(cols):
+            out[c] = pa.array(mat[:, j])
+        return pa.table(out)
+
+    _OUT = pa.schema(
+        [("user_id", pa.int64())]
+        + [(c, pa.int64()) for c in cols]
+        + [("n_total", pa.int64())]
+    )
+
+    def merge_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        u = u[order]
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        out = {"user_id": pa.array(u[starts])}
+        total = np.zeros(len(starts), dtype=np.int64)
+        for c in cols:
+            v = g.column(c).to_numpy(zero_copy_only=False)[order]
+            s = int_segment_sum(v, starts)
+            out[c] = pa.array(s)
+            total += s
+        out["n_total"] = pa.array(total)
+        return pa.table(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ushard")
+        .map_groups(merge_shard, batch_format="pyarrow")
+        .select_columns(["user_id"] + cols + ["n_total"])
+    )
+
+
 def customers_without_big_order(sf_dir: str) -> ray.data.Dataset:
     """Broadcast anti-join: customers with NO order above the threshold.
     The qualifying custkey set is computed IN RAY (pushed-down filter over the

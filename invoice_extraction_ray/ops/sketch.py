@@ -631,3 +631,62 @@ def bloom_contamination(sf_dir: str, eval_mod: int = 10) -> ray.data.Dataset:
         )
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def dataset_fingerprint(sf_dir: str) -> pa.Table:
+    """Order-invariant corpus checksum — the snapshot-equality primitive for
+    validating migrations / re-partitions / resumed runs at scale: two runs
+    over the same logical rows produce the same fingerprint regardless of
+    block layout, task order, or parallelism.
+
+    Per-row term = splitmix64(doc_id) + crc32(text) * 2654435761 (mod 2^64);
+    the fingerprint is the commutative mod-2^64 SUM of all terms, carried
+    alongside exact row and char counts.  Every per-batch partial is one
+    40-byte row, so only O(blocks) rows ever reach the driver at any corpus
+    size, and partials merge by plain addition (retry/partition-safe).
+    Emitted as (fp_hi, fp_lo) int32-range halves so the DuckDB HUGEINT
+    oracle mirrors every bit in BIGINT columns.
+
+    Output: one row (n_docs, n_chars, fp_hi, fp_lo)."""
+    import zlib
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    MUL = np.uint64(2654435761)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _hash64(ids)
+        crc = np.fromiter(
+            (zlib.crc32((s or "").encode()) for s in t.column("text").to_pylist()),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        term_sum = int(np.sum(h + crc * MUL, dtype=np.uint64))  # wraps mod 2^64
+        n_chars = pc.sum(
+            pc.utf8_length(pc.fill_null(t.column("text"), ""))
+        ).as_py() or 0
+        return pa.table(
+            {
+                "n_docs": pa.array([t.num_rows], pa.int64()),
+                "n_chars": pa.array([int(n_chars)], pa.int64()),
+                "fp_hi": pa.array([term_sum >> 32], pa.int64()),
+                "fp_lo": pa.array([term_sum & 0xFFFFFFFF], pa.int64()),
+            }
+        )
+
+    # one row per block reaches the driver; merge with exact Python ints
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n_docs"] for r in rows)
+    n_chars = sum(r["n_chars"] for r in rows)
+    fp = sum((r["fp_hi"] << 32) | r["fp_lo"] for r in rows) % (1 << 64)
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_chars": pa.array([n_chars], pa.int64()),
+            "fp_hi": pa.array([fp >> 32], pa.int64()),
+            "fp_lo": pa.array([fp & 0xFFFFFFFF], pa.int64()),
+        }
+    )

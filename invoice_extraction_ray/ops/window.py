@@ -408,3 +408,64 @@ def event_transitions(sf_dir: str) -> ray.data.Dataset:
         .groupby(["from_type", "to_type"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def lag_features(sf_dir: str) -> ray.data.Dataset:
+    """Per-key lag features — the ``LAG(...) OVER (PARTITION BY user ORDER BY
+    ts, event_id)`` feature-engineering step of a behavioral-ML pipeline:
+    for every event, microseconds since the user's previous event and the
+    fixed-point cents delta vs that event's value.  First event per user
+    emits the (-1, 0) sentinel pair (COALESCE'd identically in the oracle)
+    so the output stays non-null int64 on both engines.
+
+    One 64-way user-shard groupby over a slim (event_id, ts, user, cents)
+    projection — payload columns never shuffle; inside a shard the whole
+    window is one lexsort + shifted subtract with segment boundaries masked,
+    exact integer arithmetic throughout.  A user's history must fit one
+    shard group (same per-key assumption as sessionize / as-of)."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    _OUT = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("gap_us", pa.int64()),
+            ("delta_value_c", pa.int64()),
+        ]
+    )
+
+    def lag(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid = u[order], ts[order], eid[order]
+        cents = np.floor(v[order] * 100.0 + 0.5).astype(np.int64)
+        gap = np.full(len(u), -1, dtype=np.int64)
+        delta = np.zeros(len(u), dtype=np.int64)
+        if len(u) > 1:
+            cont = u[1:] == u[:-1]  # same-user continuation rows
+            gap[1:][cont] = (ts[1:] - ts[:-1])[cont]
+            delta[1:][cont] = (cents[1:] - cents[:-1])[cont]
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(u),
+                "gap_us": pa.array(gap),
+                "delta_value_c": pa.array(delta),
+            }
+        )
+
+    return (
+        ds.map_batches(_add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(lag, batch_format="pyarrow")
+        .select_columns(["event_id", "user_id", "gap_us", "delta_value_c"])
+    )

@@ -1830,3 +1830,136 @@ def test_langid_batch_matches_scalar_predictor():
     got = langid_batch(t).column("lang_pred").to_pylist()
     want = [_predict_lang(s or "") for s in texts]
     assert got == want
+
+
+def test_parse_props_extraction(tmp_path):
+    """JSON field extraction: matched rows yield the captured integer,
+    unmatched / null props yield NULL (SQL TRY_CAST semantics)."""
+    from invoice_extraction_ray.ops.relational import parse_props
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "event_type": pa.array(["view", "click", "view", "error"]),
+                "props": pa.array(['{"k": 42}', '{"j": 1}', None, '{"k": 007}']),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {r["event_id"]: r["k"] for r in parse_props(str(tmp_path)).take_all()}
+    assert got == {1: 42, 2: None, 3: None, 4: 7}
+
+
+def test_event_type_pivot_known_answer(tmp_path):
+    """Wide per-user counts across the fixed type vocabulary + row total."""
+    from invoice_extraction_ray.ops.relational import event_type_pivot
+
+    types = ["view", "view", "click", "purchase", "view", "error", "signup"]
+    users = [7, 7, 7, 7, 9, 9, 9]
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(types),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    rows = {r["user_id"]: r for r in event_type_pivot(str(tmp_path), n_shards=4).take_all()}
+    assert rows[7]["n_view"] == 2 and rows[7]["n_click"] == 1
+    assert rows[7]["n_purchase"] == 1 and rows[7]["n_total"] == 4
+    assert rows[9]["n_view"] == 1 and rows[9]["n_error"] == 1
+    assert rows[9]["n_signup"] == 1 and rows[9]["n_total"] == 3
+
+
+def test_lag_features_known_answer(tmp_path):
+    """Per-user lag deltas follow (ts, event_id) order with sentinel firsts."""
+    from invoice_extraction_ray.ops.window import lag_features
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "ts": pa.array([100, 50, 50, 200, 10], pa.timestamp("us")),
+                "user_id": pa.array([7, 7, 7, 9, 9], pa.int64()),
+                "value": [1.0, 2.0, 3.5, 10.0, 0.25],
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {r["event_id"]: r for r in lag_features(str(tmp_path)).take_all()}
+    # user 7 order: (50,#2) -> (50,#3) -> (100,#1)
+    assert (got[2]["gap_us"], got[2]["delta_value_c"]) == (-1, 0)
+    assert (got[3]["gap_us"], got[3]["delta_value_c"]) == (0, 150)
+    assert (got[1]["gap_us"], got[1]["delta_value_c"]) == (50, -250)
+    # user 9 order: (10,#5) -> (200,#4)
+    assert (got[5]["gap_us"], got[5]["delta_value_c"]) == (-1, 0)
+    assert (got[4]["gap_us"], got[4]["delta_value_c"]) == (190, 975)
+
+
+def test_dedup_keep_best_planted(tmp_path):
+    """Case/whitespace variants fold into one group; the keeper is the copy
+    with the best RAW-text quality score (ties broken by min doc_id)."""
+    from invoice_extraction_ray.ops.dedup import dedup_keep_best
+    from invoice_extraction_ray.ops.text import quality_arrays
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",   # clean copy
+        "THE  QUICK  BROWN  FOX  JUMPS  OVER  THE  LAZY  DOG",  # shouty copy
+        "The quick brown fox jumps over the lazy dog",   # one capital
+        "a completely different document about tables",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = sorted(
+        (r["doc_id"], r["score_e5"], r["n_copies"])
+        for r in dedup_keep_best(str(tmp_path), n_shards=4).take_all()
+    )
+    scores = quality_arrays(pa.array(texts))["score_e5"]
+    # docs 10/11/12 normalize identically; argmax over raw-text scores
+    grp = [(int(scores[i]), [10, 11, 12][i]) for i in range(3)]
+    best_score = max(s for s, _ in grp)
+    best_id = min(d for s, d in grp if s == best_score)
+    assert rows == sorted(
+        [(best_id, best_score, 3), (13, int(scores[3]), 1)]
+    )
+
+
+def test_dataset_fingerprint_order_invariant(tmp_path):
+    """Fingerprint is identical under row reorder and changes when any one
+    text changes (content sensitivity)."""
+    from invoice_extraction_ray.ops.sketch import dataset_fingerprint
+
+    ids = list(range(20))
+    texts = [f"doc number {i} body" for i in ids]
+
+    def write(order, texts_):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([ids[j] for j in order], pa.int64()),
+                    "text": pa.array([texts_[j] for j in order]),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+
+    write(list(range(20)), texts)
+    a = dataset_fingerprint(str(tmp_path)).to_pylist()[0]
+    write(list(reversed(range(20))), texts)
+    b = dataset_fingerprint(str(tmp_path)).to_pylist()[0]
+    assert a == b
+    mutated = list(texts)
+    mutated[7] = mutated[7] + "!"
+    write(list(range(20)), mutated)
+    c = dataset_fingerprint(str(tmp_path)).to_pylist()[0]
+    assert (c["fp_hi"], c["fp_lo"]) != (a["fp_hi"], a["fp_lo"])
+    assert c["n_docs"] == a["n_docs"] == 20
