@@ -361,6 +361,12 @@ def _lag_features(sf_dir: str):
     return lag_features(sf_dir)
 
 
+def _rolling_event_stats(sf_dir: str):
+    from invoice_extraction_ray.ops.window import rolling_event_stats
+
+    return rolling_event_stats(sf_dir)
+
+
 def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
     """Registered queries grouped by operator family (each list in its
     natural documentation order).  ``queries()`` round-robin-interleaves
@@ -409,6 +415,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("customers_without_big_order", relational.customers_without_big_order),
             ("parse_props", relational.parse_props),  # JSON field extraction
             ("event_type_pivot", relational.event_type_pivot),  # long->wide
+            ("orders_rollup", relational.orders_rollup),  # GROUP BY ROLLUP
         ],
         # window / interval operators
         "window": [
@@ -418,6 +425,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("user_cumulative_value", _user_cumulative_value),  # ROWS frame, cents
             ("event_transitions", _event_transitions),  # lag pairs
             ("lag_features", _lag_features),  # per-key lag deltas
+            ("rolling_event_stats", _rolling_event_stats),  # ROWS frame
         ],
         # mergeable sketches
         "sketch": [
@@ -1259,6 +1267,23 @@ def oracle_sql() -> dict[str, str]:
         "event_type_pivot": (
             f"SELECT user_id, {_PIVOT_COLS}, count(*) AS n_total "
             "FROM events GROUP BY user_id"
+        ),
+        # multi-level rollup: leaf + per-priority subtotals + grand total,
+        # NULL markers and exact cents identical on both engines
+        "orders_rollup": (
+            "SELECT o_orderpriority, o_orderstatus, "
+            "CAST(sum(CAST(floor(o_totalprice*100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS sum_price_c, count(*) AS n "
+            "FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"
+        ),
+        # trailing ROWS-frame rolling window: exact integer cents sums
+        "rolling_event_stats": (
+            "WITH e AS (SELECT event_id, user_id, ts, "
+            "CAST(floor(value*100.0 + 0.5) AS BIGINT) AS vc FROM events) "
+            "SELECT event_id, user_id, count(*) OVER w AS roll_n, "
+            "CAST(sum(vc) OVER w AS BIGINT) AS roll_sum_c "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
         ),
         # per-key lag features: exact integer microsecond gaps + cents deltas,
         # first-row sentinels COALESCE'd identically on both engines

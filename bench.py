@@ -85,6 +85,8 @@ HEADLINE = [
     "lag_features",
     "dedup_keep_best",
     "dataset_fingerprint",
+    "orders_rollup",
+    "rolling_event_stats",
 ]
 
 

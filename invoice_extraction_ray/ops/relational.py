@@ -1196,6 +1196,79 @@ def event_type_pivot(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
     )
 
 
+def orders_rollup(sf_dir: str) -> pa.Table:
+    """Multi-level OLAP rollup — ``GROUP BY ROLLUP(o_orderpriority,
+    o_orderstatus)``: leaf groups, per-priority subtotals, and the grand
+    total in one result, with NULL group markers exactly like SQL.
+
+    Scale shape: ONE distributed pass builds the leaf aggregate (per-batch
+    partial groupby combiner, so only one row per distinct key pair per
+    block shuffles — the Aggregate sees |priorities x statuses| rows
+    total); both coarser levels then derive from the LEAF table by local
+    re-aggregation, which is valid because count/sum are associative.  The
+    leaf table is bounded by the key-pair cardinality (15 here, small by
+    construction for enum-like keys), so deriving subtotals driver-side
+    costs nothing at any corpus size.  Totals are exact integer cents."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t.column("o_totalprice"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        g = (
+            t.set_column(2, "cents", cents)
+            .group_by(["o_orderpriority", "o_orderstatus"])
+            .aggregate([("cents", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g.column("o_orderpriority"),
+                "o_orderstatus": g.column("o_orderstatus"),
+                "sum_price_c": g.column("cents_sum"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    leaf = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(
+            Sum("sum_price_c", alias_name="sum_price_c"), Sum("n", alias_name="n")
+        )
+        .select_columns(["o_orderpriority", "o_orderstatus", "sum_price_c", "n"])
+        .take_all()
+    )
+    prio = [r["o_orderpriority"] for r in leaf]
+    stat = [r["o_orderstatus"] for r in leaf]
+    sums = np.array([r["sum_price_c"] for r in leaf], dtype=np.int64)
+    ns = np.array([r["n"] for r in leaf], dtype=np.int64)
+    out_p, out_s, out_sum, out_n = list(prio), list(stat), list(sums), list(ns)
+    for p in sorted(set(prio)):  # per-priority subtotal rows
+        m = np.array([x == p for x in prio])
+        out_p.append(p)
+        out_s.append(None)
+        out_sum.append(int(sums[m].sum()))
+        out_n.append(int(ns[m].sum()))
+    out_p.append(None)  # grand total
+    out_s.append(None)
+    out_sum.append(int(sums.sum()))
+    out_n.append(int(ns.sum()))
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(out_p, pa.string()),
+            "o_orderstatus": pa.array(out_s, pa.string()),
+            "sum_price_c": pa.array(out_sum, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
 def customers_without_big_order(sf_dir: str) -> ray.data.Dataset:
     """Broadcast anti-join: customers with NO order above the threshold.
     The qualifying custkey set is computed IN RAY (pushed-down filter over the

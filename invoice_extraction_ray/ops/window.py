@@ -469,3 +469,66 @@ def lag_features(sf_dir: str) -> ray.data.Dataset:
         .map_groups(lag, batch_format="pyarrow")
         .select_columns(["event_id", "user_id", "gap_us", "delta_value_c"])
     )
+
+
+def rolling_event_stats(sf_dir: str, frame: int = 3) -> ray.data.Dataset:
+    """Per-key ROWS-frame rolling window — ``SUM / COUNT OVER (PARTITION BY
+    user ORDER BY ts, event_id ROWS BETWEEN frame-1 PRECEDING AND CURRENT
+    ROW)``: each event's trailing-``frame`` event count and exact cents sum
+    for the same user (the moving-average feature of a behavioral model,
+    kept integer-exact by emitting the sum + count instead of a float mean).
+
+    Same shape as ``lag_features``: one 64-way user-shard groupby over the
+    slim (event_id, ts, user, cents) projection, then a vectorized
+    cumsum-difference inside the shard — roll[i] = cum[i] - cum[i-frame]
+    with both the frame edge and the user-segment start clamped, no Python
+    row loop.  A user's history must fit one shard group."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    _OUT = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("roll_n", pa.int64()),
+            ("roll_sum_c", pa.int64()),
+        ]
+    )
+
+    def roll(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, eid = u[order], eid[order]
+        cents = np.floor(v[order] * 100.0 + 0.5).astype(np.int64)
+        n = len(u)
+        idx = np.arange(n, dtype=np.int64)
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        seg_start = np.maximum.accumulate(np.where(new, idx, 0))
+        # window start = max(segment start, i - frame + 1)
+        w_start = np.maximum(seg_start, idx - (frame - 1))
+        cum = np.cumsum(cents)
+        base = np.where(w_start > 0, cum[w_start - 1], 0)
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(u),
+                "roll_n": pa.array(idx - w_start + 1),
+                "roll_sum_c": pa.array(cum - base),
+            }
+        )
+
+    return (
+        ds.map_batches(_add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(roll, batch_format="pyarrow")
+        .select_columns(["event_id", "user_id", "roll_n", "roll_sum_c"])
+    )

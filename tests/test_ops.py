@@ -1963,3 +1963,50 @@ def test_dataset_fingerprint_order_invariant(tmp_path):
     c = dataset_fingerprint(str(tmp_path)).to_pylist()[0]
     assert (c["fp_hi"], c["fp_lo"]) != (a["fp_hi"], a["fp_lo"])
     assert c["n_docs"] == a["n_docs"] == 20
+
+
+def test_orders_rollup_levels():
+    """Rollup = leaf + per-priority subtotals + grand total, internally
+    consistent: subtotals sum their leaves, the grand total sums all."""
+    from invoice_extraction_ray.ops.relational import orders_rollup
+
+    rows = orders_rollup(SF).to_pylist()
+    leaf = [r for r in rows if r["o_orderstatus"] is not None]
+    subs = [
+        r
+        for r in rows
+        if r["o_orderstatus"] is None and r["o_orderpriority"] is not None
+    ]
+    grand = [r for r in rows if r["o_orderpriority"] is None]
+    assert len(grand) == 1
+    assert grand[0]["n"] == sum(r["n"] for r in leaf)
+    assert grand[0]["sum_price_c"] == sum(r["sum_price_c"] for r in leaf)
+    for s in subs:
+        mine = [r for r in leaf if r["o_orderpriority"] == s["o_orderpriority"]]
+        assert s["n"] == sum(r["n"] for r in mine)
+        assert s["sum_price_c"] == sum(r["sum_price_c"] for r in mine)
+
+
+def test_rolling_event_stats_known_answer(tmp_path):
+    """Trailing ROWS-3 window resets per user, clamps at segment starts,
+    and sums exact cents in (ts, event_id) order."""
+    from invoice_extraction_ray.ops.window import rolling_event_stats
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "ts": pa.array([10, 20, 30, 40, 5, 6], pa.timestamp("us")),
+                "user_id": pa.array([7, 7, 7, 7, 9, 9], pa.int64()),
+                "value": [1.0, 2.0, 3.0, 4.0, 10.0, 0.5],
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {r["event_id"]: r for r in rolling_event_stats(str(tmp_path)).take_all()}
+    assert (got[1]["roll_n"], got[1]["roll_sum_c"]) == (1, 100)
+    assert (got[2]["roll_n"], got[2]["roll_sum_c"]) == (2, 300)
+    assert (got[3]["roll_n"], got[3]["roll_sum_c"]) == (3, 600)
+    assert (got[4]["roll_n"], got[4]["roll_sum_c"]) == (3, 900)  # 2+3+4 dollars
+    assert (got[5]["roll_n"], got[5]["roll_sum_c"]) == (1, 1000)
+    assert (got[6]["roll_n"], got[6]["roll_sum_c"]) == (2, 1050)
