@@ -416,6 +416,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("parse_props", relational.parse_props),  # JSON field extraction
             ("event_type_pivot", relational.event_type_pivot),  # long->wide
             ("orders_rollup", relational.orders_rollup),  # GROUP BY ROLLUP
+            ("brand_revenue", relational.brand_revenue),  # broadcast dim join
         ],
         # window / interval operators
         "window": [
@@ -496,6 +497,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("ann_recall_report", ann.ann_recall_report),  # composed, pinned
             ("embedding_quantize", ann.embedding_quantize),  # exact integers
             ("embedding_neardup_lsh", dedup.embedding_neardup_lsh),  # plane literals
+            ("ann_range_search", ann.ann_range_search),  # radius query, e4 ints
         ],
         # multimodal plumbing (stubbed decode/resize/frame-sample)
         "media": [
@@ -1742,6 +1744,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.vec_id, CAST(round(list_cosine_similarity(e.embedding, q.qe) * 10000) AS BIGINT) AS sim_e4 "
             "FROM embeddings e, q "
             "ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id LIMIT 10"
+        ),
+        # radius query: same e4 rounding as ann_topk, integer threshold so
+        # no float boundary row can split the engines
+        "ann_range_search": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, sim_e4 FROM ("
+            "SELECT e.vec_id, CAST(round(list_cosine_similarity(e.embedding, q.qe) "
+            "* 10000) AS BIGINT) AS sim_e4 FROM embeddings e, q"
+            ") WHERE sim_e4 >= 2000"
+        ),
+        # broadcast dimension join + exact-cents aggregate over the largest
+        # fact table (inner-join semantics: dangling partkeys drop)
+        "brand_revenue": (
+            "SELECT p_brand, count(*) AS n_items, "
+            "CAST(sum(CAST(floor(l_extendedprice*100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS sum_price_c "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"
         ),
     }
     if os.path.isdir(_SF001):

@@ -87,6 +87,8 @@ HEADLINE = [
     "dataset_fingerprint",
     "orders_rollup",
     "rolling_event_stats",
+    "ann_range_search",
+    "brand_revenue",
 ]
 
 

@@ -477,3 +477,40 @@ def ann_recall_report(sf_dir: str, k: int = 10) -> pa.Table:
             "recall_e4": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+def ann_range_search(
+    sf_dir: str, threshold_e4: int = 2000, query_vec_id: int = 0
+) -> ray.data.Dataset:
+    """Range (threshold) similarity search: every vector whose cosine vs the
+    query clears ``threshold_e4`` fixed-point units — the radius-query twin
+    of ``ann_topk`` for dedup-style "find ALL matches" workloads.  Unlike
+    top-k there is no global sort and no per-block partial state: one
+    broadcast of the normalized query, one matmul per batch, and an
+    output-bounded in-batch filter — the corpus streams through untouched.
+    The threshold compares INTEGER e4 units on both engines, so no float
+    boundary row can split the result sets."""
+    q = _load_query_vec(sf_dir, query_vec_id)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    q_ref = ray.put(qn)
+
+    def score_filter(t: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)  # plasma zero-copy per batch
+        m = embedding_matrix(t.column("embedding"), dim=len(qv))
+        norms = np.maximum(np.linalg.norm(m, axis=1), 1e-30)
+        sims = (m @ qv) / norms
+        e4 = pc.cast(
+            pc.round(
+                pc.multiply(pa.array(sims), 10_000.0),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        keep = pc.greater_equal(e4, threshold_e4)
+        return pa.table(
+            {"vec_id": t.column("vec_id"), "sim_e4": e4}
+        ).filter(keep)
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return ds.map_batches(score_filter, batch_format="pyarrow")

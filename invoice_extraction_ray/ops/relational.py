@@ -1196,6 +1196,81 @@ def event_type_pivot(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
     )
 
 
+def brand_revenue(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """Broadcast dimension join over the LARGEST fact table — the canonical
+    star-schema pattern at 100 TB: the small ``part`` dimension is read once
+    driver-side, dictionary-encoded, and ``ray.put`` broadcast (one physical
+    copy per node); the ``lineitem`` fact stream probes it with one
+    vectorized ``index_in`` per batch and pre-aggregates to per-brand
+    partial (count, cents) rows BEFORE any shuffle — so the groupby moves
+    |brands| rows per block, never the fact table, and there is NO
+    hash-partitioned join anywhere.  Exact integer cents throughout."""
+    import numpy as np
+    import pyarrow.parquet as pqm
+
+    from ._util import int_bincount
+
+    # the dimension is small by construction (|part| ~ corpus/1000); only
+    # (key, brand) columns are read, dictionary-encoded to int indices
+    part = pqm.read_table(_pq(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    keys = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    brands_d = part.column("p_brand").combine_chunks().dictionary_encode()
+    brand_names = brands_d.dictionary.to_pylist()
+    brand_idx = brands_d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(keys, kind="stable")
+    dim_ref = ray.put((keys[order], brand_idx[order]))
+    n_brands = len(brand_names)
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_partkey", "l_extendedprice"]
+    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        d_keys, d_brand = ray.get(dim_ref)  # plasma zero-copy per batch
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(d_keys, pk)
+        pos = np.clip(pos, 0, len(d_keys) - 1)
+        hit = d_keys[pos] == pk  # inner-join semantics: drop dangling keys
+        b = d_brand[pos[hit]]
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)[hit] * 100.0
+            + 0.5
+        ).astype(np.int64)
+        n = int_bincount(b, np.ones(len(b), np.int64), minlength=n_brands)
+        s = int_bincount(b, cents, minlength=n_brands)
+        nz = np.flatnonzero(n)
+        return pa.table(
+            {
+                "brand_i": pa.array(nz.astype(np.int64)),
+                "n_items": pa.array(n[nz]),
+                "sum_price_c": pa.array(s[nz]),
+            }
+        )
+
+    agg = (
+        ds.map_batches(probe, batch_format="pyarrow")
+        .groupby("brand_i")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("sum_price_c", alias_name="sum_price_c"),
+        )
+    )
+
+    names_arr = pa.array(brand_names, pa.string())
+
+    def label(t: pa.Table) -> pa.Table:
+        bi = t.column("brand_i")
+        return pa.table(
+            {
+                "p_brand": pc.take(names_arr, bi),
+                "n_items": t.column("n_items"),
+                "sum_price_c": t.column("sum_price_c"),
+            }
+        )
+
+    return agg.map_batches(label, batch_format="pyarrow")
+
+
 def orders_rollup(sf_dir: str) -> pa.Table:
     """Multi-level OLAP rollup — ``GROUP BY ROLLUP(o_orderpriority,
     o_orderstatus)``: leaf groups, per-priority subtotals, and the grand

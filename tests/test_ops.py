@@ -2010,3 +2010,56 @@ def test_rolling_event_stats_known_answer(tmp_path):
     assert (got[4]["roll_n"], got[4]["roll_sum_c"]) == (3, 900)  # 2+3+4 dollars
     assert (got[5]["roll_n"], got[5]["roll_sum_c"]) == (1, 1000)
     assert (got[6]["roll_n"], got[6]["roll_sum_c"]) == (2, 1050)
+
+
+def test_ann_range_search_matches_bruteforce():
+    """Radius query must return EXACTLY the vectors whose e4-rounded cosine
+    clears the threshold (no boundary drift, no missing rows)."""
+    from invoice_extraction_ray.ops.ann import ann_range_search
+    from invoice_extraction_ray.ops._util import embedding_matrix
+
+    thr = 2000
+    got = {
+        r["vec_id"]: r["sim_e4"]
+        for r in ann_range_search(SF, threshold_e4=thr).take_all()
+    }
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = embedding_matrix(t.column("embedding"))
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    q = m[list(ids).index(0)]
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    sims = (m @ qn) / np.maximum(np.linalg.norm(m, axis=1), 1e-30)
+    e4 = np.floor(np.abs(sims) * 10_000.0 + 0.5).astype(np.int64) * np.sign(
+        sims
+    ).astype(np.int64)
+    want = {int(i): int(v) for i, v in zip(ids, e4) if v >= thr}
+    assert got == want
+
+
+def test_brand_revenue_matches_local_recompute():
+    """Broadcast-join aggregate equals the naive local join (inner-join
+    semantics, exact cents)."""
+    from collections import defaultdict
+
+    from invoice_extraction_ray.ops.relational import brand_revenue
+
+    part = pq.read_table(f"{SF}/part.parquet", columns=["p_partkey", "p_brand"])
+    brand_of = dict(
+        zip(part.column("p_partkey").to_pylist(), part.column("p_brand").to_pylist())
+    )
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"])
+    import math
+
+    n = defaultdict(int)
+    s = defaultdict(int)
+    for k, p in zip(li.column("l_partkey").to_pylist(), li.column("l_extendedprice").to_pylist()):
+        b = brand_of.get(k)
+        if b is None:
+            continue
+        n[b] += 1
+        s[b] += int(math.floor(p * 100.0 + 0.5))
+    got = sorted(
+        (r["p_brand"], r["n_items"], r["sum_price_c"])
+        for r in brand_revenue(SF).take_all()
+    )
+    assert got == sorted((b, n[b], s[b]) for b in n)

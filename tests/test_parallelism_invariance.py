@@ -182,3 +182,24 @@ def test_funnel_retention_q3_shard_count_invariant():
         for r in top_revenue_orders(SF, num_shards=n).take_all()
     ]
     assert q3(1) == q3(7)
+
+
+def test_new_shard_ops_shard_count_invariant():
+    """event_type_pivot / dedup_keep_best must be exact for ANY shard count
+    (associative combiners; each key lives wholly in one shard)."""
+    from invoice_extraction_ray.ops.dedup import dedup_keep_best
+    from invoice_extraction_ray.ops.relational import event_type_pivot
+
+    SF = "/root/testdata/sf0.001"
+
+    piv = lambda n: sorted(
+        tuple(sorted(r.items()))
+        for r in event_type_pivot(SF, n_shards=n).take_all()
+    )
+    assert piv(1) == piv(16)
+
+    dkb = lambda n: sorted(
+        (r["doc_id"], r["score_e5"], r["n_copies"])
+        for r in dedup_keep_best(SF, n_shards=n).take_all()
+    )
+    assert dkb(1) == dkb(16)
