@@ -498,6 +498,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("embedding_quantize", ann.embedding_quantize),  # exact integers
             ("embedding_neardup_lsh", dedup.embedding_neardup_lsh),  # plane literals
             ("ann_range_search", ann.ann_range_search),  # radius query, e4 ints
+            ("embedding_project", ann.embedding_project),  # JL dim reduce
         ],
         # multimodal plumbing (stubbed decode/resize/frame-sample)
         "media": [
@@ -750,6 +751,11 @@ def oracle_sql() -> dict[str, str]:
         for j in range(16)
     )
     _media_proj = np.random.RandomState(13579).normal(size=(16, 16))
+
+    # embedding_project planes: single source of truth is the op module
+    from invoice_extraction_ray.ops.ann import _proj_matrix as _ann_proj_matrix
+
+    _emb_proj = _ann_proj_matrix(64)
     _MEDIA_EV = ", ".join(
         f"list_dot_product(fv, {_plane_lit(_media_proj[j])})" for j in range(16)
     )
@@ -1744,6 +1750,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.vec_id, CAST(round(list_cosine_similarity(e.embedding, q.qe) * 10000) AS BIGINT) AS sim_e4 "
             "FROM embeddings e, q "
             "ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id LIMIT 10"
+        ),
+        # random-projection dim reduce: seeded plane literals, the engine's
+        # per-component sequential sum == list_dot_product's left fold, so
+        # the e6 fixed-point outputs are bit-identical
+        "embedding_project": " UNION ALL ".join(
+            f"SELECT vec_id, {j} AS dim_idx, "
+            "CAST(floor(list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"{_plane_lit(_emb_proj[j])}) * 1000000 + 0.5) AS BIGINT) AS y_e6 "
+            "FROM embeddings"
+            for j in range(_emb_proj.shape[0])
         ),
         # radius query: same e4 rounding as ann_topk, integer threshold so
         # no float boundary row can split the engines

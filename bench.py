@@ -89,6 +89,7 @@ HEADLINE = [
     "rolling_event_stats",
     "ann_range_search",
     "brand_revenue",
+    "embedding_project",
 ]
 
 

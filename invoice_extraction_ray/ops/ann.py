@@ -514,3 +514,60 @@ def ann_range_search(
 
     ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return ds.map_batches(score_filter, batch_format="pyarrow")
+
+
+PROJ_DIM = 8
+_PROJ_SEED = 246813579
+
+
+def _proj_matrix(dim: int) -> np.ndarray:
+    """Fixed seeded Gaussian projection matrix (model parameters, not RNG
+    over data — identical on every worker and inlined as literals in the
+    SQL oracle)."""
+    return np.random.RandomState(_PROJ_SEED).normal(size=(PROJ_DIM, dim))
+
+
+def embedding_project(sf_dir: str) -> ray.data.Dataset:
+    """Random-projection dimensionality reduction (Johnson-Lindenstrauss):
+    64-dim embeddings -> PROJ_DIM float features, the standard shrink step
+    before an index build or clustering pass.  Stateless task map: the
+    seeded projection matrix is a closure constant (model parameters, same
+    bytes everywhere), each batch does PROJ_DIM vectorized row-sums.
+
+    EXACTNESS: each output component is computed as an elementwise product
+    followed by ``.sum(axis=1)`` — numpy sums <=128 elements sequentially
+    (pairwise blocking starts above that), which is the same left-to-right
+    fold DuckDB's ``list_dot_product`` uses, so the e6 fixed-point outputs
+    are bit-identical.  Output flattened to (vec_id, dim_idx, y_e6) scalar
+    rows for the value gate; at 100 TB the map would emit
+    fixed-size-list columns instead."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def project(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t.column("embedding"))
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "dim_idx": pa.array([], pa.int64()),
+                    "y_e6": pa.array([], pa.int64()),
+                }
+            )
+        P = _proj_matrix(m.shape[1])
+        n = len(vid)
+        y = np.empty((n, PROJ_DIM), dtype=np.float64)
+        for j in range(PROJ_DIM):  # sequential-sum per component (see above)
+            y[:, j] = (m * P[j][None, :]).sum(axis=1)
+        e6 = np.floor(y * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vid, PROJ_DIM), pa.int64()),
+                "dim_idx": pa.array(
+                    np.tile(np.arange(PROJ_DIM, dtype=np.int64), n), pa.int64()
+                ),
+                "y_e6": pa.array(e6.reshape(-1), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -2063,3 +2063,23 @@ def test_brand_revenue_matches_local_recompute():
         for r in brand_revenue(SF).take_all()
     )
     assert got == sorted((b, n[b], s[b]) for b in n)
+
+
+def test_embedding_project_matches_local_recompute():
+    """Projection equals the naive local recompute (same sequential sum)
+    and emits PROJ_DIM components per vector."""
+    from invoice_extraction_ray.ops._util import embedding_matrix
+    from invoice_extraction_ray.ops.ann import PROJ_DIM, _proj_matrix, embedding_project
+
+    rows = embedding_project(SF).take_all()
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = embedding_matrix(t.column("embedding"))
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    P = _proj_matrix(m.shape[1])
+    want = {}
+    for i, vid in enumerate(ids):
+        for j in range(PROJ_DIM):
+            y = (m[i] * P[j]).sum()
+            want[(int(vid), j)] = int(np.floor(y * 1e6 + 0.5))
+    got = {(r["vec_id"], r["dim_idx"]): r["y_e6"] for r in rows}
+    assert got == want
