@@ -291,15 +291,25 @@ class ByteHistogramFeatures:
         return pa.table({"doc_id": t.column("doc_id"), "features": feats})
 
 
-def media_features(sf_dir: str) -> ray.data.Dataset:
-    """binary payloads -> actor-pool feature extraction -> list<float32>."""
-    from ._util import pool_size
+_feat_kernel = ByteHistogramFeatures()  # stateless — shared per worker
 
+
+def _features_batch(t: pa.Table) -> pa.Table:
+    return _feat_kernel(t)
+
+
+def media_features(sf_dir: str) -> ray.data.Dataset:
+    """binary payloads -> feature extraction -> list<float32>.
+
+    TASK map, not an actor pool: ByteHistogramFeatures holds no state (no
+    model, no codec), so a pool buys nothing and pays startup + wave
+    quantization — measured 1.15 s pool vs 0.60 s task at sf0.1/32 cpus.
+    The decode/resize/frame stages keep their actor pools (they hold the
+    soft-imported codec), per the repo's task-vs-actor rule."""
     return text_as_binary(sf_dir).map_batches(
-        ByteHistogramFeatures,
+        _features_batch,
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=pool_size(),
     )
 
 
