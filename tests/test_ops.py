@@ -2083,3 +2083,80 @@ def test_embedding_project_matches_local_recompute():
             want[(int(vid), j)] = int(np.floor(y * 1e6 + 0.5))
     got = {(r["vec_id"], r["dim_idx"]): r["y_e6"] for r in rows}
     assert got == want
+
+
+def test_window_family_random_differential(tmp_path):
+    """Seeded-random differential gate for the window family: random events
+    with duplicate timestamps (tie-order stress), negative values, and
+    single-event users — lag_features / rolling_event_stats /
+    user_cumulative_value must match DuckDB's window functions exactly."""
+    import duckdb
+
+    from invoice_extraction_ray.ops.window import (
+        lag_features,
+        rolling_event_stats,
+        user_cumulative_value,
+    )
+
+    rng = np.random.RandomState(20260818)
+    n = 2000
+    ev = pa.table(
+        {
+            "event_id": pa.array(rng.permutation(n).astype(np.int64)),
+            "ts": pa.array(
+                rng.randint(0, 500, size=n).astype("datetime64[us]").astype("int64"),
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array(rng.randint(0, 97, size=n).astype(np.int64)),
+            "value": rng.randn(n) * 50.0,  # negatives included
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(ev, path)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')")
+
+    def canon(rows, keys):
+        return sorted(tuple(r[k] for k in keys) for r in rows)
+
+    want = con.sql(
+        "WITH e AS (SELECT event_id, user_id, ts, "
+        "CAST(floor(value*100.0 + 0.5) AS BIGINT) AS vc FROM events) "
+        "SELECT event_id, user_id, "
+        "coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS gap_us, "
+        "coalesce(vc - lag(vc) OVER w, 0) AS delta_value_c "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ).fetchall()
+    got = canon(
+        lag_features(str(tmp_path)).take_all(),
+        ("event_id", "user_id", "gap_us", "delta_value_c"),
+    )
+    assert got == sorted(want)
+
+    want = con.sql(
+        "WITH e AS (SELECT event_id, user_id, ts, "
+        "CAST(floor(value*100.0 + 0.5) AS BIGINT) AS vc FROM events) "
+        "SELECT event_id, user_id, count(*) OVER w AS roll_n, "
+        "CAST(sum(vc) OVER w AS BIGINT) AS roll_sum_c "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+    ).fetchall()
+    got = canon(
+        rolling_event_stats(str(tmp_path)).take_all(),
+        ("event_id", "user_id", "roll_n", "roll_sum_c"),
+    )
+    assert got == sorted(want)
+
+    want = con.sql(
+        "WITH e AS (SELECT event_id, user_id, ts, "
+        "CAST(floor(value*100.0 + 0.5) AS BIGINT) AS vc FROM events) "
+        "SELECT event_id, user_id, "
+        "count(*) OVER w AS cum_n, CAST(sum(vc) OVER w AS BIGINT) AS cum_value_c "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING)"
+    ).fetchall()
+    got = canon(
+        user_cumulative_value(str(tmp_path)).take_all(),
+        ("event_id", "user_id", "cum_n", "cum_value_c"),
+    )
+    assert got == sorted(want)
