@@ -438,6 +438,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("cms_heavy_hitters", _cms_heavy_hitters),  # CRC32 buckets, exact min
             ("bloom_contamination", _bloom_contamination),  # exact bit sets
             ("dataset_fingerprint", sketch.dataset_fingerprint),  # mod-2^64 sum
+            ("value_winsorize", sketch.value_winsorize),  # percentile clip
         ],
         # text analysis
         "text": [
@@ -457,6 +458,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("tfidf_top_terms", text.tfidf_top_terms),  # float-free order
             ("chunk_documents", text.chunk_documents),  # token windows
             ("word_bigram_counts", lambda sf: text.word_bigram_counts(sf, 30)),
+            ("bigram_lift", lambda sf: text.bigram_lift(sf, 20)),  # HUGEINT rational
         ],
         # dedup family
         "dedup": [
@@ -499,6 +501,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("embedding_neardup_lsh", dedup.embedding_neardup_lsh),  # plane literals
             ("ann_range_search", ann.ann_range_search),  # radius query, e4 ints
             ("embedding_project", ann.embedding_project),  # JL dim reduce
+            ("label_centroids", ann.label_centroids),  # exact e6 vector sums
         ],
         # multimodal plumbing (stubbed decode/resize/frame-sample)
         "media": [
@@ -972,6 +975,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg "
             "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30"
         ),
+        # bigram_lift: collocation lift = c_ab * n_tok^2 / (n_bg * c_a * c_b)
+        # for the top-20 bigrams — exact-rational PMI cousin, HUGEINT floor
+        # division on both sides (positive operands: // == floor)
+        "bigram_lift": (
+            r"WITH tk AS (SELECT regexp_extract_all(coalesce(text, ''), '\S+') "
+            "AS toks FROM documents), "
+            "tot AS (SELECT CAST(sum(len(toks)) AS HUGEINT) AS n_tok, "
+            "CAST(sum(greatest(len(toks) - 1, 0)) AS HUGEINT) AS n_bg FROM tk), "
+            "uni AS (SELECT w, CAST(count(*) AS HUGEINT) AS c "
+            "FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w), "
+            "bg AS (SELECT unnest(list_transform(range(1, len(toks)), "
+            "i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM tk "
+            "WHERE len(toks) >= 2), "
+            "bc AS (SELECT bigram, CAST(count(*) AS HUGEINT) AS c_ab FROM bg "
+            "GROUP BY bigram ORDER BY c_ab DESC, bigram LIMIT 20) "
+            "SELECT p.bigram, CAST(p.c_ab AS BIGINT) AS c_ab, "
+            "CAST((p.c_ab * t.n_tok * t.n_tok * 1000000) "
+            "// (t.n_bg * ua.c * ub.c) AS BIGINT) AS lift_e6 "
+            "FROM bc p CROSS JOIN tot t "
+            "JOIN uni ua ON ua.w = split_part(p.bigram, ' ', 1) "
+            "JOIN uni ub ON ub.w = split_part(p.bigram, ' ', 2) "
+            "ORDER BY lift_e6 DESC, p.bigram"
+        ),
         "hourly_rollup": (
             "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, "
             "CAST(round(sum(value)*100) AS BIGINT) AS sum_value FROM events GROUP BY 1, 2"
@@ -1193,6 +1219,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(quantile_disc(value, 0.75)*100 + 0.5) AS BIGINT) AS p75_c, "
             "CAST(floor(quantile_disc(value, 0.95)*100 + 0.5) AS BIGINT) AS p95_c, "
             "count(*) AS n FROM events GROUP BY event_type"
+        ),
+        # value_winsorize: per-type [p05, p95] clamp on integer cents —
+        # quantile_disc boundaries match the engine's ceil(q*n)-1 cumsum index
+        "value_winsorize": (
+            "WITH e AS (SELECT event_id, event_type, "
+            "CAST(floor(value*100.0 + 0.5) AS BIGINT) AS vc FROM events), "
+            "b AS (SELECT event_type, quantile_disc(vc, 0.05) AS lo_c, "
+            "quantile_disc(vc, 0.95) AS hi_c FROM e GROUP BY event_type) "
+            "SELECT e.event_id, e.event_type, e.vc AS value_c, "
+            "least(greatest(e.vc, b.lo_c), b.hi_c) AS clipped_c "
+            "FROM e JOIN b USING (event_type)"
         ),
         "asof_purchase_view": (
             "WITH p AS (SELECT user_id, event_id, ts FROM events "
@@ -1760,6 +1797,17 @@ def oracle_sql() -> dict[str, str]:
             f"{_plane_lit(_emb_proj[j])}) * 1000000 + 0.5) AS BIGINT) AS y_e6 "
             "FROM embeddings"
             for j in range(_emb_proj.shape[0])
+        ),
+        # label_centroids: per-label per-dim exact e6 component sums (the
+        # centroid numerator) + member count; float32->float64 cast is exact
+        # so the e6 rounding agrees bit-for-bit between numpy and DuckDB
+        "label_centroids": " UNION ALL ".join(
+            f"SELECT CAST(label AS BIGINT) AS label, {j} AS dim_idx, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(sum(CAST(floor(CAST(embedding[{j + 1}] AS DOUBLE) "
+            "* 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_e6 "
+            "FROM embeddings GROUP BY label"
+            for j in range(64)
         ),
         # radius query: same e4 rounding as ann_topk, integer threshold so
         # no float boundary row can split the engines

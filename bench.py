@@ -90,6 +90,9 @@ HEADLINE = [
     "ann_range_search",
     "brand_revenue",
     "embedding_project",
+    "bigram_lift",
+    "label_centroids",
+    "value_winsorize",
 ]
 
 

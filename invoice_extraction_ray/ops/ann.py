@@ -571,3 +571,95 @@ def embedding_project(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def label_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Per-label embedding centroid as EXACT integer partial sums — the
+    cluster-statistics primitive behind balanced sampling, domain-drift
+    detection and SemDeDup-style cluster pruning.
+
+    Each batch rounds components to e6 fixed point (``floor(x*1e6 + 0.5)``
+    after a float32->float64 cast, which is exact, so numpy and DuckDB round
+    identically) and emits one (label, dim_idx, n, sum_e6) partial row per
+    PRESENT label x dimension — |labels| * dim rows per block, never the
+    vectors.  A 64-way shard groupby merges partials with exact int64
+    segment sums.  The mean is ``sum_e6 / n``, left undivided: integer
+    floor-vs-truncate division differs between engines on negative sums,
+    and the (sum, n) pair is the mergeable form a 100 TB run would
+    checkpoint anyway."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "embeddings"), columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t.column("embedding"))
+        empty = pa.table(
+            {
+                "label": pa.array([], pa.int64()),
+                "dim_idx": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sum_e6": pa.array([], pa.int64()),
+                "cshard": pa.array([], pa.int32()),
+            }
+        )
+        if m.size == 0:
+            return empty
+        d = m.shape[1]
+        e6 = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        labels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, inv, e6)
+        counts = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(counts, inv, 1)
+        lab = np.repeat(uniq, d)
+        dim = np.tile(np.arange(d, dtype=np.int64), len(uniq))
+        return pa.table(
+            {
+                "label": pa.array(lab, pa.int64()),
+                "dim_idx": pa.array(dim, pa.int64()),
+                "n": pa.array(np.repeat(counts, d), pa.int64()),
+                "sum_e6": pa.array(sums.reshape(-1), pa.int64()),
+                "cshard": pa.array(((lab * d + dim) & 63).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def reduce_shard(g: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("label", pa.int64()),
+                ("dim_idx", pa.int64()),
+                ("n", pa.int64()),
+                ("sum_e6", pa.int64()),
+            ]
+        )
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        g = g.sort_by([("label", "ascending"), ("dim_idx", "ascending")])
+        lab = g.column("label").to_numpy(zero_copy_only=False)
+        dim = g.column("dim_idx").to_numpy(zero_copy_only=False)
+        new = np.ones(g.num_rows, dtype=bool)
+        new[1:] = (lab[1:] != lab[:-1]) | (dim[1:] != dim[:-1])
+        starts = np.flatnonzero(new)
+        from ._util import int_segment_sum
+
+        return pa.table(
+            {
+                "label": pa.array(lab[starts], pa.int64()),
+                "dim_idx": pa.array(dim[starts], pa.int64()),
+                "n": pa.array(
+                    int_segment_sum(g.column("n").to_numpy(zero_copy_only=False), starts),
+                    pa.int64(),
+                ),
+                "sum_e6": pa.array(
+                    int_segment_sum(
+                        g.column("sum_e6").to_numpy(zero_copy_only=False), starts
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cshard")
+        .map_groups(reduce_shard, batch_format="pyarrow")
+    )

@@ -690,3 +690,90 @@ def dataset_fingerprint(sf_dir: str) -> pa.Table:
             "fp_lo": pa.array([fp & 0xFFFFFFFF], pa.int64()),
         }
     )
+
+
+def value_winsorize(sf_dir: str, lo: float = 0.05, hi: float = 0.95) -> ray.data.Dataset:
+    """Percentile clipping (winsorization) of ``events.value`` per
+    event_type — the feature-normalization step before model training, where
+    outliers are clamped to per-group [p05, p95] boundaries.
+
+    Two streaming passes, neither sorting the corpus (contrast
+    ``value_quantiles``' per-group sort, which needs a whole group's values
+    on one worker):
+
+    1. Per-batch EXACT (event_type, cents) count partials via one Arrow
+       group_by.  The cents domain is bounded (quality_percentiles'
+       streamed-bounded-histogram precedent), so all partials together are
+       histogram-sized, never corpus-sized; they merge driver-side into
+       per-type cumulative counts, and the boundary is the quantile_disc
+       index (ceil(q*n)-1, exactly value_quantiles' pinned convention) read
+       off the cumsum with searchsorted.
+    2. A stateless clip map with the tiny {type: (lo_c, hi_c)} dict as a
+       closure constant (a few entries — smaller than the ray.put ref
+       machinery it would otherwise ride).
+    """
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        cents = pa.array(
+            np.floor(
+                t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"event_type": t.column("event_type"), "vc": cents})
+            .group_by(["event_type", "vc"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "vc": g.column("vc"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(hist_partial, batch_format="pyarrow").take_all()
+    bytype: dict[str, dict[int, int]] = {}
+    for r in parts:  # histogram-sized (blocks x distinct cents), bounded
+        bytype.setdefault(r["event_type"], {}).setdefault(r["vc"], 0)
+        bytype[r["event_type"]][r["vc"]] += r["n"]
+    bounds: dict[str, tuple[int, int]] = {}
+    for et, hist in bytype.items():
+        vals = np.array(sorted(hist), dtype=np.int64)
+        cum = np.cumsum([hist[int(v)] for v in vals])
+        n = int(cum[-1])
+        out = []
+        for q in (lo, hi):
+            target = max(0, math.ceil(q * n) - 1)  # quantile_disc index
+            out.append(int(vals[int(np.searchsorted(cum, target + 1))]))
+        bounds[et] = (out[0], out[1])
+
+    def clip(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        d = et.dictionary_encode()
+        names = d.dictionary.to_pylist()
+        lo_by = np.array([bounds[x][0] for x in names], dtype=np.int64)
+        hi_by = np.array([bounds[x][1] for x in names], dtype=np.int64)
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        vc = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        clipped = np.minimum(np.maximum(vc, lo_by[idx]), hi_by[idx])
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": et,
+                "value_c": pa.array(vc, pa.int64()),
+                "clipped_c": pa.array(clipped, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(clip, batch_format="pyarrow")

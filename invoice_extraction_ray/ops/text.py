@@ -188,6 +188,110 @@ def word_bigram_counts(sf_dir: str, k: int = 30) -> ray.data.Dataset:
     return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
 
+# sentinel "words" carrying scalar totals through the unigram-count shard
+# groupby; "\x00" cannot appear in a \S+ token split from real text because
+# NUL is not whitespace — but it also never collides with a top-k bigram
+# member word, which is all that matters.
+_LIFT_NTOK = "\x00n_tok"
+_LIFT_NBG = "\x00n_bg"
+
+
+def bigram_lift(sf_dir: str, k: int = 20) -> pa.Table:
+    """Collocation lift scores for the global top-k adjacent word bigrams —
+    the phrase-mining ranking step after ``word_bigram_counts``:
+
+        lift(a b) = P(a b) / (P(a) P(b)) = c_ab * n_tok^2 / (n_bg * c_a * c_b)
+
+    PMI is log2(lift); the log is not bit-stable across engines, the
+    rational is, so this emits ``lift_e6 = floor(lift * 1e6)`` computed in
+    arbitrary-precision integers (HUGEINT on the DuckDB side).
+
+    Two streaming scans: (1) ``word_bigram_counts``' token-shard shape for
+    the top-k bigrams (k rows to the driver — k-bounded, not corpus-bounded);
+    (2) per-batch partials counting ONLY the <=2k member words (Arrow is_in
+    probe) plus sentinel rows carrying the (n_tok, n_bg) scalar totals, all
+    merged by one 16-way word-shard groupby.  Nothing corpus-sized leaves
+    the workers; the final lift arithmetic runs over <=2k+2 rows."""
+    top = word_bigram_counts(sf_dir, k).take_all()  # <= k rows, bounded
+    if not top:
+        return pa.table(
+            {
+                "bigram": pa.array([], pa.string()),
+                "c_ab": pa.array([], pa.int64()),
+                "lift_e6": pa.array([], pa.int64()),
+            }
+        )
+    words = sorted({w for r in top for w in r["bigram"].split(" ")})
+    wset = pa.array(words, pa.string())
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent = _ws_tokens(t.column("text"))
+        n_tok = len(flat)
+        n_bg = int((parent[1:] == parent[:-1]).sum()) if n_tok else 0
+        hits = flat.filter(pc.is_in(flat, value_set=wset))
+        g = pa.table({"w": hits}).group_by("w").aggregate([([], "count_all")])
+        out = pa.table(
+            {
+                "w": g.column("w"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+        sent = pa.table(
+            {
+                "w": pa.array([_LIFT_NTOK, _LIFT_NBG], pa.string()),
+                "n": pa.array([n_tok, n_bg], pa.int64()),
+            }
+        )
+        out = pa.concat_tables([out, sent])
+        return out.append_column("wshard", _crc32_shard(out.column("w"), 15))
+
+    def reduce_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"w": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        g = g.sort_by([("w", "ascending")])
+        w = g.column("w").combine_chunks()
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        new = np.ones(g.num_rows, dtype=bool)
+        if g.num_rows > 1:
+            new[1:] = ~pc.equal(w.slice(1), w.slice(0, g.num_rows - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "w": pc.take(w, pa.array(starts)),
+                "n": pa.array(int_segment_sum(n, starts), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("wshard")
+        .map_groups(reduce_shard, batch_format="pyarrow")
+        .take_all()
+    )  # <= len(words) + 2 rows — k-bounded
+    uni = {r["w"]: int(r["n"]) for r in rows}
+    n_tok, n_bg = uni[_LIFT_NTOK], uni[_LIFT_NBG]
+    out = []
+    for r in top:
+        wa, wb = r["bigram"].split(" ")
+        c_ab = int(r["n"])
+        lift_e6 = (c_ab * n_tok * n_tok * 10**6) // (n_bg * uni[wa] * uni[wb])
+        out.append((r["bigram"], c_ab, lift_e6))
+    out.sort(key=lambda x: (-x[2], x[0]))
+    return pa.table(
+        {
+            "bigram": pa.array([x[0] for x in out], pa.string()),
+            "c_ab": pa.array([x[1] for x in out], pa.int64()),
+            "lift_e6": pa.array([x[2] for x in out], pa.int64()),
+        }
+    )
+
+
 def pack_documents(
     sf_dir: str, budget: int = 2048, n_shards: int = 16
 ) -> ray.data.Dataset:

@@ -2160,3 +2160,96 @@ def test_window_family_random_differential(tmp_path):
         ("event_id", "user_id", "cum_n", "cum_value_c"),
     )
     assert got == sorted(want)
+
+
+def test_bigram_lift_matches_local_recompute():
+    """Top-20 bigram lift equals the naive whole-corpus Counter recompute
+    (exact integer rationals)."""
+    from collections import Counter
+
+    from invoice_extraction_ray.ops.text import bigram_lift
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).column(
+        "text"
+    ).to_pylist()
+    uni, bg = Counter(), Counter()
+    n_tok = n_bg = 0
+    for s in texts:
+        toks = (s or "").split()
+        uni.update(toks)
+        n_tok += len(toks)
+        pairs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        bg.update(pairs)
+        n_bg += len(pairs)
+    top = sorted(bg.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = []
+    for bgram, c_ab in top:
+        wa, wb = bgram.split(" ")
+        lift_e6 = (c_ab * n_tok * n_tok * 10**6) // (n_bg * uni[wa] * uni[wb])
+        want.append((bgram, c_ab, lift_e6))
+    want.sort(key=lambda x: (-x[2], x[0]))
+
+    got = bigram_lift(SF, 20)
+    rows = list(
+        zip(
+            got.column("bigram").to_pylist(),
+            got.column("c_ab").to_pylist(),
+            got.column("lift_e6").to_pylist(),
+        )
+    )
+    assert rows == want
+
+
+def test_label_centroids_matches_local_recompute():
+    """Per-label (n, sum_e6) vector partials equal the naive numpy
+    recompute, exactly."""
+    from invoice_extraction_ray.ops._util import embedding_matrix
+    from invoice_extraction_ray.ops.ann import label_centroids
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["label", "embedding"])
+    m = embedding_matrix(t.column("embedding"))
+    e6 = np.floor(m * 1e6 + 0.5).astype(np.int64)
+    labels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    want = {}
+    for lab in np.unique(labels):
+        mask = labels == lab
+        s = e6[mask].sum(axis=0)
+        for j in range(m.shape[1]):
+            want[(int(lab), j)] = (int(mask.sum()), int(s[j]))
+    got = {
+        (r["label"], r["dim_idx"]): (r["n"], r["sum_e6"])
+        for r in label_centroids(SF).take_all()
+    }
+    assert got == want
+
+
+def test_value_winsorize_matches_local_recompute():
+    """Per-type p05/p95 clamp equals the naive sorted-array recompute with
+    the quantile_disc index convention."""
+    import math
+
+    from invoice_extraction_ray.ops.sketch import value_winsorize
+
+    t = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    vc = np.floor(t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(
+        np.int64
+    )
+    types = t.column("event_type").to_pylist()
+    bounds = {}
+    for et in set(types):
+        v = np.sort(vc[[i for i, x in enumerate(types) if x == et]])
+        n = len(v)
+        lo = v[max(0, math.ceil(0.05 * n) - 1)]
+        hi = v[max(0, math.ceil(0.95 * n) - 1)]
+        bounds[et] = (int(lo), int(hi))
+    want = {
+        int(eid): (et, int(c), int(min(max(c, bounds[et][0]), bounds[et][1])))
+        for eid, et, c in zip(t.column("event_id").to_pylist(), types, vc)
+    }
+    got = {
+        r["event_id"]: (r["event_type"], r["value_c"], r["clipped_c"])
+        for r in value_winsorize(SF).take_all()
+    }
+    assert got == want
