@@ -658,8 +658,15 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("cshard")
-        .map_groups(reduce_shard, batch_format="pyarrow")
+    from ._util import absorb_empty_blocks
+
+    # single-file parquet reads over-split into skinny blocks and the
+    # partial map multiplies rows x (labels*dim) — coalesce the skinny
+    # partial blocks so the shard groupby pays per-task dispatch once
+    # (the source_cap fix, CLAUDE.md)
+    partials = absorb_empty_blocks(
+        ds.map_batches(partial, batch_format="pyarrow"), batch_size=131072
+    )
+    return partials.groupby("cshard").map_groups(
+        reduce_shard, batch_format="pyarrow"
     )

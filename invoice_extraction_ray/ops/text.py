@@ -268,8 +268,12 @@ def bigram_lift(sf_dir: str, k: int = 20) -> pa.Table:
             }
         )
 
+    from ._util import absorb_empty_blocks
+
     rows = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        absorb_empty_blocks(
+            ds.map_batches(partial, batch_format="pyarrow"), batch_size=131072
+        )
         .groupby("wshard")
         .map_groups(reduce_shard, batch_format="pyarrow")
         .take_all()
