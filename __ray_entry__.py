@@ -487,6 +487,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("dsir_logweights", curate.dsir_logweights),  # bitlen-exact integers
             ("weighted_sample", lambda sf: curate.weighted_sample(sf, 50)),
             ("source_cap", lambda sf: curate.source_cap(sf, 20)),  # domain caps
+            ("gopher_rules", curate.gopher_rules),  # composite gate, bitmask
         ],
         # similarity search
         "ann": [
@@ -974,6 +975,27 @@ def oracle_sql() -> dict[str, str]:
             "WHERE len(toks) >= 2) "
             "SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg "
             "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30"
+        ),
+        # gopher_rules: composite quality gate with reason bitmask — every
+        # comparison is integer (cross-multiplied mean-word-length bounds)
+        "gopher_rules": (
+            r"WITH tk AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), "
+            r"'\S+') AS toks FROM documents), "
+            "s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok, "
+            "CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) "
+            "AS BIGINT) AS n_chars, "
+            "CAST(len(list_distinct(toks)) AS BIGINT) AS n_types, "
+            "CAST(coalesce(list_sum(list_transform(toks, t -> CASE WHEN t IN "
+            "('the','and','of','to','a','in','is','that','it','for') "
+            "THEN 1 ELSE 0 END)), 0) AS BIGINT) AS stop_hits FROM tk), "
+            "r AS (SELECT doc_id, n_tok, "
+            "CASE WHEN n_tok BETWEEN 30 AND 90 THEN 0 ELSE 1 END "
+            "+ CASE WHEN 40*n_tok <= 10*n_chars AND 10*n_chars <= 50*n_tok "
+            "THEN 0 ELSE 2 END "
+            "+ CASE WHEN n_types*100 >= 40*n_tok THEN 0 ELSE 4 END "
+            "+ CASE WHEN stop_hits >= 2 THEN 0 ELSE 8 END AS reasons FROM s) "
+            "SELECT doc_id, n_tok AS n_tokens, CAST(reasons AS BIGINT) AS reasons, "
+            "CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM r"
         ),
         # bigram_lift: collocation lift = c_ab * n_tok^2 / (n_bg * c_a * c_b)
         # for the top-20 bigrams — exact-rational PMI cousin, HUGEINT floor

@@ -93,6 +93,7 @@ HEADLINE = [
     "bigram_lift",
     "label_centroids",
     "value_winsorize",
+    "gopher_rules",
 ]
 
 

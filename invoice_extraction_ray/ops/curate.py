@@ -550,3 +550,72 @@ def dsir_logweights(sf_dir: str, target_lang: str = "en") -> ray.data.Dataset:
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# gopher_rules thresholds (integer fixed-point; see docstring)
+GOPHER_TOK_MIN, GOPHER_TOK_MAX = 30, 90
+GOPHER_MWL10_MIN, GOPHER_MWL10_MAX = 40, 50  # mean word length x10
+GOPHER_TTR100_MIN = 40  # type-token ratio x100
+GOPHER_STOP_MIN = 2  # min stopword occurrences
+
+
+def gopher_rules(sf_dir: str) -> ray.data.Dataset:
+    """Gopher/RefinedWeb-style composite quality gate (Rae et al. 2021 §A1.1
+    analogue, thresholds re-fit to this corpus's distributions): per-doc
+    keep/drop with a REASON BITMASK so downstream audits can attribute every
+    drop —
+
+      0x1  token count outside [30, 90]
+      0x2  mean word length outside [4.0, 5.0]  (10*n_chars vs n_tok bounds,
+           cross-multiplied so no division ever happens)
+      0x4  type-token ratio < 0.40              (n_types*100 < 40*n_tok)
+      0x8  fewer than 2 stopword occurrences    (the repo's public en list)
+
+    Pure per-batch map, no shuffle: token stats come from ``_ws_tokens``'
+    flat+parent layout (per-doc counts via exact int bincounts; distinct
+    types via one np.unique over parent*V+code keys), all comparisons in
+    integers so the DuckDB mirror matches bit-for-bit."""
+    from ._util import int_bincount
+    from .text import _STOPWORDS_ARR, _ws_tokens
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        n_docs = t.num_rows
+        flat, parent = _ws_tokens(t.column("text"))
+        n_tok = int_bincount(parent, np.ones(len(parent), np.int64), n_docs)
+        n_chars = int_bincount(
+            parent,
+            pc.utf8_length(flat).to_numpy(zero_copy_only=False),
+            n_docs,
+        )
+        d = flat.dictionary_encode()
+        code = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(d.dictionary)
+        uniq_keys = np.unique(parent * max(v, 1) + code) if len(code) else code
+        n_types = int_bincount(
+            uniq_keys // max(v, 1), np.ones(len(uniq_keys), np.int64), n_docs
+        )
+        stop_mask = pc.is_in(flat, value_set=_STOPWORDS_ARR).to_numpy(
+            zero_copy_only=False
+        )
+        stop_hits = int_bincount(parent, stop_mask.astype(np.int64), n_docs)
+
+        reasons = np.zeros(n_docs, dtype=np.int64)
+        reasons += np.where((n_tok < GOPHER_TOK_MIN) | (n_tok > GOPHER_TOK_MAX), 1, 0)
+        mwl_ok = (GOPHER_MWL10_MIN * n_tok <= 10 * n_chars) & (
+            10 * n_chars <= GOPHER_MWL10_MAX * n_tok
+        )
+        reasons += np.where(mwl_ok, 0, 2)
+        reasons += np.where(n_types * 100 >= GOPHER_TTR100_MIN * n_tok, 0, 4)
+        reasons += np.where(stop_hits >= GOPHER_STOP_MIN, 0, 8)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "reasons": pa.array(reasons, pa.int64()),
+                "keep": pa.array((reasons == 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(gate, batch_format="pyarrow")

@@ -2253,3 +2253,32 @@ def test_value_winsorize_matches_local_recompute():
         for r in value_winsorize(SF).take_all()
     }
     assert got == want
+
+
+def test_gopher_rules_matches_local_recompute():
+    """Composite gate bitmask equals the naive per-doc Python recompute."""
+    from invoice_extraction_ray.ops.curate import gopher_rules
+    from invoice_extraction_ray.ops.text import STOPWORDS_EN
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for did, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        toks = (s or "").split()
+        n_tok, n_chars = len(toks), sum(len(x) for x in toks)
+        n_types = len(set(toks))
+        stop_hits = sum(1 for x in toks if x in STOPWORDS_EN)
+        reasons = (
+            (0 if 30 <= n_tok <= 90 else 1)
+            + (0 if 40 * n_tok <= 10 * n_chars <= 50 * n_tok else 2)
+            + (0 if n_types * 100 >= 40 * n_tok else 4)
+            + (0 if stop_hits >= 2 else 8)
+        )
+        want[did] = (n_tok, reasons, 1 if reasons == 0 else 0)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["reasons"], r["keep"])
+        for r in gopher_rules(SF).take_all()
+    }
+    assert got == want
+    # the gate must not be degenerate on the test corpus
+    keeps = {v[2] for v in got.values()}
+    assert keeps == {0, 1}
