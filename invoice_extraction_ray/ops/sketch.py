@@ -702,12 +702,13 @@ def value_winsorize(sf_dir: str, lo: float = 0.05, hi: float = 0.95) -> ray.data
     on one worker):
 
     1. Per-batch EXACT (event_type, cents) count partials via one Arrow
-       group_by.  The cents domain is bounded (quality_percentiles'
-       streamed-bounded-histogram precedent), so all partials together are
-       histogram-sized, never corpus-sized; they merge driver-side into
-       per-type cumulative counts, and the boundary is the quantile_disc
+       group_by, merged by a 64-way cents-shard groupby (quality_percentiles'
+       streamed-bounded-histogram shape) so what reaches the driver is
+       DOMAIN-bounded (distinct (type, cents) pairs), not block-bounded —
+       at 100 TB the raw partials would be blocks x histogram and collecting
+       them would scale with the corpus.  The boundary is the quantile_disc
        index (ceil(q*n)-1, exactly value_quantiles' pinned convention) read
-       off the cumsum with searchsorted.
+       off each type's cumsum with searchsorted.
     2. A stateless clip map with the tiny {type: (lo_c, hi_c)} dict as a
        closure constant (a few entries — smaller than the ray.put ref
        machinery it would otherwise ride).
@@ -735,12 +736,47 @@ def value_winsorize(sf_dir: str, lo: float = 0.05, hi: float = 0.95) -> ray.data
                 "event_type": g.column("event_type"),
                 "vc": g.column("vc"),
                 "n": pc.cast(g.column("count_all"), pa.int64()),
+                "hshard": pa.array(
+                    (g.column("vc").to_numpy(zero_copy_only=False) & 63).astype(
+                        np.int32
+                    ),
+                    pa.int32(),
+                ),
             }
         )
 
-    parts = ds.map_batches(hist_partial, batch_format="pyarrow").take_all()
+    def hist_reduce(g: pa.Table) -> pa.Table:
+        from ._util import int_segment_sum
+
+        g = g.sort_by([("event_type", "ascending"), ("vc", "ascending")])
+        et = g.column("event_type").combine_chunks()
+        vc = g.column("vc").to_numpy(zero_copy_only=False)
+        new = np.ones(g.num_rows, dtype=bool)
+        if g.num_rows > 1:
+            same_et = pc.equal(et.slice(1), et.slice(0, g.num_rows - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            new[1:] = ~(same_et & (vc[1:] == vc[:-1]))
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "event_type": pc.take(et, pa.array(starts)),
+                "vc": pa.array(vc[starts], pa.int64()),
+                "n": pa.array(
+                    int_segment_sum(g.column("n").to_numpy(zero_copy_only=False), starts),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("hshard")
+        .map_groups(hist_reduce, batch_format="pyarrow")
+        .take_all()
+    )  # DOMAIN-bounded: one row per distinct (event_type, cents)
     bytype: dict[str, dict[int, int]] = {}
-    for r in parts:  # histogram-sized (blocks x distinct cents), bounded
+    for r in parts:
         bytype.setdefault(r["event_type"], {}).setdefault(r["vc"], 0)
         bytype[r["event_type"]][r["vc"]] += r["n"]
     bounds: dict[str, tuple[int, int]] = {}
