@@ -417,6 +417,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("event_type_pivot", relational.event_type_pivot),  # long->wide
             ("orders_rollup", relational.orders_rollup),  # GROUP BY ROLLUP
             ("brand_revenue", relational.brand_revenue),  # broadcast dim join
+            ("nation_revenue", relational.nation_revenue),  # Q5 multi-way join
         ],
         # window / interval operators
         "window": [
@@ -860,6 +861,21 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_copies "
             "FROM documents GROUP BY text"
+        ),
+        # nation_revenue: TPC-H Q5 analogue — customer-nation revenue over a
+        # one-year order window; same exact-integer revenue as Q3
+        "nation_revenue": (
+            "SELECT n.n_name, CAST(count(DISTINCT o.o_orderkey) AS BIGINT) "
+            "AS n_orders, "
+            "CAST(sum(CAST(floor(l.l_extendedprice*100.0 + 0.5) AS BIGINT) * "
+            "(10000 - CAST(floor(l.l_discount*10000.0 + 0.5) AS BIGINT))) AS BIGINT) "
+            "AS revenue_i "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY n.n_name ORDER BY revenue_i DESC, n_name"
         ),
         "distinct_lang_source": "SELECT DISTINCT lang, source FROM documents",
         "split_assign": (

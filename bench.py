@@ -89,6 +89,7 @@ HEADLINE = [
     "rolling_event_stats",
     "ann_range_search",
     "brand_revenue",
+    "nation_revenue",
     "embedding_project",
     "bigram_lift",
     "label_centroids",

@@ -1374,3 +1374,192 @@ def customers_without_big_order(sf_dir: str) -> ray.data.Dataset:
         _pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
     )
     return ds.map_batches(anti_filter, batch_format="pyarrow")
+
+
+Q5_LO = __import__("datetime").datetime(1997, 1, 1)
+Q5_HI = __import__("datetime").datetime(1998, 1, 1)
+
+
+def nation_revenue(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
+    """TPC-H Q5 analogue: revenue per CUSTOMER NATION for orders placed in a
+    one-year window — the canonical multi-way star join (two fact tables,
+    two dimension hops) composed from this repo's proven shapes:
+
+    - Both dimensions broadcast: ``customer`` collapses to a sorted
+      (custkey -> nationkey) pair of arrays probed with searchsorted
+      (brand_revenue's shape), ``nation`` to a 25-entry name map applied at
+      emit.  Dimension bytes move once per node, never per row.
+    - The orders<->lineitem fact-fact join is JOIN-FREE groupby message
+      passing (top_revenue_orders' shape): lineitem pre-combines EXACT
+      integer revenue (cents x (10000 - discount_bp)) per orderkey per
+      batch, both sides union into one coarse orderkey-shard stream, and
+      each shard segment-sums revenue, probes the order's custkey, hops to
+      nationkey, and pre-aggregates to <= |nations| rows BEFORE the final
+      tiny groupby.  Per-shard output is dimension-bounded; the corpus
+      never re-shuffles."""
+    import numpy as np
+    import pyarrow.parquet as _pqm
+
+    from ._util import strip_schema_metadata
+
+    cust = _pqm.read_table(_pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nk = cust.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ck, kind="stable")
+    cust_ref = ray.put((ck[order], nk[order]))
+
+    nat = _pqm.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    name_of = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+
+    _MERGED = pa.schema(
+        [
+            ("oshard", pa.int32()),
+            ("key", pa.int64()),
+            ("rev_i", pa.int64()),
+            ("custkey", pa.int64()),
+            ("side", pa.int8()),
+        ]
+    )
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        okey = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(okey)
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(okey)),
+                "key": pa.array(okey, pa.int64()),
+                "rev_i": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "custkey": t.column("o_custkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+            },
+            schema=_MERGED,
+        )
+
+    orders = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_orderkey", "o_custkey"],
+            filter=(
+                (pc.field("o_orderdate") >= Q5_LO) & (pc.field("o_orderdate") < Q5_HI)
+            ),
+        )
+    ).map_batches(ord_rows, batch_format="pyarrow")
+
+    def li_rev(t: pa.Table) -> pa.Table:
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * 100.0 + 0.5).astype(np.int64) * (
+            10000 - np.floor(dc * 10000.0 + 0.5).astype(np.int64)
+        )
+        tt = pa.table(
+            {"key": t.column("l_orderkey"), "rev_i": pa.array(rev, pa.int64())}
+        )
+        tt = _partial_groupby(["key"], sums=["rev_i"])(tt)
+        kk = tt.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(kk)
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(kk)),
+                "key": pa.array(kk, pa.int64()),
+                "rev_i": tt.column("rev_i"),
+                "custkey": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+            },
+            schema=_MERGED,
+        )
+
+    li = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
+        )
+    ).map_batches(li_rev, batch_format="pyarrow")
+
+    _PART = pa.schema(
+        [("nationkey", pa.int64()), ("n_orders", pa.int64()), ("revenue_i", pa.int64())]
+    )
+
+    def merge_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PART.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        k0 = keys[side == 0]
+        v0 = g.column("rev_i").to_numpy(zero_copy_only=False)[side == 0]
+        k1 = keys[side == 1]
+        c1 = g.column("custkey").to_numpy(zero_copy_only=False)[side == 1]
+        if len(k0) == 0 or len(k1) == 0:
+            return _PART.empty_table()
+        order = np.argsort(k0, kind="stable")
+        k0, v0 = k0[order], v0[order]
+        new = np.ones(len(k0), dtype=bool)
+        new[1:] = k0[1:] != k0[:-1]
+        starts = np.flatnonzero(new)
+        from ._util import int_segment_sum
+
+        uk = k0[starts]
+        rev = int_segment_sum(v0, starts)
+        # inner-join: keep window orders that have >=1 lineitem row
+        o = np.argsort(k1, kind="stable")
+        k1, c1 = k1[o], c1[o]
+        pos = np.searchsorted(k1, uk)
+        hit = (pos < len(k1)) & (k1[np.minimum(pos, len(k1) - 1)] == uk)
+        cust_k = c1[pos[hit]]
+        rev = rev[hit]
+        # custkey -> nationkey via the broadcast sorted dimension
+        dck, dnk = ray.get(cust_ref)
+        nkeys = dnk[np.searchsorted(dck, cust_k)]
+        un, inv = np.unique(nkeys, return_inverse=True)
+        n_ord = np.zeros(len(un), dtype=np.int64)
+        np.add.at(n_ord, inv, 1)
+        tot = np.zeros(len(un), dtype=np.int64)
+        np.add.at(tot, inv, rev)
+        return pa.table(
+            {
+                "nationkey": pa.array(un, pa.int64()),
+                "n_orders": pa.array(n_ord, pa.int64()),
+                "revenue_i": pa.array(tot, pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    _OUT = pa.schema(
+        [("n_name", pa.string()), ("n_orders", pa.int64()), ("revenue_i", pa.int64())]
+    )
+
+    def final_merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        nk_ = g.column("nationkey").to_numpy(zero_copy_only=False)
+        no = g.column("n_orders").to_numpy(zero_copy_only=False)
+        rv = g.column("revenue_i").to_numpy(zero_copy_only=False)
+        order = np.argsort(nk_, kind="stable")
+        nk_, no, rv = nk_[order], no[order], rv[order]
+        new = np.ones(len(nk_), dtype=bool)
+        new[1:] = nk_[1:] != nk_[:-1]
+        starts = np.flatnonzero(new)
+        from ._util import int_segment_sum
+
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [name_of[int(x)] for x in nk_[starts]], pa.string()
+                ),
+                "n_orders": pa.array(int_segment_sum(no, starts), pa.int64()),
+                "revenue_i": pa.array(int_segment_sum(rv, starts), pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    merged = (
+        orders.union(li)
+        .groupby("oshard")
+        .map_groups(merge_shard, batch_format="pyarrow")
+    )
+    # <= num_shards * |nations| partial rows remain — one tiny final groupby
+    out = merged.groupby("nationkey").map_groups(final_merge, batch_format="pyarrow")
+    return out.sort(["revenue_i", "n_name"], descending=[True, False])

@@ -2065,6 +2065,65 @@ def test_brand_revenue_matches_local_recompute():
     assert got == sorted((b, n[b], s[b]) for b in n)
 
 
+def test_nation_revenue_matches_local_recompute():
+    """Multi-way join aggregate (Q5 shape) equals the naive local join:
+    window-filtered orders x lineitem revenue, customer->nation hops."""
+    import math
+    from collections import defaultdict
+    from datetime import datetime
+
+    from invoice_extraction_ray.ops.relational import nation_revenue
+
+    cust = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat_of = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist())
+    )
+    nat = pq.read_table(f"{SF}/nation.parquet", columns=["n_nationkey", "n_name"])
+    name_of = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    lo, hi = datetime(1997, 1, 1), datetime(1998, 1, 1)
+    cust_of = {}
+    for ok, ck, od in zip(
+        orders.column("o_orderkey").to_pylist(),
+        orders.column("o_custkey").to_pylist(),
+        orders.column("o_orderdate").to_pylist(),
+    ):
+        if lo <= od < hi:
+            cust_of[ok] = ck
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    rev_of = defaultdict(int)
+    for ok, ep, dc in zip(
+        li.column("l_orderkey").to_pylist(),
+        li.column("l_extendedprice").to_pylist(),
+        li.column("l_discount").to_pylist(),
+    ):
+        if ok in cust_of:
+            rev_of[ok] += int(math.floor(ep * 100.0 + 0.5)) * (
+                10000 - int(math.floor(dc * 10000.0 + 0.5))
+            )
+    n = defaultdict(int)
+    s = defaultdict(int)
+    for ok, r in rev_of.items():
+        nm = name_of[nat_of[cust_of[ok]]]
+        n[nm] += 1
+        s[nm] += r
+    got = [
+        (r["n_name"], r["n_orders"], r["revenue_i"])
+        for r in nation_revenue(SF).take_all()
+    ]
+    want = sorted(
+        ((nm, n[nm], s[nm]) for nm in n), key=lambda x: (-x[2], x[0])
+    )
+    assert got == want
+
+
 def test_embedding_project_matches_local_recompute():
     """Projection equals the naive local recompute (same sequential sum)
     and emits PROJ_DIM components per vector."""
