@@ -418,6 +418,8 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("orders_rollup", relational.orders_rollup),  # GROUP BY ROLLUP
             ("brand_revenue", relational.brand_revenue),  # broadcast dim join
             ("nation_revenue", relational.nation_revenue),  # Q5 multi-way join
+            ("brand_supplier_counts", relational.brand_supplier_counts),  # Q16 COUNT(DISTINCT)
+            ("small_quantity_revenue", relational.small_quantity_revenue),  # Q17 agg-rejoin
         ],
         # window / interval operators
         "window": [
@@ -876,6 +878,29 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' "
             "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
             "GROUP BY n.n_name ORDER BY revenue_i DESC, n_name"
+        ),
+        # brand_supplier_counts: TPC-H Q16's per-group COUNT(DISTINCT) core
+        "brand_supplier_counts": (
+            "SELECT p.p_brand, "
+            "CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers, "
+            "CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_parts "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "GROUP BY p.p_brand ORDER BY p.p_brand"
+        ),
+        # small_quantity_revenue: TPC-H Q17 aggregate-then-rejoin; the
+        # qty < 0.2*avg predicate cross-multiplied (5*qty*cnt < sum) so both
+        # engines compare exact integers — no float-division boundary splits
+        "small_quantity_revenue": (
+            "WITH pt AS (SELECT l_partkey AS pk, "
+            "sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS s, "
+            "count(*) AS c FROM lineitem GROUP BY l_partkey) "
+            "SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_small, "
+            "CAST(sum(CAST(floor(l.l_extendedprice*100.0 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS small_rev_c "
+            "FROM lineitem l JOIN pt ON l.l_partkey = pt.pk "
+            "JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE 5 * CAST(floor(l.l_quantity + 0.5) AS BIGINT) * pt.c < pt.s "
+            "GROUP BY p.p_brand ORDER BY p.p_brand"
         ),
         "distinct_lang_source": "SELECT DISTINCT lang, source FROM documents",
         "split_assign": (

@@ -95,6 +95,8 @@ HEADLINE = [
     "label_centroids",
     "value_winsorize",
     "gopher_rules",
+    "brand_supplier_counts",
+    "small_quantity_revenue",
 ]
 
 

@@ -1563,3 +1563,285 @@ def nation_revenue(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
     # <= num_shards * |nations| partial rows remain — one tiny final groupby
     out = merged.groupby("nationkey").map_groups(final_merge, batch_format="pyarrow")
     return out.sort(["revenue_i", "n_name"], descending=[True, False])
+
+
+def brand_supplier_counts(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """Per-group COUNT(DISTINCT) — TPC-H Q16's core pattern: for every part
+    brand, how many DISTINCT suppliers and DISTINCT parts appear in the
+    lineitem fact stream.  Naive COUNT(DISTINCT) shuffles every fact row;
+    the scale shape is two-stage distinct:
+
+    - stage 1 (per batch): probe the broadcast ``part`` dimension for the
+      brand, then collapse to the batch's DISTINCT (kind, brand, key) pairs
+      via one ``np.unique`` on a packed int64 — so the shuffle moves at most
+      the distinct-pair count per block, never fact rows.
+    - stage 2: pairs hash-shard by (brand, key) so every copy of a pair
+      lands in ONE shard group; each shard dedups with a second
+      ``np.unique`` and emits per-(kind, brand) partial counts.  Shards
+      partition the distinct-pair space, so partial counts are additive —
+      the final groupby sees <= n_shards x |brands| x 2 rows.
+
+    Reference analogue: SURVEY §2 A10 distinct stats, composed with the J2
+    exact-lookup join (submission/utils/fields.py lookup tables)."""
+    import numpy as np
+    import pyarrow.parquet as pqm
+
+    from ._util import int_segment_sum
+
+    part = pqm.read_table(_pq(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    keys = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    brands_d = part.column("p_brand").combine_chunks().dictionary_encode()
+    brand_names = brands_d.dictionary.to_pylist()
+    brand_idx = brands_d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(keys, kind="stable")
+    dim_ref = ray.put((keys[order], brand_idx[order]))
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"]
+    )
+
+    # packed pair layout: kind (0=supplier, 1=part) in the top bits, brand
+    # below, key in the low 40 bits — one int64 np.unique dedups all three
+    _KEY_BITS = 40
+
+    def pairs(t: pa.Table) -> pa.Table:
+        d_keys, d_brand = ray.get(dim_ref)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(d_keys, pk)
+        pos = np.clip(pos, 0, len(d_keys) - 1)
+        hit = d_keys[pos] == pk  # inner-join semantics
+        b = d_brand[pos[hit]]
+        packed = np.concatenate(
+            [
+                (0 << 62) | (b << _KEY_BITS) | sk[hit],
+                (1 << 62) | (b << _KEY_BITS) | pk[hit],
+            ]
+        )
+        uniq = np.unique(packed)
+        shard = (((uniq * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+        return pa.table(
+            {"pshard": pa.array(shard), "packed": pa.array(uniq, pa.int64())}
+        )
+
+    _PART = pa.schema(
+        [("brand_i", pa.int64()), ("kind", pa.int8()), ("n", pa.int64())]
+    )
+
+    def shard_count(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PART.empty_table()
+        uniq = np.unique(g.column("packed").to_numpy(zero_copy_only=False))
+        group = uniq >> _KEY_BITS  # (kind, brand) composite, already sorted
+        new = np.ones(len(group), dtype=bool)
+        new[1:] = group[1:] != group[:-1]
+        starts = np.flatnonzero(new)
+        heads = group[starts]
+        return pa.table(
+            {
+                "brand_i": pa.array(heads & ((1 << 22) - 1), pa.int64()),
+                "kind": pa.array((heads >> 22).astype(np.int8), pa.int8()),
+                "n": pa.array(
+                    int_segment_sum(np.ones(len(group), np.int64), starts), pa.int64()
+                ),
+            },
+            schema=_PART,
+        )
+
+    _OUT = pa.schema(
+        [("p_brand", pa.string()), ("n_suppliers", pa.int64()), ("n_parts", pa.int64())]
+    )
+    names_arr = pa.array(brand_names, pa.string())
+
+    def final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        bi = g.column("brand_i").to_numpy(zero_copy_only=False)
+        kind = g.column("kind").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(bi, return_inverse=True)
+        n_sup = np.zeros(len(ub), dtype=np.int64)
+        n_prt = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(n_sup, inv[kind == 0], n[kind == 0])
+        np.add.at(n_prt, inv[kind == 1], n[kind == 1])
+        return pa.table(
+            {
+                "p_brand": pc.take(names_arr, pa.array(ub)),
+                "n_suppliers": pa.array(n_sup, pa.int64()),
+                "n_parts": pa.array(n_prt, pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    from ._util import absorb_empty_blocks
+
+    partials = absorb_empty_blocks(
+        ds.map_batches(pairs, batch_format="pyarrow"), batch_size=131072
+    )
+    counted = partials.groupby("pshard").map_groups(shard_count, batch_format="pyarrow")
+    # final input is tiny (<= n_shards x |brands| x 2 rows): single group
+    out = counted.map_batches(
+        lambda t: t.append_column("g", pa.array([0] * t.num_rows, pa.int32())),
+        batch_format="pyarrow",
+    )
+    return (
+        out.groupby("g")
+        .map_groups(lambda g: final(g.drop_columns(["g"])), batch_format="pyarrow")
+        .sort("p_brand")
+    )
+
+
+def small_quantity_revenue(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """Aggregate-then-rejoin — TPC-H Q17's pattern: revenue from lineitems
+    whose quantity is below 20% of that PART's average quantity, reported
+    per brand.  Two streaming passes, division-free:
+
+    - pass 1: per-batch partial (sum_qty, cnt) per partkey, merged by a
+      coarse partkey-shard groupby; the result is DIMENSION-bounded
+      (<= |part| rows) so it is collected and ``ray.put`` broadcast —
+      exactly the brand_revenue dimension discipline.
+    - pass 2: the fact stream probes the broadcast per-part stats and keeps
+      rows where ``5 * qty * cnt < sum_qty`` (the exact integer form of
+      ``qty < 0.2 * avg``: no float division on either engine), probes the
+      brand, and pre-aggregates per-brand partials before one tiny groupby.
+
+    Reference analogue: SURVEY §2 A9/J5 (per-group statistics feeding a
+    row-level validation pass, submission/utils/validate.py)."""
+    import numpy as np
+    import pyarrow.parquet as pqm
+
+    from ._util import int_bincount
+
+    from ._util import absorb_empty_blocks, int_segment_sum
+
+    # pass 1 — per-part quantity stats: per-batch partials stamped with a
+    # coarse partkey shard, merged by ONE shard groupby with exact segment
+    # sums (Ray's sort-Aggregate costs ~120us per shuffled row — the shard
+    # shape shuffles the same partial rows but reduces them vectorized)
+    def qty_partial(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = np.floor(
+            t.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        order = np.argsort(pk, kind="stable")
+        pk, qty = pk[order], qty[order]
+        new = np.ones(len(pk), dtype=bool)
+        new[1:] = pk[1:] != pk[:-1]
+        starts = np.flatnonzero(new)
+        upk = pk[starts]
+        return pa.table(
+            {
+                "pshard": pa.array(
+                    (((upk * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+                ),
+                "pk": pa.array(upk, pa.int64()),
+                "qty_i": pa.array(int_segment_sum(qty, starts), pa.int64()),
+                "cnt": pa.array(int_segment_sum(np.ones(len(pk), np.int64), starts)),
+            }
+        )
+
+    _STATS = pa.schema(
+        [("pk", pa.int64()), ("qty_i", pa.int64()), ("cnt", pa.int64())]
+    )
+
+    def qty_merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _STATS.empty_table()
+        pk = g.column("pk").to_numpy(zero_copy_only=False)
+        qs = g.column("qty_i").to_numpy(zero_copy_only=False)
+        cs = g.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        pk, qs, cs = pk[order], qs[order], cs[order]
+        new = np.ones(len(pk), dtype=bool)
+        new[1:] = pk[1:] != pk[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "pk": pa.array(pk[starts], pa.int64()),
+                "qty_i": pa.array(int_segment_sum(qs, starts), pa.int64()),
+                "cnt": pa.array(int_segment_sum(cs, starts), pa.int64()),
+            },
+            schema=_STATS,
+        )
+
+    stats = (
+        absorb_empty_blocks(
+            ray.data.read_parquet(
+                _pq(sf_dir, "lineitem"), columns=["l_partkey", "l_quantity"]
+            ).map_batches(qty_partial, batch_format="pyarrow"),
+            batch_size=131072,
+        )
+        .groupby("pshard")
+        .map_groups(
+            lambda g: qty_merge(g.drop_columns(["pshard"])), batch_format="pyarrow"
+        )
+        .take_all()  # dimension-bounded: <= |part| rows
+    )
+    s_pk = np.array([r["pk"] for r in stats], dtype=np.int64)
+    s_sum = np.array([r["qty_i"] for r in stats], dtype=np.int64)
+    s_cnt = np.array([r["cnt"] for r in stats], dtype=np.int64)
+    order = np.argsort(s_pk, kind="stable")
+    stats_ref = ray.put((s_pk[order], s_sum[order], s_cnt[order]))
+
+    part = pqm.read_table(_pq(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    keys = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    brands_d = part.column("p_brand").combine_chunks().dictionary_encode()
+    brand_names = brands_d.dictionary.to_pylist()
+    brand_idx = brands_d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(keys, kind="stable")
+    dim_ref = ray.put((keys[order], brand_idx[order]))
+    n_brands = len(brand_names)
+
+    def probe(t: pa.Table) -> pa.Table:
+        p_keys, p_sum, p_cnt = ray.get(stats_ref)
+        d_keys, d_brand = ray.get(dim_ref)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = np.floor(
+            t.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        pos = np.searchsorted(p_keys, pk)  # every fact partkey is in pass-1 stats
+        small = 5 * qty * p_cnt[pos] < p_sum[pos]
+        pk_s = pk[small]
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)[small] * 100.0
+            + 0.5
+        ).astype(np.int64)
+        dpos = np.clip(np.searchsorted(d_keys, pk_s), 0, len(d_keys) - 1)
+        hit = d_keys[dpos] == pk_s
+        b = d_brand[dpos[hit]]
+        n = int_bincount(b, np.ones(len(b), np.int64), minlength=n_brands)
+        s = int_bincount(b, cents[hit], minlength=n_brands)
+        nz = np.flatnonzero(n)
+        return pa.table(
+            {
+                "brand_i": pa.array(nz.astype(np.int64)),
+                "n_small": pa.array(n[nz]),
+                "small_rev_c": pa.array(s[nz]),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(probe, batch_format="pyarrow")
+        .groupby("brand_i")
+        .aggregate(
+            Sum("n_small", alias_name="n_small"),
+            Sum("small_rev_c", alias_name="small_rev_c"),
+        )
+    )
+
+    names_arr = pa.array(brand_names, pa.string())
+
+    def label(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": pc.take(names_arr, t.column("brand_i")),
+                "n_small": t.column("n_small"),
+                "small_rev_c": t.column("small_rev_c"),
+            }
+        )
+
+    return agg.map_batches(label, batch_format="pyarrow").sort("p_brand")

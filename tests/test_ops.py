@@ -2341,3 +2341,75 @@ def test_gopher_rules_matches_local_recompute():
     # the gate must not be degenerate on the test corpus
     keeps = {v[2] for v in got.values()}
     assert keeps == {0, 1}
+
+
+def test_brand_supplier_counts_matches_local_recompute():
+    """Two-stage distinct COUNT(DISTINCT) equals the naive local sets."""
+    from collections import defaultdict
+
+    from invoice_extraction_ray.ops.relational import brand_supplier_counts
+
+    part = pq.read_table(f"{SF}/part.parquet", columns=["p_partkey", "p_brand"])
+    brand_of = dict(
+        zip(part.column("p_partkey").to_pylist(), part.column("p_brand").to_pylist())
+    )
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    sups = defaultdict(set)
+    parts = defaultdict(set)
+    for k, sk in zip(
+        li.column("l_partkey").to_pylist(), li.column("l_suppkey").to_pylist()
+    ):
+        b = brand_of.get(k)
+        if b is None:
+            continue
+        sups[b].add(sk)
+        parts[b].add(k)
+    got = [
+        (r["p_brand"], r["n_suppliers"], r["n_parts"])
+        for r in brand_supplier_counts(SF).take_all()
+    ]
+    want = sorted((b, len(sups[b]), len(parts[b])) for b in sups)
+    assert got == want
+    # non-degenerate: at least one brand has >1 distinct supplier
+    assert any(v > 1 for _, v, _ in got)
+
+
+def test_small_quantity_revenue_matches_local_recompute():
+    """Aggregate-then-rejoin (Q17 shape) equals the naive local recompute
+    with the same exact cross-multiplied predicate."""
+    import math
+    from collections import defaultdict
+
+    from invoice_extraction_ray.ops.relational import small_quantity_revenue
+
+    part = pq.read_table(f"{SF}/part.parquet", columns=["p_partkey", "p_brand"])
+    brand_of = dict(
+        zip(part.column("p_partkey").to_pylist(), part.column("p_brand").to_pylist())
+    )
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    pk = li.column("l_partkey").to_pylist()
+    qty = [int(math.floor(q + 0.5)) for q in li.column("l_quantity").to_pylist()]
+    price = li.column("l_extendedprice").to_pylist()
+    tot = defaultdict(lambda: [0, 0])
+    for k, q in zip(pk, qty):
+        tot[k][0] += q
+        tot[k][1] += 1
+    n = defaultdict(int)
+    s = defaultdict(int)
+    for k, q, p in zip(pk, qty, price):
+        su, c = tot[k]
+        if 5 * q * c < su:
+            b = brand_of.get(k)
+            if b is None:
+                continue
+            n[b] += 1
+            s[b] += int(math.floor(p * 100.0 + 0.5))
+    got = [
+        (r["p_brand"], r["n_small"], r["small_rev_c"])
+        for r in small_quantity_revenue(SF).take_all()
+    ]
+    assert got == sorted((b, n[b], s[b]) for b in n)
+    assert len(got) > 0  # the predicate keeps rows on this corpus
