@@ -61,6 +61,21 @@ def _error_categories(sf_dir: str):
     return error_categories(ds)
 
 
+def _conversation_pack(sf_dir: str):
+    """SFT document assembly over the flagship extraction output: one
+    training document per conversation, extracted turns joined in turn
+    order.  The corpus writer guarantees conversation-aligned shards, so
+    the zero-shuffle pack applies: read -> classify -> pack fuse into ONE
+    task per shard (general inputs use conversation_pack's shard-groupby
+    path instead)."""
+    from invoice_extraction_ray.corpus import transcripts_for
+    from invoice_extraction_ray.pipelines.extract import build_pipeline
+    from invoice_extraction_ray.pipelines.metrics import conversation_pack
+
+    ds = build_pipeline(transcripts_for(sf_dir), seal_strategy="aligned", flat_output=True)
+    return conversation_pack(ds, aligned=True)
+
+
 def _minhash_neardup(sf_dir: str):
     """Raw documents table (SQL-oracle-comparable): banding recall measured
     1.0 on this corpus's true pairs, and the verify stage is exact, so the
@@ -388,6 +403,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("conversation_stats", _conversation_stats),
             ("extract_worst_turns", _worst_turns),
             ("extract_failure_summary", _failure_summary),
+            ("conversation_pack", _conversation_pack),  # SFT doc assembly
         ],
         # relational operator library (all SQL-oracled)
         "relational": [
@@ -1917,6 +1933,7 @@ def oracle_sql() -> dict[str, str]:
 # callers (tools/check_queries.py) compare these rows-only
 SF001_PINNED = [
     "conversation_stats",
+    "conversation_pack",
     "boilerplate_scrub",
     "redact_names",
     "ivf_ann_topk",
@@ -2093,6 +2110,13 @@ def _sf001_pinned_oracles(sf001: str) -> dict[str, str]:
     )
 
     return {
+        # SFT document assembly: the engine's packed docs must equal the
+        # pure-Python oracle's turns re-aggregated in turn order
+        "conversation_pack": (
+            "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
+            "string_agg(extracted_text, chr(10)||chr(10) ORDER BY turn_idx) AS doc "
+            f"FROM {T} GROUP BY conv_id"
+        ),
         "conversation_stats": (
             "SELECT conv_id, count(*) AS n_turns, min(ts) AS first_ts, "
             "max(ts) AS last_ts, "

@@ -97,6 +97,7 @@ HEADLINE = [
     "gopher_rules",
     "brand_supplier_counts",
     "small_quantity_revenue",
+    "conversation_pack",
 ]
 
 

@@ -407,3 +407,84 @@ def pseudo_labels(out_ds: ray.data.Dataset) -> ray.data.Dataset:
     return out_ds.filter(
         expr=f"confidence >= {PSEUDO_LABEL_MIN_CONF}"
     ).select_columns(["conv_id", "turn_idx", "extracted_text", "confidence"])
+
+
+def conversation_pack(
+    out_ds: ray.data.Dataset,
+    num_shards: int = 64,
+    sep: str = "\n\n",
+    aligned: bool = False,
+) -> ray.data.Dataset:
+    """SFT-corpus assembly: concatenate each conversation's extracted turn
+    texts (in sealed turn order) into ONE training document — the step that
+    turns the per-turn extraction table into model-ready documents
+    (reference analogue: the per-document field table the app assembles
+    from per-region OCR rows, submission/app.py result view; here it is a
+    first-class distributed op).
+
+    Scale shape: conversations hash to coarse crc32 shards so the groupby
+    moves each turn's slim (conv_id, turn_idx, text) projection exactly
+    once; inside a shard the pack is one dictionary-encode + lexsort +
+    ``pa.ListArray`` build + ``pc.binary_join`` — no per-row Python.  Doc
+    payloads never re-shuffle after assembly.
+
+    ``aligned=True`` is the zero-shuffle fast path under the SAME
+    precondition as ``seal_strategy="aligned"`` (every conversation fully
+    contained in one upstream block): the pack kernel runs as a plain
+    whole-block ``map_batches`` that Ray fuses into the extraction
+    operator — read -> classify -> pack in one task, NO exchange at all."""
+    import numpy as np
+    import zlib
+
+    slim = out_ds.select_columns(["conv_id", "turn_idx", "extracted_text"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        conv = t.column("conv_id").combine_chunks()
+        d = conv.dictionary_encode()
+        # hash each DISTINCT conv_id once, then gather per row
+        dh = np.array(
+            [zlib.crc32(s.encode()) % num_shards for s in d.dictionary.to_pylist()],
+            dtype=np.int32,
+        )
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        return t.append_column("cshard", pa.array(dh[idx], pa.int32()))
+
+    _OUT = pa.schema(
+        [("conv_id", pa.string()), ("n_turns", pa.int64()), ("doc", pa.string())]
+    )
+
+    def pack_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        conv = g.column("conv_id").combine_chunks().dictionary_encode()
+        ci = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ti = g.column("turn_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ti, ci))
+        ci_s = ci[order]
+        new = np.ones(len(ci_s), dtype=bool)
+        new[1:] = ci_s[1:] != ci_s[:-1]
+        starts = np.flatnonzero(new)
+        offsets = np.append(starts, len(ci_s)).astype(np.int32)
+        txt = pc.take(g.column("extracted_text").combine_chunks(), pa.array(order))
+        docs = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), txt),
+            sep,
+        )
+        return pa.table(
+            {
+                "conv_id": pc.take(conv.dictionary, pa.array(ci_s[starts])),
+                "n_turns": pa.array(np.diff(offsets).astype(np.int64), pa.int64()),
+                "doc": docs,
+            },
+            schema=_OUT,
+        )
+
+    if aligned:
+        return slim.map_batches(pack_shard, batch_format="pyarrow", batch_size=None)
+    return (
+        slim.map_batches(stamp, batch_format="pyarrow")
+        .groupby("cshard")
+        .map_groups(
+            lambda g: pack_shard(g.drop_columns(["cshard"])), batch_format="pyarrow"
+        )
+    )

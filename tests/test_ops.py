@@ -2413,3 +2413,41 @@ def test_small_quantity_revenue_matches_local_recompute():
     ]
     assert got == sorted((b, n[b], s[b]) for b in n)
     assert len(got) > 0  # the predicate keeps rows on this corpus
+
+
+def test_conversation_pack_matches_local_recompute(tmp_path):
+    """Packed SFT docs equal the local per-conversation turn-order join of
+    the pipeline's own flat output (any shard layout)."""
+    from collections import defaultdict
+
+    from invoice_extraction_ray.fixtures import write_transcripts_parquet
+    from invoice_extraction_ray.pipelines.extract import build_pipeline
+    from invoice_extraction_ray.pipelines.metrics import conversation_pack
+
+    paths = write_transcripts_parquet(str(tmp_path / "in"), 80, convs_per_file=20, seed=7)
+    flat = build_pipeline(paths, seal=False, flat_output=True)
+    rows = flat.select_columns(["conv_id", "turn_idx", "extracted_text"]).take_all()
+    per_conv = defaultdict(list)
+    for r in rows:
+        per_conv[r["conv_id"]].append((r["turn_idx"], r["extracted_text"]))
+    want = {
+        c: ("\n\n".join(t for _, t in sorted(v)), len(v)) for c, v in per_conv.items()
+    }
+
+    got = conversation_pack(
+        build_pipeline(paths, seal=False, flat_output=True), num_shards=7
+    ).take_all()
+    assert len(got) == len(want)
+    for r in got:
+        doc, n = want[r["conv_id"]]
+        assert r["doc"] == doc and r["n_turns"] == n
+
+    # the zero-shuffle aligned path (fixture corpus is conversation-aligned)
+    # must produce the identical document set
+    aligned = conversation_pack(
+        build_pipeline(paths, seal_strategy="aligned", flat_output=True),
+        aligned=True,
+    ).take_all()
+    assert sorted((r["conv_id"], r["n_turns"], r["doc"]) for r in aligned) == sorted(
+        (r["conv_id"], r["n_turns"], r["doc"]) for r in got
+    )
