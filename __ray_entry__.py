@@ -478,6 +478,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("chunk_documents", text.chunk_documents),  # token windows
             ("word_bigram_counts", lambda sf: text.word_bigram_counts(sf, 30)),
             ("bigram_lift", lambda sf: text.bigram_lift(sf, 20)),  # HUGEINT rational
+            ("surprisal_buckets", text.surprisal_buckets),  # CCNet tertiles
         ],
         # dedup family
         "dedup": [
@@ -1545,6 +1546,25 @@ def oracle_sql() -> dict[str, str]:
             r"CAST((20000 * sum(bn - length(bin(c))) + count(*)) "
             r"// (2 * count(*)) AS BIGINT) AS mean_surprisal_e4 "
             r"FROM tk JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id"
+        ),
+        # CCNet-style tertile bucketing over the same surprisal expression;
+        # quantile_disc == the engine's ceil(q*n)-1 ascending convention
+        "surprisal_buckets": (
+            r"WITH tk AS (SELECT doc_id, "
+            r"unnest(regexp_extract_all(coalesce(text,''), '\S+')) AS tok "
+            r"FROM documents), "
+            r"cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok), "
+            r"tot AS (SELECT length(bin(count(*))) AS bn FROM tk), "
+            r"s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            r"CAST((20000 * sum(bn - length(bin(c))) + count(*)) "
+            r"// (2 * count(*)) AS BIGINT) AS mean_surprisal_e4 "
+            r"FROM tk JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id), "
+            r"th AS (SELECT quantile_disc(mean_surprisal_e4, 1.0/3) AS t1, "
+            r"quantile_disc(mean_surprisal_e4, 2.0/3) AS t2 FROM s) "
+            r"SELECT doc_id, n_tokens, mean_surprisal_e4, "
+            r"CASE WHEN mean_surprisal_e4 <= t1 THEN 'head' "
+            r"WHEN mean_surprisal_e4 <= t2 THEN 'middle' ELSE 'tail' END AS bucket "
+            r"FROM s CROSS JOIN th"
         ),
         # tf-idf top terms: (tf DESC, df ASC, token ASC) == tf*idf order for
         # any strictly-df-decreasing idf — float-free, exact tie-break

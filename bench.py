@@ -98,6 +98,7 @@ HEADLINE = [
     "brand_supplier_counts",
     "small_quantity_revenue",
     "conversation_pack",
+    "surprisal_buckets",
 ]
 
 

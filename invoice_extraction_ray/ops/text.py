@@ -1376,3 +1376,92 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         .groupby("dshard")
         .map_groups(topk, batch_format="pyarrow")
     )
+
+
+def surprisal_buckets(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style LM-quality bucketing: split the corpus into head / middle
+    / tail tertiles of per-token mean unigram surprisal (low = fluent /
+    stopword-like, high = rare-token-heavy) — the step web pipelines use to
+    pick how much of each quality band feeds training.
+
+    Scale shape: builds on unigram_surprisal's per-doc integer scores; the
+    slim (doc_id, n_tokens, mean_e4) table is materialized ONCE (the
+    checkpoint pattern — 100 TB runs would write it to parquet; ~24 bytes a
+    doc, spillable) so the corpus is tokenized once, not once per pass.
+    The tertile thresholds come from a distinct-value histogram whose size
+    is bounded by the e4 RANGE of mean surprisal (<= ~60*10^4 values, never
+    corpus-sized — same argument as the quality-score gates); the bucket
+    stamp is then one broadcast-threshold stateless map.  Thresholds use
+    the quantile_disc convention (``ceil(q*n)-1`` ascending, q = 1/3, 2/3)
+    shared with value_quantiles."""
+    import math
+
+    scores = unigram_surprisal(sf_dir).select_columns(
+        ["doc_id", "n_tokens", "mean_surprisal_e4"]
+    )
+    scores = scores.materialize()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        m = t.column("mean_surprisal_e4").to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(m, return_counts=True)
+        return pa.table(
+            {
+                "v": pa.array(vals, pa.int64()),
+                "cnt": pa.array(cnts.astype(np.int64)),
+                "hshard": pa.array((vals & 63).astype(np.int32)),
+            }
+        )
+
+    def hist_reduce(g: pa.Table) -> pa.Table:
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        c = g.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        new = np.ones(len(v), dtype=bool)
+        new[1:] = v[1:] != v[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "v": pa.array(v[starts], pa.int64()),
+                "cnt": pa.array(int_segment_sum(c, starts)),
+            }
+        )
+
+    from ._util import absorb_empty_blocks
+
+    # hist partials are SKINNY blocks (<= distinct means per block) —
+    # coalesce before the shard groupby or per-task dispatch dominates
+    hist_rows = (
+        absorb_empty_blocks(
+            scores.map_batches(hist_partial, batch_format="pyarrow"),
+            batch_size=131072,
+        )
+        .groupby("hshard")
+        .map_groups(hist_reduce, batch_format="pyarrow")
+        .take_all()
+    )
+    hist_rows.sort(key=lambda r: r["v"])
+    n = sum(r["cnt"] for r in hist_rows)
+    vals = [r["v"] for r in hist_rows]
+    cums = []
+    acc = 0
+    for r in hist_rows:
+        acc += r["cnt"]
+        cums.append(acc)
+
+    def order_stat(q: float) -> int:
+        idx = max(0, math.ceil(q * n) - 1)
+        for v, cum in zip(vals, cums):
+            if cum > idx:
+                return v
+        return vals[-1]
+
+    t1 = order_stat(1.0 / 3.0)
+    t2 = order_stat(2.0 / 3.0)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        m = t.column("mean_surprisal_e4").to_numpy(zero_copy_only=False)
+        lab = np.where(m <= t1, "head", np.where(m <= t2, "middle", "tail"))
+        return t.append_column("bucket", pa.array(lab.tolist(), pa.string()))
+
+    return scores.map_batches(bucket, batch_format="pyarrow")

@@ -2451,3 +2451,48 @@ def test_conversation_pack_matches_local_recompute(tmp_path):
     assert sorted((r["conv_id"], r["n_turns"], r["doc"]) for r in aligned) == sorted(
         (r["conv_id"], r["n_turns"], r["doc"]) for r in got
     )
+
+
+def test_surprisal_buckets_matches_local_recompute():
+    """Tertile bucketing equals the naive local recompute (bitlen surprisal,
+    ceil(q*n)-1 order statistics)."""
+    import math
+    from collections import Counter
+
+    from invoice_extraction_ray.ops.text import surprisal_buckets
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        d: (t or "").split()
+        for d, t in zip(
+            docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+        )
+    }
+    cnt = Counter(tok for tk in toks.values() for tok in tk)
+    n_total = sum(cnt.values())
+    bn = n_total.bit_length()
+    means = {}
+    for d, tk in toks.items():
+        if not tk:
+            continue
+        surp = sum(bn - cnt[t].bit_length() for t in tk)
+        means[d] = (20000 * surp + len(tk)) // (2 * len(tk))
+    vals = sorted(means.values())
+    n = len(vals)
+    t1 = vals[max(0, math.ceil(n / 3) - 1)]
+    t2 = vals[max(0, math.ceil(2 * n / 3) - 1)]
+    want = {
+        d: ("head" if m <= t1 else "middle" if m <= t2 else "tail")
+        for d, m in means.items()
+    }
+    got = {
+        r["doc_id"]: (r["mean_surprisal_e4"], r["bucket"])
+        for r in surprisal_buckets(SF).take_all()
+    }
+    assert len(got) == len(want)
+    for d, (m, b) in got.items():
+        assert m == means[d] and b == want[d]
+    # non-degenerate: the gate splits the corpus (the word-soup corpus's
+    # mean-surprisal distribution can leave 'middle' empty when t1 == t2 —
+    # legitimate quantile behavior — but head and tail must both exist)
+    assert {"head", "tail"} <= set(want.values())
