@@ -436,6 +436,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("nation_revenue", relational.nation_revenue),  # Q5 multi-way join
             ("brand_supplier_counts", relational.brand_supplier_counts),  # Q16 COUNT(DISTINCT)
             ("small_quantity_revenue", relational.small_quantity_revenue),  # Q17 agg-rejoin
+            ("user_event_overlap", relational.user_event_overlap),  # INTERSECT/EXCEPT
         ],
         # window / interval operators
         "window": [
@@ -918,6 +919,15 @@ def oracle_sql() -> dict[str, str]:
             "JOIN part p ON l.l_partkey = p.p_partkey "
             "WHERE 5 * CAST(floor(l.l_quantity + 0.5) AS BIGINT) * pt.c < pt.s "
             "GROUP BY p.p_brand ORDER BY p.p_brand"
+        ),
+        # user_event_overlap: distinct-key set algebra (INTERSECT / EXCEPT)
+        "user_event_overlap": (
+            "WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'), "
+            "b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') "
+            "SELECT "
+            "CAST((SELECT count(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)) AS BIGINT) AS n_both, "
+            "CAST((SELECT count(*) FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)) AS BIGINT) AS n_a_only, "
+            "CAST((SELECT count(*) FROM (SELECT user_id FROM b EXCEPT SELECT user_id FROM a)) AS BIGINT) AS n_b_only"
         ),
         "distinct_lang_source": "SELECT DISTINCT lang, source FROM documents",
         "split_assign": (

@@ -99,6 +99,7 @@ HEADLINE = [
     "small_quantity_revenue",
     "conversation_pack",
     "surprisal_buckets",
+    "user_event_overlap",
 ]
 
 

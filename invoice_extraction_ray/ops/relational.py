@@ -1845,3 +1845,87 @@ def small_quantity_revenue(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
         )
 
     return agg.map_batches(label, batch_format="pyarrow").sort("p_brand")
+
+
+def user_event_overlap(
+    sf_dir: str, type_a: str = "click", type_b: str = "purchase", n_shards: int = 64
+) -> pa.Table:
+    """Distributed set operations on distinct keys — SQL INTERSECT / EXCEPT:
+    how many distinct users did BOTH event types, only A, only B.  The
+    audience-overlap primitive (and the shape of any distinct-key set
+    algebra between two filtered streams).
+
+    Scale shape: the read prunes to two columns and pushes the type filter
+    into the scan; each batch collapses to DISTINCT (user, membership-bit)
+    pairs OR-merged per user (np.unique + bitwise_or), so the shuffle moves
+    at most the distinct users per block; a user-shard groupby OR-merges
+    the bitmasks (each user lands in exactly ONE shard, so per-shard
+    category counts are additive) and emits 3 numbers per shard.
+
+    Reference analogue: SURVEY §2 A10 distinct stats / D-layer set merges
+    (submission/utils/merge.py membership reconciliation)."""
+    import numpy as np
+
+    from ._util import absorb_empty_blocks
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"),
+        columns=["user_id", "event_type"],
+        filter=pc.field("event_type").isin([type_a, type_b]),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_b = pc.equal(t.column("event_type"), type_b).to_numpy(zero_copy_only=False)
+        flags = np.where(is_b, 2, 1).astype(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        acc = np.zeros(len(uu), dtype=np.int64)
+        np.bitwise_or.at(acc, inv, flags)
+        return pa.table(
+            {
+                "ushard": pa.array(
+                    (((uu * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+                ),
+                "user_id": pa.array(uu, pa.int64()),
+                "flags": pa.array(acc, pa.int64()),
+            }
+        )
+
+    _PART = pa.schema(
+        [("n_both", pa.int64()), ("n_a_only", pa.int64()), ("n_b_only", pa.int64())]
+    )
+
+    def shard_merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PART.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        f = g.column("flags").to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(u, return_inverse=True)
+        acc = np.zeros(len(uu), dtype=np.int64)
+        np.bitwise_or.at(acc, inv, f)
+        return pa.table(
+            {
+                "n_both": pa.array([int(np.sum(acc == 3))], pa.int64()),
+                "n_a_only": pa.array([int(np.sum(acc == 1))], pa.int64()),
+                "n_b_only": pa.array([int(np.sum(acc == 2))], pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    rows = (
+        absorb_empty_blocks(
+            ds.map_batches(partial, batch_format="pyarrow"), batch_size=131072
+        )
+        .groupby("ushard")
+        .map_groups(
+            lambda g: shard_merge(g.drop_columns(["ushard"])), batch_format="pyarrow"
+        )
+        .take_all()  # <= n_shards rows
+    )
+    return pa.table(
+        {
+            "n_both": pa.array([sum(r["n_both"] for r in rows)], pa.int64()),
+            "n_a_only": pa.array([sum(r["n_a_only"] for r in rows)], pa.int64()),
+            "n_b_only": pa.array([sum(r["n_b_only"] for r in rows)], pa.int64()),
+        }
+    )

@@ -2496,3 +2496,23 @@ def test_surprisal_buckets_matches_local_recompute():
     # mean-surprisal distribution can leave 'middle' empty when t1 == t2 —
     # legitimate quantile behavior — but head and tail must both exist)
     assert {"head", "tail"} <= set(want.values())
+
+
+def test_user_event_overlap_matches_local_recompute():
+    """Set-op distinct counts equal naive local set algebra."""
+    from invoice_extraction_ray.ops.relational import user_event_overlap
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+    a, b = set(), set()
+    for u, t in zip(ev.column("user_id").to_pylist(), ev.column("event_type").to_pylist()):
+        if t == "click":
+            a.add(u)
+        elif t == "purchase":
+            b.add(u)
+    got = user_event_overlap(SF).to_pylist()[0]
+    assert got == {
+        "n_both": len(a & b),
+        "n_a_only": len(a - b),
+        "n_b_only": len(b - a),
+    }
+    assert got["n_both"] > 0  # non-degenerate on this corpus
