@@ -437,6 +437,8 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("brand_supplier_counts", relational.brand_supplier_counts),  # Q16 COUNT(DISTINCT)
             ("small_quantity_revenue", relational.small_quantity_revenue),  # Q17 agg-rejoin
             ("user_event_overlap", relational.user_event_overlap),  # INTERSECT/EXCEPT
+            ("orders_without_lineitems", relational.orders_without_lineitems),  # shuffle anti-join
+            ("daily_active_users", relational.daily_active_users),  # DAU distinct
         ],
         # window / interval operators
         "window": [
@@ -919,6 +921,18 @@ def oracle_sql() -> dict[str, str]:
             "JOIN part p ON l.l_partkey = p.p_partkey "
             "WHERE 5 * CAST(floor(l.l_quantity + 0.5) AS BIGINT) * pt.c < pt.s "
             "GROUP BY p.p_brand ORDER BY p.p_brand"
+        ),
+        # fact-fact anti-join (NOT EXISTS), shuffle shape — no broadcast side
+        "orders_without_lineitems": (
+            "SELECT o.o_orderkey, o.o_custkey FROM orders o "
+            "WHERE NOT EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey)"
+        ),
+        # DAU: per-day COUNT(DISTINCT) via two-stage distinct pairs
+        "daily_active_users": (
+            "SELECT date_trunc('day', ts) AS day, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1 ORDER BY day"
         ),
         # user_event_overlap: distinct-key set algebra (INTERSECT / EXCEPT)
         "user_event_overlap": (

@@ -100,6 +100,8 @@ HEADLINE = [
     "conversation_pack",
     "surprisal_buckets",
     "user_event_overlap",
+    "orders_without_lineitems",
+    "daily_active_users",
 ]
 
 

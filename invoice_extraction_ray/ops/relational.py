@@ -1929,3 +1929,159 @@ def user_event_overlap(
             "n_b_only": pa.array([sum(r["n_b_only"] for r in rows)], pa.int64()),
         }
     )
+
+
+def orders_without_lineitems(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
+    """Fact-fact ANTI-join (SQL NOT EXISTS) when NEITHER side is
+    broadcastable: join-free groupby message passing — both facts project
+    to slim key rows, union into one coarse orderkey-shard stream (every
+    copy of a key lands in ONE shard), and each shard emits the probe rows
+    whose key has no build-side row.  The complement of
+    customers_without_big_order's broadcast anti-join: use THIS shape when
+    the key set itself is corpus-sized.
+
+    Scale notes: lineitem pre-collapses to DISTINCT orderkeys per batch
+    (np.unique), so the shuffle carries distinct keys per block, not fact
+    rows; per-shard state is one sorted membership array."""
+    import numpy as np
+
+    from ._util import strip_schema_metadata
+
+    _MERGED = pa.schema(
+        [
+            ("oshard", pa.int32()),
+            ("key", pa.int64()),
+            ("custkey", pa.int64()),
+            ("side", pa.int8()),
+        ]
+    )
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        okey = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(okey)),
+                "key": pa.array(okey, pa.int64()),
+                "custkey": t.column("o_custkey").cast(pa.int64()),
+                "side": pa.array(np.ones(len(okey), dtype=np.int8), pa.int8()),
+            },
+            schema=_MERGED,
+        )
+
+    def li_keys(t: pa.Table) -> pa.Table:
+        k = np.unique(
+            t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(k)),
+                "key": pa.array(k, pa.int64()),
+                "custkey": pa.array(np.zeros(len(k), dtype=np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(k), dtype=np.int8), pa.int8()),
+            },
+            schema=_MERGED,
+        )
+
+    orders = strip_schema_metadata(
+        ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    ).map_batches(ord_rows, batch_format="pyarrow")
+    li = strip_schema_metadata(
+        ray.data.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_orderkey"])
+    ).map_batches(li_keys, batch_format="pyarrow")
+
+    _OUT = pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())])
+
+    def anti(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        have = np.unique(keys[side == 0])
+        ok = keys[side == 1]
+        ck = g.column("custkey").to_numpy(zero_copy_only=False)[side == 1]
+        pos = np.searchsorted(have, ok)
+        miss = (pos >= len(have)) | (have[np.minimum(pos, max(len(have) - 1, 0))] != ok)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok[miss], pa.int64()),
+                "o_custkey": pa.array(ck[miss], pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    from ._util import absorb_empty_blocks
+
+    return (
+        absorb_empty_blocks(orders.union(li), batch_size=131072)
+        .groupby("oshard")
+        .map_groups(anti, batch_format="pyarrow")
+    )
+
+
+def daily_active_users(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """DAU — distinct users per UTC day: the two-stage-distinct shape keyed
+    by time bucket.  Per batch: collapse to DISTINCT (day, user) pairs (one
+    packed-int64 np.unique); pairs hash-shard by (day, user) so every copy
+    lands in one shard; each shard dedups and emits per-day partial counts,
+    which are additive across shards (shards partition the pair space)."""
+    import numpy as np
+
+    from ._util import absorb_empty_blocks, int_segment_sum
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "user_id"])
+    _US_PER_DAY = 86_400_000_000
+
+    def pairs(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // _US_PER_DAY
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = np.unique((day << 32) | u)  # user_id < 2^32 by testdata shape
+        return pa.table(
+            {
+                "pshard": pa.array(
+                    (((packed * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+                ),
+                "packed": pa.array(packed, pa.int64()),
+            }
+        )
+
+    _PART = pa.schema([("day_i", pa.int64()), ("n", pa.int64())])
+
+    def shard_count(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PART.empty_table()
+        uniq = np.unique(g.column("packed").to_numpy(zero_copy_only=False))
+        day = uniq >> 32
+        new = np.ones(len(day), dtype=bool)
+        new[1:] = day[1:] != day[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "day_i": pa.array(day[starts], pa.int64()),
+                "n": pa.array(int_segment_sum(np.ones(len(day), np.int64), starts)),
+            },
+            schema=_PART,
+        )
+
+    agg = (
+        absorb_empty_blocks(
+            ds.map_batches(pairs, batch_format="pyarrow"), batch_size=131072
+        )
+        .groupby("pshard")
+        .map_groups(
+            lambda g: shard_count(g.drop_columns(["pshard"])), batch_format="pyarrow"
+        )
+        .groupby("day_i")
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+    def label(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.multiply(t.column("day_i"), _US_PER_DAY), pa.timestamp("us")
+        )
+        return pa.table({"day": day, "n_users": t.column("n_users")})
+
+    return agg.map_batches(label, batch_format="pyarrow").sort("day")

@@ -2516,3 +2516,43 @@ def test_user_event_overlap_matches_local_recompute():
         "n_b_only": len(b - a),
     }
     assert got["n_both"] > 0  # non-degenerate on this corpus
+
+
+def test_orders_without_lineitems_matches_local_recompute():
+    """Shuffle anti-join equals the naive NOT EXISTS recompute."""
+    from invoice_extraction_ray.ops.relational import orders_without_lineitems
+
+    orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    have = set(
+        pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey"])
+        .column("l_orderkey")
+        .to_pylist()
+    )
+    want = sorted(
+        (k, c)
+        for k, c in zip(
+            orders.column("o_orderkey").to_pylist(),
+            orders.column("o_custkey").to_pylist(),
+        )
+        if k not in have
+    )
+    got = sorted(
+        (r["o_orderkey"], r["o_custkey"])
+        for r in orders_without_lineitems(SF, num_shards=13).take_all()
+    )
+    assert got == want
+    assert len(got) > 0  # non-degenerate on this corpus
+
+
+def test_daily_active_users_matches_local_recompute():
+    """Two-stage distinct DAU equals the naive per-day sets."""
+    from collections import defaultdict
+
+    from invoice_extraction_ray.ops.relational import daily_active_users
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "user_id"])
+    per_day = defaultdict(set)
+    for ts, u in zip(ev.column("ts").to_pylist(), ev.column("user_id").to_pylist()):
+        per_day[ts.date()].add(u)
+    got = [(r["day"].date(), r["n_users"]) for r in daily_active_users(SF).take_all()]
+    assert got == sorted((d, len(s)) for d, s in per_day.items())
