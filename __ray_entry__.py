@@ -526,6 +526,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("ann_range_search", ann.ann_range_search),  # radius query, e4 ints
             ("embedding_project", ann.embedding_project),  # JL dim reduce
             ("label_centroids", ann.label_centroids),  # exact e6 vector sums
+            ("knn_graph", ann.knn_graph),  # e4-ranked exact neighbor graph
         ],
         # multimodal plumbing (stubbed decode/resize/frame-sample)
         "media": [
@@ -1904,6 +1905,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, CAST(dim_idx AS BIGINT) AS dim_idx, "
             "CAST(floor(x / scale * 127.0 + 0.5) AS BIGINT) AS q, "
             "CAST(floor(scale * 1000000.0 + 0.5) AS BIGINT) AS scale_e6 FROM u"
+        ),
+        # knn_graph: e4 fixed-point ranking (ties -> neighbor id) so both
+        # engines share a total order; DOUBLE[] cast avoids f32 list kernels
+        "knn_graph": (
+            "WITH s AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+            "CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT) AS sim_e4 "
+            "FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY sim_e4 DESC, neighbor_id) AS rank FROM s) "
+            "SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim_e4 "
+            "FROM r WHERE rank <= 5"
         ),
         "ann_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "

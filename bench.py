@@ -102,6 +102,7 @@ HEADLINE = [
     "user_event_overlap",
     "orders_without_lineitems",
     "daily_active_users",
+    "knn_graph",
 ]
 
 

@@ -670,3 +670,81 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     return partials.groupby("cshard").map_groups(
         reduce_shard, batch_format="pyarrow"
     )
+
+
+KNN_GRAPH_MAX_ROWS = 1 << 18
+
+
+def knn_graph(
+    sf_dir: str, k: int = 5, max_rows: int = KNN_GRAPH_MAX_ROWS
+) -> ray.data.Dataset:
+    """Exact k-NN GRAPH over the embedding corpus — every vector's top-k
+    cosine neighbors (self excluded): the building block of SemDeDup-style
+    curation, curriculum ordering, and graph-based label propagation.
+
+    Ranking is by FIXED-POINT e4 similarity with neighbor-id tie-break — a
+    total order both engines compute identically (float-rank near-ties on
+    planted exact-duplicate vectors would otherwise split the engines on
+    1-ulp noise).
+
+    Scale: O(N^2) by construction, guarded by ``max_rows`` (parquet
+    metadata, no data read) exactly like ops.dedup.embedding_neardup; past
+    the cap use ivf_topk / lsh_topk probes or cluster-blocked candidate
+    generation (semantic_neardup's shape) for an approximate graph.  Below
+    it: matrix broadcast once (one copy per node), one matmul + one
+    stable argsort per batch, output k rows per vector."""
+    import pyarrow.parquet as pq
+
+    path = _pq(sf_dir, "embeddings")
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    if n_rows > max_rows:
+        raise ValueError(
+            f"knn_graph is the exact O(N^2) small-corpus tool: {path} has "
+            f"{n_rows} rows > max_rows={max_rows}. Build an approximate "
+            f"graph via ivf_topk/lsh_topk probes or cluster-blocked "
+            f"candidates (see semantic_neardup) at this scale."
+        )
+
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")  # columns in neighbor-id order
+    mat = embedding_matrix(tbl.column("embedding"))[order]
+    ids = ids[order]
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    ref = ray.put((ids, mat))
+
+    def block_knn(t: pa.Table) -> pa.Table:
+        c_ids, c_mat = ray.get(ref)
+        bid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bm = embedding_matrix(t.column("embedding"), dim=c_mat.shape[1])
+        bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-30)
+        sims = bm @ c_mat.T
+        e4 = np.floor(np.abs(sims) * 10000.0 + 0.5).astype(np.int64) * np.where(
+            sims < 0, -1, 1
+        )
+        # exclude self: c_ids is sorted, so each row's own column is found
+        # by searchsorted (vec_ids are unique by schema)
+        self_col = np.searchsorted(c_ids, bid)
+        hit = (self_col < len(c_ids)) & (
+            c_ids[np.clip(self_col, 0, len(c_ids) - 1)] == bid
+        )
+        rows_w_self = np.flatnonzero(hit)
+        # sentinel well below any valid e4 but safely negatable (int64.min
+        # would overflow under the -e4 sort key and rank FIRST)
+        e4[rows_w_self, self_col[rows_w_self]] = -(1 << 40)
+        # stable argsort of -e4: ties keep column order == neighbor-id order
+        top = np.argsort(-e4, axis=1, kind="stable")[:, :k]
+        n = len(bid)
+        ranks = np.tile(np.arange(1, k + 1, dtype=np.int64), n)
+        rows = np.repeat(np.arange(n), k)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(bid, k), pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "neighbor_id": pa.array(c_ids[top.ravel()], pa.int64()),
+                "sim_e4": pa.array(e4[rows, top.ravel()], pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    return ds.map_batches(block_knn, batch_format="pyarrow", batch_size=1024)

@@ -2556,3 +2556,43 @@ def test_daily_active_users_matches_local_recompute():
         per_day[ts.date()].add(u)
     got = [(r["day"].date(), r["n_users"]) for r in daily_active_users(SF).take_all()]
     assert got == sorted((d, len(s)) for d, s in per_day.items())
+
+
+def test_knn_graph_matches_bruteforce():
+    """e4-ranked exact neighbor graph equals the naive local recompute, and
+    the size guard raises past the cap."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from invoice_extraction_ray.ops._util import embedding_matrix
+    from invoice_extraction_ray.ops.ann import knn_graph
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = embedding_matrix(tbl.column("embedding"))
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    sims = mat @ mat.T
+    want = {}
+    for i, vid in enumerate(ids):
+        cand = []
+        for j, nb in enumerate(ids):
+            if nb == vid:
+                continue
+            s = sims[i, j]
+            e4 = int(math.floor(abs(s) * 10000.0 + 0.5)) * (-1 if s < 0 else 1)
+            cand.append((-e4, nb))
+        cand.sort()
+        want[int(vid)] = [(r + 1, nb, -m) for r, (m, nb) in enumerate(cand[:5])]
+    got = {}
+    for r in knn_graph(SF).take_all():
+        got.setdefault(r["vec_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["sim_e4"])
+        )
+    assert len(got) == len(want)
+    for vid, rows in got.items():
+        assert sorted(rows) == want[vid]
+
+    with pytest.raises(ValueError, match="max_rows"):
+        knn_graph(SF, max_rows=10)
