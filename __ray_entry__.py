@@ -439,6 +439,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("user_event_overlap", relational.user_event_overlap),  # INTERSECT/EXCEPT
             ("orders_without_lineitems", relational.orders_without_lineitems),  # shuffle anti-join
             ("daily_active_users", relational.daily_active_users),  # DAU distinct
+            ("session_stats", relational.session_stats),  # per-session rows
         ],
         # window / interval operators
         "window": [
@@ -461,6 +462,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("bloom_contamination", _bloom_contamination),  # exact bit sets
             ("dataset_fingerprint", sketch.dataset_fingerprint),  # mod-2^64 sum
             ("value_winsorize", sketch.value_winsorize),  # percentile clip
+            ("kmv_distinct", sketch.kmv_distinct),  # k-minimum-values sketch
         ],
         # text analysis
         "text": [
@@ -934,6 +936,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('day', ts) AS day, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY 1 ORDER BY day"
+        ),
+        # session_stats: per-session gap sessionization (ties in ts are
+        # harmless: equal timestamps can't open a session either way)
+        "session_stats": (
+            "WITH f AS (SELECT user_id, ts, CASE WHEN epoch_us(ts) - "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) "
+            f"> {SESSION_GAP_MIN * 60 * 1_000_000} THEN 1 ELSE 0 END AS brk "
+            "FROM events), "
+            "s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f) "
+            "SELECT user_id, CAST(sid AS BIGINT) AS session_idx, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) "
+            "AS duration_sec "
+            "FROM s GROUP BY user_id, sid"
+        ),
+        # kmv_distinct: k-minimum-values sketch, splitmix64 in HUGEINT; the
+        # estimate (k-1)*2^64 // kth is integer on both engines
+        "kmv_distinct": (
+            f"WITH e AS (SELECT DISTINCT ((CAST(user_id AS HUGEINT) % {_M64}) + {_M64}) % {_M64} AS x FROM events), "
+            f"s0 AS (SELECT (x + {0x9E3779B97F4A7C15}) % {_M64} AS z FROM e), "
+            f"s1 AS (SELECT {_mul64('xor(z, z // 1073741824)', 0xBF58476D1CE4E5B9)} AS z FROM s0), "
+            f"s2 AS (SELECT {_mul64('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FROM s1), "
+            "hh AS (SELECT xor(z, z // 2147483648) AS h FROM s2), "
+            "k AS (SELECT h FROM (SELECT DISTINCT h FROM hh) ORDER BY h LIMIT 64), "
+            "m AS (SELECT count(*) AS kk, max(h) AS kth FROM k) "
+            "SELECT CAST(kk AS BIGINT) AS k, "
+            "CAST(kth // 4294967296 AS BIGINT) AS kth_hi, "
+            "CAST(kth % 4294967296 AS BIGINT) AS kth_lo, "
+            f"CAST((kk - 1) * CAST({1 << 64} AS HUGEINT) // kth AS BIGINT) AS approx_distinct "
+            "FROM m"
         ),
         # user_event_overlap: distinct-key set algebra (INTERSECT / EXCEPT)
         "user_event_overlap": (

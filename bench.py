@@ -103,6 +103,8 @@ HEADLINE = [
     "orders_without_lineitems",
     "daily_active_users",
     "knn_graph",
+    "kmv_distinct",
+    "session_stats",
 ]
 
 

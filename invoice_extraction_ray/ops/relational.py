@@ -2085,3 +2085,69 @@ def daily_active_users(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
         return pa.table({"day": day, "n_users": t.column("n_users")})
 
     return agg.map_batches(label, batch_format="pyarrow").sort("day")
+
+
+def session_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-SESSION rows (sessionize emits per-user rollups): session index
+    within user, event count, and duration — the table session-replay /
+    engagement analytics feed from.  Same coarse user-shard groupby and one
+    vectorized numpy pass: session boundaries by gap rule, per-segment
+    counts via run starts, duration from the sorted run's endpoints."""
+    import numpy as np
+
+    from ._util import strip_schema_metadata
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        shard = pc.cast(
+            pc.bit_wise_and(t.column("user_id"), SESSION_SHARDS - 1), pa.int32()
+        )
+        return t.append_column("shard", shard)
+
+    _OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("session_idx", pa.int64()),
+            ("n_events", pa.int64()),
+            ("duration_sec", pa.int64()),
+        ]
+    )
+
+    def per_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        new_user = np.ones(len(uid), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        diff = np.empty(len(ts), dtype=np.int64)
+        diff[0] = 0
+        diff[1:] = ts[1:] - ts[:-1]
+        new_session = new_user | (diff > gap_us)
+        s_starts = np.flatnonzero(new_session)
+        s_ends = np.append(s_starts[1:], len(uid))
+        su = uid[s_starts]
+        first = np.ones(len(su), dtype=bool)
+        first[1:] = su[1:] != su[:-1]
+        seg0 = np.maximum.accumulate(np.where(first, np.arange(len(su)), 0))
+        ordinal = np.arange(len(su)) - seg0
+        return pa.table(
+            {
+                "user_id": pa.array(su, pa.int64()),
+                "session_idx": pa.array(ordinal.astype(np.int64), pa.int64()),
+                "n_events": pa.array((s_ends - s_starts).astype(np.int64), pa.int64()),
+                "duration_sec": pa.array(
+                    (ts[s_ends - 1] - ts[s_starts]) // 1_000_000, pa.int64()
+                ),
+            },
+            schema=_OUT,
+        )
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )

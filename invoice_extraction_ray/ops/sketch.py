@@ -813,3 +813,47 @@ def value_winsorize(sf_dir: str, lo: float = 0.05, hi: float = 0.95) -> ray.data
         )
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+KMV_K = 64
+
+
+def kmv_distinct(sf_dir: str, k: int = KMV_K) -> pa.Table:
+    """K-minimum-values distinct sketch over event users — the third
+    mergeable distinct counter next to HLL (registers) and exact two-stage
+    distinct: keep the k SMALLEST splitmix64 hashes of the key; the k-th
+    smallest estimates distinct count as ``(k-1) * 2^64 // kth`` (all
+    integer arithmetic — HUGEINT on the SQL side, python ints here — so
+    the estimate is bit-exact across engines, unlike a float KMV).
+
+    Scale shape: each batch emits its k smallest distinct-key hashes (a
+    valid combiner: min-k of min-k unions = global min-k); one bounded
+    merge finds the global k smallest.  State is k uint64s per block, ever."""
+    import numpy as np
+
+    from ._util import absorb_empty_blocks
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = np.unique(t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64))
+        h = np.unique(_hash64(u))  # sorted ascending, distinct
+        return pa.table({"h": pa.array(h[:k], pa.uint64())})
+
+    rows = (
+        absorb_empty_blocks(
+            ds.map_batches(partial, batch_format="pyarrow"), batch_size=131072
+        )
+        .take_all()  # <= k per block
+    )
+    all_h = np.unique(np.array([r["h"] for r in rows], dtype=np.uint64))
+    kth = int(all_h[min(k, len(all_h)) - 1])
+    est = (min(k, len(all_h)) - 1) * (1 << 64) // kth if kth else 0
+    return pa.table(
+        {
+            "k": pa.array([min(k, len(all_h))], pa.int64()),
+            "kth_hi": pa.array([kth >> 32], pa.int64()),
+            "kth_lo": pa.array([kth & 0xFFFFFFFF], pa.int64()),
+            "approx_distinct": pa.array([est], pa.int64()),
+        }
+    )

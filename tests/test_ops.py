@@ -2596,3 +2596,57 @@ def test_knn_graph_matches_bruteforce():
 
     with pytest.raises(ValueError, match="max_rows"):
         knn_graph(SF, max_rows=10)
+
+
+def test_kmv_distinct_matches_local_recompute():
+    """KMV sketch equals the local min-k recompute and lands near truth."""
+    import numpy as np
+
+    from invoice_extraction_ray.ops.sketch import _hash64, kmv_distinct
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])
+    users = np.unique(ev.column("user_id").to_numpy().astype(np.int64))
+    h = np.unique(_hash64(users))
+    k = min(64, len(h))
+    kth = int(h[k - 1])
+    est = (k - 1) * (1 << 64) // kth
+    got = kmv_distinct(SF).to_pylist()[0]
+    assert got == {
+        "k": k,
+        "kth_hi": kth >> 32,
+        "kth_lo": kth & 0xFFFFFFFF,
+        "approx_distinct": est,
+    }
+    # sketch sanity: within 3 standard errors (~1/sqrt(k)) of the truth
+    n = len(users)
+    assert abs(est - n) <= 3 * n / (64 ** 0.5)
+
+
+def test_session_stats_matches_local_recompute():
+    """Per-session rows equal the naive gap-rule recompute."""
+    from collections import defaultdict
+
+    from invoice_extraction_ray.ops.relational import SESSION_GAP_MIN, session_stats
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    per_user = defaultdict(list)
+    for u, ts in zip(ev.column("user_id").to_pylist(), ev.column("ts").to_pylist()):
+        per_user[u].append(ts)
+    gap = SESSION_GAP_MIN * 60
+    want = []
+    for u, tss in per_user.items():
+        tss.sort()
+        sessions = [[tss[0]]]
+        for prev, cur in zip(tss, tss[1:]):
+            if (cur - prev).total_seconds() > gap:
+                sessions.append([cur])
+            else:
+                sessions[-1].append(cur)
+        for i, s in enumerate(sessions):
+            want.append((u, i, len(s), int((s[-1] - s[0]).total_seconds())))
+    got = sorted(
+        (r["user_id"], r["session_idx"], r["n_events"], r["duration_sec"])
+        for r in session_stats(SF).take_all()
+    )
+    assert got == sorted(want)
+    assert any(n > 1 for _, _, n, _ in got)  # multi-event sessions exist
