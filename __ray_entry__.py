@@ -513,6 +513,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("weighted_sample", lambda sf: curate.weighted_sample(sf, 50)),
             ("source_cap", lambda sf: curate.source_cap(sf, 20)),  # domain caps
             ("gopher_rules", curate.gopher_rules),  # composite gate, bitmask
+            ("text_normalize", curate.text_normalize),  # stateless canon map
         ],
         # similarity search
         "ann": [
@@ -936,6 +937,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('day', ts) AS day, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY 1 ORDER BY day"
+        ),
+        # text_normalize: lowercase + \s+ collapse + trim, unicode-aware on
+        # both engines (corpus is ASCII; dedup_keep_best shares the rule)
+        "text_normalize": (
+            r"SELECT doc_id, "
+            r"trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) "
+            r"AS norm_text, "
+            r"CAST(length(trim(regexp_replace(lower(coalesce(text, '')), "
+            r"'\s+', ' ', 'g'))) AS BIGINT) AS n_chars "
+            r"FROM documents"
         ),
         # session_stats: per-session gap sessionization (ties in ts are
         # harmless: equal timestamps can't open a session either way)

@@ -619,3 +619,27 @@ def gopher_rules(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def text_normalize(sf_dir: str) -> ray.data.Dataset:
+    """Canonical text normalization — lowercase + whitespace collapse +
+    trim: the first stage of every dedup/tokenize pipeline, exposed as a
+    standalone stateless map (dedup_keep_best applies the same transform
+    inline).  Pure Arrow kernels per batch; embarrassingly parallel, no
+    shuffle, no state."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        x = pc.fill_null(t.column("text"), "")
+        x = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(x), r"\s+", " ")
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "norm_text": x,
+                "n_chars": pc.cast(pc.utf8_length(x), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")

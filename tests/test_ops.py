@@ -2650,3 +2650,22 @@ def test_session_stats_matches_local_recompute():
     )
     assert got == sorted(want)
     assert any(n > 1 for _, _, n, _ in got)  # multi-event sessions exist
+
+
+def test_text_normalize_matches_local_recompute():
+    """Arrow-kernel normalization equals the naive python transform."""
+    import re
+
+    from invoice_extraction_ray.ops.curate import text_normalize
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    want = {
+        d: re.sub(r"\s+", " ", (t or "").lower()).strip()
+        for d, t in zip(
+            docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+        )
+    }
+    got = {r["doc_id"]: (r["norm_text"], r["n_chars"]) for r in text_normalize(SF).take_all()}
+    assert len(got) == len(want)
+    for d, (nt, nc) in got.items():
+        assert nt == want[d] and nc == len(want[d])
