@@ -105,6 +105,7 @@ HEADLINE = [
     "knn_graph",
     "kmv_distinct",
     "session_stats",
+    "text_normalize",
 ]
 
 
