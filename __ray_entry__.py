@@ -484,6 +484,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("word_bigram_counts", lambda sf: text.word_bigram_counts(sf, 30)),
             ("bigram_lift", lambda sf: text.bigram_lift(sf, 20)),  # HUGEINT rational
             ("surprisal_buckets", text.surprisal_buckets),  # CCNet tertiles
+            ("tokenizer_fertility", text.tokenizer_fertility),  # BPE per word
         ],
         # dedup family
         "dedup": [
@@ -2035,6 +2036,7 @@ def oracle_sql() -> dict[str, str]:
 SF001_PINNED = [
     "conversation_stats",
     "conversation_pack",
+    "tokenizer_fertility",
     "boilerplate_scrub",
     "redact_names",
     "ivf_ann_topk",
@@ -2217,6 +2219,19 @@ def _sf001_pinned_oracles(sf001: str) -> dict[str, str]:
             "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
             "string_agg(extracted_text, chr(10)||chr(10) ORDER BY turn_idx) AS doc "
             f"FROM {T} GROUP BY conv_id"
+        ),
+        "tokenizer_fertility": (
+            r"WITH c AS (SELECT conv_id, turn_idx, "
+            r"len(regexp_extract_all(coalesce(text,''), '\S+')) AS w, "
+            "len(regexp_extract_all(coalesce(text,''), '"
+            + __import__("invoice_extraction_ray.ops.text", fromlist=["_BPE_RE"])
+            ._BPE_RE.pattern.replace("'", "''")
+            + "')) AS b "
+            f"FROM read_parquet('{_conv_glob}')) "
+            "SELECT conv_id, turn_idx, CAST(w AS BIGINT) AS n_ws_tokens, "
+            "CAST(b AS BIGINT) AS n_bpe_tokens, "
+            "CASE WHEN w > 0 THEN CAST((20000 * b + w) // (2 * w) AS BIGINT) "
+            "ELSE NULL END AS fertility_e4 FROM c"
         ),
         "conversation_stats": (
             "SELECT conv_id, count(*) AS n_turns, min(ts) AS first_ts, "

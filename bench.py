@@ -106,6 +106,7 @@ HEADLINE = [
     "kmv_distinct",
     "session_stats",
     "text_normalize",
+    "tokenizer_fertility",
 ]
 
 

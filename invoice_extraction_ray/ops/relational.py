@@ -1555,8 +1555,10 @@ def nation_revenue(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
             schema=_OUT,
         )
 
+    from ._util import absorb_empty_blocks
+
     merged = (
-        orders.union(li)
+        absorb_empty_blocks(orders.union(li), batch_size=131072)
         .groupby("oshard")
         .map_groups(merge_shard, batch_format="pyarrow")
     )

@@ -1465,3 +1465,41 @@ def surprisal_buckets(sf_dir: str) -> ray.data.Dataset:
         return t.append_column("bucket", pa.array(lab.tolist(), pa.string()))
 
     return scores.map_batches(bucket, batch_format="pyarrow")
+
+
+def tokenizer_fertility(sf_dir: str) -> ray.data.Dataset:
+    """Tokenizer-evaluation fertility: BPE pre-tokenizer pieces per
+    whitespace word, per TURN of the transcript corpus (the standard check
+    that a tokenizer isn't exploding a domain into fragments — run here on
+    the punctuation-rich transcript text; the synthetic documents table is
+    plain space-separated words, where fertility degenerates to 1.0
+    everywhere).  Round-half-up e4 integer ratio so both engines agree
+    exactly; zero-word turns report NULL fertility like SQL division.
+    Pure per-batch map over the two vectorized counting kernels — no
+    shuffle, no state."""
+    from ..corpus import transcripts_for
+
+    ds = ray.data.read_parquet(
+        transcripts_for(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column("text"), "")
+        n_bpe = pc.cast(pc.count_substring_regex(text, _BPE_RE.pattern), pa.int64())
+        _, parent = _ws_tokens(text)
+        w = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        b = n_bpe.to_numpy(zero_copy_only=False)
+        wd = np.maximum(w, 1)
+        fert = pa.array((20000 * b + wd) // (2 * wd), pa.int64())
+        fert = pc.if_else(pa.array(w > 0), fert, pa.scalar(None, pa.int64()))
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "n_ws_tokens": pa.array(w, pa.int64()),
+                "n_bpe_tokens": n_bpe,
+                "fertility_e4": fert,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

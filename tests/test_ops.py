@@ -2669,3 +2669,34 @@ def test_text_normalize_matches_local_recompute():
     assert len(got) == len(want)
     for d, (nt, nc) in got.items():
         assert nt == want[d] and nc == len(want[d])
+
+
+def test_tokenizer_fertility_matches_local_recompute():
+    """Fertility ratio over the transcript corpus equals the naive
+    regex/split recompute — and is non-degenerate there (the documents
+    table is plain word soup where fertility is 1.0 everywhere)."""
+    from invoice_extraction_ray.corpus import transcripts_for
+    from invoice_extraction_ray.ops.text import _BPE_RE, tokenizer_fertility
+
+    want = {}
+    for p in transcripts_for(SF):
+        t = pq.read_table(p, columns=["conv_id", "turn_idx", "text"])
+        for c, i, x in zip(
+            t.column("conv_id").to_pylist(),
+            t.column("turn_idx").to_pylist(),
+            t.column("text").to_pylist(),
+        ):
+            x = x or ""
+            w = len(x.split())
+            b = len(_BPE_RE.findall(x))
+            want[(c, i)] = (w, b, (20000 * b + w) // (2 * w) if w else None)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (
+            r["n_ws_tokens"],
+            r["n_bpe_tokens"],
+            r["fertility_e4"],
+        )
+        for r in tokenizer_fertility(SF).take_all()
+    }
+    assert got == want
+    assert any(v[2] and v[2] > 10000 for v in got.values())  # some frag > 1.0
