@@ -2700,3 +2700,105 @@ def test_tokenizer_fertility_matches_local_recompute():
     }
     assert got == want
     assert any(v[2] and v[2] > 10000 for v in got.values())  # some frag > 1.0
+
+
+def test_new_relational_family_random_differential(tmp_path):
+    """Seeded-random differential gate for the round-4 relational/sketch
+    additions: random star-schema + event tables (dangling order keys,
+    skewed brands, duplicate timestamps, multi-day spans) driven through
+    the REGISTERED oracle_sql() strings — the same SQL the driver gate
+    runs — so any drift between engine and oracle semantics on
+    non-fixture data is caught here."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    rng = np.random.RandomState(42)
+    n_ord, n_li, n_part, n_ev = 3000, 9000, 120, 4000
+    # every 7th order has no lineitems (anti-join rows)
+    okeys = np.arange(n_ord, dtype=np.int64) * 3 + 1
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(okeys),
+                "o_custkey": pa.array(rng.randint(0, 500, n_ord).astype(np.int64)),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    li_ok = okeys[rng.randint(0, n_ord, n_li)]
+    li_ok = li_ok[li_ok % 7 != 1]  # drop lineitems of every 7th order
+    m = len(li_ok)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(li_ok),
+                # zipf-ish skewed part keys, some dangling (not in part dim)
+                "l_partkey": pa.array(
+                    (rng.zipf(1.5, m) % (n_part + 30)).astype(np.int64)
+                ),
+                "l_suppkey": pa.array(rng.randint(0, 40, m).astype(np.int64)),
+                "l_quantity": rng.randint(1, 51, m).astype(np.float64),
+                "l_extendedprice": np.round(rng.uniform(1, 9999, m), 2),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
+                "p_brand": pa.array(
+                    [f"Brand#{i % 7}" for i in rng.randint(0, 25, n_part)]
+                ),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(rng.permutation(n_ev).astype(np.int64)),
+                "ts": pa.array(
+                    rng.randint(0, 5 * 86400 * 10**6, n_ev).astype(np.int64),
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array(rng.randint(0, 150, n_ev).astype(np.int64)),
+                "event_type": pa.array(
+                    [
+                        ["click", "purchase", "view", "error", "signup"][i]
+                        for i in rng.randint(0, 5, n_ev)
+                    ]
+                ),
+                "value": np.round(rng.uniform(0, 500, n_ev), 2),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+
+    con = duckdb.connect()
+    for tbl in ("orders", "lineitem", "part", "events"):
+        con.sql(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{tmp_path}/{tbl}.parquet')"
+        )
+    oracles = E.oracle_sql()
+    queries = E.queries()
+    for name in (
+        "brand_supplier_counts",
+        "small_quantity_revenue",
+        "orders_without_lineitems",
+        "user_event_overlap",
+        "daily_active_users",
+        "session_stats",
+        "kmv_distinct",
+    ):
+        res = queries[name](str(tmp_path))
+        rows = res.take_all() if hasattr(res, "take_all") else res.to_pylist()
+        cols = sorted(rows[0].keys()) if rows else []
+        got = sorted(tuple(r[c] for c in cols) for r in rows)
+        df = con.sql(oracles[name]).df()
+        want = sorted(
+            tuple(row[c] for c in cols) for _, row in df.iterrows()
+        )
+        assert got == want, f"{name}: engine != oracle on random data"
+        assert rows, f"{name}: degenerate (no rows) on random data"
