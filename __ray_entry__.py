@@ -440,6 +440,8 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("orders_without_lineitems", relational.orders_without_lineitems),  # shuffle anti-join
             ("daily_active_users", relational.daily_active_users),  # DAU distinct
             ("session_stats", relational.session_stats),  # per-session rows
+            ("user_first_seen", relational.user_first_seen),  # new users/day
+            ("order_details", relational.order_details),  # row-level hash join
         ],
         # window / interval operators
         "window": [
@@ -463,6 +465,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("dataset_fingerprint", sketch.dataset_fingerprint),  # mod-2^64 sum
             ("value_winsorize", sketch.value_winsorize),  # percentile clip
             ("kmv_distinct", sketch.kmv_distinct),  # k-minimum-values sketch
+            ("value_moments", sketch.value_moments),  # int128 mean/variance
         ],
         # text analysis
         "text": [
@@ -979,6 +982,40 @@ def oracle_sql() -> dict[str, str]:
             "CAST(kth % 4294967296 AS BIGINT) AS kth_lo, "
             f"CAST((kk - 1) * CAST({1 << 64} AS HUGEINT) // kth AS BIGINT) AS approx_distinct "
             "FROM m"
+        ),
+        # user_first_seen: new users per UTC day (global per-user MIN, then
+        # a day-bucket count)
+        "user_first_seen": (
+            "SELECT date_trunc('day', first_ts) AS day, "
+            "CAST(count(*) AS BIGINT) AS n_new_users "
+            "FROM (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1) "
+            "GROUP BY 1 ORDER BY day"
+        ),
+        # order_details: row-level fact-fact inner equi-join (hash-partition
+        # join emitting joined rows; priority filter pushed to the read)
+        "order_details": (
+            "SELECT l.l_orderkey AS o_orderkey, "
+            "CAST(l.l_linenumber AS BIGINT) AS l_linenumber, "
+            "o.o_custkey, o.o_orderdate, "
+            "CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) AS l_price_c "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE o.o_orderpriority = '1-URGENT'"
+        ),
+        # value_moments: exact integer moments per event type; the second
+        # moment rides as two int64 limbs (HUGEINT // and % on this side),
+        # variance is the exact floored rational (n*S2 - S1^2) // n^2
+        "value_moments": (
+            "WITH m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n, "
+            "CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT)) AS HUGEINT) AS s1, "
+            "sum(CAST(CAST(floor(value*100.0 + 0.5) AS BIGINT) AS HUGEINT) "
+            "* CAST(floor(value*100.0 + 0.5) AS BIGINT)) AS s2 "
+            "FROM events GROUP BY event_type) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n, "
+            "CAST(s1 AS BIGINT) AS sum_c, "
+            "CAST(s2 // 4294967296 AS BIGINT) AS c2_hi, "
+            "CAST(s2 % 4294967296 AS BIGINT) AS c2_lo, "
+            "CAST((n * s2 - s1 * s1) // (n * n) AS BIGINT) AS var_floor_c2 "
+            "FROM m ORDER BY event_type"
         ),
         # user_event_overlap: distinct-key set algebra (INTERSECT / EXCEPT)
         "user_event_overlap": (

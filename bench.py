@@ -107,6 +107,9 @@ HEADLINE = [
     "session_stats",
     "text_normalize",
     "tokenizer_fertility",
+    "user_first_seen",
+    "order_details",
+    "value_moments",
 ]
 
 

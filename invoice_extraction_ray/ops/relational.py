@@ -2153,3 +2153,204 @@ def session_stats(sf_dir: str) -> ray.data.Dataset:
         .groupby("shard")
         .map_groups(per_shard, batch_format="pyarrow")
     )
+
+
+def user_first_seen(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """New users per UTC day (growth accounting: the new-vs-returning
+    split's "new" curve).  A global per-key MIN followed by a time-bucket
+    count: per batch collapse to per-user min timestamp (one lexsort +
+    run firsts — min is associative, so batch minima are a valid
+    combiner), hash-shard by user so every partial for a user lands in
+    one shard, each shard resolves the global min per user and emits
+    per-day partial counts (additive across shards — shards partition
+    the user space).  Only |distinct users per block| rows ever shuffle.
+    """
+    import numpy as np
+
+    from ._util import absorb_empty_blocks, int_segment_sum
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "user_id"])
+    _US_PER_DAY = 86_400_000_000
+
+    _PAIR = pa.schema(
+        [("ushard", pa.int32()), ("user", pa.int64()), ("min_us", pa.int64())]
+    )
+
+    def partial_min(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((us, u))
+        su, sus = u[order], us[order]
+        first = np.ones(len(su), dtype=bool)
+        first[1:] = su[1:] != su[:-1]
+        keep = np.flatnonzero(first)
+        ku = su[keep]
+        return pa.table(
+            {
+                "ushard": pa.array(
+                    (((ku * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+                ),
+                "user": pa.array(ku, pa.int64()),
+                "min_us": pa.array(sus[keep], pa.int64()),
+            },
+            schema=_PAIR,
+        )
+
+    _PART = pa.schema([("day_i", pa.int64()), ("n", pa.int64())])
+
+    def shard_days(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PART.empty_table()
+        u = g.column("user").to_numpy(zero_copy_only=False)
+        us = g.column("min_us").to_numpy(zero_copy_only=False)
+        order = np.lexsort((us, u))
+        su, sus = u[order], us[order]
+        first = np.ones(len(su), dtype=bool)
+        first[1:] = su[1:] != su[:-1]
+        day = np.sort(sus[np.flatnonzero(first)] // _US_PER_DAY)
+        new = np.ones(len(day), dtype=bool)
+        new[1:] = day[1:] != day[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "day_i": pa.array(day[starts], pa.int64()),
+                "n": pa.array(int_segment_sum(np.ones(len(day), np.int64), starts)),
+            },
+            schema=_PART,
+        )
+
+    agg = (
+        absorb_empty_blocks(
+            ds.map_batches(partial_min, batch_format="pyarrow"), batch_size=131072
+        )
+        .groupby("ushard")
+        .map_groups(
+            lambda g: shard_days(g.drop_columns(["ushard"])), batch_format="pyarrow"
+        )
+        .groupby("day_i")
+        .aggregate(Sum("n", alias_name="n_new_users"))
+    )
+
+    def label(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.multiply(t.column("day_i"), _US_PER_DAY), pa.timestamp("us"))
+        return pa.table({"day": day, "n_new_users": t.column("n_new_users")})
+
+    return agg.map_batches(label, batch_format="pyarrow").sort("day")
+
+
+def order_details(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
+    """Row-LEVEL fact-fact inner equi-join (urgent orders x their
+    lineitems) — the canonical hash-partition (repartition) join, for when
+    the join must emit JOINED ROWS rather than an aggregate and neither
+    side is broadcastable: both facts project to slim payload rows, union
+    into one orderkey-shard stream, and each shard does a vectorized
+    sorted-merge probe (orders are unique per key, so one searchsorted).
+    Contrast brand_revenue (broadcast small side) and
+    orders_without_lineitems (anti-join, keys only): this is the shape
+    that moves per-row payloads and streams join output block-by-block.
+
+    Scale notes: each side ships only the projected payload columns; the
+    probe filter is pushed into the orders READ (row-group pruning); the
+    output is fact-sized but never concentrated — each shard emits its own
+    blocks straight into the downstream stream."""
+    import numpy as np
+
+    from ._util import absorb_empty_blocks
+
+    _MERGED = pa.schema(
+        [
+            ("oshard", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.int8()),
+            ("a", pa.int64()),  # orders: o_custkey     | lineitem: l_linenumber
+            ("b", pa.int64()),  # orders: o_orderdate us | lineitem: price cents
+        ]
+    )
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        okey = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(okey)),
+                "key": pa.array(okey, pa.int64()),
+                "side": pa.array(np.ones(len(okey), dtype=np.int8), pa.int8()),
+                "a": t.column("o_custkey").cast(pa.int64()),
+                "b": t.column("o_orderdate").cast(pa.int64()),
+            },
+            schema=_MERGED,
+        )
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        lkey = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        price_c = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(lkey)),
+                "key": pa.array(lkey, pa.int64()),
+                "side": pa.array(np.zeros(len(lkey), dtype=np.int8), pa.int8()),
+                "a": t.column("l_linenumber").cast(pa.int64()),
+                "b": pa.array(price_c, pa.int64()),
+            },
+            schema=_MERGED,
+        )
+
+    orders = ray.data.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderpriority") == "1-URGENT"),
+    ).map_batches(ord_rows, batch_format="pyarrow")
+    li = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    ).map_batches(li_rows, batch_format="pyarrow")
+
+    _OUT = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("l_linenumber", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("l_price_c", pa.int64()),
+        ]
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        bmask = side == 1
+        bkey, bcust, bdate = keys[bmask], a[bmask], b[bmask]
+        order = np.argsort(bkey)
+        bkey, bcust, bdate = bkey[order], bcust[order], bdate[order]
+        pk, pln, pprice = keys[~bmask], a[~bmask], b[~bmask]
+        pos = np.searchsorted(bkey, pk)
+        hit = (pos < len(bkey)) & (
+            bkey[np.minimum(pos, max(len(bkey) - 1, 0))] == pk
+        )
+        pos = pos[hit]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(pk[hit], pa.int64()),
+                "l_linenumber": pa.array(pln[hit], pa.int64()),
+                "o_custkey": pa.array(bcust[pos], pa.int64()),
+                "o_orderdate": pa.array(bdate[pos], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "l_price_c": pa.array(pprice[hit], pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    return (
+        absorb_empty_blocks(orders.union(li), batch_size=131072)
+        .groupby("oshard")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -857,3 +857,99 @@ def kmv_distinct(sf_dir: str, k: int = KMV_K) -> pa.Table:
             "approx_distinct": pa.array([est], pa.int64()),
         }
     )
+
+
+def value_moments(sf_dir: str) -> pa.Table:
+    """Exact mergeable MOMENTS per event_type — the parallel mean/variance
+    primitive (Chan et al. pairwise update, kept in integers): n, sum of
+    cents, and sum of squared cents carried as TWO int64 limbs (hi/lo by
+    2^32) so the second moment never overflows at any corpus size — cents
+    are < 2^35 here, so per-row squares fit int64, per-batch sums fit
+    int64, and the cross-batch limb sums stay below 2^63 past 10^13 rows.
+    The final (tiny, |event types| rows) table normalizes the limbs with
+    python ints and derives the exact floored variance
+    ``(n*S2 - S1^2) // n^2`` in cents^2 — bit-equal to the HUGEINT SQL
+    mirror, unlike any float aggregation order.
+
+    Scale shape: one stateless per-batch combiner emits |types| partial
+    rows per block; one groupby sums the four int64 columns; everything
+    after is O(|types|)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ._util import absorb_empty_blocks, int_bincount
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
+
+    _PART = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("s1", pa.int64()),
+            ("s2_hi", pa.int64()),
+            ("s2_lo", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        enc = t.column("event_type").combine_chunks().dictionary_encode()
+        types = enc.dictionary
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(types)
+        n = int_bincount(idx, np.ones(len(c), np.int64), minlength=k)
+        s1 = int_bincount(idx, c, minlength=k)
+        s2 = int_bincount(idx, c * c, minlength=k)  # < 2^49 per row, batch-safe
+        return pa.table(
+            {
+                "event_type": types,
+                "n": pa.array(n, pa.int64()),
+                "s1": pa.array(s1, pa.int64()),
+                "s2_hi": pa.array(s2 >> 32, pa.int64()),
+                "s2_lo": pa.array(s2 & 0xFFFFFFFF, pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    agg = (
+        absorb_empty_blocks(
+            ds.map_batches(partial, batch_format="pyarrow"), batch_size=131072
+        )
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2_hi", alias_name="s2_hi"),
+            Sum("s2_lo", alias_name="s2_lo"),
+        )
+    )
+    rows = sorted(agg.take_all(), key=lambda r: r["event_type"])  # |types| rows
+    out = {
+        "event_type": [],
+        "n": [],
+        "sum_c": [],
+        "c2_hi": [],
+        "c2_lo": [],
+        "var_floor_c2": [],
+    }
+    for r in rows:
+        n, s1 = int(r["n"]), int(r["s1"])
+        s2 = (int(r["s2_hi"]) << 32) + int(r["s2_lo"])  # exact int128 in python
+        out["event_type"].append(r["event_type"])
+        out["n"].append(n)
+        out["sum_c"].append(s1)
+        out["c2_hi"].append(s2 >> 32)
+        out["c2_lo"].append(s2 & 0xFFFFFFFF)
+        out["var_floor_c2"].append((n * s2 - s1 * s1) // (n * n))
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "sum_c": pa.array(out["sum_c"], pa.int64()),
+            "c2_hi": pa.array(out["c2_hi"], pa.int64()),
+            "c2_lo": pa.array(out["c2_lo"], pa.int64()),
+            "var_floor_c2": pa.array(out["var_floor_c2"], pa.int64()),
+        }
+    )

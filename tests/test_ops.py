@@ -2722,6 +2722,16 @@ def test_new_relational_family_random_differential(tmp_path):
             {
                 "o_orderkey": pa.array(okeys),
                 "o_custkey": pa.array(rng.randint(0, 500, n_ord).astype(np.int64)),
+                "o_orderdate": pa.array(
+                    (rng.randint(0, 90, n_ord) * 86400 * 10**6).astype(np.int64),
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(
+                    [
+                        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"][i]
+                        for i in rng.randint(0, 5, n_ord)
+                    ]
+                ),
             }
         ),
         str(tmp_path / "orders.parquet"),
@@ -2738,6 +2748,9 @@ def test_new_relational_family_random_differential(tmp_path):
                     (rng.zipf(1.5, m) % (n_part + 30)).astype(np.int64)
                 ),
                 "l_suppkey": pa.array(rng.randint(0, 40, m).astype(np.int64)),
+                "l_linenumber": pa.array(
+                    (rng.randint(1, 8, m)).astype(np.int32), pa.int32()
+                ),
                 "l_quantity": rng.randint(1, 51, m).astype(np.float64),
                 "l_extendedprice": np.round(rng.uniform(1, 9999, m), 2),
             }
@@ -2791,6 +2804,9 @@ def test_new_relational_family_random_differential(tmp_path):
         "daily_active_users",
         "session_stats",
         "kmv_distinct",
+        "user_first_seen",
+        "order_details",
+        "value_moments",
     ):
         res = queries[name](str(tmp_path))
         rows = res.take_all() if hasattr(res, "take_all") else res.to_pylist()
@@ -2802,3 +2818,103 @@ def test_new_relational_family_random_differential(tmp_path):
         )
         assert got == want, f"{name}: engine != oracle on random data"
         assert rows, f"{name}: degenerate (no rows) on random data"
+
+
+def test_user_first_seen_matches_local_recompute():
+    """New-users-per-day equals the per-user-min recompute; shard-count
+    invariant."""
+    from invoice_extraction_ray.ops.relational import user_first_seen
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "user_id"])
+    first = {}
+    for u, us in zip(
+        ev.column("user_id").to_pylist(), ev.column("ts").cast(pa.int64()).to_pylist()
+    ):
+        if u not in first or us < first[u]:
+            first[u] = us
+    want = {}
+    for us in first.values():
+        d = us // 86_400_000_000
+        want[d] = want.get(d, 0) + 1
+    got = {
+        int(r["day"].timestamp() * 1_000_000) // 86_400_000_000: r["n_new_users"]
+        for r in user_first_seen(SF, n_shards=7).take_all()
+    }
+    assert got == want
+    assert sum(got.values()) == len(first)  # every user exactly once
+
+
+def test_order_details_matches_local_recompute():
+    """Row-level hash-partition join equals the naive dict-probe join."""
+    from invoice_extraction_ray.ops.relational import order_details
+
+    orders = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    build = {
+        k: (c, d)
+        for k, c, d, p in zip(
+            orders.column("o_orderkey").to_pylist(),
+            orders.column("o_custkey").to_pylist(),
+            orders.column("o_orderdate").cast(pa.int64()).to_pylist(),
+            orders.column("o_orderpriority").to_pylist(),
+        )
+        if p == "1-URGENT"
+    }
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    want = sorted(
+        (k, ln, build[k][0], build[k][1], int(np.floor(px * 100.0 + 0.5)))
+        for k, ln, px in zip(
+            li.column("l_orderkey").to_pylist(),
+            li.column("l_linenumber").to_pylist(),
+            li.column("l_extendedprice").to_pylist(),
+        )
+        if k in build
+    )
+    got = sorted(
+        (
+            r["o_orderkey"],
+            r["l_linenumber"],
+            r["o_custkey"],
+            int(r["o_orderdate"].timestamp() * 1_000_000),
+            r["l_price_c"],
+        )
+        for r in order_details(SF, num_shards=11).take_all()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_value_moments_matches_local_recompute():
+    """Limb-carried second moment and floored variance equal the exact
+    python-int recompute."""
+    from invoice_extraction_ray.ops.sketch import value_moments
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "value"])
+    acc = {}
+    for ty, v in zip(
+        ev.column("event_type").to_pylist(), ev.column("value").to_pylist()
+    ):
+        c = int(np.floor(v * 100.0 + 0.5))
+        n, s1, s2 = acc.get(ty, (0, 0, 0))
+        acc[ty] = (n + 1, s1 + c, s2 + c * c)
+    t = value_moments(SF)
+    got = {
+        r["event_type"]: (
+            r["n"],
+            r["sum_c"],
+            (r["c2_hi"] << 32) + r["c2_lo"],
+            r["var_floor_c2"],
+        )
+        for r in t.to_pylist()
+    }
+    want = {
+        ty: (n, s1, s2, (n * s2 - s1 * s1) // (n * n))
+        for ty, (n, s1, s2) in acc.items()
+    }
+    assert got == want
+    assert all(v[3] >= 0 for v in got.values())  # variance nonneg
