@@ -388,7 +388,15 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
     these so ANY prefix the driver samples spans every family — round 3's
     driver gate took the first 50 insertion-order entries and the entire
     dedup/ANN/curation/media families fell outside them."""
-    from invoice_extraction_ray.ops import ann, curate, dedup, relational, sketch, text
+    from invoice_extraction_ray.ops import (
+        ann,
+        curate,
+        dedup,
+        graph,
+        relational,
+        sketch,
+        text,
+    )
     from invoice_extraction_ray.ops.multimodal import media_ann_topk, media_metadata
 
     return {
@@ -442,6 +450,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("session_stats", relational.session_stats),  # per-session rows
             ("user_first_seen", relational.user_first_seen),  # new users/day
             ("order_details", relational.order_details),  # row-level hash join
+            ("pagerank", graph.pagerank),  # iterative message passing
         ],
         # window / interval operators
         "window": [
@@ -1016,6 +1025,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(s2 % 4294967296 AS BIGINT) AS c2_lo, "
             "CAST((n * s2 - s1 * s1) // (n * n) AS BIGINT) AS var_floor_c2 "
             "FROM m ORDER BY event_type"
+        ),
+        # pagerank: 3 unrolled integer power iterations over the
+        # part<->supplier bipartite edge set; floor division at the
+        # contribution and damping steps keeps both engines bit-equal
+        "pagerank": (
+            "WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s "
+            "FROM lineitem), "
+            "e AS (SELECT p*2 AS src, s*2+1 AS dst FROM pairs "
+            "UNION ALL SELECT s*2+1, p*2 FROM pairs), "
+            "d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src), "
+            "r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM d), "
+            "r1 AS (SELECT e.dst AS id, 150000 + 85 * sum(r0.r // d.deg) // 100 AS r "
+            "FROM e JOIN d ON e.src = d.src JOIN r0 ON e.src = r0.id GROUP BY e.dst), "
+            "r2 AS (SELECT e.dst AS id, 150000 + 85 * sum(r1.r // d.deg) // 100 AS r "
+            "FROM e JOIN d ON e.src = d.src JOIN r1 ON e.src = r1.id GROUP BY e.dst), "
+            "r3 AS (SELECT e.dst AS id, 150000 + 85 * sum(r2.r // d.deg) // 100 AS r "
+            "FROM e JOIN d ON e.src = d.src JOIN r2 ON e.src = r2.id GROUP BY e.dst) "
+            "SELECT CASE WHEN id % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind, "
+            "CAST(id // 2 AS BIGINT) AS key, CAST(r AS BIGINT) AS rank_ppm "
+            "FROM r3 ORDER BY kind, key"
         ),
         # user_event_overlap: distinct-key set algebra (INTERSECT / EXCEPT)
         "user_event_overlap": (

@@ -110,6 +110,7 @@ HEADLINE = [
     "user_first_seen",
     "order_details",
     "value_moments",
+    "pagerank",
 ]
 
 

@@ -2807,6 +2807,7 @@ def test_new_relational_family_random_differential(tmp_path):
         "user_first_seen",
         "order_details",
         "value_moments",
+        "pagerank",
     ):
         res = queries[name](str(tmp_path))
         rows = res.take_all() if hasattr(res, "take_all") else res.to_pylist()
@@ -2918,3 +2919,40 @@ def test_value_moments_matches_local_recompute():
     }
     assert got == want
     assert all(v[3] >= 0 for v in got.values())  # variance nonneg
+
+
+def test_pagerank_matches_local_recompute():
+    """3-iteration integer PageRank equals the pure-python power iteration;
+    shard-count invariant."""
+    from invoice_extraction_ray.ops.graph import pagerank
+
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    pairs = sorted(
+        set(
+            zip(
+                li.column("l_partkey").to_pylist(),
+                li.column("l_suppkey").to_pylist(),
+            )
+        )
+    )
+    edges = [(p * 2, s * 2 + 1) for p, s in pairs] + [
+        (s * 2 + 1, p * 2) for p, s in pairs
+    ]
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    r = {u: 1_000_000 for u in deg}
+    for _ in range(3):
+        inc = {}
+        for u, v in edges:
+            inc[v] = inc.get(v, 0) + r[u] // deg[u]
+        r = {v: 150_000 + 85 * m // 100 for v, m in inc.items()}
+    want = sorted(
+        ("part" if v % 2 == 0 else "supplier", v >> 1, rv) for v, rv in r.items()
+    )
+    got = sorted(
+        (row["kind"], row["key"], row["rank_ppm"])
+        for row in pagerank(SF, n_shards=5).take_all()
+    )
+    assert got == want
+    assert len(got) == len(deg)  # every vertex ranked
