@@ -451,6 +451,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("user_first_seen", relational.user_first_seen),  # new users/day
             ("order_details", relational.order_details),  # row-level hash join
             ("pagerank", graph.pagerank),  # iterative message passing
+            ("copurchase_pairs", relational.copurchase_pairs),  # basket mining
         ],
         # window / interval operators
         "window": [
@@ -1045,6 +1046,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CASE WHEN id % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind, "
             "CAST(id // 2 AS BIGINT) AS key, CAST(r AS BIGINT) AS rank_ppm "
             "FROM r3 ORDER BY kind, key"
+        ),
+        # copurchase_pairs: market-basket pair mining — top-k part pairs
+        # co-occurring in orders; full ORDER BY makes the LIMIT-20 set
+        # deterministic under ties on both engines
+        "copurchase_pairs": (
+            "WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b "
+            "FROM dp a JOIN dp b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey) "
+            "SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM pairs GROUP BY 1, 2 "
+            "ORDER BY n_orders DESC, part_a, part_b LIMIT 20"
         ),
         # user_event_overlap: distinct-key set algebra (INTERSECT / EXCEPT)
         "user_event_overlap": (

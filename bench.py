@@ -111,6 +111,7 @@ HEADLINE = [
     "order_details",
     "value_moments",
     "pagerank",
+    "copurchase_pairs",
 ]
 
 

@@ -2808,6 +2808,7 @@ def test_new_relational_family_random_differential(tmp_path):
         "order_details",
         "value_moments",
         "pagerank",
+        "copurchase_pairs",
     ):
         res = queries[name](str(tmp_path))
         rows = res.take_all() if hasattr(res, "take_all") else res.to_pylist()
@@ -2956,3 +2957,30 @@ def test_pagerank_matches_local_recompute():
     )
     assert got == want
     assert len(got) == len(deg)  # every vertex ranked
+
+
+def test_copurchase_pairs_matches_local_recompute():
+    """Vectorized basket pair mining equals the itertools recompute."""
+    from itertools import combinations
+
+    from invoice_extraction_ray.ops.relational import copurchase_pairs
+
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    baskets = {}
+    for o, p in zip(
+        li.column("l_orderkey").to_pylist(), li.column("l_partkey").to_pylist()
+    ):
+        baskets.setdefault(o, set()).add(p)
+    counts = {}
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    want = sorted(
+        ((a, b, n) for (a, b), n in counts.items()),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )[:20]
+    got = [
+        (r["part_a"], r["part_b"], r["n_orders"])
+        for r in copurchase_pairs(SF, n_shards=9, n_pair_shards=7).take_all()
+    ]
+    assert got == want
