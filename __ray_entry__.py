@@ -452,6 +452,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("order_details", relational.order_details),  # row-level hash join
             ("pagerank", graph.pagerank),  # iterative message passing
             ("copurchase_pairs", relational.copurchase_pairs),  # basket mining
+            ("data_quality_report", relational.data_quality_report),  # contract audit
         ],
         # window / interval operators
         "window": [
@@ -528,6 +529,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("source_cap", lambda sf: curate.source_cap(sf, 20)),  # domain caps
             ("gopher_rules", curate.gopher_rules),  # composite gate, bitmask
             ("text_normalize", curate.text_normalize),  # stateless canon map
+            ("token_budget_mix", curate.token_budget_mix),  # per-source budgets
         ],
         # similarity search
         "ann": [
@@ -1046,6 +1048,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CASE WHEN id % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind, "
             "CAST(id // 2 AS BIGINT) AS key, CAST(r AS BIGINT) AS rank_ppm "
             "FROM r3 ORDER BY kind, key"
+        ),
+        # data_quality_report: contract audit — one row per check; scalar
+        # checks / two-stage-distinct dup-pk / row-weighted FK anti-join
+        "data_quality_report": (
+            "SELECT 'dangling_orderkey' AS check_name, CAST((SELECT count(*) "
+            "FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_violations "
+            "UNION ALL SELECT 'discount_out_of_range', CAST((SELECT count(*) "
+            "FROM lineitem WHERE l_discount < 0 OR l_discount > 1) AS BIGINT) "
+            "UNION ALL SELECT 'duplicate_pk', CAST((SELECT count(*) - "
+            "count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem) AS BIGINT) "
+            "UNION ALL SELECT 'nonpositive_price', CAST((SELECT count(*) "
+            "FROM lineitem WHERE l_extendedprice <= 0) AS BIGINT) "
+            "UNION ALL SELECT 'null_quantity', CAST((SELECT count(*) - "
+            "count(l_quantity) FROM lineitem) AS BIGINT) "
+            "UNION ALL SELECT 'rows_total', CAST((SELECT count(*) FROM lineitem) "
+            "AS BIGINT) ORDER BY check_name"
+        ),
+        # token_budget_mix: per-source token budgets — keep each source's
+        # splitmix-priority prefix whose inclusive token cumsum <= 600
+        "token_budget_mix": (
+            _SPLITMIX_DOC
+            + r" SELECT doc_id, source, n_tokens, cum_tokens FROM ("
+            r"SELECT d.doc_id, d.source, "
+            r"CAST(len(regexp_extract_all(coalesce(d.text, ''), '\S+')) AS BIGINT) "
+            r"AS n_tokens, "
+            r"CAST(sum(len(regexp_extract_all(coalesce(d.text, ''), '\S+'))) "
+            r"OVER (PARTITION BY d.source ORDER BY h.h // 2, d.doc_id "
+            r"ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens "
+            r"FROM h JOIN documents d USING (doc_id)) "
+            r"WHERE cum_tokens <= 600 ORDER BY source, cum_tokens, doc_id"
         ),
         # copurchase_pairs: market-basket pair mining — top-k part pairs
         # co-occurring in orders; full ORDER BY makes the LIMIT-20 set

@@ -112,6 +112,8 @@ HEADLINE = [
     "value_moments",
     "pagerank",
     "copurchase_pairs",
+    "token_budget_mix",
+    "data_quality_report",
 ]
 
 

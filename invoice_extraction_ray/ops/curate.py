@@ -643,3 +643,144 @@ def text_normalize(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def token_budget_mix(
+    sf_dir: str,
+    budget: int = 600,
+    n_shards: int = 64,
+    override_num_blocks: int | None = None,
+) -> ray.data.Dataset:
+    """Per-source TOKEN-budget enforcement — the pretraining-mix step that
+    ``source_cap`` (doc-count caps) can't express: each source contributes
+    documents in deterministic splitmix64(doc_id) priority order until its
+    cumulative whitespace-token count reaches ``budget``; the kept set is
+    the prefix whose INCLUSIVE running sum stays <= budget (SQL QUALIFY
+    window mirror), reproducible at any parallelism, no RNG.
+
+    Scale shape: a per-batch prefilter drops every doc whose within-batch
+    per-source running sum already exceeds the budget — valid because the
+    global prefix sum at a doc is >= any subset's — so each block ships
+    roughly one budget's worth of rows per source it touches, never the
+    corpus; the crc32 source-shard groupby (coarse, never per-source)
+    finishes the exact global prefix with one lexsort + segment cumsum."""
+    import zlib
+
+    import pyarrow.compute as pc
+
+    from ._util import absorb_empty_blocks
+
+    def keep_prefix(t: pa.Table) -> pa.Table:
+        t = t.sort_by(
+            [
+                ("source", "ascending"),
+                ("priority", "ascending"),
+                ("doc_id", "ascending"),
+            ]
+        )
+        src = t.column("source").combine_chunks()
+        n = t.num_rows
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = ~pc.equal(src.slice(1), src.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        toks = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        cum = np.cumsum(toks)
+        base = np.repeat(cum[np.flatnonzero(new)] - toks[np.flatnonzero(new)],
+                         np.diff(np.append(np.flatnonzero(new), n)))
+        cum = cum - base  # inclusive per-source running sum
+        t = t.set_column(
+            t.schema.get_field_index("cum_tokens"),
+            "cum_tokens",
+            pa.array(cum, pa.int64()),
+        )
+        return t.filter(pa.array(cum <= budget))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = (_hash64(ids) >> np.uint64(1)).astype(np.int64)
+        toks = pc.cast(
+            pc.count_substring_regex(pc.fill_null(t.column("text"), ""), r"\S+"),
+            pa.int64(),
+        )
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = src.dictionary_encode()
+        shard_of = np.fromiter(
+            (zlib.crc32(v.encode()) % n_shards for v in d.dictionary.to_pylist()),
+            dtype=np.int32,
+            count=len(d.dictionary),
+        )
+        out = pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "source": src,
+                "priority": pa.array(p),
+                "n_tokens": toks,
+                "cum_tokens": pa.array(np.zeros(len(ids), np.int64)),
+                "sshard": pa.array(
+                    shard_of[d.indices.to_numpy(zero_copy_only=False)], pa.int32()
+                ),
+            }
+        ).sort_by(
+            [
+                ("source", "ascending"),
+                ("priority", "ascending"),
+                ("doc_id", "ascending"),
+            ]
+        )
+        # prefix-sum prefilter with a BOUNDARY SENTINEL: docs whose
+        # within-batch per-source running sum exceeds the budget cannot be
+        # in the global prefix (batch sum <= global sum), but their tokens
+        # still gate later docs from OTHER batches — so the first
+        # over-budget doc of each (batch, source) run is kept as a sentinel
+        # carrying weight budget+1.  At the shard merge, every kept doc
+        # provably precedes all sentinels of its source (else its cumsum
+        # would exceed the budget), so kept docs see the EXACT global
+        # prefix sum, and sentinels can never pass the filter themselves.
+        n = out.num_rows
+        srt = out.column("source").combine_chunks()
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = ~pc.equal(srt.slice(1), srt.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        tk = out.column("n_tokens").to_numpy(zero_copy_only=False)
+        cum = np.cumsum(tk)
+        starts = np.flatnonzero(new)
+        base = np.repeat(cum[starts] - tk[starts], np.diff(np.append(starts, n)))
+        cum = cum - base
+        keep = cum <= budget
+        prev_ok = np.ones(n, dtype=bool)
+        prev_ok[1:] = keep[:-1]
+        sent_idx = np.flatnonzero(~keep & (new | prev_ok))
+        kept = out.filter(pa.array(keep))
+        if len(sent_idx):
+            sent = out.take(pa.array(sent_idx))
+            sent = sent.set_column(
+                sent.schema.get_field_index("n_tokens"),
+                "n_tokens",
+                pa.array(np.full(len(sent_idx), budget + 1, np.int64)),
+            )
+            kept = pa.concat_tables([kept, sent])
+        return kept
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "documents"),
+        columns=["doc_id", "source", "text"],
+        override_num_blocks=override_num_blocks,
+    )
+    kept = (
+        absorb_empty_blocks(ds.map_batches(partial, batch_format="pyarrow"))
+        .groupby("sshard")
+        .map_groups(
+            lambda t: keep_prefix(t).drop_columns(["sshard"]), batch_format="pyarrow"
+        )
+        .map_batches(
+            lambda t: t.select(["doc_id", "source", "n_tokens", "cum_tokens"]),
+            batch_format="pyarrow",
+        )
+    )
+    return kept.sort(["source", "cum_tokens", "doc_id"])

@@ -2474,3 +2474,162 @@ def copurchase_pairs(
     return survivors.sort(
         ["n_orders", "part_a", "part_b"], descending=[True, False, False]
     ).limit(k)
+
+
+def data_quality_report(sf_dir: str, n_shards: int = 64) -> pa.Table:
+    """Data-contract validation (the expectations/audit pass every pipeline
+    runs before training): one report row per CHECK with its violation
+    count over lineitem — null field, non-positive price, out-of-range
+    discount, duplicate primary key (o_orderkey, l_linenumber), and
+    dangling foreign key (lineitem rows whose order does not exist).
+
+    Scale shape: the scalar checks reduce to ONE counter row per block
+    (driver sees <= |blocks| rows); duplicate-pk is the two-stage-distinct
+    shape (per-batch np.unique over packed keys, pair-shard dedup,
+    additive per-shard distinct counts); the FK check is the shuffle
+    anti-join shape with per-key ROW counts riding the probe side so the
+    violation count weights rows, not keys.  Nothing fact-sized reaches
+    the driver."""
+    import numpy as np
+
+    from ._util import absorb_empty_blocks
+
+    cols = [
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    ]
+    li = ray.data.read_parquet(_pq(sf_dir, "lineitem"), columns=cols)
+
+    # ---- scalar per-row checks: one partial counter row per block --------
+    def scalar_partial(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity")
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "rows_total": pa.array([t.num_rows], pa.int64()),
+                "null_quantity": pa.array([q.null_count], pa.int64()),
+                "nonpositive_price": pa.array([int((price <= 0).sum())], pa.int64()),
+                "discount_out_of_range": pa.array(
+                    [int(((disc < 0) | (disc > 1)).sum())], pa.int64()
+                ),
+            }
+        )
+
+    scalars = li.map_batches(scalar_partial, batch_format="pyarrow").take_all()
+    agg = {
+        k: sum(r[k] for r in scalars)
+        for k in ("rows_total", "null_quantity", "nonpositive_price",
+                  "discount_out_of_range")
+    }
+
+    # ---- duplicate PK: two-stage distinct over packed (okey, linenumber) -
+    def pk_partial(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = t.column("l_linenumber").to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = np.unique((o << 3) | ln)  # linenumber in 1..7 (3 bits)
+        return pa.table(
+            {
+                "pshard": pa.array(
+                    (((packed * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+                ),
+                "packed": pa.array(packed, pa.int64()),
+            }
+        )
+
+    def pk_count(g: pa.Table) -> pa.Table:
+        n = len(np.unique(g.column("packed").to_numpy(zero_copy_only=False)))
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    distinct_rows = (
+        absorb_empty_blocks(
+            li.map_batches(pk_partial, batch_format="pyarrow"), batch_size=131072
+        )
+        .groupby("pshard")
+        .map_groups(
+            lambda g: pk_count(g.drop_columns(["pshard"])), batch_format="pyarrow"
+        )
+        .take_all()  # <= n_shards rows
+    )
+    dup_pk = agg["rows_total"] - sum(r["n"] for r in distinct_rows)
+
+    # ---- dangling FK: shuffle anti-join with row counts on the probe side
+    _KEYS = pa.schema([("kshard", pa.int32()), ("key", pa.int64()),
+                       ("cnt", pa.int64()), ("side", pa.int8())])
+
+    def li_keys(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, cnt = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "kshard": pa.array(
+                    (((uk * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+                ),
+                "key": pa.array(uk, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(uk), np.int8), pa.int8()),
+            },
+            schema=_KEYS,
+        )
+
+    def ord_keys(t: pa.Table) -> pa.Table:
+        k = np.unique(
+            t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "kshard": pa.array(
+                    (((k * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+                ),
+                "key": pa.array(k, pa.int64()),
+                "cnt": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+                "side": pa.array(np.ones(len(k), np.int8), pa.int8()),
+            },
+            schema=_KEYS,
+        )
+
+    def dangling(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False)
+        have = np.unique(keys[side == 1])
+        pk, pc_ = keys[side == 0], cnt[side == 0]
+        pos = np.searchsorted(have, pk)
+        miss = (pos >= len(have)) | (have[np.minimum(pos, max(len(have) - 1, 0))] != pk)
+        return pa.table({"n": pa.array([int(pc_[miss].sum())], pa.int64())})
+
+    li_s = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_orderkey"]
+    ).map_batches(li_keys, batch_format="pyarrow")
+    or_s = ray.data.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey"]
+    ).map_batches(ord_keys, batch_format="pyarrow")
+    dangle_rows = (
+        absorb_empty_blocks(li_s.union(or_s), batch_size=131072)
+        .groupby("kshard")
+        .map_groups(
+            lambda g: dangling(g.drop_columns(["kshard"])), batch_format="pyarrow"
+        )
+        .take_all()  # <= n_shards rows
+    )
+    dangling_fk = sum(r["n"] for r in dangle_rows)
+
+    checks = sorted(
+        [
+            ("dangling_orderkey", dangling_fk),
+            ("discount_out_of_range", agg["discount_out_of_range"]),
+            ("duplicate_pk", dup_pk),
+            ("nonpositive_price", agg["nonpositive_price"]),
+            ("null_quantity", agg["null_quantity"]),
+            ("rows_total", agg["rows_total"]),
+        ]
+    )
+    return pa.table(
+        {
+            "check_name": pa.array([c for c, _ in checks], pa.string()),
+            "n_violations": pa.array([int(v) for _, v in checks], pa.int64()),
+        }
+    )

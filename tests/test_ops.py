@@ -2738,6 +2738,7 @@ def test_new_relational_family_random_differential(tmp_path):
     )
     li_ok = okeys[rng.randint(0, n_ord, n_li)]
     li_ok = li_ok[li_ok % 7 != 1]  # drop lineitems of every 7th order
+    li_ok[:: 500] += 1  # plant dangling FK rows (keys between real orders)
     m = len(li_ok)
     pq.write_table(
         pa.table(
@@ -2753,6 +2754,13 @@ def test_new_relational_family_random_differential(tmp_path):
                 ),
                 "l_quantity": rng.randint(1, 51, m).astype(np.float64),
                 "l_extendedprice": np.round(rng.uniform(1, 9999, m), 2),
+                # a few out-of-range discounts and dangling order keys so
+                # data_quality_report's checks fire on random data
+                "l_discount": np.where(
+                    rng.rand(m) < 0.01,
+                    rng.choice([-0.5, 1.5], m),
+                    np.round(rng.uniform(0, 0.1, m), 2),
+                ),
             }
         ),
         str(tmp_path / "lineitem.parquet"),
@@ -2809,6 +2817,7 @@ def test_new_relational_family_random_differential(tmp_path):
         "value_moments",
         "pagerank",
         "copurchase_pairs",
+        "data_quality_report",
     ):
         res = queries[name](str(tmp_path))
         rows = res.take_all() if hasattr(res, "take_all") else res.to_pylist()
@@ -2984,3 +2993,94 @@ def test_copurchase_pairs_matches_local_recompute():
         for r in copurchase_pairs(SF, n_shards=9, n_pair_shards=7).take_all()
     ]
     assert got == want
+
+
+def test_data_quality_report_planted(tmp_path):
+    """Every check fires on a corpus with planted violations, with exact
+    counts."""
+    from invoice_extraction_ray.ops.relational import data_quality_report
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2, 2, 3, 99], pa.int64()),
+                "l_linenumber": pa.array([1, 1, 1, 2, 1, 1], pa.int32()),
+                "l_quantity": pa.array([1.0, None, 2.0, None, 3.0, 4.0]),
+                "l_extendedprice": pa.array([10.0, -5.0, 0.0, 7.0, 8.0, 9.0]),
+                "l_discount": pa.array([0.1, 1.5, -0.2, 0.0, 1.0, 0.3]),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([1, 2, 3], pa.int64())}),
+        str(tmp_path / "orders.parquet"),
+    )
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in data_quality_report(str(tmp_path), n_shards=3).to_pylist()
+    }
+    assert got == {
+        "rows_total": 6,
+        "null_quantity": 2,
+        "nonpositive_price": 2,  # -5.0 and 0.0
+        "discount_out_of_range": 2,  # 1.5 and -0.2
+        "duplicate_pk": 1,  # (1, 1) twice
+        "dangling_orderkey": 1,  # key 99
+    }
+
+
+def test_token_budget_mix_matches_local_recompute():
+    """Per-source token-budget prefix equals the sorted-cumsum recompute;
+    budget boundary is inclusive-cumsum <= budget."""
+    from invoice_extraction_ray.ops.curate import token_budget_mix
+    from invoice_extraction_ray.ops.sketch import _hash64
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    rows = []
+    for d, s, x in zip(
+        docs.column("doc_id").to_pylist(),
+        docs.column("source").to_pylist(),
+        docs.column("text").to_pylist(),
+    ):
+        prio = int(_hash64(np.array([d], dtype=np.int64))[0] >> np.uint64(1))
+        rows.append((s, prio, d, len((x or "").split())))
+    want = []
+    by_src = {}
+    for s, prio, d, n in sorted(rows):
+        # strict window-prefix rule (SQL SUM OVER ROWS UNBOUNDED PRECEDING):
+        # every doc advances the running sum, kept or not
+        cum = by_src.get(s, 0) + n
+        by_src[s] = cum
+        if cum <= 100:
+            want.append((d, s, n, cum))
+    want.sort(key=lambda r: (r[1], r[3], r[0]))
+    got = [
+        (r["doc_id"], r["source"], r["n_tokens"], r["cum_tokens"])
+        for r in token_budget_mix(SF, budget=100, n_shards=5).take_all()
+    ]
+    assert got == want
+    assert 0 < len(got) < len(rows)  # non-degenerate split
+
+
+def test_token_budget_mix_block_split_invariant():
+    """The boundary-sentinel prefilter keeps the result EXACT when a
+    source's docs span many blocks (the case the batch prefilter alone
+    would get wrong: a dropped doc's tokens must still gate later docs
+    from other blocks)."""
+    from invoice_extraction_ray.ops.curate import token_budget_mix
+
+    base = [
+        (r["doc_id"], r["source"], r["n_tokens"], r["cum_tokens"])
+        for r in token_budget_mix(SF, budget=100, n_shards=5).take_all()
+    ]
+    for blocks in (7, 23):
+        split = [
+            (r["doc_id"], r["source"], r["n_tokens"], r["cum_tokens"])
+            for r in token_budget_mix(
+                SF, budget=100, n_shards=5, override_num_blocks=blocks
+            ).take_all()
+        ]
+        assert split == base, f"result changed at override_num_blocks={blocks}"
