@@ -546,6 +546,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("embedding_project", ann.embedding_project),  # JL dim reduce
             ("label_centroids", ann.label_centroids),  # exact e6 vector sums
             ("knn_graph", ann.knn_graph),  # e4-ranked exact neighbor graph
+            ("filtered_ann_topk", ann.filtered_ann_topk),  # hybrid search
         ],
         # multimodal plumbing (stubbed decode/resize/frame-sample)
         "media": [
@@ -2074,6 +2075,16 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY sim_e4 DESC, neighbor_id) AS rank FROM s) "
             "SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim_e4 "
             "FROM r WHERE rank <= 5"
+        ),
+        # filtered_ann_topk: hybrid search — metadata predicate (documents
+        # join) + exact cosine top-k; e4 total order shared by both engines
+        "filtered_ann_topk": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, CAST(round(list_cosine_similarity(e.embedding, q.qe) "
+            "* 10000) AS BIGINT) AS sim_e4 "
+            "FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id, q "
+            "WHERE d.lang = 'en' "
+            "ORDER BY sim_e4 DESC, e.vec_id LIMIT 10"
         ),
         "ann_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "

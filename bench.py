@@ -114,6 +114,7 @@ HEADLINE = [
     "copurchase_pairs",
     "token_budget_mix",
     "data_quality_report",
+    "filtered_ann_topk",
 ]
 
 

@@ -748,3 +748,131 @@ def knn_graph(
 
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     return ds.map_batches(block_knn, batch_format="pyarrow", batch_size=1024)
+
+
+def filtered_ann_topk(
+    sf_dir: str,
+    k: int = 10,
+    lang: str = "en",
+    query_vec_id: int = 0,
+    n_shards: int = 32,
+) -> ray.data.Dataset:
+    """Filtered (hybrid) vector search — the vector-DB staple: exact cosine
+    top-k restricted to vectors whose DOCUMENT satisfies a metadata
+    predicate (lang = 'en'), with attributes and vectors living in
+    SEPARATE corpus-sized tables.  Neither side broadcasts: eligible doc
+    ids and vectors co-partition by an id-hash shard (the predicate is
+    pushed into the documents READ, so only matching ids ever leave it);
+    each shard membership-filters its vectors, scores them against the
+    broadcast query in one matmul, and keeps a partial top-k under the
+    (sim_e4 desc, vec_id asc) total order — a valid combiner, so only
+    shards*k rows reach the final sort.
+
+    Scale note: the one unavoidable cost of this layout is that VECTORS
+    cross the wire once to meet their metadata; a production layout
+    co-locates filter columns with the vectors (as ann_topk's table does
+    with ``label``), turning this into a pure filtered map."""
+    import pyarrow.compute as pc
+
+    from ._util import absorb_empty_blocks
+
+    q = _load_query_vec(sf_dir, query_vec_id)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    q_ref = ray.put(qn)
+
+    _MERGED = pa.schema(
+        [
+            ("kshard", pa.int32()),
+            ("id", pa.int64()),
+            ("side", pa.int8()),
+            ("embedding", pa.list_(pa.float32())),
+        ]
+    )
+
+    def _shard_of(v: "np.ndarray") -> "np.ndarray":
+        return (((v * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = np.unique(
+            t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "kshard": pa.array(_shard_of(ids)),
+                "id": pa.array(ids, pa.int64()),
+                "side": pa.array(np.ones(len(ids), np.int8), pa.int8()),
+                "embedding": pa.array([None] * len(ids), pa.list_(pa.float32())),
+            },
+            schema=_MERGED,
+        )
+
+    def emb_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table(
+            {
+                "kshard": pa.array(_shard_of(ids)),
+                "id": pa.array(ids, pa.int64()),
+                "side": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
+                "embedding": emb,
+            },
+            schema=_MERGED,
+        )
+
+    _OUT = pa.schema([("vec_id", pa.int64()), ("sim_e4", pa.int64())])
+
+    def score_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        ids = g.column("id").to_numpy(zero_copy_only=False)
+        elig = np.unique(ids[side == 1])
+        vmask = side == 0
+        vid = ids[vmask]
+        pos = np.searchsorted(elig, vid)
+        hit = (pos < len(elig)) & (
+            elig[np.minimum(pos, max(len(elig) - 1, 0))] == vid
+        )
+        if not hit.any():
+            return _OUT.empty_table()
+        keep = np.zeros(len(ids), dtype=bool)
+        keep[np.flatnonzero(vmask)[hit]] = True
+        emb = g.column("embedding").filter(pa.array(keep))
+        qv = ray.get(q_ref)
+        m = embedding_matrix(emb, dim=len(qv))
+        sims = (m @ qv) / np.maximum(np.linalg.norm(m, axis=1), 1e-30)
+        # half-away-from-zero, matching DuckDB round() (np.round is half-even)
+        s4 = sims * 10_000.0
+        e4 = np.where(s4 >= 0, np.floor(s4 + 0.5), -np.floor(0.5 - s4)).astype(
+            np.int64
+        )
+        kept_ids = vid[hit]
+        top = np.lexsort((kept_ids, -e4))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(kept_ids[top], pa.int64()),
+                "sim_e4": pa.array(e4[top], pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    docs = ray.data.read_parquet(
+        _pq(sf_dir, "documents"),
+        columns=["doc_id"],
+        filter=(pc.field("lang") == lang),
+    ).map_batches(doc_rows, batch_format="pyarrow")
+    embs = ray.data.read_parquet(
+        _pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    ).map_batches(emb_rows, batch_format="pyarrow")
+
+    survivors = (
+        absorb_empty_blocks(docs.union(embs), batch_size=131072)
+        .groupby("kshard")
+        .map_groups(
+            lambda g: score_shard(g.drop_columns(["kshard"])),
+            batch_format="pyarrow",
+        )
+    )
+    return survivors.sort(["sim_e4", "vec_id"], descending=[True, False]).limit(k)

@@ -3084,3 +3084,40 @@ def test_token_budget_mix_block_split_invariant():
             ).take_all()
         ]
         assert split == base, f"result changed at override_num_blocks={blocks}"
+
+
+def test_filtered_ann_topk_matches_brute_force():
+    """Hybrid search equals the predicate-restricted brute-force top-k
+    under the shared (sim_e4 desc, vec_id asc) total order."""
+    from invoice_extraction_ray.ops.ann import filtered_ann_topk
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    ok = {
+        d
+        for d, lg in zip(
+            docs.column("doc_id").to_pylist(), docs.column("lang").to_pylist()
+        )
+        if lg == "en"
+    }
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {
+        v: np.asarray(e, dtype=np.float64)
+        for v, e in zip(
+            emb.column("vec_id").to_pylist(), emb.column("embedding").to_pylist()
+        )
+    }
+    q = vecs[0] / np.linalg.norm(vecs[0])
+    scored = []
+    for v, x in vecs.items():
+        if v not in ok:
+            continue
+        s = float(x @ q / max(np.linalg.norm(x), 1e-30)) * 10_000.0
+        e4 = int(np.floor(s + 0.5)) if s >= 0 else -int(np.floor(0.5 - s))
+        scored.append((v, e4))
+    want = sorted(scored, key=lambda r: (-r[1], r[0]))[:10]
+    got = [
+        (r["vec_id"], r["sim_e4"])
+        for r in filtered_ann_topk(SF, n_shards=5).take_all()
+    ]
+    assert got == want
+    assert all(v in ok for v, _ in got)  # predicate actually applied
