@@ -453,6 +453,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("pagerank", graph.pagerank),  # iterative message passing
             ("copurchase_pairs", relational.copurchase_pairs),  # basket mining
             ("data_quality_report", relational.data_quality_report),  # contract audit
+            ("rolling_active_users", relational.rolling_active_users),  # WAU
         ],
         # window / interval operators
         "window": [
@@ -1080,6 +1081,17 @@ def oracle_sql() -> dict[str, str]:
             r"ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens "
             r"FROM h JOIN documents d USING (doc_id)) "
             r"WHERE cum_tokens <= 600 ORDER BY source, cum_tokens, doc_id"
+        ),
+        # rolling_active_users: trailing-7-day distinct actives per observed
+        # day (WAU) — the window fan-out x two-stage-distinct shape
+        "rolling_active_users": (
+            "WITH e AS (SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) "
+            "AS day, user_id FROM events), "
+            "d AS (SELECT DISTINCT day FROM e) "
+            "SELECT make_timestamp(d.day * 86400000000) AS day, "
+            "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active "
+            "FROM d JOIN e ON e.day BETWEEN d.day - 6 AND d.day "
+            "GROUP BY d.day ORDER BY day"
         ),
         # copurchase_pairs: market-basket pair mining — top-k part pairs
         # co-occurring in orders; full ORDER BY makes the LIMIT-20 set

@@ -115,6 +115,7 @@ HEADLINE = [
     "token_budget_mix",
     "data_quality_report",
     "filtered_ann_topk",
+    "rolling_active_users",
 ]
 
 

@@ -2633,3 +2633,108 @@ def data_quality_report(sf_dir: str, n_shards: int = 64) -> pa.Table:
             "n_violations": pa.array([int(v) for _, v in checks], pa.int64()),
         }
     )
+
+
+def rolling_active_users(
+    sf_dir: str, window_days: int = 7, n_shards: int = 64
+) -> ray.data.Dataset:
+    """Rolling distinct actives (WAU-style): for every day, the count of
+    DISTINCT users active in the trailing ``window_days`` window.  Distinct
+    sets don't difference, so a sliding distinct can't cumsum like
+    rolling_event_stats — instead each (day, user) pair FANS OUT to the
+    ``window_days`` window-end days it belongs to (vectorized repeat +
+    arange), and the two-stage-distinct shape finishes: pairs hash-shard
+    by (window_day, user) so every copy lands in one shard, shards dedup
+    and emit additive per-day partial counts.  Shuffle volume is
+    window_days x |distinct (day, user) per block| — bounded fan-out,
+    never corpus x window.  Output is restricted to days with >= 1 event
+    (the SQL mirror joins from the observed-day list)."""
+    import numpy as np
+
+    from ._util import absorb_empty_blocks, int_segment_sum
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "user_id"])
+    _US_PER_DAY = 86_400_000_000
+
+    def pairs(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // _US_PER_DAY
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        base = np.unique((day << 32) | u)  # user_id < 2^32 by testdata shape
+        # fan out each (day, user) to its window-end days [day, day+w-1];
+        # observed days also ride along (bit 62 tags an observed-day row;
+        # fan values keep day in bits 32..62, far below the tag)
+        w = np.arange(window_days, dtype=np.int64)
+        fan = (base[:, None] + (w << 32)[None, :]).ravel()
+        fan = np.unique(fan)
+        obs = np.unique(day) | (1 << 62)
+        packed = np.concatenate([fan, obs])
+        return pa.table(
+            {
+                "pshard": pa.array(
+                    (((packed * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+                ),
+                "packed": pa.array(packed, pa.int64()),
+            }
+        )
+
+    _PART = pa.schema(
+        [("day_i", pa.int64()), ("n", pa.int64()), ("observed", pa.bool_())]
+    )
+
+    def shard_count(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PART.empty_table()
+        uniq = np.unique(g.column("packed").to_numpy(zero_copy_only=False))
+        obs_mask = (uniq & (1 << 62)) != 0
+        obs_days = uniq[obs_mask] & ~(1 << 62)
+        uniq = uniq[~obs_mask]
+        day = uniq >> 32
+        new = np.ones(len(day), dtype=bool)
+        new[1:] = day[1:] != day[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "day_i": pa.array(
+                    np.concatenate([day[starts], obs_days]), pa.int64()
+                ),
+                "n": pa.array(
+                    np.concatenate(
+                        [
+                            int_segment_sum(np.ones(len(day), np.int64), starts),
+                            np.zeros(len(obs_days), np.int64),
+                        ]
+                    )
+                ),
+                "observed": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(starts), bool), np.ones(len(obs_days), bool)]
+                    )
+                ),
+            },
+            schema=_PART,
+        )
+
+    agg = (
+        absorb_empty_blocks(
+            ds.map_batches(pairs, batch_format="pyarrow"), batch_size=131072
+        )
+        .groupby("pshard")
+        .map_groups(
+            lambda g: shard_count(g.drop_columns(["pshard"])), batch_format="pyarrow"
+        )
+        .groupby("day_i")
+        .aggregate(
+            Sum("n", alias_name="n_active"),
+            Max("observed", alias_name="observed"),
+        )
+    )
+
+    def label(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("observed"), True))
+        day = pc.cast(pc.multiply(t.column("day_i"), _US_PER_DAY), pa.timestamp("us"))
+        return pa.table(
+            {"day": day, "n_active": pc.cast(t.column("n_active"), pa.int64())}
+        )
+
+    return agg.map_batches(label, batch_format="pyarrow").sort("day")

@@ -2818,6 +2818,7 @@ def test_new_relational_family_random_differential(tmp_path):
         "pagerank",
         "copurchase_pairs",
         "data_quality_report",
+        "rolling_active_users",
     ):
         res = queries[name](str(tmp_path))
         rows = res.take_all() if hasattr(res, "take_all") else res.to_pylist()
@@ -3121,3 +3122,26 @@ def test_filtered_ann_topk_matches_brute_force():
     ]
     assert got == want
     assert all(v in ok for v, _ in got)  # predicate actually applied
+
+
+def test_rolling_active_users_matches_local_recompute():
+    """Trailing-7-day distinct actives equal the brute-force window sets;
+    only observed days are emitted."""
+    from invoice_extraction_ray.ops.relational import rolling_active_users
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "user_id"])
+    by_day = {}
+    for u, us in zip(
+        ev.column("user_id").to_pylist(), ev.column("ts").cast(pa.int64()).to_pylist()
+    ):
+        by_day.setdefault(us // 86_400_000_000, set()).add(u)
+    want = {
+        d: len(set().union(*(by_day.get(x, set()) for x in range(d - 6, d + 1))))
+        for d in by_day
+    }
+    got = {
+        int(r["day"].timestamp() * 1_000_000) // 86_400_000_000: r["n_active"]
+        for r in rolling_active_users(SF, n_shards=7).take_all()
+    }
+    assert got == want
+    assert max(got.values()) >= max(len(s) for s in by_day.values())  # window >= day
