@@ -396,6 +396,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
         relational,
         sketch,
         text,
+        window,
     )
     from invoice_extraction_ray.ops.multimodal import media_ann_topk, media_metadata
 
@@ -464,6 +465,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("event_transitions", _event_transitions),  # lag pairs
             ("lag_features", _lag_features),  # per-key lag deltas
             ("rolling_event_stats", _rolling_event_stats),  # ROWS frame
+            ("time_weighted_value", window.time_weighted_value),  # TWAP
         ],
         # mergeable sketches
         "sketch": [
@@ -1081,6 +1083,22 @@ def oracle_sql() -> dict[str, str]:
             r"ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens "
             r"FROM h JOIN documents d USING (doc_id)) "
             r"WHERE cum_tokens <= 600 ORDER BY source, cum_tokens, doc_id"
+        ),
+        # time_weighted_value: TWAP over irregular gaps — each value holds
+        # until the user's next event; exact integer numerator/denominator,
+        # floored cents mean
+        "time_weighted_value": (
+            "WITH f AS (SELECT user_id, epoch_us(ts) AS us, event_id, "
+            "CAST(floor(value*100.0 + 0.5) AS BIGINT) AS cents FROM events), "
+            "g AS (SELECT user_id, cents, "
+            "lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us "
+            "AS dt FROM f), "
+            "a AS (SELECT user_id, CAST(sum(dt) AS BIGINT) AS dur_us, "
+            "CAST(sum(cents * dt) AS BIGINT) AS num_cents_us FROM g "
+            "WHERE dt IS NOT NULL GROUP BY 1) "
+            "SELECT user_id, dur_us, num_cents_us, "
+            "CAST(num_cents_us // dur_us AS BIGINT) AS twa_c "
+            "FROM a WHERE dur_us > 0 ORDER BY user_id"
         ),
         # rolling_active_users: trailing-7-day distinct actives per observed
         # day (WAU) — the window fan-out x two-stage-distinct shape

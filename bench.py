@@ -116,6 +116,7 @@ HEADLINE = [
     "data_quality_report",
     "filtered_ann_topk",
     "rolling_active_users",
+    "time_weighted_value",
 ]
 
 

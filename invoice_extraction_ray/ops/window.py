@@ -532,3 +532,97 @@ def rolling_event_stats(sf_dir: str, frame: int = 3) -> ray.data.Dataset:
         .map_groups(roll, batch_format="pyarrow")
         .select_columns(["event_id", "user_id", "roll_n", "roll_sum_c"])
     )
+
+
+def time_weighted_value(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """Time-weighted average over an IRREGULAR event series (the TWAP
+    shape): per user, each event's value holds until the next event, so
+    the mean is sum(cents_i * dt_i) / sum(dt_i) over the inter-event gaps
+    in (ts, event_id) order — the last event opens no interval, users with
+    a single event emit nothing (no gap exists, same as the SQL LEAD
+    mirror).  Exact integers throughout: per-user numerators are bounded
+    by observed-span-us x max-cents (~1.3e17 on this corpus — inside
+    int64; re-derive the bound before reusing on wider spans), and the
+    floored cents mean ``num // dur`` is division-stable on both engines.
+
+    Same slim-projection user-shard groupby as lag_features: one lexsort +
+    shifted subtract per shard, segment sums per user via run detection."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    _OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("dur_us", pa.int64()),
+            ("num_cents_us", pa.int64()),
+            ("twa_c", pa.int64()),
+        ]
+    )
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        cents = pa.array(
+            np.floor(
+                t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+        )
+        shard = pc.cast(pc.bit_wise_and(t.column("user_id"), n_shards - 1), pa.int32())
+        return pa.table(
+            {
+                "shard": shard,
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "us": t.column("ts").cast(pa.int64()),
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "cents": cents,
+            }
+        )
+
+    def per_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        us = g.column("us").to_numpy(zero_copy_only=False)
+        ev = g.column("event_id").to_numpy(zero_copy_only=False)
+        c = g.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, us, u))
+        u, us, c = u[order], us[order], c[order]
+        n = len(u)
+        same = np.zeros(n, dtype=bool)
+        same[:-1] = u[:-1] == u[1:]  # row opens an interval to its successor
+        dt = np.zeros(n, dtype=np.int64)
+        dt[:-1] = us[1:] - us[:-1]
+        dt[~same] = 0
+        from ._util import int_segment_sum
+
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        dur = int_segment_sum(dt, starts)
+        num = int_segment_sum(c * dt, starts)
+        keep = dur > 0  # single-event users open no interval
+        uu = u[starts][keep]
+        dur, num = dur[keep], num[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(uu, pa.int64()),
+                "dur_us": pa.array(dur, pa.int64()),
+                "num_cents_us": pa.array(num, pa.int64()),
+                "twa_c": pa.array(num // dur, pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    from ._util import absorb_empty_blocks
+
+    out = (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: per_shard(g.drop_columns(["shard"])), batch_format="pyarrow"
+        )
+    )
+    # per-shard outputs are |users/shard| skinny blocks: coalesce before the
+    # presentation sort so it pays per-row, not per-task dispatch
+    return absorb_empty_blocks(out, batch_size=131072).sort("user_id")

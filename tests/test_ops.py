@@ -2819,6 +2819,7 @@ def test_new_relational_family_random_differential(tmp_path):
         "copurchase_pairs",
         "data_quality_report",
         "rolling_active_users",
+        "time_weighted_value",
     ):
         res = queries[name](str(tmp_path))
         rows = res.take_all() if hasattr(res, "take_all") else res.to_pylist()
@@ -3145,3 +3146,37 @@ def test_rolling_active_users_matches_local_recompute():
     }
     assert got == want
     assert max(got.values()) >= max(len(s) for s in by_day.values())  # window >= day
+
+
+def test_time_weighted_value_matches_local_recompute():
+    """TWAP numerator/denominator equal the per-user gap recompute; ties
+    ordered by (ts, event_id); single-event users emit nothing."""
+    from invoice_extraction_ray.ops.window import time_weighted_value
+
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    rows = sorted(
+        zip(
+            ev.column("user_id").to_pylist(),
+            ev.column("ts").cast(pa.int64()).to_pylist(),
+            ev.column("event_id").to_pylist(),
+            ev.column("value").to_pylist(),
+        )
+    )
+    want = {}
+    for (u, us, _, v), (u2, us2, _, _) in zip(rows, rows[1:]):
+        if u == u2:
+            dt = us2 - us
+            c = int(np.floor(v * 100.0 + 0.5))
+            num, dur = want.get(u, (0, 0))
+            want[u] = (num + c * dt, dur + dt)
+    want = {
+        u: (dur, num, num // dur) for u, (num, dur) in want.items() if dur > 0
+    }
+    got = {
+        r["user_id"]: (r["dur_us"], r["num_cents_us"], r["twa_c"])
+        for r in time_weighted_value(SF, n_shards=8).take_all()
+    }
+    assert got == want
+    assert len(got) > 0
