@@ -480,6 +480,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("value_winsorize", sketch.value_winsorize),  # percentile clip
             ("kmv_distinct", sketch.kmv_distinct),  # k-minimum-values sketch
             ("value_moments", sketch.value_moments),  # int128 mean/variance
+            ("kmv_jaccard", sketch.kmv_jaccard),  # theta-sketch set algebra
         ],
         # text analysis
         "text": [
@@ -714,6 +715,18 @@ def oracle_sql() -> dict[str, str]:
         return (
             f"((({a}) % 4294967296 * {b} + "
             f"(({a}) // 4294967296 * {b}) % 4294967296 * 4294967296) % {_M64})"
+        )
+
+    def _kmv_side(tag: str, etype: str, k: int) -> str:
+        """Splitmix64 min-k CTE chain for one event type's distinct users."""
+        return (
+            f"{tag}e AS (SELECT DISTINCT ((CAST(user_id AS HUGEINT) % {_M64}) + {_M64}) % {_M64} AS x "
+            f"FROM events WHERE event_type = '{etype}'), "
+            f"{tag}0 AS (SELECT (x + {0x9E3779B97F4A7C15}) % {_M64} AS z FROM {tag}e), "
+            f"{tag}1 AS (SELECT {_mul64('xor(z, z // 1073741824)', 0xBF58476D1CE4E5B9)} AS z FROM {tag}0), "
+            f"{tag}2 AS (SELECT {_mul64('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FROM {tag}1), "
+            f"{tag}h AS (SELECT xor(z, z // 2147483648) AS h FROM {tag}2), "
+            f"{tag}k AS (SELECT h FROM (SELECT DISTINCT h FROM {tag}h) ORDER BY h LIMIT {k})"
         )
 
     _PW55 = "[" + ",".join(f"CAST({1 << (55 - r)} AS HUGEINT)" for r in range(56)) + "]"
@@ -1122,6 +1135,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders "
             "FROM pairs GROUP BY 1, 2 "
             "ORDER BY n_orders DESC, part_a, part_b LIMIT 20"
+        ),
+        # kmv_jaccard: theta-sketch set similarity — min-k of the union is a
+        # uniform union sample; every quantity deterministic integer
+        "kmv_jaccard": (
+            "WITH "
+            + _kmv_side("ja", "click", 64)
+            + ", "
+            + _kmv_side("jb", "purchase", 64)
+            + ", un AS (SELECT h FROM (SELECT h FROM jak UNION SELECT h FROM jbk) "
+            "ORDER BY h LIMIT 64), "
+            "m AS (SELECT count(*) AS k_eff, max(h) AS kth, "
+            "sum(CASE WHEN h IN (SELECT h FROM jak) "
+            "AND h IN (SELECT h FROM jbk) THEN 1 ELSE 0 END) AS inter FROM un) "
+            "SELECT CAST(k_eff AS BIGINT) AS k_eff, "
+            "CAST(inter AS BIGINT) AS n_inter_sketch, "
+            f"CAST((k_eff - 1) * CAST({1 << 64} AS HUGEINT) // kth AS BIGINT) "
+            "AS union_est, "
+            "CAST(1000000 * inter // k_eff AS BIGINT) AS jaccard_e6 FROM m"
         ),
         # user_event_overlap: distinct-key set algebra (INTERSECT / EXCEPT)
         "user_event_overlap": (

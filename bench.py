@@ -117,6 +117,7 @@ HEADLINE = [
     "filtered_ann_topk",
     "rolling_active_users",
     "time_weighted_value",
+    "kmv_jaccard",
 ]
 
 

@@ -953,3 +953,68 @@ def value_moments(sf_dir: str) -> pa.Table:
             "var_floor_c2": pa.array(out["var_floor_c2"], pa.int64()),
         }
     )
+
+
+def kmv_jaccard(
+    sf_dir: str, type_a: str = "click", type_b: str = "purchase", k: int = KMV_K
+) -> pa.Table:
+    """Sketch SET ALGEBRA — bounded-memory Jaccard similarity between two
+    corpus-sized key sets (users who ``type_a`` vs users who ``type_b``),
+    the theta-sketch estimator: the k smallest hashes of A UNION B are a
+    uniform sample of the union, so ``|{x in K(AUB): x in A and x in B}|
+    / k`` estimates |A inter B| / |A U B|.  The sketch twin of the exact
+    ``user_event_overlap`` (INTERSECT/EXCEPT) — O(k) state at any corpus
+    size, and every quantity here is a deterministic integer given
+    splitmix64, so engine and HUGEINT SQL mirror agree bit-for-bit.
+
+    Scale shape: one streaming pass; each batch emits its per-SIDE min-k
+    distinct-key hashes (valid combiner); the driver merge handles
+    <= 2k uint64s per block."""
+    import numpy as np
+
+    import pyarrow.compute as pc
+
+    from ._util import absorb_empty_blocks
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"),
+        columns=["user_id", "event_type"],
+        filter=(pc.field("event_type").isin([type_a, type_b])),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ty = t.column("event_type").to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hs, sides = [], []
+        for side, name in ((0, type_a), (1, type_b)):
+            h = np.unique(_hash64(np.unique(u[ty == name])))[:k]
+            hs.append(h)
+            sides.append(np.full(len(h), side, np.int8))
+        return pa.table(
+            {
+                "h": pa.array(np.concatenate(hs), pa.uint64()),
+                "side": pa.array(np.concatenate(sides), pa.int8()),
+            }
+        )
+
+    rows = (
+        absorb_empty_blocks(
+            ds.map_batches(partial, batch_format="pyarrow"), batch_size=131072
+        ).take_all()  # <= 2k per block
+    )
+    ha = np.unique(np.array([r["h"] for r in rows if r["side"] == 0], dtype=np.uint64))[:k]
+    hb = np.unique(np.array([r["h"] for r in rows if r["side"] == 1], dtype=np.uint64))[:k]
+    union = np.unique(np.concatenate([ha, hb]))[:k]
+    k_eff = len(union)
+    in_both = int(np.isin(union, ha).sum() + np.isin(union, hb).sum()) - k_eff
+    kth = int(union[-1]) if k_eff else 0
+    union_est = (k_eff - 1) * (1 << 64) // kth if kth else 0
+    jac_e6 = 1_000_000 * in_both // k_eff if k_eff else 0
+    return pa.table(
+        {
+            "k_eff": pa.array([k_eff], pa.int64()),
+            "n_inter_sketch": pa.array([in_both], pa.int64()),
+            "union_est": pa.array([union_est], pa.int64()),
+            "jaccard_e6": pa.array([jac_e6], pa.int64()),
+        }
+    )

@@ -2820,6 +2820,7 @@ def test_new_relational_family_random_differential(tmp_path):
         "data_quality_report",
         "rolling_active_users",
         "time_weighted_value",
+        "kmv_jaccard",
     ):
         res = queries[name](str(tmp_path))
         rows = res.take_all() if hasattr(res, "take_all") else res.to_pylist()
@@ -3180,3 +3181,36 @@ def test_time_weighted_value_matches_local_recompute():
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_kmv_jaccard_matches_sketch_recompute_and_bounds_error():
+    """The theta-sketch Jaccard equals its deterministic local recompute,
+    and the estimate lands within the k^-1/2 error band of the exact
+    Jaccard."""
+    from invoice_extraction_ray.ops.sketch import _hash64, kmv_jaccard
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+    a, b = set(), set()
+    for u, ty in zip(
+        ev.column("user_id").to_pylist(), ev.column("event_type").to_pylist()
+    ):
+        if ty == "click":
+            a.add(u)
+        elif ty == "purchase":
+            b.add(u)
+    k = 64
+    ha = np.sort(_hash64(np.array(sorted(a), dtype=np.int64)))[:k]
+    hb = np.sort(_hash64(np.array(sorted(b), dtype=np.int64)))[:k]
+    union = np.unique(np.concatenate([ha, hb]))[:k]
+    inter = int(np.isin(union, ha).sum() + np.isin(union, hb).sum()) - len(union)
+    want = (
+        len(union),
+        inter,
+        (len(union) - 1) * (1 << 64) // int(union[-1]),
+        1_000_000 * inter // len(union),
+    )
+    r = kmv_jaccard(SF).to_pylist()[0]
+    got = (r["k_eff"], r["n_inter_sketch"], r["union_est"], r["jaccard_e6"])
+    assert got == want
+    exact = len(a & b) / len(a | b)
+    assert abs(r["jaccard_e6"] / 1e6 - exact) < 3.0 / np.sqrt(r["k_eff"]) + 0.02
