@@ -105,6 +105,37 @@ for nm in FLAT:
     assert a.equals(b), f"column {nm} differs across nodes"
 print("cross-node seal output == oracle:", act.num_rows, "rows")
 
+# --- iterative message passing across nodes: pagerank's per-superstep
+# all-to-alls move edge/message rows between the two object stores
+import numpy as np
+import pyarrow.parquet as pq
+
+from invoice_extraction_ray.ops.graph import pagerank
+
+SF = "/root/testdata/sf0.001"
+li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+pairs = sorted(
+    set(zip(li.column("l_partkey").to_pylist(), li.column("l_suppkey").to_pylist()))
+)
+edges = [(p * 2, s * 2 + 1) for p, s in pairs] + [(s * 2 + 1, p * 2) for p, s in pairs]
+deg = {}
+for u, _ in edges:
+    deg[u] = deg.get(u, 0) + 1
+r = {u: 1_000_000 for u in deg}
+for _ in range(3):
+    inc = {}
+    for u, v in edges:
+        inc[v] = inc.get(v, 0) + r[u] // deg[u]
+    r = {v: 150_000 + 85 * m // 100 for v, m in inc.items()}
+want = sorted(
+    ("part" if v % 2 == 0 else "supplier", v >> 1, rv) for v, rv in r.items()
+)
+got = sorted(
+    (row["kind"], row["key"], row["rank_ppm"]) for row in pagerank(SF).take_all()
+)
+assert got == want, "pagerank differs on the 2-node cluster"
+print("cross-node pagerank == python power iteration:", len(got), "vertices")
+
 ray.shutdown()
 cluster.shutdown()
 print("MULTINODE OK")
