@@ -1128,7 +1128,9 @@ def oracle_sql() -> dict[str, str]:
         # co-occurring in orders; full ORDER BY makes the LIMIT-20 set
         # deterministic under ties on both engines
         "copurchase_pairs": (
-            "WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "WITH dp0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "okk AS (SELECT l_orderkey FROM dp0 GROUP BY 1 HAVING count(*) <= 64), "
+            "dp AS (SELECT dp0.* FROM dp0 JOIN okk USING (l_orderkey)), "
             "pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b "
             "FROM dp a JOIN dp b ON a.l_orderkey = b.l_orderkey "
             "AND a.l_partkey < b.l_partkey) "

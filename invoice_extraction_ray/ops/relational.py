@@ -2357,7 +2357,11 @@ def order_details(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
 
 
 def copurchase_pairs(
-    sf_dir: str, k: int = 20, n_shards: int = 64, n_pair_shards: int = 64
+    sf_dir: str,
+    k: int = 20,
+    n_shards: int = 64,
+    n_pair_shards: int = 64,
+    max_basket: int = 64,
 ) -> ray.data.Dataset:
     """Market-basket pair mining (the frequent-itemset / co-occurrence
     kernel): the top-k part PAIRS appearing together in the most orders.
@@ -2366,7 +2370,11 @@ def copurchase_pairs(
     build (no per-basket python loop), pre-counts pairs locally, and the
     pair-sharded segment sum + per-shard partial top-k means only
     <= n_pair_shards * k survivor rows reach the final sort.  Pair volume
-    is sum(basket_size^2), never |parts|^2."""
+    is sum(min(basket, max_basket)^2): baskets above ``max_basket``
+    distinct parts are DROPPED before expansion (the standard
+    market-basket fanout cap, mirrored in the SQL oracle, same discipline
+    as ngram dedup's max_df) so one pathological order can never emit a
+    quadratic shard."""
     import numpy as np
 
     from ._util import absorb_empty_blocks, int_segment_sum
@@ -2399,8 +2407,15 @@ def copurchase_pairs(
         if g.num_rows == 0:
             return _PAIRS.empty_table()
         packed = np.unique(g.column("packed").to_numpy(zero_copy_only=False))
+        o = packed >> 21
+        new = np.ones(len(o), dtype=bool)
+        new[1:] = o[1:] != o[:-1]
+        lens = np.diff(np.append(np.flatnonzero(new), len(o)))
+        elem_keep = np.repeat(lens <= max_basket, lens)  # fanout cap
+        packed = packed[elem_keep]
         o, p = packed >> 21, packed & ((1 << 21) - 1)
-        run_end = np.empty(len(o), dtype=np.int64)
+        if len(o) == 0:
+            return _PAIRS.empty_table()
         new = np.ones(len(o), dtype=bool)
         new[1:] = o[1:] != o[:-1]
         starts = np.flatnonzero(new)

@@ -3214,3 +3214,34 @@ def test_kmv_jaccard_matches_sketch_recompute_and_bounds_error():
     assert got == want
     exact = len(a & b) / len(a | b)
     assert abs(r["jaccard_e6"] / 1e6 - exact) < 3.0 / np.sqrt(r["k_eff"]) + 0.02
+
+
+def test_copurchase_pairs_basket_cap(tmp_path):
+    """A pathological giant basket is dropped before quadratic expansion;
+    capped baskets still count."""
+    from invoice_extraction_ray.ops.relational import copurchase_pairs
+
+    rows_o, rows_p = [], []
+    for p in range(200):  # one 200-part basket: 19,900 pairs if uncapped
+        rows_o.append(1)
+        rows_p.append(p)
+    for o in (2, 3, 4):  # three small identical baskets
+        for p in (7, 11):
+            rows_o.append(o)
+            rows_p.append(p)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(rows_o, pa.int64()),
+                "l_partkey": pa.array(rows_p, pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    got = [
+        (r["part_a"], r["part_b"], r["n_orders"])
+        for r in copurchase_pairs(
+            str(tmp_path), k=5, n_shards=3, n_pair_shards=3, max_basket=64
+        ).take_all()
+    ]
+    assert got == [(7, 11, 3)]  # giant basket contributed nothing
