@@ -466,6 +466,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("lag_features", _lag_features),  # per-key lag deltas
             ("rolling_event_stats", _rolling_event_stats),  # ROWS frame
             ("time_weighted_value", window.time_weighted_value),  # TWAP
+            ("user_running_zscore", window.user_running_zscore),  # online anomaly
         ],
         # mergeable sketches
         "sketch": [
@@ -1112,6 +1113,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, dur_us, num_cents_us, "
             "CAST(num_cents_us // dur_us AS BIGINT) AS twa_c "
             "FROM a WHERE dur_us > 0 ORDER BY user_id"
+        ),
+        # user_running_zscore: online per-user anomaly gate; the 2-sigma
+        # test cross-multiplied to integers so no division/sqrt/float
+        "user_running_zscore": (
+            "WITH f AS (SELECT event_id, user_id, epoch_us(ts) AS us, "
+            "CAST(floor(value*100.0 + 0.5) AS BIGINT) AS c FROM events), "
+            "w AS (SELECT event_id, user_id, c, "
+            "count(*) OVER win AS n, sum(c) OVER win AS s1, "
+            "sum(c*c) OVER win AS s2 FROM f WINDOW win AS "
+            "(PARTITION BY user_id ORDER BY us, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+            "SELECT event_id, user_id, CAST(n AS BIGINT) AS n_prior, "
+            "CAST(coalesce(n*c - s1, 0) AS BIGINT) AS dev_n, "
+            "CAST(coalesce(4*(n*s2 - s1*s1), 0) AS BIGINT) AS var4_n2, "
+            "CAST(CASE WHEN n >= 1 AND (n*c - s1)*(n*c - s1) > "
+            "4*(n*s2 - s1*s1) THEN 1 ELSE 0 END AS BIGINT) AS is_outlier "
+            "FROM w ORDER BY user_id, event_id"
         ),
         # rolling_active_users: trailing-7-day distinct actives per observed
         # day (WAU) — the window fan-out x two-stage-distinct shape

@@ -118,6 +118,7 @@ HEADLINE = [
     "rolling_active_users",
     "time_weighted_value",
     "kmv_jaccard",
+    "user_running_zscore",
 ]
 
 

@@ -626,3 +626,99 @@ def time_weighted_value(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
     # per-shard outputs are |users/shard| skinny blocks: coalesce before the
     # presentation sort so it pays per-row, not per-task dispatch
     return absorb_empty_blocks(out, batch_size=131072).sort("user_id")
+
+
+def user_running_zscore(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """Streaming per-key anomaly gate — flag every event whose value sits
+    more than 2 standard deviations from the RUNNING mean of the user's
+    PRIOR events (the online z-score monitor), kept exact by
+    cross-multiplying the condition into integers:
+    ``|c - s1/n| > 2*sqrt((n*s2 - s1^2)/n^2)  <=>
+    (n*c - s1)^2 > 4*(n*s2 - s1^2)`` — no division, no sqrt, no float,
+    so engine and the SQL window mirror agree bit-for-bit.  First events
+    (no prior history) emit n_prior=0 and flag 0; bounds are safe while
+    a user's event count x max cents stays under ~3e9 (LHS square below
+    2^63) — re-derive before reusing on wider domains.
+
+    Shape: the expanding-window family's user-shard groupby (one lexsort
+    per shard), EXCLUSIVE running sums via per-segment base subtraction —
+    three int64 cumsums, no per-row python."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    _OUT = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("n_prior", pa.int64()),
+            ("dev_n", pa.int64()),
+            ("var4_n2", pa.int64()),
+            ("is_outlier", pa.int64()),
+        ]
+    )
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        cents = pa.array(
+            np.floor(
+                t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+        )
+        shard = pc.cast(pc.bit_wise_and(t.column("user_id"), n_shards - 1), pa.int32())
+        return pa.table(
+            {
+                "shard": shard,
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "us": t.column("ts").cast(pa.int64()),
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "cents": cents,
+            }
+        )
+
+    def per_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        us = g.column("us").to_numpy(zero_copy_only=False)
+        ev = g.column("event_id").to_numpy(zero_copy_only=False)
+        c = g.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, us, u))
+        u, ev, c = u[order], ev[order], c[order]
+        n = len(u)
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        # EXCLUSIVE per-user running count / sum / sum-of-squares
+        idx = np.arange(n, dtype=np.int64)
+        n_prior = idx - starts[run_id]
+        cs1 = np.cumsum(c) - c
+        s1 = cs1 - cs1[starts][run_id]
+        c2 = c * c
+        cs2 = np.cumsum(c2) - c2
+        s2 = cs2 - cs2[starts][run_id]
+        dev = n_prior * c - s1
+        var4 = 4 * (n_prior * s2 - s1 * s1)
+        flag = ((n_prior >= 1) & (dev * dev > var4)).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(ev, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "n_prior": pa.array(n_prior, pa.int64()),
+                "dev_n": pa.array(dev, pa.int64()),
+                "var4_n2": pa.array(var4, pa.int64()),
+                "is_outlier": pa.array(flag, pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: per_shard(g.drop_columns(["shard"])), batch_format="pyarrow"
+        )
+        .sort(["user_id", "event_id"])
+    )

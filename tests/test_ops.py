@@ -2821,6 +2821,7 @@ def test_new_relational_family_random_differential(tmp_path):
         "rolling_active_users",
         "time_weighted_value",
         "kmv_jaccard",
+        "user_running_zscore",
     ):
         res = queries[name](str(tmp_path))
         rows = res.take_all() if hasattr(res, "take_all") else res.to_pylist()
@@ -3245,3 +3246,40 @@ def test_copurchase_pairs_basket_cap(tmp_path):
         ).take_all()
     ]
     assert got == [(7, 11, 3)]  # giant basket contributed nothing
+
+
+def test_user_running_zscore_matches_local_recompute():
+    """Online z-score flags equal the per-user prior-history recompute
+    (exact cross-multiplied integers); flags are non-degenerate."""
+    from invoice_extraction_ray.ops.window import user_running_zscore
+
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    rows = sorted(
+        zip(
+            ev.column("user_id").to_pylist(),
+            ev.column("ts").cast(pa.int64()).to_pylist(),
+            ev.column("event_id").to_pylist(),
+            ev.column("value").to_pylist(),
+        )
+    )
+    want = {}
+    hist = {}
+    for u, _, e, v in rows:
+        c = int(np.floor(v * 100.0 + 0.5))
+        n, s1, s2 = hist.get(u, (0, 0, 0))
+        dev = n * c - s1
+        var4 = 4 * (n * s2 - s1 * s1)
+        want[e] = (u, n, dev if n else 0, var4 if n else 0,
+                   1 if n >= 1 and dev * dev > var4 else 0)
+        hist[u] = (n + 1, s1 + c, s2 + c * c)
+    got = {
+        r["event_id"]: (
+            r["user_id"], r["n_prior"], r["dev_n"], r["var4_n2"], r["is_outlier"]
+        )
+        for r in user_running_zscore(SF, n_shards=8).take_all()
+    }
+    assert got == want
+    flags = sum(v[4] for v in got.values())
+    assert 0 < flags < len(got)  # fires on some but not all events
