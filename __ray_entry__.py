@@ -455,6 +455,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("copurchase_pairs", relational.copurchase_pairs),  # basket mining
             ("data_quality_report", relational.data_quality_report),  # contract audit
             ("rolling_active_users", relational.rolling_active_users),  # WAU
+            ("order_lineitem_left", relational.order_lineitem_left),  # LEFT join
         ],
         # window / interval operators
         "window": [
@@ -1113,6 +1114,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, dur_us, num_cents_us, "
             "CAST(num_cents_us // dur_us AS BIGINT) AS twa_c "
             "FROM a WHERE dur_us > 0 ORDER BY user_id"
+        ),
+        # order_lineitem_left: row-level LEFT OUTER join (null extension for
+        # orders with no lineitems) — the shard-merge join triad's third leg
+        "order_lineitem_left": (
+            "SELECT o.o_orderkey, o.o_custkey, "
+            "CAST(l.l_linenumber AS BIGINT) AS l_linenumber, "
+            "CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) AS l_price_c "
+            "FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE o.o_orderpriority = '5-LOW'"
         ),
         # user_running_zscore: online per-user anomaly gate; the 2-sigma
         # test cross-multiplied to integers so no division/sqrt/float

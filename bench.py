@@ -119,6 +119,7 @@ HEADLINE = [
     "time_weighted_value",
     "kmv_jaccard",
     "user_running_zscore",
+    "order_lineitem_left",
 ]
 
 

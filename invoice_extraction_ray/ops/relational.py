@@ -2753,3 +2753,125 @@ def rolling_active_users(
         )
 
     return agg.map_batches(label, batch_format="pyarrow").sort("day")
+
+
+def order_lineitem_left(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
+    """Row-level fact-fact LEFT OUTER join — completes the shard-merge join
+    triad (order_details = inner, orders_without_lineitems = anti): every
+    LOW-priority order row appears, extended with each of its lineitem
+    rows, or with NULL lineitem columns when none exist.  Same union
+    co-partition as the inner join; the shard kernel emits matched rows
+    via the searchsorted probe PLUS one null-extended row per unmatched
+    build order (exactly SQL's null extension).
+
+    Scale notes: identical to order_details — slim payloads only, filter
+    pushed into the orders read, output streams per shard."""
+    import numpy as np
+
+    from ._util import absorb_empty_blocks
+
+    _MERGED = pa.schema(
+        [
+            ("oshard", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.int8()),
+            ("a", pa.int64()),  # orders: o_custkey | lineitem: l_linenumber
+            ("b", pa.int64()),  # orders: unused    | lineitem: price cents
+        ]
+    )
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        okey = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(okey)),
+                "key": pa.array(okey, pa.int64()),
+                "side": pa.array(np.ones(len(okey), dtype=np.int8), pa.int8()),
+                "a": t.column("o_custkey").cast(pa.int64()),
+                "b": pa.array(np.zeros(len(okey), np.int64), pa.int64()),
+            },
+            schema=_MERGED,
+        )
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        lkey = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        price_c = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(lkey)),
+                "key": pa.array(lkey, pa.int64()),
+                "side": pa.array(np.zeros(len(lkey), dtype=np.int8), pa.int8()),
+                "a": t.column("l_linenumber").cast(pa.int64()),
+                "b": pa.array(price_c, pa.int64()),
+            },
+            schema=_MERGED,
+        )
+
+    orders = ray.data.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderpriority") == "5-LOW"),
+    ).map_batches(ord_rows, batch_format="pyarrow")
+    li = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    ).map_batches(li_rows, batch_format="pyarrow")
+
+    _OUT = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("l_linenumber", pa.int64()),
+            ("l_price_c", pa.int64()),
+        ]
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        bmask = side == 1
+        bkey, bcust = keys[bmask], a[bmask]
+        order = np.argsort(bkey)
+        bkey, bcust = bkey[order], bcust[order]
+        pk, pln, pprice = keys[~bmask], a[~bmask], b[~bmask]
+        pos = np.searchsorted(bkey, pk)
+        hit = (pos < len(bkey)) & (bkey[np.minimum(pos, max(len(bkey) - 1, 0))] == pk)
+        pos = pos[hit]
+        # unmatched build orders -> one null-extended row each
+        matched = np.zeros(len(bkey), dtype=bool)
+        matched[pos] = True
+        un = ~matched
+        n_m, n_u = int(hit.sum()), int(un.sum())
+        null_i64 = pa.array(np.zeros(n_u, np.int64), mask=np.ones(n_u, bool))
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    np.concatenate([pk[hit], bkey[un]]), pa.int64()
+                ),
+                "o_custkey": pa.array(
+                    np.concatenate([bcust[pos], bcust[un]]), pa.int64()
+                ),
+                "l_linenumber": pa.concat_arrays(
+                    [pa.array(pln[hit], pa.int64()), null_i64]
+                ),
+                "l_price_c": pa.concat_arrays(
+                    [pa.array(pprice[hit], pa.int64()), null_i64]
+                ),
+            },
+            schema=_OUT,
+        )
+
+    return (
+        absorb_empty_blocks(orders.union(li), batch_size=131072)
+        .groupby("oshard")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -2822,14 +2822,30 @@ def test_new_relational_family_random_differential(tmp_path):
         "time_weighted_value",
         "kmv_jaccard",
         "user_running_zscore",
+        "order_lineitem_left",
     ):
+        def norm(v):
+            # DuckDB's .df() floats nullable-int columns (NULL -> NaN);
+            # the engine yields python ints / None — canonicalize both
+            import pandas as pd
+
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                return None
+            if isinstance(v, float) and v.is_integer():
+                return int(v)
+            return v
+
+        def key(t):
+            return tuple((x is None, 0 if x is None else x) for x in t)
+
         res = queries[name](str(tmp_path))
         rows = res.take_all() if hasattr(res, "take_all") else res.to_pylist()
         cols = sorted(rows[0].keys()) if rows else []
-        got = sorted(tuple(r[c] for c in cols) for r in rows)
+        got = sorted((tuple(norm(r[c]) for c in cols) for r in rows), key=key)
         df = con.sql(oracles[name]).df()
         want = sorted(
-            tuple(row[c] for c in cols) for _, row in df.iterrows()
+            (tuple(norm(row[c]) for c in cols) for _, row in df.iterrows()),
+            key=key,
         )
         assert got == want, f"{name}: engine != oracle on random data"
         assert rows, f"{name}: degenerate (no rows) on random data"
@@ -3283,3 +3299,48 @@ def test_user_running_zscore_matches_local_recompute():
     assert got == want
     flags = sum(v[4] for v in got.values())
     assert 0 < flags < len(got)  # fires on some but not all events
+
+
+def test_order_lineitem_left_matches_local_recompute():
+    """LEFT join equals the dict-probe recompute including null extension."""
+    from invoice_extraction_ray.ops.relational import order_lineitem_left
+
+    orders = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+    build = {
+        k: c
+        for k, c, p in zip(
+            orders.column("o_orderkey").to_pylist(),
+            orders.column("o_custkey").to_pylist(),
+            orders.column("o_orderpriority").to_pylist(),
+        )
+        if p == "5-LOW"
+    }
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    want, seen = [], set()
+    for k, ln, px in zip(
+        li.column("l_orderkey").to_pylist(),
+        li.column("l_linenumber").to_pylist(),
+        li.column("l_extendedprice").to_pylist(),
+    ):
+        if k in build:
+            want.append((k, build[k], ln, int(np.floor(px * 100.0 + 0.5))))
+            seen.add(k)
+    for k, c in build.items():
+        if k not in seen:
+            want.append((k, c, None, None))
+    want.sort(key=lambda r: (r[0], r[2] is None, r[2] or 0, r[3] or 0))
+    got = sorted(
+        (
+            (r["o_orderkey"], r["o_custkey"], r["l_linenumber"], r["l_price_c"])
+            for r in order_lineitem_left(SF, num_shards=9).take_all()
+        ),
+        key=lambda r: (r[0], r[2] is None, r[2] or 0, r[3] or 0),
+    )
+    assert got == want
+    assert any(r[2] is None for r in got)  # null extension exercised
