@@ -456,6 +456,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("data_quality_report", relational.data_quality_report),  # contract audit
             ("rolling_active_users", relational.rolling_active_users),  # WAU
             ("order_lineitem_left", relational.order_lineitem_left),  # LEFT join
+            ("doc_skyline", relational.doc_skyline),  # Pareto frontier
         ],
         # window / interval operators
         "window": [
@@ -1114,6 +1115,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, dur_us, num_cents_us, "
             "CAST(num_cents_us // dur_us AS BIGINT) AS twa_c "
             "FROM a WHERE dur_us > 0 ORDER BY user_id"
+        ),
+        # doc_skyline: Pareto frontier on (max tokens, min chars); strict
+        # dominance, both-axes ties all survive
+        "doc_skyline": (
+            r"WITH m AS (SELECT doc_id, "
+            r"CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT) "
+            r"AS n_tokens, CAST(n_chars AS BIGINT) AS n_chars FROM documents) "
+            "SELECT doc_id, n_tokens, n_chars FROM m a WHERE NOT EXISTS ("
+            "SELECT 1 FROM m b WHERE b.n_tokens >= a.n_tokens "
+            "AND b.n_chars <= a.n_chars "
+            "AND (b.n_tokens > a.n_tokens OR b.n_chars < a.n_chars)) "
+            "ORDER BY n_tokens DESC, n_chars, doc_id"
         ),
         # order_lineitem_left: row-level LEFT OUTER join (null extension for
         # orders with no lineitems) — the shard-merge join triad's third leg

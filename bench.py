@@ -120,6 +120,7 @@ HEADLINE = [
     "kmv_jaccard",
     "user_running_zscore",
     "order_lineitem_left",
+    "doc_skyline",
 ]
 
 

@@ -2875,3 +2875,87 @@ def order_lineitem_left(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
         .groupby("oshard")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def doc_skyline(sf_dir: str) -> pa.Table:
+    """SKYLINE (Pareto frontier) query — multi-objective data selection:
+    the documents not dominated on (MAXIMIZE token count, MINIMIZE chars),
+    i.e. the token-density frontier a curation pipeline selects from when
+    two quality axes trade off.  Dominance is the standard strict skyline
+    (b dominates a iff b is >= on both axes with at least one strict);
+    ties on both axes all survive.
+
+    Scale shape: the local frontier is a VALID COMBINER (any globally
+    non-dominated point is locally non-dominated), so each block reduces
+    to its own frontier — one lexsort + exclusive running-min over the
+    block's DISTINCT (tokens, chars) points — and only local-frontier
+    rows leave the workers; the driver finishes with the same kernel over
+    the bounded candidate set.  Assumes the frontier (not the corpus)
+    fits the driver — true for real quality axes; an anticorrelated
+    adversarial corpus degrades to a corpus-sized frontier, in which case
+    chain another frontier-of-frontiers pass."""
+    import numpy as np
+    import pyarrow.compute as pc_
+
+    from ._util import absorb_empty_blocks
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "documents"), columns=["doc_id", "text", "n_chars"]
+    )
+
+    def _frontier(t: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+        """Packed (t, c) points on the frontier; t, c < 2^21 (testdata)."""
+        packed = np.unique((t << 21) | c)
+        pt, pcn = packed >> 21, packed & ((1 << 21) - 1)
+        order = np.lexsort((pcn, -pt))  # t desc, c asc
+        packed, pcn = packed[order], pcn[order]
+        cummin = np.minimum.accumulate(pcn)
+        excl = np.concatenate(([np.int64(1) << 62], cummin[:-1]))
+        return packed[pcn < excl]
+
+    _OUT = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("n_chars", pa.int64())]
+    )
+
+    def local(tb: pa.Table) -> pa.Table:
+        t = (
+            pc_.cast(
+                pc_.count_substring_regex(pc_.fill_null(tb.column("text"), ""), r"\S+"),
+                pa.int64(),
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        c = tb.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        kept = _frontier(t, c)
+        mask = np.isin((t << 21) | c, kept)
+        return pa.table(
+            {
+                "doc_id": tb.column("doc_id").filter(pa.array(mask)),
+                "n_tokens": pa.array(t[mask], pa.int64()),
+                "n_chars": pa.array(c[mask], pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    rows = (
+        absorb_empty_blocks(
+            ds.map_batches(local, batch_format="pyarrow"), batch_size=131072
+        ).take_all()  # local frontiers only
+    )
+    if not rows:
+        return _OUT.empty_table()
+    d = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    t = np.array([r["n_tokens"] for r in rows], dtype=np.int64)
+    c = np.array([r["n_chars"] for r in rows], dtype=np.int64)
+    kept = _frontier(t, c)
+    mask = np.isin((t << 21) | c, kept)
+    order = np.lexsort((d[mask], c[mask], -t[mask]))
+    return pa.table(
+        {
+            "doc_id": pa.array(d[mask][order], pa.int64()),
+            "n_tokens": pa.array(t[mask][order], pa.int64()),
+            "n_chars": pa.array(c[mask][order], pa.int64()),
+        },
+        schema=_OUT,
+    )

@@ -3344,3 +3344,37 @@ def test_order_lineitem_left_matches_local_recompute():
     )
     assert got == want
     assert any(r[2] is None for r in got)  # null extension exercised
+
+
+def test_doc_skyline_matches_brute_force():
+    """The distributed frontier equals the O(n^2) dominance recompute;
+    block-split invariant via absorb (local frontier is a valid combiner)."""
+    from invoice_extraction_ray.ops.relational import doc_skyline
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text", "n_chars"])
+    import re
+
+    pts = [
+        (d, len(re.findall(r"\S+", x or "")), c)
+        for d, x, c in zip(
+            docs.column("doc_id").to_pylist(),
+            docs.column("text").to_pylist(),
+            docs.column("n_chars").to_pylist(),
+        )
+    ]
+    want = sorted(
+        (
+            (d, t, c)
+            for d, t, c in pts
+            if not any(
+                bt >= t and bc <= c and (bt > t or bc < c) for _, bt, bc in pts
+            )
+        ),
+        key=lambda r: (-r[1], r[2], r[0]),
+    )
+    got = [
+        (r["doc_id"], r["n_tokens"], r["n_chars"])
+        for r in doc_skyline(SF).to_pylist()
+    ]
+    assert got == want
+    assert len(got) > 1
