@@ -457,6 +457,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("rolling_active_users", relational.rolling_active_users),  # WAU
             ("order_lineitem_left", relational.order_lineitem_left),  # LEFT join
             ("doc_skyline", relational.doc_skyline),  # Pareto frontier
+            ("user_favorite_event", relational.user_favorite_event),  # grouped mode
         ],
         # window / interval operators
         "window": [
@@ -1115,6 +1116,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, dur_us, num_cents_us, "
             "CAST(num_cents_us // dur_us AS BIGINT) AS twa_c "
             "FROM a WHERE dur_us > 0 ORDER BY user_id"
+        ),
+        # user_favorite_event: per-group MODE with (count desc, type asc)
+        # tie-break — the categorical aggregate Ray's Aggregate API lacks
+        "user_favorite_event": (
+            "SELECT user_id, favorite, n_events FROM ("
+            "SELECT user_id, event_type AS favorite, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY count(*) DESC, event_type) AS rn "
+            "FROM events GROUP BY user_id, event_type) "
+            "WHERE rn = 1 ORDER BY user_id"
         ),
         # doc_skyline: Pareto frontier on (max tokens, min chars); strict
         # dominance, both-axes ties all survive

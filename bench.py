@@ -121,6 +121,7 @@ HEADLINE = [
     "user_running_zscore",
     "order_lineitem_left",
     "doc_skyline",
+    "user_favorite_event",
 ]
 
 

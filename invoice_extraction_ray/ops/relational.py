@@ -2959,3 +2959,100 @@ def doc_skyline(sf_dir: str) -> pa.Table:
         },
         schema=_OUT,
     )
+
+
+def user_favorite_event(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """Per-group MODE — each user's most frequent event type (ties broken
+    by lexicographically smallest type), the categorical summary aggregate
+    Ray's Aggregate API lacks.  Mode is NOT associative, but its COUNT
+    table is: per batch collapse to (user, type, partial n) rows — one
+    np.unique over dictionary-encoded pairs — hash-shard by user, and each
+    shard finishes with exact segment sums + a vectorized argmax under the
+    (n desc, type asc) order.  Only distinct (user, type) pair rows per
+    block ever shuffle."""
+    import numpy as np
+
+    from ._util import absorb_empty_blocks, int_segment_sum
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+
+    _PART = pa.schema(
+        [
+            ("ushard", pa.int32()),
+            ("user", pa.int64()),
+            ("etype", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = t.column("event_type").combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        packed, cnt = np.unique((u << 8) | idx, return_counts=True)
+        pu, pidx = packed >> 8, packed & 0xFF
+        return pa.table(
+            {
+                "ushard": pa.array(
+                    (((pu * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+                ),
+                "user": pa.array(pu, pa.int64()),
+                "etype": enc.dictionary.take(pa.array(pidx, pa.int32())),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    _OUT = pa.schema(
+        [("user_id", pa.int64()), ("favorite", pa.string()), ("n_events", pa.int64())]
+    )
+
+    def shard_mode(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        g = g.sort_by([("user", "ascending"), ("etype", "ascending")])
+        u = g.column("user").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        # sum partials per (user, etype) run (types sorted within user)
+        et = g.column("etype").combine_chunks()
+        same = np.zeros(len(u), dtype=bool)
+        if len(u) > 1:
+            same[1:] = (u[1:] == u[:-1]) & pc.equal(
+                et.slice(1), et.slice(0, len(u) - 1)
+            ).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(~same)
+        tot = int_segment_sum(n, starts)
+        ru, ret = u[starts], et.take(pa.array(starts, pa.int64()))
+        # per-user argmax under (n desc, type asc): types are sorted asc,
+        # so the FIRST index achieving the user's max count wins ties
+        unew = np.ones(len(ru), dtype=bool)
+        unew[1:] = ru[1:] != ru[:-1]
+        ustarts = np.flatnonzero(unew)
+        uid = np.cumsum(unew) - 1
+        nmax = np.maximum.reduceat(tot, ustarts)
+        is_max = tot == nmax[uid]
+        cum = np.cumsum(is_max)
+        base = np.concatenate(([0], cum[ustarts[1:] - 1])) if len(ustarts) > 1 else np.array([0])
+        within = cum - base[uid]
+        first_max = is_max & (within == 1)
+        return pa.table(
+            {
+                "user_id": pa.array(ru[first_max], pa.int64()),
+                "favorite": ret.filter(pa.array(first_max)),
+                "n_events": pa.array(tot[first_max], pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    out = (
+        absorb_empty_blocks(
+            ds.map_batches(partial, batch_format="pyarrow"), batch_size=131072
+        )
+        .groupby("ushard")
+        .map_groups(
+            lambda g: shard_mode(g.drop_columns(["ushard"])), batch_format="pyarrow"
+        )
+    )
+    return absorb_empty_blocks(out, batch_size=131072).sort("user_id")

@@ -2823,6 +2823,7 @@ def test_new_relational_family_random_differential(tmp_path):
         "kmv_jaccard",
         "user_running_zscore",
         "order_lineitem_left",
+        "user_favorite_event",
     ):
         def norm(v):
             # DuckDB's .df() floats nullable-int columns (NULL -> NaN);
@@ -3378,3 +3379,27 @@ def test_doc_skyline_matches_brute_force():
     ]
     assert got == want
     assert len(got) > 1
+
+
+def test_user_favorite_event_matches_local_recompute():
+    """Grouped mode with (count desc, type asc) tie-break equals the
+    Counter recompute; shard-count invariant."""
+    from collections import Counter
+
+    from invoice_extraction_ray.ops.relational import user_favorite_event
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+    per_user = {}
+    for u, ty in zip(
+        ev.column("user_id").to_pylist(), ev.column("event_type").to_pylist()
+    ):
+        per_user.setdefault(u, Counter())[ty] += 1
+    want = sorted(
+        (u, min((t for t, n in c.items() if n == max(c.values()))), max(c.values()))
+        for u, c in per_user.items()
+    )
+    got = [
+        (r["user_id"], r["favorite"], r["n_events"])
+        for r in user_favorite_event(SF, n_shards=7).take_all()
+    ]
+    assert got == want
