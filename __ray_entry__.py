@@ -713,6 +713,10 @@ def oracle_sql() -> dict[str, str]:
     # register sum as an exact integer (engine matches: hll_estimate sums
     # 2^(55-r) as a Python bigint, order-independent)
     _M64 = 1 << 64
+    # Engine/oracle-shared sketch defaults (CLAUDE.md rule): interpolated
+    # into the KMV SQL so changing config re-syncs both sides.
+    from invoice_extraction_ray.config import KMV_JACCARD_TYPES as _KMV_TYPES
+    from invoice_extraction_ray.config import KMV_K as _KMV_K
 
     def _mul64(a: str, b: int) -> str:
         # (a*b) mod 2^64 without exceeding HUGEINT: a0*b + ((a1*b) mod 2^32)*2^32
@@ -1008,7 +1012,7 @@ def oracle_sql() -> dict[str, str]:
             f"s1 AS (SELECT {_mul64('xor(z, z // 1073741824)', 0xBF58476D1CE4E5B9)} AS z FROM s0), "
             f"s2 AS (SELECT {_mul64('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FROM s1), "
             "hh AS (SELECT xor(z, z // 2147483648) AS h FROM s2), "
-            "k AS (SELECT h FROM (SELECT DISTINCT h FROM hh) ORDER BY h LIMIT 64), "
+            f"k AS (SELECT h FROM (SELECT DISTINCT h FROM hh) ORDER BY h LIMIT {_KMV_K}), "
             "m AS (SELECT count(*) AS kk, max(h) AS kth FROM k) "
             "SELECT CAST(kk AS BIGINT) AS k, "
             "CAST(kth // 4294967296 AS BIGINT) AS kth_hi, "
@@ -1195,11 +1199,11 @@ def oracle_sql() -> dict[str, str]:
         # uniform union sample; every quantity deterministic integer
         "kmv_jaccard": (
             "WITH "
-            + _kmv_side("ja", "click", 64)
+            + _kmv_side("ja", _KMV_TYPES[0], _KMV_K)
             + ", "
-            + _kmv_side("jb", "purchase", 64)
-            + ", un AS (SELECT h FROM (SELECT h FROM jak UNION SELECT h FROM jbk) "
-            "ORDER BY h LIMIT 64), "
+            + _kmv_side("jb", _KMV_TYPES[1], _KMV_K)
+            + f", un AS (SELECT h FROM (SELECT h FROM jak UNION SELECT h FROM jbk) "
+            f"ORDER BY h LIMIT {_KMV_K}), "
             "m AS (SELECT count(*) AS k_eff, max(h) AS kth, "
             "sum(CASE WHEN h IN (SELECT h FROM jak) "
             "AND h IN (SELECT h FROM jbk) THEN 1 ELSE 0 END) AS inter FROM un) "

@@ -267,3 +267,10 @@ ANOMALY_MISSING_CRITICAL = "missing_critical_fields"
 ANOMALY_POWER = "power_out_of_range"
 ANOMALY_AMOUNT = "amount_out_of_range"
 ANOMALY_NO_REGIONS = "no_regions_detected"
+
+# --- sketch defaults shared by ops/sketch.py and the __ray_entry__ oracle
+#     SQL (CLAUDE.md rule: engine/oracle-shared semantics live HERE).
+#     Changing any of these re-syncs both sides automatically. ---
+
+KMV_K = 64                        # k-minimum-values sketch size
+KMV_JACCARD_TYPES = ("click", "purchase")  # default event-type pair

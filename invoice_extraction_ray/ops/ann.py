@@ -829,6 +829,11 @@ def filtered_ann_topk(
         side = g.column("side").to_numpy(zero_copy_only=False)
         ids = g.column("id").to_numpy(zero_copy_only=False)
         elig = np.unique(ids[side == 1])
+        if len(elig) == 0:
+            # A shard can hold vectors but zero eligible docs (e.g. a
+            # selective `lang` leaves this hash shard empty on the doc
+            # side); the fancy-indexed probe below would IndexError.
+            return _OUT.empty_table()
         vmask = side == 0
         vid = ids[vmask]
         pos = np.searchsorted(elig, vid)

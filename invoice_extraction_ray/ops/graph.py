@@ -71,7 +71,19 @@ def pagerank(
     def pair_partial(t: pa.Table) -> pa.Table:
         p = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
         s = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        packed = np.unique((p << 20) | s)  # suppkey < 2^20 by testdata shape
+        if len(p) == 0:
+            return _MERGED.empty_table()
+        # Both pack sites ((p<<20)|s here, (src<<21)|dst in stamp_degrees
+        # with vertex = 2*key(+1)) require keys < 2^20.  Fail LOUDLY on
+        # wider keys instead of silently corrupting edges.
+        if p.max() >= (1 << 20) or s.max() >= (1 << 20) or p.min() < 0 or s.min() < 0:
+            raise ValueError(
+                "pagerank: part/supp keys must be in [0, 2^20) for the "
+                "int64 edge pack; got partkey max %d, suppkey max %d — "
+                "widen the pack or switch to a two-column key"
+                % (int(p.max()), int(s.max()))
+            )
+        packed = np.unique((p << 20) | s)
         p, s = packed >> 20, packed & ((1 << 20) - 1)
         src = np.concatenate([p * 2, s * 2 + 1])
         dst = np.concatenate([s * 2 + 1, p * 2])

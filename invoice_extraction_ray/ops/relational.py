@@ -2328,6 +2328,11 @@ def order_details(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
         b = g.column("b").to_numpy(zero_copy_only=False)
         bmask = side == 1
         bkey, bcust, bdate = keys[bmask], a[bmask], b[bmask]
+        if len(bkey) == 0:
+            # Selective order filter can empty a shard's build side while
+            # lineitem probes remain; the fancy-indexed probe would
+            # IndexError on an empty build array.
+            return _OUT.empty_table()
         order = np.argsort(bkey)
         bkey, bcust, bdate = bkey[order], bcust[order], bdate[order]
         pk, pln, pprice = keys[~bmask], a[~bmask], b[~bmask]
@@ -2386,7 +2391,12 @@ def copurchase_pairs(
     def key_rows(t: pa.Table) -> pa.Table:
         o = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
         p = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        packed = np.unique((o << 21) | p)  # partkey < 2^21 by testdata shape
+        if len(p) and (p.max() >= (1 << 21) or p.min() < 0):
+            raise ValueError(
+                "copurchase_pairs: partkey must be in [0, 2^21) for the "
+                "int64 (orderkey<<21)|partkey pack; got max %d" % int(p.max())
+            )
+        packed = np.unique((o << 21) | p)
         o = packed >> 21
         return pa.table(
             {
@@ -2607,11 +2617,16 @@ def data_quality_report(sf_dir: str, n_shards: int = 64) -> pa.Table:
         )
 
     def dangling(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"n": pa.array([0], pa.int64())})
         side = g.column("side").to_numpy(zero_copy_only=False)
         keys = g.column("key").to_numpy(zero_copy_only=False)
         cnt = g.column("cnt").to_numpy(zero_copy_only=False)
         have = np.unique(keys[side == 1])
         pk, pc_ = keys[side == 0], cnt[side == 0]
+        if len(have) == 0:
+            # No orders landed in this shard: every lineitem key dangles.
+            return pa.table({"n": pa.array([int(pc_.sum())], pa.int64())})
         pos = np.searchsorted(have, pk)
         miss = (pos >= len(have)) | (have[np.minimum(pos, max(len(have) - 1, 0))] != pk)
         return pa.table({"n": pa.array([int(pc_[miss].sum())], pa.int64())})
@@ -2840,6 +2855,10 @@ def order_lineitem_left(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
         b = g.column("b").to_numpy(zero_copy_only=False)
         bmask = side == 1
         bkey, bcust = keys[bmask], a[bmask]
+        if len(bkey) == 0:
+            # Left side (orders) empty in this shard after the priority
+            # filter: no matched rows and no null-extended rows to emit.
+            return _OUT.empty_table()
         order = np.argsort(bkey)
         bkey, bcust = bkey[order], bcust[order]
         pk, pln, pprice = keys[~bmask], a[~bmask], b[~bmask]

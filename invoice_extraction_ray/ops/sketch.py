@@ -815,7 +815,9 @@ def value_winsorize(sf_dir: str, lo: float = 0.05, hi: float = 0.95) -> ray.data
     return ds.map_batches(clip, batch_format="pyarrow")
 
 
-KMV_K = 64
+# Re-exported from config so the engine default and the oracle SQL can
+# never desync (CLAUDE.md shared-semantics rule).
+from ..config import KMV_JACCARD_TYPES, KMV_K  # noqa: E402
 
 
 def kmv_distinct(sf_dir: str, k: int = KMV_K) -> pa.Table:
@@ -863,9 +865,12 @@ def value_moments(sf_dir: str) -> pa.Table:
     """Exact mergeable MOMENTS per event_type — the parallel mean/variance
     primitive (Chan et al. pairwise update, kept in integers): n, sum of
     cents, and sum of squared cents carried as TWO int64 limbs (hi/lo by
-    2^32) so the second moment never overflows at any corpus size — cents
-    are < 2^35 here, so per-row squares fit int64, per-batch sums fit
-    int64, and the cross-batch limb sums stay below 2^63 past 10^13 rows.
+    2^32) so the second moment never overflows at any corpus size.  Bound:
+    the per-batch s2 accumulates in PLAIN int64 before the limb split, so
+    with <=2^17-row blocks it needs |cents| < 2^23 (~$83k values; guarded
+    loudly below).  After the split each batch's limbs are < 2^32 (lo) /
+    < 2^31 (hi), so the cross-batch limb Sums stay below 2^63 past 10^13
+    rows.
     The final (tiny, |event types| rows) table normalizes the limbs with
     python ints and derives the exact floored variance
     ``(n*S2 - S1^2) // n^2`` in cents^2 — bit-equal to the HUGEINT SQL
@@ -895,6 +900,13 @@ def value_moments(sf_dir: str) -> pa.Table:
         c = np.floor(
             t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
         ).astype(np.int64)
+        if len(c) and int(np.abs(c).max()) >= (1 << 23):
+            # Per-batch s2 sums in plain int64 before the limb split;
+            # |cents| >= 2^23 could wrap silently on a 2^17-row block.
+            raise ValueError(
+                "value_moments: |cents| must be < 2^23 for the int64 "
+                "per-batch square sum; got %d" % int(np.abs(c).max())
+            )
         enc = t.column("event_type").combine_chunks().dictionary_encode()
         types = enc.dictionary
         idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -956,7 +968,10 @@ def value_moments(sf_dir: str) -> pa.Table:
 
 
 def kmv_jaccard(
-    sf_dir: str, type_a: str = "click", type_b: str = "purchase", k: int = KMV_K
+    sf_dir: str,
+    type_a: str = KMV_JACCARD_TYPES[0],
+    type_b: str = KMV_JACCARD_TYPES[1],
+    k: int = KMV_K,
 ) -> pa.Table:
     """Sketch SET ALGEBRA — bounded-memory Jaccard similarity between two
     corpus-sized key sets (users who ``type_a`` vs users who ``type_b``),
