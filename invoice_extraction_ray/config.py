@@ -274,3 +274,10 @@ ANOMALY_NO_REGIONS = "no_regions_detected"
 
 KMV_K = 64                        # k-minimum-values sketch size
 KMV_JACCARD_TYPES = ("click", "purchase")  # default event-type pair
+
+# Max dimension rows the star-join family may collect driver-side and
+# ray.put broadcast.  Past this, brand/nation/segment/Q17-style queries
+# auto-dispatch to their join-free shard message-passing fallback (the
+# unigram_surprisal vocab-cap pattern) so nothing corpus-scaled ever
+# lands on the driver.  ~5M rows x 2 int64 cols ~ 80 MB broadcast.
+BROADCAST_DIM_MAX_ROWS = 5_000_000

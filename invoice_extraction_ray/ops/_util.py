@@ -108,3 +108,11 @@ def embedding_matrix(col, dtype="float64", dim: int = 0):
         return np.empty((0, dim), dtype=dtype)
     flat = col.flatten().to_numpy(zero_copy_only=False)
     return flat.astype(dtype, copy=False).reshape(n, -1)
+
+
+def parquet_num_rows(path) -> int:
+    """Row count from the parquet FOOTER only — no data pages are read.
+    The metadata guard for broadcast-vs-shard-join auto-dispatch."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows

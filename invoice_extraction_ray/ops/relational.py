@@ -22,6 +22,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
+from ..config import BROADCAST_DIM_MAX_ROWS
+
 
 def _pq(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
@@ -394,8 +396,145 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
+def _orders_by_segment_sharded(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """Distributed fallback for :func:`orders_by_segment` past the customer
+    broadcast cap: orders pre-combine (count, cents) per custkey per batch,
+    the customer dimension rides the same custkey-shard stream, each shard
+    maps key -> segment and pre-aggregates, and the final groupby sees
+    <= n_shards x |segments| rows.  Integer cents (o_totalprice carries two
+    decimals, so per-row cents are exact and the sum matches the float
+    oracle wherever the oracle's own float64 sum is within half a cent)."""
+    import numpy as np
+
+    from ._util import absorb_empty_blocks, int_bincount, int_segment_sum
+
+    _MERGED = pa.schema(
+        [
+            ("cshard", pa.int32()),
+            ("ck", pa.int64()),
+            ("n", pa.int64()),
+            ("cents", pa.int64()),
+            ("seg", pa.string()),
+            ("side", pa.int8()),
+        ]
+    )
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ck)
+        return pa.table(
+            {
+                "cshard": pa.array(_shard_of(ck)),
+                "ck": pa.array(ck, pa.int64()),
+                "n": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "seg": t.column("c_mktsegment").cast(pa.string()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+            },
+            schema=_MERGED,
+        )
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        order = np.argsort(ck, kind="stable")
+        ck, cents = ck[order], cents[order]
+        new = np.ones(len(ck), dtype=bool)
+        new[1:] = ck[1:] != ck[:-1]
+        starts = np.flatnonzero(new)
+        uck = ck[starts]
+        n = len(uck)
+        return pa.table(
+            {
+                "cshard": pa.array(_shard_of(uck)),
+                "ck": pa.array(uck, pa.int64()),
+                "n": pa.array(
+                    int_segment_sum(np.ones(len(ck), np.int64), starts), pa.int64()
+                ),
+                "cents": pa.array(int_segment_sum(cents, starts), pa.int64()),
+                "seg": pa.nulls(n, pa.string()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            },
+            schema=_MERGED,
+        )
+
+    _PART = pa.schema(
+        [
+            ("c_mktsegment", pa.string()),
+            ("n_orders", pa.int64()),
+            ("sum_totalprice", pa.int64()),
+        ]
+    )
+
+    def merge_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PART.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        ck = g.column("ck").to_numpy(zero_copy_only=False)
+        bmask = side == 1
+        bkey = ck[bmask]
+        if len(bkey) == 0:
+            return _PART.empty_table()
+        seg = g.column("seg").combine_chunks().filter(pa.array(bmask))
+        order = np.argsort(bkey, kind="stable")
+        bkey = bkey[order]
+        seg = pc.take(seg, pa.array(order))
+        fmask = ~bmask
+        fk = ck[fmask]
+        fn = g.column("n").to_numpy(zero_copy_only=False)[fmask]
+        fc = g.column("cents").to_numpy(zero_copy_only=False)[fmask]
+        pos = np.searchsorted(bkey, fk)
+        hit = (pos < len(bkey)) & (bkey[np.minimum(pos, len(bkey) - 1)] == fk)
+        enc = pc.take(seg, pa.array(pos[hit])).dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        return pa.table(
+            {
+                "c_mktsegment": enc.dictionary,
+                "n_orders": pa.array(int_bincount(idx, fn[hit], minlength=k)),
+                "sum_totalprice": pa.array(int_bincount(idx, fc[hit], minlength=k)),
+            },
+            schema=_PART,
+        )
+
+    orders = ray.data.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(ord_partial, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(cust_rows, batch_format="pyarrow")
+    return (
+        absorb_empty_blocks(orders.union(cust), batch_size=131072)
+        .groupby("cshard")
+        .map_groups(
+            lambda g: merge_shard(g.drop_columns(["cshard"])),
+            batch_format="pyarrow",
+        )
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("sum_totalprice", alias_name="sum_totalprice"),
+        )
+    )
+
+
+def orders_by_segment(
+    sf_dir: str, dim_cap: int = BROADCAST_DIM_MAX_ROWS
+) -> ray.data.Dataset:
     import pyarrow.parquet as pq
+
+    from ._util import parquet_num_rows
+
+    # customer scales WITH the corpus: past the broadcast cap (parquet
+    # footer row count — no data read) dispatch to the join-free shard
+    # fallback, pytest-equated to this path.
+    if parquet_num_rows(_pq(sf_dir, "customer")) > dim_cap:
+        return _orders_by_segment_sharded(sf_dir)
 
     cust = pq.read_table(
         _pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
@@ -471,7 +610,10 @@ Q3_CUTOFF = __import__("datetime").datetime(1998, 7, 1)
 
 
 def top_revenue_orders(
-    sf_dir: str, k: int = 10, num_shards: int = 64
+    sf_dir: str,
+    k: int = 10,
+    num_shards: int = 64,
+    dim_cap: int = BROADCAST_DIM_MAX_ROWS,
 ) -> ray.data.Dataset:
     """TPC-H Q3 analogue: top-k unshipped orders by revenue for one market
     segment — the canonical dimension-filter -> fact-fact join -> top-k
@@ -491,23 +633,31 @@ def top_revenue_orders(
     query's wall; ``Dataset.join`` pays ~70ms per input block plus
     aggregator-actor startup — measured 9.3s remote wall), and each shard
     segment-sums the lineitem side and searchsorted-probes the orders side
-    vectorized.  Sort/limit finishes on (revenue desc, orderkey asc)."""
+    vectorized.  Sort/limit finishes on (revenue desc, orderkey asc).
+
+    Customer scales WITH the corpus: past ``dim_cap`` (parquet footer row
+    count, no data read) the segment filter runs as a custkey-shard SEMIJOIN
+    instead of a driver-collected key broadcast — one extra all-to-all over
+    the window orders only, nothing dimension-sized on the driver
+    (pytest-equated to the broadcast path)."""
     import numpy as np
 
-    from ._util import strip_schema_metadata
+    from ._util import parquet_num_rows, strip_schema_metadata
 
-    # dimension key set via a predicate-pushdown point read (row groups whose
-    # stats exclude the segment are never decoded) — bounded by DIMENSION
-    # cardinality, and ~3s cheaper than a Ray-side distinct whose all-to-all
-    # constants dwarf a dimension-sized input
-    import pyarrow.parquet as _pqm
+    broadcast_dim = parquet_num_rows(_pq(sf_dir, "customer")) <= dim_cap
+    if broadcast_dim:
+        # dimension key set via a predicate-pushdown point read (row groups
+        # whose stats exclude the segment are never decoded) — bounded by
+        # DIMENSION cardinality, and ~3s cheaper than a Ray-side distinct
+        # whose all-to-all constants dwarf a dimension-sized input
+        import pyarrow.parquet as _pqm
 
-    seg_tbl = _pqm.read_table(
-        _pq(sf_dir, "customer"),
-        columns=["c_custkey"],
-        filters=[("c_mktsegment", "==", Q3_SEGMENT)],
-    )
-    key_ref = ray.put(pc.unique(seg_tbl.column("c_custkey").combine_chunks()))
+        seg_tbl = _pqm.read_table(
+            _pq(sf_dir, "customer"),
+            columns=["c_custkey"],
+            filters=[("c_mktsegment", "==", Q3_SEGMENT)],
+        )
+        key_ref = ray.put(pc.unique(seg_tbl.column("c_custkey").combine_chunks()))
 
     _MERGED = pa.schema(
         [
@@ -523,9 +673,7 @@ def top_revenue_orders(
     def _shard_of(keys: "np.ndarray") -> "np.ndarray":
         return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
 
-    def ord_filter(t: pa.Table) -> pa.Table:
-        keep = pc.is_in(t.column("o_custkey"), value_set=ray.get(key_ref))
-        t = t.filter(keep)
+    def _ord_rows(t: pa.Table) -> pa.Table:
         okey = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(okey)
         return pa.table(
@@ -540,13 +688,110 @@ def top_revenue_orders(
             schema=_MERGED,
         )
 
-    orders = strip_schema_metadata(
+    orders_raw = strip_schema_metadata(
         ray.data.read_parquet(
             _pq(sf_dir, "orders"),
             columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
             filter=(pc.field("o_orderdate") < Q3_CUTOFF),
         )
-    ).map_batches(ord_filter, batch_format="pyarrow")
+    )
+
+    if broadcast_dim:
+
+        def ord_filter(t: pa.Table) -> pa.Table:
+            keep = pc.is_in(t.column("o_custkey"), value_set=ray.get(key_ref))
+            return _ord_rows(t.filter(keep))
+
+        orders = orders_raw.map_batches(ord_filter, batch_format="pyarrow")
+    else:
+        # custkey-shard SEMIJOIN: segment-filtered customer keys and window
+        # orders union into one custkey-hashed stream; each shard keeps the
+        # orders whose custkey appears on the customer side and emits them
+        # straight into the orderkey-shard _MERGED layout.
+        _SEMI = pa.schema(
+            [
+                ("cshard", pa.int32()),
+                ("ck", pa.int64()),
+                ("o_orderkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+                ("side", pa.int8()),
+            ]
+        )
+
+        def _cshard_of(keys: "np.ndarray") -> "np.ndarray":
+            return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(
+                np.int32
+            )
+
+        def cust_rows(t: pa.Table) -> pa.Table:
+            ck = np.unique(
+                t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            n = len(ck)
+            return pa.table(
+                {
+                    "cshard": pa.array(_cshard_of(ck)),
+                    "ck": pa.array(ck, pa.int64()),
+                    "o_orderkey": pa.array(np.zeros(n, np.int64), pa.int64()),
+                    "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+                    "o_orderpriority": pa.nulls(n, pa.string()),
+                    "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                },
+                schema=_SEMI,
+            )
+
+        def ord_semi_rows(t: pa.Table) -> pa.Table:
+            ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(ck)
+            return pa.table(
+                {
+                    "cshard": pa.array(_cshard_of(ck)),
+                    "ck": pa.array(ck, pa.int64()),
+                    "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                    "o_orderdate": t.column("o_orderdate").cast(pa.timestamp("us")),
+                    "o_orderpriority": t.column("o_orderpriority").cast(pa.string()),
+                    "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                },
+                schema=_SEMI,
+            )
+
+        def semi_shard(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return _MERGED.empty_table()
+            side = g.column("side").to_numpy(zero_copy_only=False)
+            ck = g.column("ck").to_numpy(zero_copy_only=False)
+            have = np.unique(ck[side == 1])
+            if len(have) == 0:
+                return _MERGED.empty_table()
+            fmask = side == 0
+            fk = ck[fmask]
+            pos = np.searchsorted(have, fk)
+            hit = (pos < len(have)) & (have[np.minimum(pos, len(have) - 1)] == fk)
+            keep = np.zeros(len(ck), dtype=bool)
+            keep[np.flatnonzero(fmask)[hit]] = True
+            return _ord_rows(g.filter(pa.array(keep)))
+
+        cust = ray.data.read_parquet(
+            _pq(sf_dir, "customer"),
+            columns=["c_custkey"],
+            filter=(pc.field("c_mktsegment") == Q3_SEGMENT),
+        ).map_batches(cust_rows, batch_format="pyarrow")
+        from ._util import absorb_empty_blocks as _absorb
+
+        orders = (
+            _absorb(
+                orders_raw.map_batches(ord_semi_rows, batch_format="pyarrow").union(
+                    cust
+                ),
+                batch_size=131072,
+            )
+            .groupby("cshard")
+            .map_groups(
+                lambda g: semi_shard(g.drop_columns(["cshard"])),
+                batch_format="pyarrow",
+            )
+        )
 
     def li_rev(t: pa.Table) -> pa.Table:
         ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
@@ -1196,7 +1441,136 @@ def event_type_pivot(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
     )
 
 
-def brand_revenue(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+def _brand_revenue_sharded(sf_dir: str, n_shards: int) -> ray.data.Dataset:
+    """Distributed fallback for :func:`brand_revenue` when ``part`` exceeds
+    the broadcast cap: join-free shard message passing (top_revenue_orders'
+    shape).  Lineitem pre-combines (count, cents) per partkey per batch, the
+    part dimension rides the same partkey-shard stream, each shard maps
+    key -> brand with one searchsorted and pre-aggregates per brand, and the
+    final groupby sees <= n_shards x |brands| rows.  Nothing dimension- or
+    corpus-sized ever touches the driver."""
+    import numpy as np
+
+    from ._util import absorb_empty_blocks, int_bincount, int_segment_sum
+
+    _MERGED = pa.schema(
+        [
+            ("pshard", pa.int32()),
+            ("pk", pa.int64()),
+            ("n", pa.int64()),
+            ("cents", pa.int64()),
+            ("p_brand", pa.string()),
+            ("side", pa.int8()),
+        ]
+    )
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+
+    def part_rows(t: pa.Table) -> pa.Table:
+        pk = t.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(pk)
+        return pa.table(
+            {
+                "pshard": pa.array(_shard_of(pk)),
+                "pk": pa.array(pk, pa.int64()),
+                "n": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "p_brand": t.column("p_brand").cast(pa.string()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+            },
+            schema=_MERGED,
+        )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        order = np.argsort(pk, kind="stable")
+        pk, cents = pk[order], cents[order]
+        new = np.ones(len(pk), dtype=bool)
+        new[1:] = pk[1:] != pk[:-1]
+        starts = np.flatnonzero(new)
+        upk = pk[starts]
+        n = len(upk)
+        return pa.table(
+            {
+                "pshard": pa.array(_shard_of(upk)),
+                "pk": pa.array(upk, pa.int64()),
+                "n": pa.array(
+                    int_segment_sum(np.ones(len(pk), np.int64), starts), pa.int64()
+                ),
+                "cents": pa.array(int_segment_sum(cents, starts), pa.int64()),
+                "p_brand": pa.nulls(n, pa.string()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            },
+            schema=_MERGED,
+        )
+
+    _PART = pa.schema(
+        [
+            ("p_brand", pa.string()),
+            ("n_items", pa.int64()),
+            ("sum_price_c", pa.int64()),
+        ]
+    )
+
+    def merge_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PART.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        pk = g.column("pk").to_numpy(zero_copy_only=False)
+        bmask = side == 1
+        bkey = pk[bmask]
+        if len(bkey) == 0:
+            return _PART.empty_table()  # inner join: no dimension rows here
+        brand = g.column("p_brand").combine_chunks().filter(pa.array(bmask))
+        order = np.argsort(bkey, kind="stable")
+        bkey = bkey[order]
+        brand = pc.take(brand, pa.array(order))
+        fmask = ~bmask
+        fk = pk[fmask]
+        fn = g.column("n").to_numpy(zero_copy_only=False)[fmask]
+        fc = g.column("cents").to_numpy(zero_copy_only=False)[fmask]
+        pos = np.searchsorted(bkey, fk)
+        hit = (pos < len(bkey)) & (bkey[np.minimum(pos, len(bkey) - 1)] == fk)
+        enc = pc.take(brand, pa.array(pos[hit])).dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        return pa.table(
+            {
+                "p_brand": enc.dictionary,
+                "n_items": pa.array(int_bincount(idx, fn[hit], minlength=k)),
+                "sum_price_c": pa.array(int_bincount(idx, fc[hit], minlength=k)),
+            },
+            schema=_PART,
+        )
+
+    li = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_partkey", "l_extendedprice"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+    parts = ray.data.read_parquet(
+        _pq(sf_dir, "part"), columns=["p_partkey", "p_brand"]
+    ).map_batches(part_rows, batch_format="pyarrow")
+    return (
+        absorb_empty_blocks(li.union(parts), batch_size=131072)
+        .groupby("pshard")
+        .map_groups(
+            lambda g: merge_shard(g.drop_columns(["pshard"])),
+            batch_format="pyarrow",
+        )
+        .groupby("p_brand")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("sum_price_c", alias_name="sum_price_c"),
+        )
+    )
+
+
+def brand_revenue(
+    sf_dir: str, n_shards: int = 64, dim_cap: int = BROADCAST_DIM_MAX_ROWS
+) -> ray.data.Dataset:
     """Broadcast dimension join over the LARGEST fact table — the canonical
     star-schema pattern at 100 TB: the small ``part`` dimension is read once
     driver-side, dictionary-encoded, and ``ray.put`` broadcast (one physical
@@ -1204,14 +1578,22 @@ def brand_revenue(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
     vectorized ``index_in`` per batch and pre-aggregates to per-brand
     partial (count, cents) rows BEFORE any shuffle — so the groupby moves
     |brands| rows per block, never the fact table, and there is NO
-    hash-partitioned join anywhere.  Exact integer cents throughout."""
+    hash-partitioned join anywhere.  Exact integer cents throughout.
+
+    In TPC-H ``part`` scales WITH the corpus, so broadcasting is only valid
+    below a cap: when the parquet FOOTER reports more than ``dim_cap`` rows
+    the query auto-dispatches to the join-free shard fallback (the
+    unigram_surprisal vocab-cap pattern) — pytest-equated to this path."""
     import numpy as np
     import pyarrow.parquet as pqm
 
-    from ._util import int_bincount
+    from ._util import int_bincount, parquet_num_rows
 
-    # the dimension is small by construction (|part| ~ corpus/1000); only
-    # (key, brand) columns are read, dictionary-encoded to int indices
+    if parquet_num_rows(_pq(sf_dir, "part")) > dim_cap:
+        return _brand_revenue_sharded(sf_dir, n_shards)
+
+    # the dimension is small (guarded above); only (key, brand) columns are
+    # read, dictionary-encoded to int indices
     part = pqm.read_table(_pq(sf_dir, "part"), columns=["p_partkey", "p_brand"])
     keys = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
     brands_d = part.column("p_brand").combine_chunks().dictionary_encode()
@@ -1380,7 +1762,9 @@ Q5_LO = __import__("datetime").datetime(1997, 1, 1)
 Q5_HI = __import__("datetime").datetime(1998, 1, 1)
 
 
-def nation_revenue(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
+def nation_revenue(
+    sf_dir: str, num_shards: int = 64, dim_cap: int = BROADCAST_DIM_MAX_ROWS
+) -> ray.data.Dataset:
     """TPC-H Q5 analogue: revenue per CUSTOMER NATION for orders placed in a
     one-year window — the canonical multi-way star join (two fact tables,
     two dimension hops) composed from this repo's proven shapes:
@@ -1396,17 +1780,29 @@ def nation_revenue(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
       each shard segment-sums revenue, probes the order's custkey, hops to
       nationkey, and pre-aggregates to <= |nations| rows BEFORE the final
       tiny groupby.  Per-shard output is dimension-bounded; the corpus
-      never re-shuffles."""
+      never re-shuffles.
+
+    Customer scales WITH the corpus: past ``dim_cap`` (parquet footer row
+    count) the custkey -> nationkey hop runs as a SECOND custkey-shard
+    message-passing stage over per-custkey order partials instead of a
+    driver-collected broadcast — nothing dimension-sized on the driver
+    (pytest-equated).  ``nation`` itself is a constant 25-row map and
+    always broadcasts."""
     import numpy as np
     import pyarrow.parquet as _pqm
 
-    from ._util import strip_schema_metadata
+    from ._util import parquet_num_rows, strip_schema_metadata
 
-    cust = _pqm.read_table(_pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
-    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
-    nk = cust.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(ck, kind="stable")
-    cust_ref = ray.put((ck[order], nk[order]))
+    broadcast_dim = parquet_num_rows(_pq(sf_dir, "customer")) <= dim_cap
+    cust_ref = None
+    if broadcast_dim:
+        cust = _pqm.read_table(
+            _pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+        )
+        ck = cust.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = cust.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ck, kind="stable")
+        cust_ref = ray.put((ck[order], nk[order]))
 
     nat = _pqm.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
     name_of = dict(
@@ -1482,10 +1878,22 @@ def nation_revenue(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
     _PART = pa.schema(
         [("nationkey", pa.int64()), ("n_orders", pa.int64()), ("revenue_i", pa.int64())]
     )
+    # sharded-fallback stage-B row layout: per-custkey order partials
+    # (side=0) union customer dimension rows (side=1), custkey-hashed
+    _CPART = pa.schema(
+        [
+            ("cshard", pa.int32()),
+            ("ck", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("rev_i", pa.int64()),
+            ("nationkey", pa.int64()),
+            ("side", pa.int8()),
+        ]
+    )
 
     def merge_shard(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
-            return _PART.empty_table()
+            return _PART.empty_table() if broadcast_dim else _CPART.empty_table()
         side = g.column("side").to_numpy(zero_copy_only=False)
         keys = g.column("key").to_numpy(zero_copy_only=False)
         k0 = keys[side == 0]
@@ -1510,21 +1918,41 @@ def nation_revenue(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
         hit = (pos < len(k1)) & (k1[np.minimum(pos, len(k1) - 1)] == uk)
         cust_k = c1[pos[hit]]
         rev = rev[hit]
-        # custkey -> nationkey via the broadcast sorted dimension
-        dck, dnk = ray.get(cust_ref)
-        nkeys = dnk[np.searchsorted(dck, cust_k)]
-        un, inv = np.unique(nkeys, return_inverse=True)
+        if broadcast_dim:
+            # custkey -> nationkey via the broadcast sorted dimension
+            dck, dnk = ray.get(cust_ref)
+            nkeys = dnk[np.searchsorted(dck, cust_k)]
+            un, inv = np.unique(nkeys, return_inverse=True)
+            n_ord = np.zeros(len(un), dtype=np.int64)
+            np.add.at(n_ord, inv, 1)
+            tot = np.zeros(len(un), dtype=np.int64)
+            np.add.at(tot, inv, rev)
+            return pa.table(
+                {
+                    "nationkey": pa.array(un, pa.int64()),
+                    "n_orders": pa.array(n_ord, pa.int64()),
+                    "revenue_i": pa.array(tot, pa.int64()),
+                },
+                schema=_PART,
+            )
+        # sharded fallback: emit per-custkey partials for the stage-B hop
+        un, inv = np.unique(cust_k, return_inverse=True)
         n_ord = np.zeros(len(un), dtype=np.int64)
         np.add.at(n_ord, inv, 1)
         tot = np.zeros(len(un), dtype=np.int64)
         np.add.at(tot, inv, rev)
         return pa.table(
             {
-                "nationkey": pa.array(un, pa.int64()),
+                "cshard": pa.array(
+                    (((un * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+                ),
+                "ck": pa.array(un, pa.int64()),
                 "n_orders": pa.array(n_ord, pa.int64()),
-                "revenue_i": pa.array(tot, pa.int64()),
+                "rev_i": pa.array(tot, pa.int64()),
+                "nationkey": pa.array(np.zeros(len(un), np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(un), np.int8), pa.int8()),
             },
-            schema=_PART,
+            schema=_CPART,
         )
 
     _OUT = pa.schema(
@@ -1562,6 +1990,80 @@ def nation_revenue(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
         .groupby("oshard")
         .map_groups(merge_shard, batch_format="pyarrow")
     )
+
+    if not broadcast_dim:
+        # stage B: custkey-shard hop — per-custkey order partials union the
+        # customer dimension rows; each shard maps ck -> nationkey with one
+        # searchsorted and pre-aggregates to <= |nations| rows.
+        def cust_rows(t: pa.Table) -> pa.Table:
+            cks = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            nks = t.column("c_nationkey").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            n = len(cks)
+            return pa.table(
+                {
+                    "cshard": pa.array(
+                        (((cks * 2654435761) % (1 << 32)) % num_shards).astype(
+                            np.int32
+                        )
+                    ),
+                    "ck": pa.array(cks, pa.int64()),
+                    "n_orders": pa.array(np.zeros(n, np.int64), pa.int64()),
+                    "rev_i": pa.array(np.zeros(n, np.int64), pa.int64()),
+                    "nationkey": pa.array(nks, pa.int64()),
+                    "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                },
+                schema=_CPART,
+            )
+
+        def nation_hop(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return _PART.empty_table()
+            side = g.column("side").to_numpy(zero_copy_only=False)
+            cks = g.column("ck").to_numpy(zero_copy_only=False)
+            bmask = side == 1
+            bkey = cks[bmask]
+            if len(bkey) == 0:
+                return _PART.empty_table()
+            bnk = g.column("nationkey").to_numpy(zero_copy_only=False)[bmask]
+            order = np.argsort(bkey, kind="stable")
+            bkey, bnk = bkey[order], bnk[order]
+            fmask = ~bmask
+            fk = cks[fmask]
+            fn = g.column("n_orders").to_numpy(zero_copy_only=False)[fmask]
+            fr = g.column("rev_i").to_numpy(zero_copy_only=False)[fmask]
+            pos = np.searchsorted(bkey, fk)
+            hit = (pos < len(bkey)) & (bkey[np.minimum(pos, len(bkey) - 1)] == fk)
+            nkeys = bnk[pos[hit]]
+            un, inv = np.unique(nkeys, return_inverse=True)
+            n_ord = np.zeros(len(un), dtype=np.int64)
+            np.add.at(n_ord, inv, fn[hit])
+            tot = np.zeros(len(un), dtype=np.int64)
+            np.add.at(tot, inv, fr[hit])
+            return pa.table(
+                {
+                    "nationkey": pa.array(un, pa.int64()),
+                    "n_orders": pa.array(n_ord, pa.int64()),
+                    "revenue_i": pa.array(tot, pa.int64()),
+                },
+                schema=_PART,
+            )
+
+        cust_side = ray.data.read_parquet(
+            _pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+        ).map_batches(cust_rows, batch_format="pyarrow")
+        merged = (
+            absorb_empty_blocks(merged.union(cust_side), batch_size=131072)
+            .groupby("cshard")
+            .map_groups(
+                lambda g: nation_hop(g.drop_columns(["cshard"])),
+                batch_format="pyarrow",
+            )
+        )
+
     # <= num_shards * |nations| partial rows remain — one tiny final groupby
     out = merged.groupby("nationkey").map_groups(final_merge, batch_format="pyarrow")
     return out.sort(["revenue_i", "n_name"], descending=[True, False])
@@ -1693,7 +2195,163 @@ def brand_supplier_counts(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
     )
 
 
-def small_quantity_revenue(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+def _small_quantity_revenue_sharded(sf_dir: str, n_shards: int) -> ray.data.Dataset:
+    """Distributed fallback for :func:`small_quantity_revenue` past the
+    ``part`` broadcast cap — and a strictly better shape: ONE lineitem pass.
+    Facts pre-combine per (partkey, quantity) per batch (quantity is a small
+    integer, so the pair cardinality per block is bounded); the part
+    dimension rides the same partkey-shard stream.  Each shard derives the
+    per-part totals from its own (pk, qty, n) rows (cnt = sum n,
+    sum_qty = sum qty*n — the pair partials are a sufficient statistic),
+    applies the division-free predicate ``5*qty*cnt < sum_qty`` per pair
+    row, maps pk -> brand, and pre-aggregates per brand.  Nothing
+    dimension-sized on the driver; the final groupby sees
+    <= n_shards x |brands| rows."""
+    import numpy as np
+
+    from ._util import absorb_empty_blocks, int_bincount, int_segment_sum
+
+    _MERGED = pa.schema(
+        [
+            ("pshard", pa.int32()),
+            ("pk", pa.int64()),
+            ("qty", pa.int64()),
+            ("n", pa.int64()),
+            ("cents", pa.int64()),
+            ("p_brand", pa.string()),
+            ("side", pa.int8()),
+        ]
+    )
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+
+    def part_rows(t: pa.Table) -> pa.Table:
+        pk = t.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(pk)
+        z = np.zeros(n, np.int64)
+        return pa.table(
+            {
+                "pshard": pa.array(_shard_of(pk)),
+                "pk": pa.array(pk, pa.int64()),
+                "qty": pa.array(z, pa.int64()),
+                "n": pa.array(z, pa.int64()),
+                "cents": pa.array(z, pa.int64()),
+                "p_brand": t.column("p_brand").cast(pa.string()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+            },
+            schema=_MERGED,
+        )
+
+    def fact_pairs(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = np.floor(
+            t.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        order = np.lexsort((qty, pk))
+        pk, qty, cents = pk[order], qty[order], cents[order]
+        new = np.ones(len(pk), dtype=bool)
+        new[1:] = (pk[1:] != pk[:-1]) | (qty[1:] != qty[:-1])
+        starts = np.flatnonzero(new)
+        upk, uq = pk[starts], qty[starts]
+        return pa.table(
+            {
+                "pshard": pa.array(_shard_of(upk)),
+                "pk": pa.array(upk, pa.int64()),
+                "qty": pa.array(uq, pa.int64()),
+                "n": pa.array(
+                    int_segment_sum(np.ones(len(pk), np.int64), starts), pa.int64()
+                ),
+                "cents": pa.array(int_segment_sum(cents, starts), pa.int64()),
+                "p_brand": pa.nulls(len(upk), pa.string()),
+                "side": pa.array(np.zeros(len(upk), np.int8), pa.int8()),
+            },
+            schema=_MERGED,
+        )
+
+    _PART = pa.schema(
+        [
+            ("p_brand", pa.string()),
+            ("n_small", pa.int64()),
+            ("small_rev_c", pa.int64()),
+        ]
+    )
+
+    def merge_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PART.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        pk = g.column("pk").to_numpy(zero_copy_only=False)
+        bmask = side == 1
+        bkey = pk[bmask]
+        if len(bkey) == 0:
+            return _PART.empty_table()
+        brand = g.column("p_brand").combine_chunks().filter(pa.array(bmask))
+        order = np.argsort(bkey, kind="stable")
+        bkey = bkey[order]
+        brand = pc.take(brand, pa.array(order))
+        fmask = ~bmask
+        fk = pk[fmask]
+        if len(fk) == 0:
+            return _PART.empty_table()
+        fq = g.column("qty").to_numpy(zero_copy_only=False)[fmask]
+        fn = g.column("n").to_numpy(zero_copy_only=False)[fmask]
+        fc = g.column("cents").to_numpy(zero_copy_only=False)[fmask]
+        forder = np.lexsort((fq, fk))
+        fk, fq, fn, fc = fk[forder], fq[forder], fn[forder], fc[forder]
+        new = np.ones(len(fk), dtype=bool)
+        new[1:] = fk[1:] != fk[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        cnt = int_segment_sum(fn, starts)
+        sumq = int_segment_sum(fq * fn, starts)
+        small = 5 * fq * cnt[seg] < sumq[seg]
+        pos = np.searchsorted(bkey, fk)
+        hit = (pos < len(bkey)) & (bkey[np.minimum(pos, len(bkey) - 1)] == fk)
+        keep = small & hit
+        if not keep.any():
+            return _PART.empty_table()
+        enc = pc.take(brand, pa.array(pos[keep])).dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        return pa.table(
+            {
+                "p_brand": enc.dictionary,
+                "n_small": pa.array(int_bincount(idx, fn[keep], minlength=k)),
+                "small_rev_c": pa.array(int_bincount(idx, fc[keep], minlength=k)),
+            },
+            schema=_PART,
+        )
+
+    li = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(fact_pairs, batch_format="pyarrow")
+    parts = ray.data.read_parquet(
+        _pq(sf_dir, "part"), columns=["p_partkey", "p_brand"]
+    ).map_batches(part_rows, batch_format="pyarrow")
+    return (
+        absorb_empty_blocks(li.union(parts), batch_size=131072)
+        .groupby("pshard")
+        .map_groups(
+            lambda g: merge_shard(g.drop_columns(["pshard"])),
+            batch_format="pyarrow",
+        )
+        .groupby("p_brand")
+        .aggregate(
+            Sum("n_small", alias_name="n_small"),
+            Sum("small_rev_c", alias_name="small_rev_c"),
+        )
+        .sort("p_brand")
+    )
+
+
+def small_quantity_revenue(
+    sf_dir: str, n_shards: int = 64, dim_cap: int = BROADCAST_DIM_MAX_ROWS
+) -> ray.data.Dataset:
     """Aggregate-then-rejoin — TPC-H Q17's pattern: revenue from lineitems
     whose quantity is below 20% of that PART's average quantity, reported
     per brand.  Two streaming passes, division-free:
@@ -1708,11 +2366,18 @@ def small_quantity_revenue(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
       brand, and pre-aggregates per-brand partials before one tiny groupby.
 
     Reference analogue: SURVEY §2 A9/J5 (per-group statistics feeding a
-    row-level validation pass, submission/utils/validate.py)."""
+    row-level validation pass, submission/utils/validate.py).
+
+    ``part`` (and the per-part stats) scale WITH the corpus: past
+    ``dim_cap`` (parquet footer row count) the query auto-dispatches to
+    :func:`_small_quantity_revenue_sharded` — pytest-equated."""
     import numpy as np
     import pyarrow.parquet as pqm
 
-    from ._util import int_bincount
+    from ._util import int_bincount, parquet_num_rows
+
+    if parquet_num_rows(_pq(sf_dir, "part")) > dim_cap:
+        return _small_quantity_revenue_sharded(sf_dir, n_shards)
 
     from ._util import absorb_empty_blocks, int_segment_sum
 
