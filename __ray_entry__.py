@@ -399,6 +399,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
         window,
     )
     from invoice_extraction_ray.ops.multimodal import media_ann_topk, media_metadata
+    from invoice_extraction_ray.stages.inference import served_labels
 
     return {
         # flagship transcript extraction (materialized-oracle DuckDB rows)
@@ -564,6 +565,10 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("media_features", _media_features_flat),  # f32-exact nibble histogram
             ("media_ann_topk", media_ann_topk),  # projection literals
             ("media_exact_dedup", _media_exact_dedup),  # sha256 both sides
+            # served-model inference pattern (actor-pool client session,
+            # bounded retry, per-row error-column degradation) against the
+            # deterministic local stub transport — ref extractor.py:12-181
+            ("served_labels", served_labels),
         ],
     }
 
@@ -717,6 +722,11 @@ def oracle_sql() -> dict[str, str]:
     # into the KMV SQL so changing config re-syncs both sides.
     from invoice_extraction_ray.config import KMV_JACCARD_TYPES as _KMV_TYPES
     from invoice_extraction_ray.config import KMV_K as _KMV_K
+    from invoice_extraction_ray.config import (
+        SERVED_FAIL_CODE as _SRV_CODE,
+        SERVED_FAIL_MOD as _SRV_MOD,
+        SERVED_LONG_MIN_TOKENS as _SRV_MIN,
+    )
 
     def _mul64(a: str, b: int) -> str:
         # (a*b) mod 2^64 without exceeding HUGEINT: a0*b + ((a1*b) mod 2^32)*2^32
@@ -1735,6 +1745,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(doc_id) AS BIGINT) AS keep_id, "
             "CAST(count(*) AS BIGINT) AS n_copies "
             "FROM documents GROUP BY 1"
+        ),
+        # served_labels: the stubbed served-model stage — whitespace token
+        # count drives short/long labels; every SERVED_FAIL_MOD-th count
+        # simulates a server failure degraded to the error column
+        "served_labels": (
+            "WITH n AS (SELECT doc_id, "
+            "len(regexp_extract_all(coalesce(text,''), '\\S+')) AS nt "
+            "FROM documents) "
+            f"SELECT doc_id, CASE WHEN nt % {_SRV_MOD} = 0 THEN NULL "
+            f"WHEN nt >= {_SRV_MIN} THEN 'long' ELSE 'short' END AS label, "
+            f"CASE WHEN nt % {_SRV_MOD} = 0 THEN '{_SRV_CODE}' END AS error "
+            "FROM n"
         ),
         "media_metadata": (
             # mirror of ops.multimodal.StubDecoder: pseudo-dimensions derived

@@ -281,3 +281,10 @@ KMV_JACCARD_TYPES = ("click", "purchase")  # default event-type pair
 # unigram_surprisal vocab-cap pattern) so nothing corpus-scaled ever
 # lands on the driver.  ~5M rows x 2 int64 cols ~ 80 MB broadcast.
 BROADCAST_DIM_MAX_ROWS = 5_000_000
+
+# served_labels stub-model semantics shared by stages/inference.py and the
+# __ray_entry__ oracle SQL (whitespace token count == str.split() == RE2
+# \S+, the repo's oracle-verified tokenizer).
+SERVED_LONG_MIN_TOKENS = 40   # label = 'long' iff n_tokens >= this
+SERVED_FAIL_MOD = 13          # n_tokens % this == 0 -> simulated failure
+SERVED_FAIL_CODE = "http_500"
