@@ -298,14 +298,70 @@ def _features_batch(t: pa.Table) -> pa.Table:
     return _feat_kernel(t)
 
 
-def media_features(sf_dir: str) -> ray.data.Dataset:
+class LuminanceHistogramFeatures:
+    """REAL encoder head (``real=True`` twin of ByteHistogramFeatures):
+    Pillow-decoded grayscale pixels -> normalized 16-bin LUMINANCE histogram
+    per payload, float32, the same ``list<float32>[16]`` schema — so
+    ``media_ann_topk`` and every downstream consumer is unchanged when the
+    cluster has codecs.  Actor-pool stage: the soft-imported codec is
+    per-actor state.  Raises the honest NotImplementedError when Pillow is
+    absent (this sandbox); an UNDECODABLE payload degrades to the zero
+    vector (norm 0 — excluded from cosine scoring exactly like empty
+    payloads), never fails the stage."""
+
+    def __init__(self):
+        self._image_mod = _pil()  # once per actor
+
+    def features_of(self, payload: bytes) -> "list[float]":
+        import io
+
+        import numpy as np
+
+        if self._image_mod is None:
+            raise NotImplementedError(
+                "image decode libraries are not available in this environment; "
+                "run media_features(real=False) (byte-histogram stub) or "
+                "install Pillow on the cluster"
+            )
+        try:
+            with self._image_mod.open(io.BytesIO(payload)) as im:
+                pix = np.asarray(im.convert("L"), dtype=np.uint8).ravel()
+        except Exception:
+            return [0.0] * N_HIST_BINS  # undecodable -> zero vector
+        if pix.size == 0:
+            return [0.0] * N_HIST_BINS
+        hist = np.bincount(pix >> 4, minlength=N_HIST_BINS).astype(np.float64)
+        return (hist / pix.size).astype(np.float32).tolist()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t.column("payload").to_pylist()
+        feats = [self.features_of(p or b"") for p in payloads]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "features": pa.array(feats, pa.list_(pa.float32())),
+            }
+        )
+
+
+def media_features(sf_dir: str, real: bool = False) -> ray.data.Dataset:
     """binary payloads -> feature extraction -> list<float32>.
 
-    TASK map, not an actor pool: ByteHistogramFeatures holds no state (no
-    model, no codec), so a pool buys nothing and pays startup + wave
-    quantization — measured 1.15 s pool vs 0.60 s task at sf0.1/32 cpus.
-    The decode/resize/frame stages keep their actor pools (they hold the
-    soft-imported codec), per the repo's task-vs-actor rule."""
+    ``real=False`` (default here — no codecs in this sandbox): TASK map,
+    not an actor pool: ByteHistogramFeatures holds no state (no model, no
+    codec), so a pool buys nothing and pays startup + wave quantization —
+    measured 1.15 s pool vs 0.60 s task at sf0.1/32 cpus.
+
+    ``real=True``: the Pillow luminance-histogram encoder head as an ACTOR
+    POOL (it holds the soft-imported codec, per the repo's task-vs-actor
+    rule); same output schema, raises honestly when Pillow is absent."""
+    if real:
+        return text_as_binary(sf_dir).map_batches(
+            LuminanceHistogramFeatures,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=pool_size(),
+        )
     return text_as_binary(sf_dir).map_batches(
         _features_batch,
         batch_format="pyarrow",
@@ -347,14 +403,19 @@ def _embed_feature_matrix(feats64: "_np.ndarray") -> "_np.ndarray":
 
 
 def media_ann_topk(
-    sf_dir: str, k: int = 10, query_doc_id: int = 0
+    sf_dir: str, k: int = 10, query_doc_id: int = 0, real: bool = False
 ) -> ray.data.Dataset:
-    """Cosine top-k over media embeddings: payload -> byte-histogram features
-    (actor pool) -> fixed-projection embedding + broadcast-query scoring
-    (task map, one matmul per batch) -> global sort/limit.  The query doc's
-    payload comes from a predicate-pushdown parquet point read — the driver
-    never reads the fact table.  Zero-norm embeddings (empty payloads) are
-    excluded on both the engine and oracle sides."""
+    """Cosine top-k over media embeddings: payload -> histogram features
+    -> fixed-projection embedding + broadcast-query scoring (task map, one
+    matmul per batch) -> global sort/limit.  The query doc's payload comes
+    from a predicate-pushdown parquet point read — the driver never reads
+    the fact table.  Zero-norm embeddings (empty/undecodable payloads) are
+    excluded on both the engine and oracle sides.
+
+    ``real=True`` swaps the byte-histogram stub for the Pillow LUMINANCE
+    encoder head (:class:`LuminanceHistogramFeatures`) on BOTH the query
+    and corpus sides — everything downstream (projection, scoring, sort)
+    is identical; raises honestly when Pillow is absent."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray
@@ -368,11 +429,18 @@ def media_ann_topk(
         filters=[("doc_id", "==", query_doc_id)],
     )
     payload = (tbl.column("text")[0].as_py() or "").encode()
-    b = _np.frombuffer(payload, dtype=_np.uint8)
-    if b.size == 0:
-        raise ValueError("query doc has an empty payload")
-    hist = _np.bincount(b >> 4, minlength=N_HIST_BINS).astype(_np.float64)
-    qf = (hist / b.size).astype(_np.float32).astype(_np.float64)
+    if real:
+        qf = _np.asarray(
+            LuminanceHistogramFeatures().features_of(payload), dtype=_np.float64
+        )
+        if float(_np.linalg.norm(qf)) == 0.0:
+            raise ValueError("query doc payload is empty or undecodable")
+    else:
+        b = _np.frombuffer(payload, dtype=_np.uint8)
+        if b.size == 0:
+            raise ValueError("query doc has an empty payload")
+        hist = _np.bincount(b >> 4, minlength=N_HIST_BINS).astype(_np.float64)
+        qf = (hist / b.size).astype(_np.float32).astype(_np.float64)
     qe = _embed_feature_matrix(qf[None, :])[0]
     qn = qe / max(float(_np.linalg.norm(qe)), 1e-30)
     q_ref = ray.put(qn)
@@ -394,7 +462,9 @@ def media_ann_topk(
             }
         )
 
-    scored = media_features(sf_dir).map_batches(score, batch_format="pyarrow")
+    scored = media_features(sf_dir, real=real).map_batches(
+        score, batch_format="pyarrow"
+    )
     return scored.sort(["sim_e4", "doc_id"], descending=[True, False]).limit(k)
 
 

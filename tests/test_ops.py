@@ -3403,3 +3403,50 @@ def test_user_favorite_event_matches_local_recompute():
         for r in user_favorite_event(SF, n_shards=7).take_all()
     ]
     assert got == want
+
+
+def test_luminance_features_raise_pinned_without_pillow():
+    """real=True encoder head: honest NotImplementedError when Pillow is
+    absent (this sandbox) — never a silent stub substitution."""
+    import pytest
+
+    from invoice_extraction_ray.ops.multimodal import (
+        LuminanceHistogramFeatures,
+        _pil,
+    )
+
+    if _pil() is not None:
+        pytest.skip("Pillow installed: covered by the real-decode test")
+    with pytest.raises(NotImplementedError):
+        LuminanceHistogramFeatures().features_of(b"xx")
+
+
+def test_real_luminance_features_and_ann_head():
+    """When Pillow IS installed the real=True head must actually decode:
+    a solid mid-gray PNG concentrates its luminance histogram in one bin,
+    and an undecodable payload degrades to the zero vector (excluded from
+    cosine scoring like empty payloads).  Skipped where codecs are absent."""
+    import pytest
+
+    pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from invoice_extraction_ray.ops.multimodal import (
+        N_HIST_BINS,
+        LuminanceHistogramFeatures,
+    )
+
+    buf = io.BytesIO()
+    Image.new("L", (32, 32), 100).save(buf, format="PNG")  # 100 >> 4 == bin 6
+    png = buf.getvalue()
+
+    kern = LuminanceHistogramFeatures()
+    out = kern(pa.table({"doc_id": [1, 2], "payload": [png, b"not-an-image"]}))
+    feats = out.column("features").to_pylist()
+    expected = [0.0] * N_HIST_BINS
+    expected[100 >> 4] = 1.0
+    assert np.allclose(feats[0], expected)
+    assert np.allclose(feats[1], [0.0] * N_HIST_BINS)  # undecodable -> zero
