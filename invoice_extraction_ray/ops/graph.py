@@ -12,15 +12,17 @@ Scale shape (the part Ray Data doesn't give you for free):
   emitted both directions keyed by SOURCE vertex, so every copy of an
   edge lands in one shard, whose np.unique is a global dedup; the shard
   computes out-degrees locally and seeds the initial rank rows.
-- vertex state never lives on the driver.  Each Pregel-style SUPERSTEP is
-  exactly ONE all-to-all: a vertex's owner shard holds its out-edges AND
-  receives its incoming messages (both keyed by the same hash), so one
-  kernel folds messages into new ranks and immediately emits the next
-  round's messages — partial-summed per destination before the shuffle,
-  so the wire carries <= |distinct dsts per shard| rows, never |edges|.
-  Edge rows ride the same shuffle unchanged (they re-sort each round;
-  co-partitioned zip would avoid even that, but Ray Data cannot express
-  it without a custom operator — documented trade-off).
+- vertex state never lives on the driver.  Supersteps run over
+  CO-PARTITIONED per-shard edge tables held in the object store (split
+  once from the stage-1 groupby output, edges pre-sorted by destination):
+  Ray Data cannot express "iterate while keeping one side of a groupby in
+  place", so the iteration is the documented raw-task escape hatch — one
+  send task and one fold task per shard per superstep, wired by the SAME
+  hash both ways.  Per round the wire carries ONLY messages
+  (partial-summed per destination inside the sender, <= |distinct dsts
+  per shard x shard| rows); edge rows never move again after stage 1.
+  Partitioning assumption: vertex ownership is hash(v) % n_shards on both
+  the edge and message sides.
 - connected-component label propagation (the same message-passing shape)
   lives in ops/dedup.py::neardup_clusters.
 """
@@ -146,81 +148,115 @@ def pagerank(
         li.map_batches(pair_partial, batch_format="pyarrow"), batch_size=131072
     ).groupby("shard").map_groups(stamp_degrees, batch_format="pyarrow")
 
-    # ---- stage 2: one all-to-all per superstep ---------------------------
-    def _fold_ranks(a, b, c, side):
-        """Current ranks of this shard's vertices: r0 rows on the first
-        superstep, else damped fold of the incoming per-dst messages."""
-        if (side == 1).any():
-            vmask = side == 1
-            return a[vmask], b[vmask]
-        mmask = side == 2
-        dst, m = a[mmask], b[mmask]
+    # ---- stage 2: co-partitioned raw-task supersteps ---------------------
+    # Ray Data cannot keep the edge side of a groupby IN PLACE across an
+    # iteration, so this is the documented raw-task escape hatch: per-shard
+    # edge tables are split ONCE from the stage-1 groupby output and pinned
+    # in the object store; each superstep is one send task + one fold task
+    # per shard, and only per-destination partial-summed messages travel.
+    _EDGES = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("deg", pa.int64())]
+    )
+    _RANKS = pa.schema([("v", pa.int64()), ("r", pa.int64())])
+    _MSG = pa.schema([("dst", pa.int64()), ("m", pa.int64())])
+    _OUT = pa.schema(
+        [("kind", pa.string()), ("key", pa.int64()), ("rank_ppm", pa.int64())]
+    )
+
+    def _split_block(tbl: pa.Table):
+        """One stage-1 output block -> its per-shard sub-tables."""
+        sh = tbl.column("shard").to_numpy(zero_copy_only=False)
+        return tuple(tbl.filter(pa.array(sh == s)) for s in range(n_shards))
+
+    def _assemble(*parts: pa.Table):
+        """This shard's stage-1 rows -> (edges sorted by dst, initial
+        ranks).  Runs once per shard; edges never move again."""
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return _EDGES.empty_table(), _RANKS.empty_table()
+        t = pa.concat_tables(parts)
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        emask = side == 0
+        src, dst, deg = a[emask], b[emask], c[emask]
+        order = np.argsort(dst, kind="stable")  # pre-sort for segment sums
+        edges = pa.table(
+            {
+                "src": pa.array(src[order], pa.int64()),
+                "dst": pa.array(dst[order], pa.int64()),
+                "deg": pa.array(deg[order], pa.int64()),
+            },
+            schema=_EDGES,
+        )
+        vmask = side == 1
+        v, r = a[vmask], b[vmask]
+        vorder = np.argsort(v, kind="stable")
+        ranks = pa.table(
+            {
+                "v": pa.array(v[vorder], pa.int64()),
+                "r": pa.array(r[vorder], pa.int64()),
+            },
+            schema=_RANKS,
+        )
+        return edges, ranks
+
+    def _send(edges: pa.Table, ranks: pa.Table):
+        """Contributions r[src] // deg, partial-summed per dst (edges are
+        dst-sorted), split by the destination's owner shard."""
+        if edges.num_rows == 0:
+            return tuple(_MSG.empty_table() for _ in range(n_shards))
+        src = edges.column("src").to_numpy(zero_copy_only=False)
+        dst = edges.column("dst").to_numpy(zero_copy_only=False)
+        deg = edges.column("deg").to_numpy(zero_copy_only=False)
+        v = ranks.column("v").to_numpy(zero_copy_only=False)
+        r = ranks.column("r").to_numpy(zero_copy_only=False)
+        contrib = r[np.searchsorted(v, src)] // deg  # every src has a rank
+        new = np.ones(len(dst), dtype=bool)
+        new[1:] = dst[1:] != dst[:-1]
+        starts = np.flatnonzero(new)
+        dsts = dst[starts]
+        msum = int_segment_sum(contrib, starts)
+        dsh = _shard_of(dsts)
+        return tuple(
+            pa.table(
+                {
+                    "dst": pa.array(dsts[dsh == s], pa.int64()),
+                    "m": pa.array(msum[dsh == s], pa.int64()),
+                },
+                schema=_MSG,
+            )
+            for s in range(n_shards)
+        )
+
+    def _fold(*msgs: pa.Table) -> pa.Table:
+        """Damped integer fold of this shard's incoming messages -> new
+        sorted rank table (int sums are order-independent, so the merge is
+        deterministic regardless of task completion order)."""
+        msgs = [m for m in msgs if m.num_rows]
+        if not msgs:
+            return _RANKS.empty_table()
+        t = pa.concat_tables(msgs)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        m = t.column("m").to_numpy(zero_copy_only=False)
         order = np.argsort(dst, kind="stable")
         dst, m = dst[order], m[order]
         new = np.ones(len(dst), dtype=bool)
         new[1:] = dst[1:] != dst[:-1]
         starts = np.flatnonzero(new)
-        v = dst[starts]
         r = _JUMP_PPM + _DAMP_NUM * int_segment_sum(m, starts) // _DAMP_DEN
-        return v, r
-
-    def superstep(g: pa.Table) -> pa.Table:
-        """Receive-then-send: fold incoming into ranks, emit next-round
-        messages (partial-summed per dst), pass edge rows through."""
-        if g.num_rows == 0:
-            return _MERGED.empty_table()
-        side = g.column("side").to_numpy(zero_copy_only=False)
-        a = g.column("a").to_numpy(zero_copy_only=False)
-        b = g.column("b").to_numpy(zero_copy_only=False)
-        c = g.column("c").to_numpy(zero_copy_only=False)
-        v, r = _fold_ranks(a, b, c, side)
-        order = np.argsort(v)
-        v, r = v[order], r[order]
-        emask = side == 0
-        src, dst, deg = a[emask], b[emask], c[emask]
-        pos = np.searchsorted(v, src)  # every src has a rank here
-        contrib = r[pos] // deg
-        dorder = np.argsort(dst, kind="stable")
-        sdst, contrib = dst[dorder], contrib[dorder]
-        new = np.ones(len(sdst), dtype=bool)
-        new[1:] = sdst[1:] != sdst[:-1]
-        starts = np.flatnonzero(new)
-        dsts = sdst[starts]
-        msum = int_segment_sum(contrib, starts)
-        n_e, n_m = len(src), len(dsts)
         return pa.table(
             {
-                "shard": pa.array(
-                    np.concatenate([_shard_of(src), _shard_of(dsts)])
-                ),
-                "a": pa.array(np.concatenate([src, dsts]), pa.int64()),
-                "b": pa.array(np.concatenate([dst, msum]), pa.int64()),
-                "c": pa.array(
-                    np.concatenate([deg, np.zeros(n_m, np.int64)]), pa.int64()
-                ),
-                "side": pa.array(
-                    np.concatenate(
-                        [np.zeros(n_e, np.int8), np.full(n_m, 2, np.int8)]
-                    ),
-                    pa.int8(),
-                ),
+                "v": pa.array(dst[starts], pa.int64()),
+                "r": pa.array(r, pa.int64()),
             },
-            schema=_MERGED,
+            schema=_RANKS,
         )
 
-    _OUT = pa.schema(
-        [("kind", pa.string()), ("key", pa.int64()), ("rank_ppm", pa.int64())]
-    )
-
-    def finalize(g: pa.Table) -> pa.Table:
-        """Receive-only last round: fold messages, label vertices."""
-        if g.num_rows == 0:
-            return _OUT.empty_table()
-        side = g.column("side").to_numpy(zero_copy_only=False)
-        a = g.column("a").to_numpy(zero_copy_only=False)
-        b = g.column("b").to_numpy(zero_copy_only=False)
-        c = g.column("c").to_numpy(zero_copy_only=False)
-        v, r = _fold_ranks(a, b, c, side)
+    def _finalize(ranks: pa.Table) -> pa.Table:
+        v = ranks.column("v").to_numpy(zero_copy_only=False)
+        r = ranks.column("r").to_numpy(zero_copy_only=False)
         kind = np.where(v % 2 == 0, "part", "supplier")
         return pa.table(
             {
@@ -231,16 +267,28 @@ def pagerank(
             schema=_OUT,
         )
 
-    for _ in range(iterations):
-        state = (
-            absorb_empty_blocks(state, batch_size=131072)
-            .groupby("shard")
-            .map_groups(superstep, batch_format="pyarrow")
-        )
+    split_t = ray.remote(num_returns=n_shards)(_split_block)
+    assemble_t = ray.remote(num_returns=2)(_assemble)
+    send_t = ray.remote(num_returns=n_shards)(_send)
+    fold_t = ray.remote(_fold)
+    final_t = ray.remote(_finalize)
 
-    return (
-        absorb_empty_blocks(state, batch_size=131072)
-        .groupby("shard")
-        .map_groups(finalize, batch_format="pyarrow")
-        .sort(["kind", "key"])
-    )
+    blocks = state.to_arrow_refs()  # materialize in the object store only
+    parts = [split_t.remote(b) for b in blocks]
+    shard_state = [
+        assemble_t.remote(*[parts[b][s] for b in range(len(parts))])
+        for s in range(n_shards)
+    ]
+    edges_ref = [st[0] for st in shard_state]
+    ranks_ref = [st[1] for st in shard_state]
+    for _ in range(iterations):
+        grid = [
+            send_t.remote(edges_ref[s], ranks_ref[s]) for s in range(n_shards)
+        ]
+        ranks_ref = [
+            fold_t.remote(*[grid[sp][s] for sp in range(n_shards)])
+            for s in range(n_shards)
+        ]
+    return ray.data.from_arrow_refs(
+        [final_t.remote(rr) for rr in ranks_ref]
+    ).sort(["kind", "key"])
