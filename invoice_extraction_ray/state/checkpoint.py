@@ -24,6 +24,7 @@ import json
 import os
 import shutil
 
+import pyarrow.compute as _pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
@@ -90,7 +91,7 @@ def run_checkpointed(
         # lineage metrics: read back only the tiny confidence column
         conf = pads.dataset(out_files).to_table(columns=["confidence"])
         mean_conf = (
-            float(conf.column("confidence").combine_chunks().cast("float64").to_pandas().mean())
+            _pc.mean(conf.column("confidence").cast("float64")).as_py()
             if rows
             else None
         )
