@@ -116,10 +116,20 @@ def prepare_corpus(
     # near-dup clusters over the FULL corpus (a low-quality duplicate must
     # still knock out its higher-id twins); only docs appearing in a pair
     # get a row, so the join's right side is small
-    clusters = neardup_clusters(docs, threshold=jaccard_threshold, max_df=ngram_max_df)
+    clusters = neardup_clusters(
+        docs, threshold=jaccard_threshold, max_df=ngram_max_df
+    ).materialize()  # cluster-membership-bounded: only docs in a pair
+    if clusters.count() == 0:
+        # Dataset.join breaks on a schema-less empty right side (the known
+        # zero-column-partition hazard); no clusters means nothing to drop.
+        return kept
     joined = absorb_empty_blocks(
         strip_schema_metadata(kept).join(
-            strip_schema_metadata(clusters),
+            # absorb BOTH join inputs: either side can carry schema-less
+            # empty blocks (clusters' own union/aggregate lineage emits
+            # them on small chunked inputs) and the hash aggregator fails
+            # with "No match ... for key field reference" on such a block
+            absorb_empty_blocks(strip_schema_metadata(clusters)),
             "left_outer",
             num_partitions,
             on=("doc_id",),

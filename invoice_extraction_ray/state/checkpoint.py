@@ -121,6 +121,96 @@ def run_checkpointed(
     }
 
 
+def run_prep_checkpointed(
+    input_paths: list[str],
+    out_dir: str,
+    *,
+    files_per_chunk: int = 4,
+    stop_after_chunks: int | None = None,
+    **prep_kwargs,
+) -> dict:
+    """Checkpointed, resumable CURATION runs: ``prepare_corpus`` (quality
+    filter -> exact dedup -> near-dup cluster removal) chunk-by-chunk with
+    the same lineage-manifest discipline as the flagship job.
+
+    Dedup scope in checkpointed mode is the CHUNK: each chunk's documents
+    dedup against each other, not across chunks — the standard
+    hash-partitioned dedup discipline at corpus scale (route related docs
+    into the same chunk upstream if cross-file dedup is needed).  Chunk
+    membership is a pure function of the sorted file list, so a resumed
+    run reproduces a clean run bit-for-bit (resume-invariance tested by
+    killing after chunk k and re-running).
+
+    Returns {chunks_total, chunks_run, chunks_skipped, rows}."""
+    import ray.data
+
+    from ..pipelines.prep import prepare_corpus
+
+    os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
+    plan = chunk_plan(input_paths, files_per_chunk)
+    run = skipped = 0
+
+    for k, files in enumerate(plan):
+        if stop_after_chunks is not None and run >= stop_after_chunks:
+            break
+        mpath = _manifest_path(out_dir, k)
+        cdir = _chunk_dir(out_dir, k)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                manifest = json.load(f)
+            if manifest.get("input_files") == files and os.path.isdir(cdir):
+                skipped += 1
+                continue
+        for stale in (cdir, cdir + ".tmp"):
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+        if os.path.exists(mpath):
+            os.remove(mpath)
+
+        docs = ray.data.read_parquet(files, columns=["doc_id", "text"])
+        ds = prepare_corpus(docs, **prep_kwargs)
+        tmp = cdir + ".tmp"
+        ds.write_parquet(tmp)
+        os.rename(tmp, cdir)
+
+        out_files = sorted(glob.glob(os.path.join(cdir, "*.parquet")))
+        rows = sum(pq.read_metadata(f).num_rows for f in out_files)
+        if rows:
+            t = pads.dataset(out_files).to_table(columns=["score_e5", "n_copies"])
+            mean_score = _pc.mean(t.column("score_e5").cast("float64")).as_py()
+            dup_copies = _pc.sum(t.column("n_copies")).as_py()
+        else:
+            mean_score = None
+            dup_copies = 0
+        manifest = {
+            "chunk_id": k,
+            "input_files": files,
+            "row_count": rows,
+            "output_files": [os.path.basename(f) for f in out_files],
+            "metrics": {
+                "mean_score_e5": mean_score,
+                "copies_represented": dup_copies,
+            },
+        }
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.rename(mpath + ".tmp", mpath)
+        run += 1
+
+    total_rows = 0
+    for k in range(len(plan)):
+        mp = _manifest_path(out_dir, k)
+        if os.path.exists(mp):
+            with open(mp) as f:
+                total_rows += json.load(f)["row_count"]
+    return {
+        "chunks_total": len(plan),
+        "chunks_run": run,
+        "chunks_skipped": skipped,
+        "rows": total_rows,
+    }
+
+
 def read_output(out_dir: str):
     """Ray Dataset over all completed chunks' parquet output."""
     import ray.data

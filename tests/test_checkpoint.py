@@ -99,3 +99,77 @@ def test_job_cli_runs_and_resumes(tmp_path):
         "entity", "code", "power", "amount", "region_a", "region_b"
     }
     assert report["failures"]["most_common"]
+
+
+def _doc_inputs(tmp_path, n_files=6, rows_per_file=80):
+    """Split the sf0.001 documents table into n_files small parquet files."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    paths = []
+    for i in range(n_files):
+        sl = t.slice(i * rows_per_file, rows_per_file)
+        p = str(d / f"docs-{i:03d}.parquet")
+        pq.write_table(sl, p)
+        paths.append(p)
+    return paths
+
+
+def test_prep_resume_invariance(tmp_path):
+    """Checkpointed curation (quality -> exact dedup -> near-dup removal):
+    kill after chunk 1, resume, output equals the uninterrupted run."""
+    from invoice_extraction_ray.state.checkpoint import run_prep_checkpointed
+
+    paths = _doc_inputs(tmp_path)
+
+    full = run_prep_checkpointed(paths, str(tmp_path / "pfull"), files_per_chunk=2)
+    assert full["chunks_run"] == 3 and full["chunks_skipped"] == 0
+    assert full["rows"] > 0
+
+    crash = run_prep_checkpointed(
+        paths, str(tmp_path / "pres"), files_per_chunk=2, stop_after_chunks=1
+    )
+    assert crash["chunks_run"] == 1
+    resumed = run_prep_checkpointed(paths, str(tmp_path / "pres"), files_per_chunk=2)
+    assert resumed["chunks_skipped"] == 1 and resumed["chunks_run"] == 2
+    assert resumed["rows"] == full["rows"]
+
+    def _sorted(out):
+        import pyarrow as pa
+        import ray
+
+        tables = [ray.get(r) for r in read_output(out).to_arrow_refs()]
+        t = pa.concat_tables([x for x in tables if x.num_rows])
+        return t.sort_by([("doc_id", "ascending")])
+
+    a = _sorted(str(tmp_path / "pfull"))
+    b = _sorted(str(tmp_path / "pres"))
+    assert_tables_equal(a, b)
+    assert set(a.column_names) == {"doc_id", "n_copies", "score_e5"}
+
+
+def test_prep_partial_chunk_is_rerun(tmp_path):
+    import json
+    import os
+
+    from invoice_extraction_ray.state.checkpoint import run_prep_checkpointed
+
+    paths = _doc_inputs(tmp_path)
+    out = str(tmp_path / "pout")
+    run_prep_checkpointed(paths, out, files_per_chunk=2)
+    mpath = os.path.join(out, "_manifests", "chunk-00001.json")
+    with open(mpath) as f:
+        before = json.load(f)
+    os.remove(mpath)
+    again = run_prep_checkpointed(paths, out, files_per_chunk=2)
+    assert again["chunks_run"] == 1 and again["chunks_skipped"] == 2
+    with open(mpath) as f:
+        after = json.load(f)
+    # deterministic re-run reproduces the manifest (parquet file names are
+    # session-unique, so compare everything but them)
+    drop = lambda m: {k: v for k, v in m.items() if k != "output_files"}
+    assert drop(after) == drop(before)
