@@ -202,9 +202,39 @@ def pagerank(
         )
         return edges, ranks
 
-    def _send(edges: pa.Table, ranks: pa.Table):
-        """Contributions r[src] // deg, partial-summed per dst (edges are
-        dst-sorted), split by the destination's owner shard."""
+    def _fold_msgs(msgs) -> pa.Table:
+        """Damped integer fold of this shard's incoming messages -> new
+        sorted rank table (int sums are order-independent, so the merge is
+        deterministic regardless of task completion order)."""
+        msgs = [m for m in msgs if m.num_rows]
+        if not msgs:
+            return _RANKS.empty_table()
+        t = pa.concat_tables(msgs)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        m = t.column("m").to_numpy(zero_copy_only=False)
+        order = np.argsort(dst, kind="stable")
+        dst, m = dst[order], m[order]
+        new = np.ones(len(dst), dtype=bool)
+        new[1:] = dst[1:] != dst[:-1]
+        starts = np.flatnonzero(new)
+        r = _JUMP_PPM + _DAMP_NUM * int_segment_sum(m, starts) // _DAMP_DEN
+        return pa.table(
+            {
+                "v": pa.array(dst[starts], pa.int64()),
+                "r": pa.array(r, pa.int64()),
+            },
+            schema=_RANKS,
+        )
+
+    def _step(edges: pa.Table, ranks0, *msgs):
+        """ONE task per shard per superstep — receive-then-send: fold the
+        incoming messages into this shard's ranks (or take the seeded r0
+        table on the first round), then emit next-round contributions
+        r[src] // deg partial-summed per dst (edges are dst-sorted), split
+        by the destination's owner shard.  Fusing fold+send halves the
+        per-round task count and removes one scheduling hop per round —
+        the rounds are latency-bound, not compute-bound."""
+        ranks = ranks0 if ranks0 is not None else _fold_msgs(msgs)
         if edges.num_rows == 0:
             return tuple(_MSG.empty_table() for _ in range(n_shards))
         src = edges.column("src").to_numpy(zero_copy_only=False)
@@ -230,31 +260,9 @@ def pagerank(
             for s in range(n_shards)
         )
 
-    def _fold(*msgs: pa.Table) -> pa.Table:
-        """Damped integer fold of this shard's incoming messages -> new
-        sorted rank table (int sums are order-independent, so the merge is
-        deterministic regardless of task completion order)."""
-        msgs = [m for m in msgs if m.num_rows]
-        if not msgs:
-            return _RANKS.empty_table()
-        t = pa.concat_tables(msgs)
-        dst = t.column("dst").to_numpy(zero_copy_only=False)
-        m = t.column("m").to_numpy(zero_copy_only=False)
-        order = np.argsort(dst, kind="stable")
-        dst, m = dst[order], m[order]
-        new = np.ones(len(dst), dtype=bool)
-        new[1:] = dst[1:] != dst[:-1]
-        starts = np.flatnonzero(new)
-        r = _JUMP_PPM + _DAMP_NUM * int_segment_sum(m, starts) // _DAMP_DEN
-        return pa.table(
-            {
-                "v": pa.array(dst[starts], pa.int64()),
-                "r": pa.array(r, pa.int64()),
-            },
-            schema=_RANKS,
-        )
-
-    def _finalize(ranks: pa.Table) -> pa.Table:
+    def _finalize(*msgs: pa.Table) -> pa.Table:
+        """Receive-only last round: fold, label vertices."""
+        ranks = _fold_msgs(msgs)
         v = ranks.column("v").to_numpy(zero_copy_only=False)
         r = ranks.column("r").to_numpy(zero_copy_only=False)
         kind = np.where(v % 2 == 0, "part", "supplier")
@@ -269,8 +277,7 @@ def pagerank(
 
     split_t = ray.remote(num_returns=n_shards)(_split_block)
     assemble_t = ray.remote(num_returns=2)(_assemble)
-    send_t = ray.remote(num_returns=n_shards)(_send)
-    fold_t = ray.remote(_fold)
+    step_t = ray.remote(num_returns=n_shards)(_step)
     final_t = ray.remote(_finalize)
 
     blocks = state.to_arrow_refs()  # materialize in the object store only
@@ -280,15 +287,21 @@ def pagerank(
         for s in range(n_shards)
     ]
     edges_ref = [st[0] for st in shard_state]
-    ranks_ref = [st[1] for st in shard_state]
-    for _ in range(iterations):
+    ranks0_ref = [st[1] for st in shard_state]
+    # superstep 1 sends from the seeded r0; each later superstep folds the
+    # previous round's messages and sends — `iterations` folds in total
+    # (the last one inside _finalize), exactly the oracle's r1..rN chain.
+    grid = [step_t.remote(edges_ref[s], ranks0_ref[s]) for s in range(n_shards)]
+    for _ in range(iterations - 1):
         grid = [
-            send_t.remote(edges_ref[s], ranks_ref[s]) for s in range(n_shards)
-        ]
-        ranks_ref = [
-            fold_t.remote(*[grid[sp][s] for sp in range(n_shards)])
+            step_t.remote(
+                edges_ref[s], None, *[grid[sp][s] for sp in range(n_shards)]
+            )
             for s in range(n_shards)
         ]
     return ray.data.from_arrow_refs(
-        [final_t.remote(rr) for rr in ranks_ref]
+        [
+            final_t.remote(*[grid[sp][s] for sp in range(n_shards)])
+            for s in range(n_shards)
+        ]
     ).sort(["kind", "key"])

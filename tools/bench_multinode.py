@@ -8,6 +8,9 @@ the seal shuffle and broadcast.
 
 Usage: PYTHONPATH=. python tools/bench_multinode.py            # both levels
        PYTHONPATH=. python tools/bench_multinode.py --nodes N  # one level
+       PYTHONPATH=. python tools/bench_multinode.py --op pagerank
+           # 1-vs-2-node pair for one of: flagship (default), pagerank,
+           # minhash_neardup, nation_revenue (the shuffle-heaviest ops)
 Prints one JSON line per level; the no-arg parent combines them.
 """
 
@@ -21,52 +24,97 @@ import time
 
 SF = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS_PER_NODE = 2
+# 1 GiB per virtual node: at 512 MiB the sort shuffles of the heavier ops
+# (nation_revenue's two chained shard exchanges) fall into object-spill
+# thrash (measured 114 s vs 3.8 s on the SAME 1-node run) — an artifact of
+# the miniature store, not of the pipeline shape; real nodes have tens of
+# GiB.  Per-node shape stays identical across levels, as the north rule
+# requires.
+STORE_BYTES = 1024 * 1024**2
 
 
-def run_level(n_nodes: int) -> dict:
+def _op_dataset(op: str):
+    """Build the op's Dataset (lazy).  Returns (build_fn, warm_fn)."""
+    if op == "flagship":
+        from invoice_extraction_ray.corpus import transcripts_for
+        from invoice_extraction_ray.pipelines.extract import build_pipeline
+
+        paths = transcripts_for(SF)
+        return lambda: build_pipeline(
+            paths, seal_strategy="aligned", flat_output=True
+        )
+    if op == "pagerank":
+        from invoice_extraction_ray.ops.graph import pagerank
+
+        return lambda: pagerank(SF)
+    if op == "pagerank12":
+        # 12 supersteps: same operator, 4x the iterative phase — the
+        # sf0.1 3-iteration walls are ~80% fixed floor (measured via an
+        # sf0.001 run: 1.25 s of 1.6 s), so the short pair can't show
+        # scaling; this variant makes the scalable phase dominate.
+        from invoice_extraction_ray.ops.graph import pagerank
+
+        return lambda: pagerank(SF, iterations=12)
+    if op == "minhash_neardup":
+        import pyarrow.parquet as pq
+
+        from invoice_extraction_ray.ops.dedup import minhash_neardup
+
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        return lambda: minhash_neardup(docs, jaccard_threshold=0.8)
+    if op == "nation_revenue":
+        from invoice_extraction_ray.ops.relational import nation_revenue
+
+        # dim_cap=0 forces the DISTRIBUTED shard fallback — the path whose
+        # cross-node exchange behavior actually matters at cluster scale
+        return lambda: nation_revenue(SF, dim_cap=0)
+    raise SystemExit(f"unknown --op {op}")
+
+
+def run_level(n_nodes: int, op: str = "flagship") -> dict:
     import ray
     from ray.cluster_utils import Cluster
 
     cluster = Cluster(
         initialize_head=True,
         head_node_args=dict(
-            num_cpus=CPUS_PER_NODE, object_store_memory=512 * 1024**2
+            num_cpus=CPUS_PER_NODE, object_store_memory=STORE_BYTES
         ),
     )
     for _ in range(n_nodes - 1):
-        cluster.add_node(num_cpus=CPUS_PER_NODE, object_store_memory=512 * 1024**2)
+        cluster.add_node(num_cpus=CPUS_PER_NODE, object_store_memory=STORE_BYTES)
     ray.init(address=cluster.address, include_dashboard=False, logging_level="ERROR")
     cluster.wait_for_nodes()
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
 
-    from invoice_extraction_ray.corpus import transcripts_for
-    from invoice_extraction_ray.pipelines.extract import build_pipeline
-
-    paths = transcripts_for(SF)
-    # warm the corpus cache / imports outside the timed section
-    build_pipeline(paths, seal_strategy="aligned", flat_output=True).limit(1).take(1)
+    build = _op_dataset(op)
+    # warm caches / imports / worker startup outside the timed section
+    build().limit(1).take(1)
 
     t0 = time.perf_counter()
-    ds = build_pipeline(paths, seal_strategy="aligned", flat_output=True)
-    turns = ds.count()
+    rows = build().count()
     wall = time.perf_counter() - t0
     ray.shutdown()
     cluster.shutdown()
     return {
+        "op": op,
         "nodes": n_nodes,
         "cpus_per_node": CPUS_PER_NODE,
         "sec": round(wall, 3),
-        "turns": turns,
-        "turns_per_sec": round(turns / wall, 1),
+        "turns": rows,
+        "turns_per_sec": round(rows / wall, 1),
     }
 
 
 def main() -> None:
+    op = "flagship"
+    if "--op" in sys.argv:
+        op = sys.argv[sys.argv.index("--op") + 1]
     if "--nodes" in sys.argv:
         n = int(sys.argv[sys.argv.index("--nodes") + 1])
-        print(json.dumps(run_level(n)))
+        print(json.dumps(run_level(n, op)))
         return
     # fresh process per level — node shutdown leaves GCS state behind otherwise
     env = dict(os.environ)
@@ -75,7 +123,14 @@ def main() -> None:
     levels = []
     for n in (1, 2):
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--nodes", str(n)],
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--nodes",
+                str(n),
+                "--op",
+                op,
+            ],
             capture_output=True,
             text=True,
             timeout=900,
@@ -88,6 +143,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "multinode_scaling_efficiency",
+                "op": op,
                 "value": round(speedup / 2, 3),
                 "unit": "ratio",
                 "speedup": round(speedup, 3),
