@@ -122,6 +122,8 @@ HEADLINE = [
     "order_lineitem_left",
     "doc_skyline",
     "user_favorite_event",
+    # r5 addition: served-model actor-pool stage (deterministic stub)
+    "served_labels",
 ]
 
 
