@@ -245,6 +245,29 @@ def _extract_consensus(sf_dir: str):
     )
 
 
+def _served_embeddings_flat(sf_dir: str):
+    """served_embeddings with the list<float32> flattened to four exact
+    int64 columns (the stub's dims are integer-valued text statistics;
+    list columns aren't hashable/sortable by the driver's compare)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from invoice_extraction_ray.stages.inference import served_embeddings
+
+    def flatten(t: pa.Table) -> pa.Table:
+        embs = t.column("embedding").to_pylist()
+        cols = {"doc_id": t.column("doc_id")}
+        for j in range(4):
+            cols[f"e{j}"] = pa.array(
+                [None if e is None else int(np.floor(e[j] + 0.5)) for e in embs],
+                pa.int64(),
+            )
+        cols["error"] = t.column("error")
+        return pa.table(cols)
+
+    return served_embeddings(sf_dir).map_batches(flatten, batch_format="pyarrow")
+
+
 def _media_features_flat(sf_dir: str):
     """Byte-histogram features flattened to fixed-point int columns (list
     columns aren't hashable/sortable by the driver's value comparison)."""
@@ -539,6 +562,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("gopher_rules", curate.gopher_rules),  # composite gate, bitmask
             ("text_normalize", curate.text_normalize),  # stateless canon map
             ("token_budget_mix", curate.token_budget_mix),  # per-source budgets
+            ("kanon_suppress", curate.kanon_suppress),  # group-privacy gate
         ],
         # similarity search
         "ann": [
@@ -569,6 +593,9 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             # bounded retry, per-row error-column degradation) against the
             # deterministic local stub transport — ref extractor.py:12-181
             ("served_labels", served_labels),
+            # embedding twin of the served stage (list column flattened to
+            # exact int columns for the driver's value compare)
+            ("served_embeddings", _served_embeddings_flat),
         ],
     }
 
@@ -723,6 +750,7 @@ def oracle_sql() -> dict[str, str]:
     from invoice_extraction_ray.config import KMV_JACCARD_TYPES as _KMV_TYPES
     from invoice_extraction_ray.config import KMV_K as _KMV_K
     from invoice_extraction_ray.config import (
+        KANON_MIN_GROUP as _KANON_K,
         SERVED_FAIL_CODE as _SRV_CODE,
         SERVED_FAIL_MOD as _SRV_MOD,
         SERVED_LONG_MIN_TOKENS as _SRV_MIN,
@@ -1757,6 +1785,29 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN nt >= {_SRV_MIN} THEN 'long' ELSE 'short' END AS label, "
             f"CASE WHEN nt % {_SRV_MOD} = 0 THEN '{_SRV_CODE}' END AS error "
             "FROM n"
+        ),
+        # served_embeddings: the embedding twin — 4 exact text statistics
+        # (ASCII classes match RE2 and Python re exactly), same failure rule
+        "served_embeddings": (
+            "WITH s AS (SELECT doc_id, "
+            "len(regexp_extract_all(coalesce(text,''), '\\S+')) AS nt, "
+            "length(coalesce(text,'')) AS nc, "
+            "length(regexp_replace(coalesce(text,''), '[^0-9]', '', 'g')) AS nd, "
+            "length(regexp_replace(coalesce(text,''), '[^A-Z]', '', 'g')) AS nu "
+            "FROM documents) "
+            f"SELECT doc_id, "
+            f"CASE WHEN nt % {_SRV_MOD} = 0 THEN NULL ELSE CAST(nt AS BIGINT) END AS e0, "
+            f"CASE WHEN nt % {_SRV_MOD} = 0 THEN NULL ELSE CAST(nc AS BIGINT) END AS e1, "
+            f"CASE WHEN nt % {_SRV_MOD} = 0 THEN NULL ELSE CAST(nd AS BIGINT) END AS e2, "
+            f"CASE WHEN nt % {_SRV_MOD} = 0 THEN NULL ELSE CAST(nu AS BIGINT) END AS e3, "
+            f"CASE WHEN nt % {_SRV_MOD} = 0 THEN '{_SRV_CODE}' END AS error "
+            "FROM s"
+        ),
+        # kanon_suppress: k-anonymity group gate — kept rows with group size
+        "kanon_suppress": (
+            "SELECT doc_id, lang, source, "
+            "CAST(count(*) OVER (PARTITION BY lang, source) AS BIGINT) AS group_n "
+            f"FROM documents QUALIFY group_n >= {_KANON_K}"
         ),
         "media_metadata": (
             # mirror of ops.multimodal.StubDecoder: pseudo-dimensions derived

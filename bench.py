@@ -122,8 +122,11 @@ HEADLINE = [
     "order_lineitem_left",
     "doc_skyline",
     "user_favorite_event",
-    # r5 addition: served-model actor-pool stage (deterministic stub)
+    # r5 additions: served-model actor-pool stages (deterministic stubs)
+    # and the group-privacy gate
     "served_labels",
+    "served_embeddings",
+    "kanon_suppress",
 ]
 
 

@@ -837,3 +837,72 @@ def token_budget_mix(
         )
     )
     return kept.sort(["source", "cum_tokens", "doc_id"])
+
+
+from ..config import KANON_MIN_GROUP  # noqa: E402  (oracle-shared)
+
+
+def kanon_suppress(sf_dir: str, k: int = KANON_MIN_GROUP) -> ray.data.Dataset:
+    """Group-privacy (k-anonymity) suppression: keep only documents whose
+    (lang, source) quasi-identifier group has at least ``k`` members
+    corpus-wide — the release-safety gate a training-data pipeline runs
+    before publishing per-group slices (a group smaller than k
+    re-identifies its members).
+
+    Scale shape: pass 1 pre-combines per-batch (lang, source) counts —
+    the key space is ENUM-bounded (|langs| x |sources|), so the groupby
+    sees a handful of rows per block and the surviving-group set is
+    broadcast-safe at ANY corpus size (unlike the corpus-scaled dimension
+    tables, which need the shard fallback); pass 2 stream-filters with one
+    vectorized hashed ``is_in`` per batch.  Output: (doc_id, lang, source,
+    group_n), kept rows only."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "documents"), columns=["doc_id", "lang", "source"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "source": g.column("source"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # enum-bounded: |langs| x |sources| rows
+    )
+    keep = {(r["lang"], r["source"]): int(r["n"]) for r in counts if r["n"] >= k}
+    keys = pa.array([f"{l}\x1f{s}" for (l, s) in keep], pa.string())
+    ns = np.array([keep[(l, s)] for (l, s) in keep], dtype=np.int64)
+    ref = ray.put((keys, ns))
+
+    def gate(t: pa.Table) -> pa.Table:
+        gkeys, gn = ray.get(ref)  # plasma zero-copy per batch
+        key = pc.binary_join_element_wise(
+            pc.cast(t.column("lang"), pa.string()),
+            pc.cast(t.column("source"), pa.string()),
+            "\x1f",
+        )
+        idx = pc.index_in(key, value_set=gkeys)
+        hit = pc.is_valid(idx)
+        t = t.filter(hit)
+        pos = idx.filter(hit).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "source": t.column("source"),
+                "group_n": pa.array(gn[pos], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(gate, batch_format="pyarrow")

@@ -186,6 +186,91 @@ class ServedModelClient:
         )
 
 
+def stub_embed_transport(texts: list) -> list:
+    """Deterministic local stand-in for a served EMBEDDING model: a 4-dim
+    vector of exact text statistics (whitespace tokens, characters, ASCII
+    digits, ASCII uppercase — each SQL-mirrorable), with the same
+    per-row failure rule as the label stub so the degradation path stays
+    exercised.  ASCII character classes match RE2/DuckDB exactly."""
+    import re
+
+    digits = re.compile(r"[0-9]")
+    upper = re.compile(r"[A-Z]")
+    out = []
+    for s in texts:
+        s = s or ""
+        n = len(s.split())
+        if n % STUB_FAIL_MOD == 0:
+            out.append({"error": STUB_FAIL_CODE})
+            continue
+        out.append(
+            {
+                "embedding": [
+                    float(n),
+                    float(len(s)),
+                    float(len(digits.findall(s))),
+                    float(len(upper.findall(s))),
+                ]
+            }
+        )
+    return out
+
+
+class ServedEmbeddingClient(ServedModelClient):
+    """The embedding member of the served-model triad (labeling /
+    embedding / reward scoring): identical session + micro-batch + retry +
+    degradation lifecycle, but rows gain an ``embedding`` list<float32>
+    column (null on error) instead of a label."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column(self.text_col).to_pylist()
+        embs: list = []
+        errors: list = []
+        for lo in range(0, len(texts), self.micro_batch):
+            chunk = texts[lo : lo + self.micro_batch]
+            result = self._call_with_retry(chunk)
+            if isinstance(result, str):
+                embs.extend([None] * len(chunk))
+                errors.extend([result] * len(chunk))
+                continue
+            for r in result:
+                if isinstance(r, dict) and "embedding" in r:
+                    embs.append([float(x) for x in r["embedding"]])
+                    errors.append(None)
+                elif isinstance(r, dict) and "error" in r:
+                    embs.append(None)
+                    errors.append(str(r["error"]))
+                else:
+                    embs.append(None)
+                    errors.append(ERR_PARSE)
+        return t.append_column(
+            "embedding", pa.array(embs, pa.list_(pa.float32()))
+        ).append_column("error", pa.array(errors, pa.string()))
+
+
+def served_embeddings(sf_dir: str) -> "ray.data.Dataset":  # noqa: F821
+    """Documents embedded by the (stubbed) served model — the embedding
+    twin of :func:`served_labels`.  Output: (doc_id, embedding, error)."""
+    import ray.data
+
+    from ..ops._util import pool_size
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(
+            ServedEmbeddingClient,
+            fn_constructor_kwargs={"transport": stub_embed_transport},
+            batch_format="pyarrow",
+            batch_size=512,
+            concurrency=pool_size(),
+        )
+        .map_batches(
+            lambda t: t.select(["doc_id", "embedding", "error"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def served_labels(sf_dir: str) -> "ray.data.Dataset":  # noqa: F821
     """Documents labeled by the (stubbed) served model — the T7/E1 registry
     query: actor-pool inference with per-row degradation over the

@@ -180,3 +180,33 @@ def test_http_connection_error_degrades(ray_session):
     out = stage(_batch(["a", "b"]))
     assert out.column("label").to_pylist() == [None, None]
     assert set(out.column("error").to_pylist()) <= {ERR_CONNECTION, "timeout"}
+
+
+def test_embedding_client_rows_and_degradation():
+    from invoice_extraction_ray.stages.inference import (
+        ServedEmbeddingClient,
+        stub_embed_transport,
+    )
+
+    texts = ["Ab1 cd", " ".join(["x"] * SERVED_FAIL_MOD), None]
+    out = ServedEmbeddingClient(transport=stub_embed_transport)(_batch(texts))
+    embs = out.column("embedding").to_pylist()
+    # "Ab1 cd": 2 tokens, 6 chars, 1 digit, 1 uppercase
+    assert embs[0] == [2.0, 6.0, 1.0, 1.0]
+    assert embs[1] is None and embs[2] is None  # fail-mod row and empty row
+    assert out.column("error").to_pylist() == [
+        None,
+        SERVED_FAIL_CODE,
+        SERVED_FAIL_CODE,
+    ]
+
+
+def test_embedding_client_request_level_degradation():
+    from invoice_extraction_ray.stages.inference import ServedEmbeddingClient
+
+    stage = ServedEmbeddingClient(
+        transport=_FlakyTransport(fail_n=10**9), max_retries=1, backoff_s=0.001
+    )
+    out = stage(_batch(["a", "b"]))
+    assert out.column("embedding").to_pylist() == [None, None]
+    assert out.column("error").to_pylist() == ["http_503"] * 2

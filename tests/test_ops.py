@@ -3450,3 +3450,33 @@ def test_real_luminance_features_and_ann_head():
     expected[100 >> 4] = 1.0
     assert np.allclose(feats[0], expected)
     assert np.allclose(feats[1], [0.0] * N_HIST_BINS)  # undecodable -> zero
+
+
+def test_kanon_suppress_matches_local_recompute():
+    """k-anonymity gate == a pandas group-size recompute at sf0.001."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.config import KANON_MIN_GROUP
+    from invoice_extraction_ray.ops.curate import kanon_suppress
+
+    SFD = "/root/testdata/sf0.001"
+    t = pq.read_table(SFD + "/documents.parquet", columns=["doc_id", "lang", "source"])
+    sizes = collections.Counter(
+        zip(t.column("lang").to_pylist(), t.column("source").to_pylist())
+    )
+    want = {
+        int(d): (l, s, sizes[(l, s)])
+        for d, l, s in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("lang").to_pylist(),
+            t.column("source").to_pylist(),
+        )
+        if sizes[(l, s)] >= KANON_MIN_GROUP
+    }
+    got = {
+        r["doc_id"]: (r["lang"], r["source"], r["group_n"])
+        for r in kanon_suppress(SFD).take_all()
+    }
+    assert got == want and 0 < len(got) < t.num_rows
