@@ -480,6 +480,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("data_quality_report", relational.data_quality_report),  # contract audit
             ("rolling_active_users", relational.rolling_active_users),  # WAU
             ("order_lineitem_left", relational.order_lineitem_left),  # LEFT join
+            ("order_lineitem_full", relational.order_lineitem_full),  # FULL OUTER
             ("doc_skyline", relational.doc_skyline),  # Pareto frontier
             ("user_favorite_event", relational.user_favorite_event),  # grouped mode
         ],
@@ -1190,6 +1191,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) AS l_price_c "
             "FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
             "WHERE o.o_orderpriority = '5-LOW'"
+        ),
+        # order_lineitem_full: row-level FULL OUTER join — both null
+        # extensions (orders with no lineitems AND lineitems whose order
+        # misses the priority filter); orderkey is the SQL coalesce
+        "order_lineitem_full": (
+            "SELECT coalesce(o.o_orderkey, l.l_orderkey) AS orderkey, "
+            "o.o_custkey, "
+            "CAST(l.l_linenumber AS BIGINT) AS l_linenumber, "
+            "CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) AS l_price_c "
+            "FROM (SELECT o_orderkey, o_custkey FROM orders "
+            "WHERE o_orderpriority = '5-LOW') o "
+            "FULL JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
         ),
         # user_running_zscore: online per-user anomaly gate; the 2-sigma
         # test cross-multiplied to integers so no division/sqrt/float

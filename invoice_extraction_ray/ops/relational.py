@@ -3561,6 +3561,153 @@ def order_lineitem_left(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
     )
 
 
+def order_lineitem_full(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
+    """Row-level fact-fact FULL OUTER join — the fourth leg of the
+    shard-merge join family (order_details = inner,
+    orders_without_lineitems = anti, order_lineitem_left = left): matched
+    rows carry both sides, LOW-priority orders with no lineitems get NULL
+    lineitem columns, and lineitems whose order misses the priority filter
+    (or dangles) get NULL order columns.  ``orderkey`` is SQL's
+    ``coalesce(o.o_orderkey, l.l_orderkey)`` so one key column covers both
+    null extensions.
+
+    Scale shape: identical to order_lineitem_left — slim payload
+    projections union into one orderkey-shard stream (filter pushed into
+    the orders read), per-shard sorted-membership probe; the kernel adds
+    the third output class (probe rows with no build match) for free from
+    the same ``hit`` mask.  Output streams per shard; nothing fact-sized
+    reaches the driver."""
+    import numpy as np
+
+    from ._util import absorb_empty_blocks
+
+    _MERGED = pa.schema(
+        [
+            ("oshard", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.int8()),
+            ("a", pa.int64()),  # orders: o_custkey | lineitem: l_linenumber
+            ("b", pa.int64()),  # orders: unused    | lineitem: price cents
+        ]
+    )
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        okey = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(okey)),
+                "key": pa.array(okey, pa.int64()),
+                "side": pa.array(np.ones(len(okey), dtype=np.int8), pa.int8()),
+                "a": t.column("o_custkey").cast(pa.int64()),
+                "b": pa.array(np.zeros(len(okey), np.int64), pa.int64()),
+            },
+            schema=_MERGED,
+        )
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        lkey = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        price_c = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(lkey)),
+                "key": pa.array(lkey, pa.int64()),
+                "side": pa.array(np.zeros(len(lkey), dtype=np.int8), pa.int8()),
+                "a": t.column("l_linenumber").cast(pa.int64()),
+                "b": pa.array(price_c, pa.int64()),
+            },
+            schema=_MERGED,
+        )
+
+    orders = ray.data.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderpriority") == "5-LOW"),
+    ).map_batches(ord_rows, batch_format="pyarrow")
+    li = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    ).map_batches(li_rows, batch_format="pyarrow")
+
+    _OUT = pa.schema(
+        [
+            ("orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("l_linenumber", pa.int64()),
+            ("l_price_c", pa.int64()),
+        ]
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        bmask = side == 1
+        bkey, bcust = keys[bmask], a[bmask]
+        pk, pln, pprice = keys[~bmask], a[~bmask], b[~bmask]
+        order = np.argsort(bkey)
+        bkey, bcust = bkey[order], bcust[order]
+        if len(bkey) == 0:
+            # no build rows in this shard: every probe row null-extends left
+            n_p = len(pk)
+            null_i64 = pa.array(np.zeros(n_p, np.int64), mask=np.ones(n_p, bool))
+            return pa.table(
+                {
+                    "orderkey": pa.array(pk, pa.int64()),
+                    "o_custkey": null_i64,
+                    "l_linenumber": pa.array(pln, pa.int64()),
+                    "l_price_c": pa.array(pprice, pa.int64()),
+                },
+                schema=_OUT,
+            )
+        pos = np.searchsorted(bkey, pk)
+        hit = (pos < len(bkey)) & (bkey[np.minimum(pos, len(bkey) - 1)] == pk)
+        mpos = pos[hit]
+        miss = ~hit  # probe rows with no matching build order
+        matched = np.zeros(len(bkey), dtype=bool)
+        matched[mpos] = True
+        un = ~matched  # build orders with no probe rows
+        n_m, n_u, n_x = int(hit.sum()), int(un.sum()), int(miss.sum())
+        null_u = pa.array(np.zeros(n_u, np.int64), mask=np.ones(n_u, bool))
+        null_x = pa.array(np.zeros(n_x, np.int64), mask=np.ones(n_x, bool))
+        return pa.table(
+            {
+                "orderkey": pa.array(
+                    np.concatenate([pk[hit], bkey[un], pk[miss]]), pa.int64()
+                ),
+                "o_custkey": pa.concat_arrays(
+                    [
+                        pa.array(bcust[mpos], pa.int64()),
+                        pa.array(bcust[un], pa.int64()),
+                        null_x,
+                    ]
+                ),
+                "l_linenumber": pa.concat_arrays(
+                    [pa.array(pln[hit], pa.int64()), null_u,
+                     pa.array(pln[miss], pa.int64())]
+                ),
+                "l_price_c": pa.concat_arrays(
+                    [pa.array(pprice[hit], pa.int64()), null_u,
+                     pa.array(pprice[miss], pa.int64())]
+                ),
+            },
+            schema=_OUT,
+        )
+
+    return (
+        absorb_empty_blocks(orders.union(li), batch_size=131072)
+        .groupby("oshard")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def doc_skyline(sf_dir: str) -> pa.Table:
     """SKYLINE (Pareto frontier) query — multi-objective data selection:
     the documents not dominated on (MAXIMIZE token count, MINIMIZE chars),

@@ -2823,6 +2823,7 @@ def test_new_relational_family_random_differential(tmp_path):
         "kmv_jaccard",
         "user_running_zscore",
         "order_lineitem_left",
+        "order_lineitem_full",
         "user_favorite_event",
     ):
         def norm(v):
@@ -3345,6 +3346,60 @@ def test_order_lineitem_left_matches_local_recompute():
     )
     assert got == want
     assert any(r[2] is None for r in got)  # null extension exercised
+
+
+def test_order_lineitem_full_matches_local_recompute():
+    """FULL OUTER join equals the dict-probe recompute including BOTH null
+    extensions (unmatched orders and unmatched lineitems)."""
+    from invoice_extraction_ray.ops.relational import order_lineitem_full
+
+    orders = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+    build = {
+        k: c
+        for k, c, p in zip(
+            orders.column("o_orderkey").to_pylist(),
+            orders.column("o_custkey").to_pylist(),
+            orders.column("o_orderpriority").to_pylist(),
+        )
+        if p == "5-LOW"
+    }
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    want, seen = [], set()
+    for k, ln, px in zip(
+        li.column("l_orderkey").to_pylist(),
+        li.column("l_linenumber").to_pylist(),
+        li.column("l_extendedprice").to_pylist(),
+    ):
+        cents = int(np.floor(px * 100.0 + 0.5))
+        if k in build:
+            want.append((k, build[k], ln, cents))
+            seen.add(k)
+        else:
+            want.append((k, None, ln, cents))
+    for k, c in build.items():
+        if k not in seen:
+            want.append((k, c, None, None))
+
+    def key(r):
+        return tuple((x is None, 0 if x is None else x) for x in r)
+
+    want.sort(key=key)
+    got = sorted(
+        (
+            (r["orderkey"], r["o_custkey"], r["l_linenumber"], r["l_price_c"])
+            for r in order_lineitem_full(SF, num_shards=9).take_all()
+        ),
+        key=key,
+    )
+    assert got == want
+    assert any(r[2] is None for r in got)  # order-side null extension
+    assert any(r[1] is None for r in got)  # lineitem-side null extension
 
 
 def test_doc_skyline_matches_brute_force():
