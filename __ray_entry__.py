@@ -477,6 +477,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("order_details", relational.order_details),  # row-level hash join
             ("pagerank", graph.pagerank),  # iterative message passing
             ("copurchase_pairs", relational.copurchase_pairs),  # basket mining
+            ("copurchase_triangles", graph.copurchase_triangles),  # triangle count
             ("data_quality_report", relational.data_quality_report),  # contract audit
             ("rolling_active_users", relational.rolling_active_users),  # WAU
             ("order_lineitem_left", relational.order_lineitem_left),  # LEFT join
@@ -1245,6 +1246,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders "
             "FROM pairs GROUP BY 1, 2 "
             "ORDER BY n_orders DESC, part_a, part_b LIMIT 20"
+        ),
+        # copurchase_triangles: triangle count + global clustering
+        # coefficient over the support-filtered co-purchase part graph —
+        # degree-ordered orientation on the engine side, 3-way self-join
+        # here; all-integer so both engines agree exactly
+        "copurchase_triangles": (
+            "WITH dp0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "okk AS (SELECT l_orderkey FROM dp0 GROUP BY 1 HAVING count(*) <= 64), "
+            "dp AS (SELECT dp0.* FROM dp0 JOIN okk USING (l_orderkey)), "
+            "e AS (SELECT a.l_partkey AS u, b.l_partkey AS v "
+            "FROM dp a JOIN dp b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2), "
+            "deg AS (SELECT x, count(*) AS d FROM "
+            "(SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY 1), "
+            "w AS (SELECT coalesce(sum(d * (d - 1) // 2), 0) AS n_wedges FROM deg), "
+            "t AS (SELECT count(*) AS n_tri FROM e ab "
+            "JOIN e ac ON ac.u = ab.u AND ac.v > ab.v "
+            "JOIN e bc ON bc.u = ab.v AND bc.v = ac.v), "
+            "ne AS (SELECT count(*) AS n_edges FROM e) "
+            "SELECT CAST(n_edges AS BIGINT) AS n_edges, "
+            "CAST(n_wedges AS BIGINT) AS n_wedges, "
+            "CAST(n_tri AS BIGINT) AS n_triangles, "
+            "CAST(CASE WHEN n_wedges > 0 THEN 3 * n_tri * 1000000 // n_wedges "
+            "ELSE 0 END AS BIGINT) AS clustering_e6 FROM ne, w, t"
         ),
         # kmv_jaccard: theta-sketch set similarity — min-k of the union is a
         # uniform union sample; every quantity deterministic integer

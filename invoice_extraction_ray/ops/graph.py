@@ -33,6 +33,9 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+_PKEY_BITS = 21  # partkey < 2^21, asserted at the read like copurchase_pairs
+_PKEY_MASK = (1 << _PKEY_BITS) - 1
+
 
 def _pq(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
@@ -305,3 +308,371 @@ def pagerank(
             for s in range(n_shards)
         ]
     ).sort(["kind", "key"])
+
+
+def copurchase_triangles(
+    sf_dir: str,
+    min_support: int = 2,
+    n_shards: int = 32,
+    max_basket: int = 64,
+) -> pa.Table:
+    """Distributed TRIANGLE COUNT + global clustering coefficient over the
+    co-purchase part graph (undirected edge = two parts co-occurring in
+    >= ``min_support`` orders, baskets capped at ``max_basket`` like
+    copurchase_pairs) — the graph-statistics pass (community density /
+    spam-ring detection) a web-scale corpus runs after building an item or
+    link graph.
+
+    Scale shape (the standard degree-ordered orientation algorithm):
+    - edges come from copurchase_pairs' basket co-partition + pair-shard
+      segment-sum shape with the support filter applied IN the pair shard,
+      then are materialized ONCE (the support-filtered edge set is the
+      bounded intermediate a 100-TB run checkpoints; everything after
+      touches edges, never lineitem).
+    - each edge fans out to BOTH endpoints' vertex shards, so a vertex's
+      degree is its shard-local run length — no driver state — and the
+      undirected wedge total sum(C(deg,2)) rides the rest of the pipeline
+      as sentinel counter rows.
+    - edges re-merge in a pair shard to learn both endpoint degrees and
+      ORIENT low-(deg,id) -> high-(deg,id): out-degrees become O(sqrt(m)),
+      so the wedge (out-neighbor pair) volume is bounded regardless of
+      skew — the published trick that keeps one hot vertex from emitting a
+      quadratic shard.
+    - wedges (normalized by part id) co-partition with the id-normalized
+      edge set in ONE final groupby whose sorted-membership probe counts
+      closed wedges; each triangle is counted exactly once, at its
+      min-rank vertex.  Only per-shard scalar counter rows reach the
+      driver.  All-to-alls: basket, pair, vertex, orient, closure — each
+      moving edge/wedge-scale rows, never lineitem-scale.
+    """
+    from ._util import absorb_empty_blocks, int_segment_sum
+
+    def _shard_of(x: "np.ndarray") -> "np.ndarray":
+        return (((x * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+
+    # ---- stage 1: support-filtered distinct edge set (copurchase shape) --
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(p) and (p.max() >= (1 << _PKEY_BITS) or p.min() < 0):
+            raise ValueError(
+                "copurchase_triangles: partkey must be in [0, 2^21) for the "
+                "int64 pair pack; got max %d" % int(p.max())
+            )
+        packed = np.unique((o << _PKEY_BITS) | p)
+        o = packed >> _PKEY_BITS
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(o)),
+                "packed": pa.array(packed, pa.int64()),
+            }
+        )
+
+    _PAIRS = pa.schema(
+        [("pshard", pa.int32()), ("pair", pa.int64()), ("n", pa.int64())]
+    )
+
+    def expand_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PAIRS.empty_table()
+        packed = np.unique(g.column("packed").to_numpy(zero_copy_only=False))
+        o = packed >> _PKEY_BITS
+        new = np.ones(len(o), dtype=bool)
+        new[1:] = o[1:] != o[:-1]
+        lens = np.diff(np.append(np.flatnonzero(new), len(o)))
+        elem_keep = np.repeat(lens <= max_basket, lens)
+        packed = packed[elem_keep]
+        o, p = packed >> _PKEY_BITS, packed & _PKEY_MASK
+        if len(o) == 0:
+            return _PAIRS.empty_table()
+        new = np.ones(len(o), dtype=bool)
+        new[1:] = o[1:] != o[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(o))
+        run_end = np.repeat(ends, np.diff(np.append(starts, len(o))))
+        counts = run_end - np.arange(len(o)) - 1
+        a_idx = np.repeat(np.arange(len(o)), counts)
+        blk = np.cumsum(counts) - counts
+        b_idx = a_idx + 1 + (np.arange(counts.sum()) - np.repeat(blk, counts))
+        pair = (p[a_idx] << _PKEY_BITS) | p[b_idx]  # u < v by part id
+        upair, cnt = np.unique(pair, return_counts=True)
+        return pa.table(
+            {
+                "pshard": pa.array(_shard_of(upair)),
+                "pair": pa.array(upair, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            },
+            schema=_PAIRS,
+        )
+
+    _EDGE = pa.schema([("pair", pa.int64())])
+
+    def support_filter(g: pa.Table) -> pa.Table:
+        """Pairs partition by pshard so per-shard totals are global."""
+        if g.num_rows == 0:
+            return _EDGE.empty_table()
+        pair = g.column("pair").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(pair, kind="stable")
+        pair, n = pair[order], n[order]
+        new = np.ones(len(pair), dtype=bool)
+        new[1:] = pair[1:] != pair[:-1]
+        starts = np.flatnonzero(new)
+        tot = int_segment_sum(n, starts)
+        keep = tot >= min_support
+        return pa.table({"pair": pa.array(pair[starts][keep], pa.int64())},
+                        schema=_EDGE)
+
+    edges = (
+        absorb_empty_blocks(
+            absorb_empty_blocks(
+                ds.map_batches(key_rows, batch_format="pyarrow"),
+                batch_size=131072,
+            )
+            .groupby("oshard")
+            .map_groups(
+                lambda g: expand_pairs(g.drop_columns(["oshard"])),
+                batch_format="pyarrow",
+            ),
+            batch_size=131072,
+        )
+        .groupby("pshard")
+        .map_groups(
+            lambda g: support_filter(g.drop_columns(["pshard"])),
+            batch_format="pyarrow",
+        )
+        .materialize()  # bounded by the support filter; consumed twice below
+    )
+    n_edges = edges.count()
+
+    # union-aligned rows for the remaining stages:
+    #   side=0 endpoint half:  a=pair, b=endpoint, c=deg(endpoint)
+    #   side=1 wedge sentinel: a=sum C(deg,2) for one vertex shard
+    #   side=2 closure edge:   a=id-normalized pair
+    #   side=3 wedge count:    a=id-normalized wedge pair, b=count
+    _ROWS = pa.schema(
+        [
+            ("shard", pa.int32()),
+            ("side", pa.int8()),
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("c", pa.int64()),
+        ]
+    )
+
+    def endpoint_fanout(t: pa.Table) -> pa.Table:
+        pair = t.column("pair").to_numpy(zero_copy_only=False)
+        u, v = pair >> _PKEY_BITS, pair & _PKEY_MASK
+        x = np.concatenate([u, v])
+        pp = np.concatenate([pair, pair])
+        return pa.table(
+            {
+                "shard": pa.array(_shard_of(x)),
+                "side": pa.array(np.zeros(len(x), np.int8), pa.int8()),
+                "a": pa.array(pp, pa.int64()),
+                "b": pa.array(x, pa.int64()),
+                "c": pa.array(np.zeros(len(x), np.int64), pa.int64()),
+            },
+            schema=_ROWS,
+        )
+
+    def degree_stamp(g: pa.Table) -> pa.Table:
+        """All edges incident to a vertex land here: deg = run length.
+        Emits degree-stamped halves keyed by pair shard + ONE wedge-total
+        sentinel row for this shard."""
+        if g.num_rows == 0:
+            return _ROWS.empty_table()
+        pair = g.column("a").to_numpy(zero_copy_only=False)
+        x = g.column("b").to_numpy(zero_copy_only=False)
+        order = np.argsort(x, kind="stable")
+        pair, x = pair[order], x[order]
+        new = np.ones(len(x), dtype=bool)
+        new[1:] = x[1:] != x[:-1]
+        starts = np.flatnonzero(new)
+        deg = int_segment_sum(np.ones(len(x), np.int64), starts)
+        deg_per_row = np.repeat(deg, np.diff(np.append(starts, len(x))))
+        wedges = int((deg * (deg - 1) // 2).sum())
+        sent = pa.table(
+            {
+                "shard": pa.array([0], pa.int32()),
+                "side": pa.array([1], pa.int8()),
+                "a": pa.array([wedges], pa.int64()),
+                "b": pa.array([0], pa.int64()),
+                "c": pa.array([0], pa.int64()),
+            },
+            schema=_ROWS,
+        )
+        halves = pa.table(
+            {
+                "shard": pa.array(_shard_of(pair)),
+                "side": pa.array(np.zeros(len(x), np.int8), pa.int8()),
+                "a": pa.array(pair, pa.int64()),
+                "b": pa.array(x, pa.int64()),
+                "c": pa.array(deg_per_row, pa.int64()),
+            },
+            schema=_ROWS,
+        )
+        return pa.concat_tables([halves, sent])
+
+    def orient(g: pa.Table) -> pa.Table:
+        """Both halves of a pair meet here: orient low-(deg,id)->high and
+        key by the SOURCE's shard for wedge generation; also emit the
+        id-normalized closure-edge row keyed by the pair's wedge shard.
+        Sentinels pass through."""
+        if g.num_rows == 0:
+            return _ROWS.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keep = g.filter(pa.array(side != 0))  # sentinels ride along
+        h = g.filter(pa.array(side == 0))
+        if h.num_rows == 0:
+            return keep
+        pair = h.column("a").to_numpy(zero_copy_only=False)
+        x = h.column("b").to_numpy(zero_copy_only=False)
+        deg = h.column("c").to_numpy(zero_copy_only=False)
+        order = np.argsort(pair, kind="stable")
+        pair, x, deg = pair[order], x[order], deg[order]
+        # two rows per pair: (u, deg_u) then (v, deg_v) — u < v by id and
+        # the stable sort keeps... id order within a pair is NOT guaranteed
+        # by the sort (same key), so split by comparing x to the unpack.
+        u_id = pair >> _PKEY_BITS
+        is_u = x == u_id
+        pu, du = pair[is_u], deg[is_u]
+        pv, dv = pair[~is_u], deg[~is_u]
+        ou = np.argsort(pu, kind="stable")
+        ov = np.argsort(pv, kind="stable")
+        pu, du = pu[ou], du[ou]
+        dv = dv[ov]
+        # pu is the sorted distinct pair list; du/dv aligned to it
+        u, v = pu >> _PKEY_BITS, pu & _PKEY_MASK
+        rank_u = (du << _PKEY_BITS) | u
+        rank_v = (dv << _PKEY_BITS) | v
+        src = np.where(rank_u < rank_v, u, v)
+        dst = np.where(rank_u < rank_v, v, u)
+        oriented = pa.table(
+            {
+                "shard": pa.array(_shard_of(src)),
+                "side": pa.array(np.zeros(len(src), np.int8), pa.int8()),
+                "a": pa.array(src, pa.int64()),
+                "b": pa.array(dst, pa.int64()),
+                "c": pa.array(np.zeros(len(src), np.int64), pa.int64()),
+            },
+            schema=_ROWS,
+        )
+        closure = pa.table(
+            {
+                "shard": pa.array(_shard_of(pu)),
+                "side": pa.array(np.full(len(pu), 2, np.int8), pa.int8()),
+                "a": pa.array(pu, pa.int64()),
+                "b": pa.array(np.zeros(len(pu), np.int64), pa.int64()),
+                "c": pa.array(np.zeros(len(pu), np.int64), pa.int64()),
+            },
+            schema=_ROWS,
+        )
+        return pa.concat_tables([oriented, closure, keep])
+
+    def wedges_of(g: pa.Table) -> pa.Table:
+        """All out-edges of a source vertex land here: triangular pair
+        expansion over its out-neighbors (sorted by id, so wedge pairs are
+        id-normalized for the closure probe).  Closure edges and sentinels
+        pass through keyed by their own shard."""
+        if g.num_rows == 0:
+            return _ROWS.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keep = g.filter(pa.array(side != 0))
+        h = g.filter(pa.array(side == 0))
+        if h.num_rows == 0:
+            return keep
+        src = h.column("a").to_numpy(zero_copy_only=False)
+        dst = h.column("b").to_numpy(zero_copy_only=False)
+        packed = np.unique((src << _PKEY_BITS) | dst)  # sort by (src, dst id)
+        s, d = packed >> _PKEY_BITS, packed & _PKEY_MASK
+        new = np.ones(len(s), dtype=bool)
+        new[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(s))
+        run_end = np.repeat(ends, np.diff(np.append(starts, len(s))))
+        counts = run_end - np.arange(len(s)) - 1
+        if counts.sum() == 0:
+            return keep
+        a_idx = np.repeat(np.arange(len(s)), counts)
+        blk = np.cumsum(counts) - counts
+        b_idx = a_idx + 1 + (np.arange(counts.sum()) - np.repeat(blk, counts))
+        wpair = (d[a_idx] << _PKEY_BITS) | d[b_idx]  # id-normalized (asc)
+        upair, cnt = np.unique(wpair, return_counts=True)
+        wrows = pa.table(
+            {
+                "shard": pa.array(_shard_of(upair)),
+                "side": pa.array(np.full(len(upair), 3, np.int8), pa.int8()),
+                "a": pa.array(upair, pa.int64()),
+                "b": pa.array(cnt.astype(np.int64), pa.int64()),
+                "c": pa.array(np.zeros(len(upair), np.int64), pa.int64()),
+            },
+            schema=_ROWS,
+        )
+        return pa.concat_tables([wrows, keep])
+
+    _CNT = pa.schema([("n_tri", pa.int64()), ("n_wedges", pa.int64())])
+
+    def close_wedges(g: pa.Table) -> pa.Table:
+        """Wedge counts meet the id-normalized edge set: sorted-membership
+        probe counts closed wedges (= triangles, once each)."""
+        if g.num_rows == 0:
+            return _CNT.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        n_wedges = int(a[side == 1].sum())
+        epair = np.sort(a[side == 2])
+        wpair, wn = a[side == 3], b[side == 3]
+        n_tri = 0
+        if len(epair) and len(wpair):
+            pos = np.searchsorted(epair, wpair)
+            hit = (pos < len(epair)) & (epair[np.minimum(pos, len(epair) - 1)] == wpair)
+            n_tri = int(wn[hit].sum())
+        return pa.table(
+            {
+                "n_tri": pa.array([n_tri], pa.int64()),
+                "n_wedges": pa.array([n_wedges], pa.int64()),
+            },
+            schema=_CNT,
+        )
+
+    counters = (
+        absorb_empty_blocks(
+            absorb_empty_blocks(
+                absorb_empty_blocks(
+                    edges.map_batches(endpoint_fanout, batch_format="pyarrow"),
+                    batch_size=131072,
+                )
+                .groupby("shard")
+                .map_groups(
+                    lambda g: degree_stamp(g.drop_columns(["shard"])),
+                    batch_format="pyarrow",
+                ),
+                batch_size=131072,
+            )
+            .groupby("shard")
+            .map_groups(orient, batch_format="pyarrow"),
+            batch_size=131072,
+        )
+        .groupby("shard")
+        .map_groups(wedges_of, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(close_wedges, batch_format="pyarrow")
+        .take_all()
+    )  # <= n_shards counter rows
+    n_tri = sum(r["n_tri"] for r in counters)
+    n_wedges = sum(r["n_wedges"] for r in counters)
+    clustering_e6 = (3 * n_tri * 10**6) // n_wedges if n_wedges else 0
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_wedges": pa.array([n_wedges], pa.int64()),
+            "n_triangles": pa.array([n_tri], pa.int64()),
+            "clustering_e6": pa.array([clustering_e6], pa.int64()),
+        }
+    )

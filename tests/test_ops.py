@@ -2817,6 +2817,7 @@ def test_new_relational_family_random_differential(tmp_path):
         "value_moments",
         "pagerank",
         "copurchase_pairs",
+        "copurchase_triangles",
         "data_quality_report",
         "rolling_active_users",
         "time_weighted_value",
@@ -3346,6 +3347,99 @@ def test_order_lineitem_left_matches_local_recompute():
     )
     assert got == want
     assert any(r[2] is None for r in got)  # null extension exercised
+
+
+def test_copurchase_triangles_matches_brute_force():
+    """Distributed degree-oriented triangle count equals the pure-python
+    set-intersection recompute of the same support-filtered graph."""
+    from collections import Counter
+
+    from invoice_extraction_ray.ops.graph import copurchase_triangles
+
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    baskets: dict[int, set[int]] = {}
+    for o, p in zip(
+        li.column("l_orderkey").to_pylist(), li.column("l_partkey").to_pylist()
+    ):
+        baskets.setdefault(o, set()).add(p)
+    pair_n: Counter = Counter()
+    for parts in baskets.values():
+        if len(parts) > 64:
+            continue
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_n[(ps[i], ps[j])] += 1
+    edges = {p for p, n in pair_n.items() if n >= 2}
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    n_wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    n_tri = sum(
+        1
+        for (u, v) in edges
+        for w in adj[u] & adj[v]
+        if w > v  # u < v < w: count each triangle once
+    )
+    r = copurchase_triangles(SF, n_shards=7).to_pylist()[0]
+    assert r["n_edges"] == len(edges)
+    assert r["n_wedges"] == n_wedges
+    assert r["n_triangles"] == n_tri
+    assert n_tri > 0  # non-degenerate fixture
+    assert r["clustering_e6"] == (3 * n_tri * 10**6) // n_wedges
+
+
+def test_copurchase_triangles_skewed_star(tmp_path):
+    """Planted graph with one hot vertex (star) plus a triangle fan: the
+    degree orientation must count each triangle exactly once despite the
+    hub, and pure-star graphs contribute wedges but zero triangles."""
+    rows_o, rows_p = [], []
+    ok = 0
+    # hub 0 co-occurs pairwise with 1..40 (2 orders each -> support 2)
+    for v in range(1, 41):
+        for _ in range(2):
+            rows_o += [ok, ok]
+            rows_p += [0, v]
+            ok += 1
+    # triangle fan: (1,2), (2,3), (1,3), (3,4), (4,5), (3,5) at support 2
+    for u, v in [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)]:
+        for _ in range(2):
+            rows_o += [ok, ok]
+            rows_p += [u, v]
+            ok += 1
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(rows_o, pa.int64()),
+                "l_partkey": pa.array(rows_p, pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    from invoice_extraction_ray.ops.graph import copurchase_triangles
+
+    r = copurchase_triangles(str(tmp_path), n_shards=5).to_pylist()[0]
+    # edges: 40 star + 6 fan; triangles: (1,2,3) via star-hub? no — hub
+    # edges are (0,v) only, so triangles are exactly (1,2,3) and (3,4,5)
+    # plus (0,u,v) whenever (u,v) is a fan edge: 6 of those
+    edges = {(0, v) for v in range(1, 41)} | {
+        (1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)
+    }
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want_tri = sum(
+        1 for u, v in edges for w in adj[u] & adj[v] if w > max(u, v)
+    )
+    assert r["n_edges"] == 46
+    assert r["n_triangles"] == want_tri == 8
+    assert r["n_wedges"] == sum(
+        len(s) * (len(s) - 1) // 2 for s in adj.values()
+    )
 
 
 def test_order_lineitem_full_matches_local_recompute():
