@@ -533,6 +533,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("bigram_lift", lambda sf: text.bigram_lift(sf, 20)),  # HUGEINT rational
             ("surprisal_buckets", text.surprisal_buckets),  # CCNet tertiles
             ("tokenizer_fertility", text.tokenizer_fertility),  # BPE per word
+            ("source_drift_chi2", text.source_drift_chi2),  # dist-shift audit
         ],
         # dedup family
         "dedup": [
@@ -1558,6 +1559,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(1000000.0 * (count(*) OVER (ORDER BY score_e5 "
             "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
             "/ (SELECT count(*) FROM e) + 0.5) AS BIGINT) AS pct_e6 FROM e"
+        ),
+        # source_drift_chi2: per-token 2x2 chi-square homogeneity between
+        # the 'en' split and the rest over the top-25 tokens — HUGEINT
+        # rational, floor e6; ties break (chi2 desc, token asc) both sides
+        "source_drift_chi2": (
+            "WITH tok AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a, "
+            "unnest(regexp_extract_all(coalesce(text, ''), '\\S+')) AS token "
+            "FROM documents), "
+            "tot AS (SELECT CAST(sum(a) AS HUGEINT) AS na, "
+            "CAST(count(*) - sum(a) AS HUGEINT) AS nb FROM tok), "
+            "c AS (SELECT token, CAST(sum(a) AS HUGEINT) AS ca, "
+            "CAST(count(*) - sum(a) AS HUGEINT) AS cb FROM tok GROUP BY 1), "
+            "top AS (SELECT * FROM c ORDER BY ca + cb DESC, token LIMIT 25) "
+            "SELECT token, CAST(ca AS BIGINT) AS c_a, CAST(cb AS BIGINT) AS c_b, "
+            "CAST(CASE WHEN (ca + cb) > 0 AND (na - ca + nb - cb) > 0 "
+            "AND na > 0 AND nb > 0 THEN "
+            "1000000 * (na + nb) * (ca * (nb - cb) - cb * (na - ca)) "
+            "* (ca * (nb - cb) - cb * (na - ca)) "
+            "// ((ca + cb) * (na - ca + nb - cb) * na * nb) "
+            "ELSE 0 END AS BIGINT) AS chi2_e6 "
+            "FROM top, tot ORDER BY chi2_e6 DESC, token"
         ),
         # vocabulary counting: exact integer counts; ties break by token asc
         # on both sides (DuckDB default binary collation == Arrow byte order)

@@ -1503,3 +1503,146 @@ def tokenizer_fertility(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# sentinel "token" carrying per-side scalar totals through the drift
+# groupby; NUL can't appear in a \S+ token split from real text.
+_DRIFT_TOT = "\x00totals"
+
+
+def source_drift_chi2(
+    sf_dir: str, lang: str = "en", k: int = 25, n_shards: int = 64
+) -> pa.Table:
+    """Corpus DRIFT DETECTION: per-token chi-square homogeneity statistic
+    between two corpus splits (side A = ``lang`` documents, side B = the
+    rest) over the top-k tokens by combined count — the distribution-shift
+    audit a training pipeline runs when comparing two mixture snapshots or
+    crawl batches (which tokens over/under-index in the new split?).
+
+    chi2(t) = N * (ca*db - cb*da)^2 / ((ca+cb) * (da+db) * Na * Nb)
+    with da = Na - ca, db = Nb - cb, N = Na + Nb — the standard 2x2
+    homogeneity form, emitted as ``chi2_e6 = floor(chi2 * 1e6)`` in
+    arbitrary-precision integers so engine and oracle agree exactly.  The
+    SQL mirror computes it in HUGEINT, which holds while
+    1e6 * N^5 / 16 < 2^127 (N = corpus token count — fine at gate scale);
+    the engine side uses Python ints (unbounded) over only k rows.
+
+    Scale shape: ONE corpus scan — per-batch (token, side) count partials
+    from a single Arrow group_by (only distinct-token rows shuffle), a
+    token-shard segment-sum merge with per-shard partial top-k (exact: a
+    token lives wholly in one shard), side totals riding the same groupby
+    as ONE sentinel row per batch; the driver sees <= n_shards*(k+1) rows
+    and does the k-row chi2 arithmetic locally."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent = _ws_tokens(t.column("text"))
+        is_a_doc = (
+            pc.equal(pc.fill_null(t.column("lang"), ""), lang)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        a = is_a_doc[parent] if len(parent) else np.zeros(0, np.int64)
+        g = (
+            pa.table({"token": flat, "a": pa.array(a, pa.int64())})
+            .group_by("token")
+            .aggregate([("a", "sum"), ([], "count_all")])
+        )
+        ca = g.column("a_sum").to_numpy(zero_copy_only=False)
+        tot = g.column("count_all").to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {
+                "token": g.column("token"),
+                "ca": pa.array(ca, pa.int64()),
+                "cb": pa.array(tot - ca, pa.int64()),
+            }
+        )
+        n_a = int(a.sum())
+        sent = pa.table(
+            {
+                "token": pa.array([_DRIFT_TOT], pa.string()),
+                "ca": pa.array([n_a], pa.int64()),
+                "cb": pa.array([len(a) - n_a], pa.int64()),
+            }
+        )
+        out = pa.concat_tables([out, sent])
+        return out.append_column(
+            "tshard", _crc32_shard(out.column("token"), n_shards - 1)
+        )
+
+    def reduce_shard(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "ca": pa.array([], pa.int64()),
+                "cb": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        g = g.sort_by([("token", "ascending")])
+        tok = g.column("token").combine_chunks()
+        ca = g.column("ca").to_numpy(zero_copy_only=False)
+        cb = g.column("cb").to_numpy(zero_copy_only=False)
+        new = np.ones(g.num_rows, dtype=bool)
+        if g.num_rows > 1:
+            new[1:] = ~pc.equal(tok.slice(1), tok.slice(0, g.num_rows - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        starts = np.flatnonzero(new)
+        sca = int_segment_sum(ca, starts)
+        scb = int_segment_sum(cb, starts)
+        out = pa.table(
+            {
+                "token": pc.take(tok, pa.array(starts)),
+                "ca": pa.array(sca, pa.int64()),
+                "cb": pa.array(scb, pa.int64()),
+            }
+        )
+        is_sent = pc.equal(out.column("token"), _DRIFT_TOT)
+        sent = out.filter(is_sent)
+        rest = out.filter(pc.invert(is_sent))
+        rest = rest.append_column(
+            "tot",
+            pa.array(
+                rest.column("ca").to_numpy(zero_copy_only=False)
+                + rest.column("cb").to_numpy(zero_copy_only=False),
+                pa.int64(),
+            ),
+        )
+        top = rest.sort_by(
+            [("tot", "descending"), ("token", "ascending")]
+        ).slice(0, k).drop_columns(["tot"])
+        return pa.concat_tables([top, sent])
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tshard")
+        .map_groups(
+            lambda g: reduce_shard(g.drop_columns(["tshard"])),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )  # <= n_shards * (k+1) rows — k-bounded, never vocab-bounded
+    n_a = sum(r["ca"] for r in rows if r["token"] == _DRIFT_TOT)
+    n_b = sum(r["cb"] for r in rows if r["token"] == _DRIFT_TOT)
+    cand = [r for r in rows if r["token"] != _DRIFT_TOT]
+    cand.sort(key=lambda r: (-(r["ca"] + r["cb"]), r["token"]))
+    out = []
+    for r in cand[:k]:
+        ca, cb = int(r["ca"]), int(r["cb"])
+        da, db = n_a - ca, n_b - cb
+        den = (ca + cb) * (da + db) * n_a * n_b
+        chi2_e6 = (
+            (10**6 * (n_a + n_b) * (ca * db - cb * da) ** 2) // den if den else 0
+        )
+        out.append((r["token"], ca, cb, chi2_e6))
+    out.sort(key=lambda x: (-x[3], x[0]))
+    return pa.table(
+        {
+            "token": pa.array([x[0] for x in out], pa.string()),
+            "c_a": pa.array([x[1] for x in out], pa.int64()),
+            "c_b": pa.array([x[2] for x in out], pa.int64()),
+            "chi2_e6": pa.array([x[3] for x in out], pa.int64()),
+        }
+    )

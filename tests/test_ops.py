@@ -3349,6 +3349,46 @@ def test_order_lineitem_left_matches_local_recompute():
     assert any(r[2] is None for r in got)  # null extension exercised
 
 
+def test_source_drift_chi2_matches_counter_recompute():
+    """Distributed chi-square drift equals the pure-python 2x2 recompute
+    over the same top-k vocabulary."""
+    from collections import Counter
+
+    from invoice_extraction_ray.ops.text import source_drift_chi2
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["lang", "text"])
+    ca_cnt, cb_cnt = Counter(), Counter()
+    n_a = n_b = 0
+    for lg, tx in zip(
+        docs.column("lang").to_pylist(), docs.column("text").to_pylist()
+    ):
+        toks = (tx or "").split()
+        if lg == "en":
+            ca_cnt.update(toks)
+            n_a += len(toks)
+        else:
+            cb_cnt.update(toks)
+            n_b += len(toks)
+    vocab = sorted(
+        set(ca_cnt) | set(cb_cnt),
+        key=lambda t: (-(ca_cnt[t] + cb_cnt[t]), t),
+    )[:25]
+    want = []
+    for t in vocab:
+        ca, cb = ca_cnt[t], cb_cnt[t]
+        da, db = n_a - ca, n_b - cb
+        den = (ca + cb) * (da + db) * n_a * n_b
+        chi2 = (10**6 * (n_a + n_b) * (ca * db - cb * da) ** 2) // den if den else 0
+        want.append((t, ca, cb, chi2))
+    want.sort(key=lambda x: (-x[3], x[0]))
+    got = [
+        (r["token"], r["c_a"], r["c_b"], r["chi2_e6"])
+        for r in source_drift_chi2(SF, k=25).to_pylist()
+    ]
+    assert got == want
+    assert any(x[3] > 0 for x in got)  # drift actually detected
+
+
 def test_copurchase_triangles_matches_brute_force():
     """Distributed degree-oriented triangle count equals the pure-python
     set-intersection recompute of the same support-filtered graph."""
