@@ -127,6 +127,11 @@ HEADLINE = [
     "served_labels",
     "served_embeddings",
     "kanon_suppress",
+    # r5 post-list additions: FULL OUTER join, degree-oriented triangle
+    # count, chi-square corpus-drift audit
+    "order_lineitem_full",
+    "copurchase_triangles",
+    "source_drift_chi2",
 ]
 
 
