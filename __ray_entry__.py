@@ -475,6 +475,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("session_stats", relational.session_stats),  # per-session rows
             ("user_first_seen", relational.user_first_seen),  # new users/day
             ("order_details", relational.order_details),  # row-level hash join
+            ("order_details_bloom", relational.order_details_bloom),  # bloom-pruned
             ("pagerank", graph.pagerank),  # iterative message passing
             ("copurchase_pairs", relational.copurchase_pairs),  # basket mining
             ("copurchase_triangles", graph.copurchase_triangles),  # triangle count
@@ -551,6 +552,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("embedding_neardup", lambda sf: dedup.embedding_neardup(sf, threshold=0.3)),
             ("semantic_neardup", lambda sf: dedup.semantic_neardup(sf, 8, 0.3)),
             ("dedup_keep_best", dedup.dedup_keep_best),  # argmax-per-digest
+            ("snm_candidate_pairs", dedup.snm_candidate_pairs),  # sorted-neighborhood
         ],
         # corpus curation
         "curation": [
@@ -1022,6 +1024,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         # text_normalize: lowercase + \s+ collapse + trim, unicode-aware on
         # both engines (corpus is ASCII; dedup_keep_best shares the rule)
+        # snm_candidate_pairs: sorted-neighborhood blocking — every pair
+        # within 4 ranks of the (16-char normalized prefix, doc_id) sort
+        # order; is_dup = exact normalized-text equality
+        "snm_candidate_pairs": (
+            r"WITH n AS (SELECT doc_id, "
+            r"trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) "
+            r"AS norm FROM documents), "
+            r"r AS (SELECT doc_id, norm, row_number() OVER "
+            r"(ORDER BY substr(norm, 1, 16), doc_id) AS rnk FROM n) "
+            r"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            r"CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap, "
+            r"CAST(CASE WHEN a.norm = b.norm THEN 1 ELSE 0 END AS BIGINT) "
+            r"AS is_dup "
+            r"FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 4"
+        ),
         "text_normalize": (
             r"SELECT doc_id, "
             r"trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) "
@@ -1072,6 +1089,16 @@ def oracle_sql() -> dict[str, str]:
         # order_details: row-level fact-fact inner equi-join (hash-partition
         # join emitting joined rows; priority filter pushed to the read)
         "order_details": (
+            "SELECT l.l_orderkey AS o_orderkey, "
+            "CAST(l.l_linenumber AS BIGINT) AS l_linenumber, "
+            "o.o_custkey, o.o_orderdate, "
+            "CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) AS l_price_c "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE o.o_orderpriority = '1-URGENT'"
+        ),
+        # order_details_bloom: bloom-pruned variant of the same join — the
+        # filter only reduces shuffled probe volume; output is identical
+        "order_details_bloom": (
             "SELECT l.l_orderkey AS o_orderkey, "
             "CAST(l.l_linenumber AS BIGINT) AS l_linenumber, "
             "o.o_custkey, o.o_orderdate, "

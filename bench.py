@@ -132,6 +132,8 @@ HEADLINE = [
     "order_lineitem_full",
     "copurchase_triangles",
     "source_drift_chi2",
+    "order_details_bloom",
+    "snm_candidate_pairs",
 ]
 
 

@@ -1695,3 +1695,123 @@ def dedup_keep_best(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
         .map_groups(merge_shard, batch_format="pyarrow")
         .select_columns(["doc_id", "score_e5", "n_copies"])
     )
+
+
+def snm_candidate_pairs(
+    sf_dir: str, window: int = 4, key_len: int = 16
+) -> ray.data.Dataset:
+    """SORTED-NEIGHBORHOOD (SNM) candidate generation — the classic
+    record-linkage blocking method (Hernandez & Stolfo): sort the corpus by
+    a normalized blocking key and emit every pair within ``window`` ranks;
+    near-duplicates with similar prefixes land adjacent, so candidate
+    volume is O(N * window) instead of O(N^2).  Emits
+    (doc_a, doc_b, rank_gap, is_dup) with ``is_dup`` = exact
+    normalized-text equality (sha256 digests stand in for the texts —
+    the repo's established digest-for-text-equality convention, e.g.
+    dedup_keep_best / media_exact_dedup).
+
+    Scale shape: the SORT is the algorithm here (contrast the hash-banding
+    families above, which avoid it) but it moves only slim
+    (16-char key, doc_id, 32-byte digest) rows — texts never shuffle.  The
+    windows that STRADDLE sorted-block boundaries are the part Ray Data
+    cannot express (map_batches has no neighbor-block visibility), so
+    after the sort the blocks stay in the object store and one raw task
+    per block receives its block plus the next ``window`` rows assembled
+    from the following blocks' heads (lengths known driver-side; only
+    <= window boundary rows are ever fetched twice) — the documented
+    raw-task escape hatch, same as pagerank's supersteps.  Pairs are
+    generated exactly once, by the task owning the lower-ranked row."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        x = pc.fill_null(t.column("text"), "")
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(x), r"\s+", " ")
+        )
+        if isinstance(norm, pa.ChunkedArray):
+            norm = norm.combine_chunks()
+        key = pc.utf8_slice_codeunits(norm, 0, key_len)
+        # sha256 once per DISTINCT norm via the dictionary (batch-bounded)
+        d = norm.dictionary_encode()
+        digs = [hashlib.sha256(v.encode()).digest() for v in d.dictionary.to_pylist()]
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        dig = pa.array([digs[i] for i in idx], pa.binary(32))
+        return pa.table(
+            {
+                "key": key,
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "dig": dig,
+            }
+        )
+
+    sorted_ds = ds.map_batches(keyed, batch_format="pyarrow").sort(
+        ["key", "doc_id"]
+    )
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _len(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def _head(t: pa.Table, k: int) -> pa.Table:
+        return t.slice(0, k)
+
+    _OUT = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("rank_gap", pa.int64()),
+            ("is_dup", pa.int64()),
+        ]
+    )
+
+    @ray.remote
+    def _pairs(block: pa.Table, *ctx: pa.Table) -> pa.Table:
+        parts = [block] + [c for c in ctx if c.num_rows]
+        t = pa.concat_tables(parts) if len(parts) > 1 else block
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dig = t.column("dig").to_numpy(zero_copy_only=False)
+        n, m = block.num_rows, t.num_rows
+        outs = []
+        for d in range(1, window + 1):
+            k = min(n, m - d)
+            if k <= 0:
+                break
+            a = np.arange(k)
+            b = a + d
+            outs.append(
+                pa.table(
+                    {
+                        "doc_a": pa.array(ids[a], pa.int64()),
+                        "doc_b": pa.array(ids[b], pa.int64()),
+                        "rank_gap": pa.array(np.full(k, d, np.int64), pa.int64()),
+                        "is_dup": pa.array(
+                            (dig[a] == dig[b]).astype(np.int64), pa.int64()
+                        ),
+                    },
+                    schema=_OUT,
+                )
+            )
+        return pa.concat_tables(outs) if outs else _OUT.empty_table()
+
+    lens = ray.get([_len.remote(r) for r in refs])
+    live = [(r, ln) for r, ln in zip(refs, lens) if ln > 0]
+    outs = []
+    for i, (r, ln) in enumerate(live):
+        # assemble the next `window` rows from the following blocks' heads
+        ctx, need, j = [], window, i + 1
+        while need > 0 and j < len(live):
+            nr, nln = live[j]
+            take = min(need, nln)
+            ctx.append(_head.remote(nr, take))
+            need -= take
+            j += 1
+        outs.append(_pairs.remote(r, *ctx))
+    if not outs:
+        return ray.data.from_arrow(_OUT.empty_table())
+    return ray.data.from_arrow_refs(outs)

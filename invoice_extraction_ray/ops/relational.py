@@ -3026,6 +3026,184 @@ def order_details(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
     )
 
 
+def _splitmix_u64(x: "np.ndarray", seed: int) -> "np.ndarray":
+    """Vectorized splitmix64 finalizer over uint64 keys (wrapping mults)."""
+    import numpy as np
+
+    x = (x.astype(np.uint64) + np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def order_details_bloom(
+    sf_dir: str,
+    num_shards: int = 64,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 4,
+) -> ray.data.Dataset:
+    """``order_details`` with BLOOM-FILTER JOIN PRUNING — the standard
+    100-TB shuffle-join optimization: build an OR-mergeable bloom over the
+    (filtered, much smaller) build side's keys, broadcast it once via
+    ``ray.put``, and drop probe rows that cannot match BEFORE they enter
+    the all-to-all.  False positives pass the bloom but are dropped by the
+    exact sorted-merge probe in the shard, so the output is byte-identical
+    to ``order_details`` (same oracle) — only the shuffled probe volume
+    changes (~|selectivity| + FP-rate of lineitem instead of all of it).
+
+    Scale notes: bloom partials are one M/8-byte word row per block,
+    OR-merged on the driver (bounded state, any retry/partitioning gives
+    the same filter); size ``m_bits`` ~ 10x the expected build keys for a
+    ~1% FP rate and grow it with the build side (or partition the filter
+    by key range) — the filter is per-RUN state, never per-row."""
+    import numpy as np
+
+    from ._util import absorb_empty_blocks
+
+    n_words = m_bits // 64
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        okey = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        words = np.zeros(n_words, dtype=np.uint64)
+        for j in range(k_hashes):
+            idx = _splitmix_u64(okey, j + 1) % np.uint64(m_bits)
+            np.bitwise_or.at(
+                words, (idx >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (idx & np.uint64(63)),
+            )
+        return pa.table(
+            {"words": pa.array([words.astype(np.int64).tolist()], pa.list_(pa.int64()))}
+        )
+
+    build_read = dict(
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderpriority") == "1-URGENT"),
+    )
+    partials = (
+        ray.data.read_parquet(_pq(sf_dir, "orders"), **build_read)
+        .map_batches(bloom_partial, batch_format="pyarrow")
+        .take_all()
+    )  # one M/8-byte row per block
+    bloom = np.bitwise_or.reduce(
+        np.asarray([r["words"] for r in partials], dtype=np.int64).astype(np.uint64),
+        axis=0,
+    ) if partials else np.zeros(n_words, dtype=np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    _MERGED = pa.schema(
+        [
+            ("oshard", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.int8()),
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+        ]
+    )
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        okey = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(okey)),
+                "key": pa.array(okey, pa.int64()),
+                "side": pa.array(np.ones(len(okey), dtype=np.int8), pa.int8()),
+                "a": t.column("o_custkey").cast(pa.int64()),
+                "b": t.column("o_orderdate").cast(pa.int64()),
+            },
+            schema=_MERGED,
+        )
+
+    def li_rows_pruned(t: pa.Table) -> pa.Table:
+        """ray.get per batch is a plasma zero-copy handle (one physical
+        copy per node); probe rows failing any hash row never shuffle."""
+        w = ray.get(bloom_ref)
+        lkey = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.ones(len(lkey), dtype=bool)
+        for j in range(k_hashes):
+            idx = _splitmix_u64(lkey, j + 1) % np.uint64(m_bits)
+            keep &= (
+                w[(idx >> np.uint64(6)).astype(np.int64)]
+                >> (idx & np.uint64(63))
+            ) & np.uint64(1) != 0
+        t = t.filter(pa.array(keep))
+        lkey = lkey[keep]
+        price_c = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(lkey)),
+                "key": pa.array(lkey, pa.int64()),
+                "side": pa.array(np.zeros(len(lkey), dtype=np.int8), pa.int8()),
+                "a": t.column("l_linenumber").cast(pa.int64()),
+                "b": pa.array(price_c, pa.int64()),
+            },
+            schema=_MERGED,
+        )
+
+    orders = ray.data.read_parquet(_pq(sf_dir, "orders"), **build_read).map_batches(
+        ord_rows, batch_format="pyarrow"
+    )
+    li = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    ).map_batches(li_rows_pruned, batch_format="pyarrow")
+
+    _OUT = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("l_linenumber", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("l_price_c", pa.int64()),
+        ]
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        bmask = side == 1
+        bkey, bcust, bdate = keys[bmask], a[bmask], b[bmask]
+        if len(bkey) == 0:
+            return _OUT.empty_table()
+        order = np.argsort(bkey)
+        bkey, bcust, bdate = bkey[order], bcust[order], bdate[order]
+        pk, pln, pprice = keys[~bmask], a[~bmask], b[~bmask]
+        pos = np.searchsorted(bkey, pk)
+        hit = (pos < len(bkey)) & (
+            bkey[np.minimum(pos, max(len(bkey) - 1, 0))] == pk
+        )  # bloom false positives die here — output stays exact
+        pos = pos[hit]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(pk[hit], pa.int64()),
+                "l_linenumber": pa.array(pln[hit], pa.int64()),
+                "o_custkey": pa.array(bcust[pos], pa.int64()),
+                "o_orderdate": pa.array(bdate[pos], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "l_price_c": pa.array(pprice[hit], pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    return (
+        absorb_empty_blocks(orders.union(li), batch_size=131072)
+        .groupby("oshard")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def copurchase_pairs(
     sf_dir: str,
     k: int = 20,

@@ -2814,6 +2814,7 @@ def test_new_relational_family_random_differential(tmp_path):
         "kmv_distinct",
         "user_first_seen",
         "order_details",
+        "order_details_bloom",
         "value_moments",
         "pagerank",
         "copurchase_pairs",
@@ -3347,6 +3348,104 @@ def test_order_lineitem_left_matches_local_recompute():
     )
     assert got == want
     assert any(r[2] is None for r in got)  # null extension exercised
+
+
+def test_snm_candidate_pairs_matches_brute_force():
+    """Sorted-neighborhood pairs equal the python sort + window recompute,
+    including pairs that straddle sorted-block boundaries."""
+    import hashlib
+    import re
+
+    from invoice_extraction_ray.ops.dedup import snm_candidate_pairs
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for d, tx in zip(
+        docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+    ):
+        norm = re.sub(r"\s+", " ", (tx or "").lower()).strip()
+        rows.append((norm[:16], d, hashlib.sha256(norm.encode()).digest()))
+    rows.sort(key=lambda r: (r[0].encode(), r[1]))
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, min(i + 5, len(rows))):
+            want.add(
+                (rows[i][1], rows[j][1], j - i, int(rows[i][2] == rows[j][2]))
+            )
+    got = {
+        (r["doc_a"], r["doc_b"], r["rank_gap"], r["is_dup"])
+        for r in snm_candidate_pairs(SF, window=4).take_all()
+    }
+    assert got == want
+    assert len(got) == len(rows) * 4 - 10  # full windows minus the tail
+
+
+def test_snm_candidate_pairs_planted_duplicates(tmp_path):
+    """Planted near-identical docs (same normalized text, different case
+    and spacing) sort adjacent and flag is_dup=1; a one-row-per-block
+    layout exercises the boundary-straddling context assembly."""
+    import ray as _ray
+
+    from invoice_extraction_ray.ops.dedup import snm_candidate_pairs
+
+    texts = [
+        "Alpha  Report ",
+        "alpha report",
+        "ALPHA\tREPORT",
+        "beta summary",
+        "gamma notes",
+        "delta memo",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["rank_gap"], r["is_dup"])
+        for r in snm_candidate_pairs(str(tmp_path), window=2).take_all()
+    }
+    # normalized sort order: "alpha report" x3 (ids 0,1,2), beta(3),
+    # delta(5), gamma(4)
+    assert got[(0, 1)] == (1, 1)
+    assert got[(1, 2)] == (1, 1)
+    assert got[(0, 2)] == (2, 1)
+    assert got[(2, 3)][1] == 0  # alpha vs beta: candidates, not dups
+    assert got[(3, 5)] == (1, 0)  # beta then delta in sort order
+    assert got[(5, 4)] == (1, 0)  # delta then gamma
+    assert len(got) == 2 * len(texts) - 3
+
+
+def test_order_details_bloom_equals_exact_join():
+    """Bloom pruning only reduces shuffled volume — the output is
+    byte-identical to the exact hash-partition join, and the filter has
+    no false negatives (every true match survives the prefilter)."""
+    from invoice_extraction_ray.ops.relational import (
+        order_details,
+        order_details_bloom,
+    )
+
+    def rows(ds):
+        return sorted(
+            (
+                r["o_orderkey"],
+                r["l_linenumber"],
+                r["o_custkey"],
+                r["o_orderdate"],
+                r["l_price_c"],
+            )
+            for r in ds.take_all()
+        )
+
+    exact = rows(order_details(SF, num_shards=9))
+    # tiny filter forces a measurable FP rate; output must still be exact
+    pruned = rows(order_details_bloom(SF, num_shards=9, m_bits=1 << 12))
+    assert pruned == exact
+    assert len(exact) > 0
 
 
 def test_source_drift_chi2_matches_counter_recompute():
