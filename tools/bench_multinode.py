@@ -68,6 +68,16 @@ def _op_dataset(op: str):
         # dim_cap=0 forces the DISTRIBUTED shard fallback — the path whose
         # cross-node exchange behavior actually matters at cluster scale
         return lambda: nation_revenue(SF, dim_cap=0)
+    if op == "snm_candidate_pairs":
+        from invoice_extraction_ray.ops.dedup import snm_candidate_pairs
+
+        # the sort + boundary raw tasks — the r5 op whose all-to-all is
+        # the algorithm itself
+        return lambda: snm_candidate_pairs(SF)
+    if op == "copurchase_triangles":
+        from invoice_extraction_ray.ops.graph import copurchase_triangles
+
+        return lambda: copurchase_triangles(SF)
     raise SystemExit(f"unknown --op {op}")
 
 
@@ -89,12 +99,20 @@ def run_level(n_nodes: int, op: str = "flagship") -> dict:
 
     DataContext.get_current().enable_progress_bars = False
 
+    import pyarrow as pa
+
+    def _consume(res) -> int:
+        # some ops return an already-executed pa.Table (driver-final ops)
+        if isinstance(res, pa.Table):
+            return res.num_rows
+        return res.count()
+
     build = _op_dataset(op)
     # warm caches / imports / worker startup outside the timed section
-    build().limit(1).take(1)
+    _consume(build())
 
     t0 = time.perf_counter()
-    rows = build().count()
+    rows = _consume(build())
     wall = time.perf_counter() - t0
     ray.shutdown()
     cluster.shutdown()
