@@ -512,6 +512,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("kmv_distinct", sketch.kmv_distinct),  # k-minimum-values sketch
             ("value_moments", sketch.value_moments),  # int128 mean/variance
             ("kmv_jaccard", sketch.kmv_jaccard),  # theta-sketch set algebra
+            ("mg_heavy_hitters", sketch.mg_heavy_hitters),  # exact HH, no FPs
         ],
         # text analysis
         "text": [
@@ -1274,6 +1275,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders "
             "FROM pairs GROUP BY 1, 2 "
             "ORDER BY n_orders DESC, part_a, part_b LIMIT 20"
+        ),
+        # mg_heavy_hitters: Misra-Gries superset candidates + exact verify
+        # — emits the exact heavy-hitter set (n * 64 >= N), no false
+        # positives (contrast cms_heavy_hitters' upper-bound readout)
+        "mg_heavy_hitters": (
+            "WITH toks AS (SELECT unnest(regexp_extract_all(coalesce(text, ''), "
+            "'\\S+')) AS token FROM documents), "
+            "t AS (SELECT count(*) AS n_total FROM toks), "
+            "c AS (SELECT token, count(*) AS n FROM toks GROUP BY 1) "
+            "SELECT token, CAST(n AS BIGINT) AS n FROM c, t "
+            "WHERE n * 64 >= n_total ORDER BY n DESC, token"
         ),
         # copurchase_triangles: triangle count + global clustering
         # coefficient over the support-filtered co-purchase part graph —

@@ -134,6 +134,7 @@ HEADLINE = [
     "source_drift_chi2",
     "order_details_bloom",
     "snm_candidate_pairs",
+    "mg_heavy_hitters",
 ]
 
 

@@ -1033,3 +1033,119 @@ def kmv_jaccard(
             "jaccard_e6": pa.array([jac_e6], pa.int64()),
         }
     )
+
+
+def mg_heavy_hitters(sf_dir: str, denom: int = 64) -> pa.Table:
+    """Misra-Gries-style heavy hitters with an EXACT verify pass — the
+    deterministic counter-summary twin of ``cms_heavy_hitters``: where the
+    CMS readout is an upper bound (no false negatives, deterministic false
+    positives), this emits the exact heavy-hitter set (tokens with
+    ``n * denom >= N``) with exact counts and NO false positives.
+
+    Guarantee (pigeonhole form of the MG bound): a per-block candidate
+    pass keeps tokens with ``count_b * (denom + 1) > N_b`` — at most
+    ``denom`` per block — and any token with global count >= N/denom must
+    clear that bar in at least one block, so the union of per-block
+    candidate sets is a SUPERSET of the true heavy hitters at any
+    partitioning.  Pass 2 probes only the broadcast candidate set for
+    exact counts (bigram_lift's is_in shape) and applies the exact
+    threshold.
+
+    Scale shape: pass 1 ships <= denom candidate rows + one total-count
+    sentinel per block (driver state is candidate-bounded, never
+    vocab-bounded); pass 2 shuffles only |candidates| rows per block
+    through a 16-way token-shard segment-sum merge."""
+    import ray
+    import pyarrow.compute as pc
+
+    from invoice_extraction_ray.ops.text import _ws_tokens, _crc32_shard
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+
+    _TOT = "\x00n_total"  # NUL can't appear in a \S+ token
+
+    def candidates(t: pa.Table) -> pa.Table:
+        flat, _ = _ws_tokens(t.column("text"))
+        n_b = len(flat)
+        g = pa.table({"token": flat}).group_by("token").aggregate([([], "count_all")])
+        cnt = g.column("count_all").to_numpy(zero_copy_only=False)
+        keep = cnt * (denom + 1) > n_b
+        kept = g.column("token").filter(pa.array(keep))
+        if isinstance(kept, pa.ChunkedArray):
+            kept = kept.combine_chunks()
+        return pa.table(
+            {
+                "token": pa.concat_arrays([kept, pa.array([_TOT], pa.string())]),
+                "n_b": pa.array([0] * len(kept) + [n_b], pa.int64()),
+            }
+        )
+
+    # pass 1: candidate union + stream length via one sentinel row per
+    # block — driver state is <= blocks * (denom + 1) rows
+    cand_rows = ds.map_batches(candidates, batch_format="pyarrow").take_all()
+    n_total = sum(r["n_b"] for r in cand_rows if r["token"] == _TOT)
+    cands = sorted({r["token"] for r in cand_rows if r["token"] != _TOT})
+    if not cands or not n_total:
+        return pa.table(
+            {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    cand_arr = pa.array(cands, pa.string())
+    cand_ref = ray.put(cand_arr)
+
+    def probe(t: pa.Table) -> pa.Table:
+        cset = ray.get(cand_ref)  # plasma zero-copy per batch
+        flat, _ = _ws_tokens(t.column("text"))
+        hits = flat.filter(pc.is_in(flat, value_set=cset))
+        g = pa.table({"token": hits}).group_by("token").aggregate([([], "count_all")])
+        out = pa.table(
+            {
+                "token": g.column("token"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+        return out.append_column("tshard", _crc32_shard(out.column("token"), 15))
+
+    def reduce_shard(g: pa.Table) -> pa.Table:
+        from ._util import int_segment_sum
+
+        if g.num_rows == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        g = g.sort_by([("token", "ascending")])
+        tok = g.column("token").combine_chunks()
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        new = np.ones(g.num_rows, dtype=bool)
+        if g.num_rows > 1:
+            new[1:] = ~pc.equal(tok.slice(1), tok.slice(0, g.num_rows - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "token": pc.take(tok, pa.array(starts)),
+                "n": pa.array(int_segment_sum(n, starts), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(probe, batch_format="pyarrow")
+        .groupby("tshard")
+        .map_groups(
+            lambda g: reduce_shard(g.drop_columns(["tshard"])),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )  # <= |candidates| rows
+    out = [
+        (r["token"], int(r["n"]))
+        for r in rows
+        if int(r["n"]) * denom >= n_total  # exact threshold — no FPs
+    ]
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return pa.table(
+        {
+            "token": pa.array([x[0] for x in out], pa.string()),
+            "n": pa.array([x[1] for x in out], pa.int64()),
+        }
+    )

@@ -3350,6 +3350,27 @@ def test_order_lineitem_left_matches_local_recompute():
     assert any(r[2] is None for r in got)  # null extension exercised
 
 
+def test_mg_heavy_hitters_matches_counter_recompute():
+    """Candidate-superset + exact-verify heavy hitters equal the exact
+    Counter recompute — no false positives, no false negatives."""
+    from collections import Counter
+
+    from invoice_extraction_ray.ops.sketch import mg_heavy_hitters
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    c: Counter = Counter()
+    for tx in docs.column("text").to_pylist():
+        c.update((tx or "").split())
+    n = sum(c.values())
+    want = sorted(
+        ((t, k) for t, k in c.items() if k * 64 >= n),
+        key=lambda x: (-x[1], x[0]),
+    )
+    got = [(r["token"], r["n"]) for r in mg_heavy_hitters(SF).to_pylist()]
+    assert got == want
+    assert got  # non-degenerate
+
+
 def test_snm_candidate_pairs_matches_brute_force():
     """Sorted-neighborhood pairs equal the python sort + window recompute,
     including pairs that straddle sorted-block boundaries."""
