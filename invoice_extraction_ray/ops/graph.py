@@ -363,6 +363,12 @@ def copurchase_triangles(
                 "copurchase_triangles: partkey must be in [0, 2^21) for the "
                 "int64 pair pack; got max %d" % int(p.max())
             )
+        if len(o) and (o.max() >= (1 << 42) or o.min() < 0):
+            raise ValueError(
+                "copurchase_triangles: orderkey must be in [0, 2^42) for "
+                "the int64 (orderkey<<21)|partkey pack; got max %d"
+                % int(o.max())
+            )
         packed = np.unique((o << _PKEY_BITS) | p)
         o = packed >> _PKEY_BITS
         return pa.table(

@@ -3239,6 +3239,11 @@ def copurchase_pairs(
                 "copurchase_pairs: partkey must be in [0, 2^21) for the "
                 "int64 (orderkey<<21)|partkey pack; got max %d" % int(p.max())
             )
+        if len(o) and (o.max() >= (1 << 42) or o.min() < 0):
+            raise ValueError(
+                "copurchase_pairs: orderkey must be in [0, 2^42) for the "
+                "int64 (orderkey<<21)|partkey pack; got max %d" % int(o.max())
+            )
         packed = np.unique((o << 21) | p)
         o = packed >> 21
         return pa.table(
@@ -3398,6 +3403,17 @@ def data_quality_report(sf_dir: str, n_shards: int = 64) -> pa.Table:
     def pk_partial(t: pa.Table) -> pa.Table:
         o = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
         ln = t.column("l_linenumber").to_numpy(zero_copy_only=False).astype(np.int64)
+        # dirty VALUES are what this op counts, but dirty KEY WIDTHS would
+        # silently corrupt the pack — those raise loudly instead
+        if len(ln) and (
+            ln.max() >= 8 or ln.min() < 0 or o.max() >= (1 << 60) or o.min() < 0
+        ):
+            raise ValueError(
+                "data_quality_report: (orderkey << 3) | linenumber pack "
+                "requires linenumber in [0, 8) and orderkey in [0, 2^60); "
+                "got linenumber max %d, orderkey max %d"
+                % (int(ln.max()), int(o.max()))
+            )
         packed = np.unique((o << 3) | ln)  # linenumber in 1..7 (3 bits)
         return pa.table(
             {
@@ -3913,7 +3929,17 @@ def doc_skyline(sf_dir: str) -> pa.Table:
     )
 
     def _frontier(t: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
-        """Packed (t, c) points on the frontier; t, c < 2^21 (testdata)."""
+        """Packed (t, c) points on the frontier; both axes must fit 21
+        bits for the int64 pack — out-of-shape docs raise loudly instead
+        of silently corrupting the frontier."""
+        if len(t) and (
+            t.max() >= (1 << 21) or t.min() < 0 or c.max() >= (1 << 21) or c.min() < 0
+        ):
+            raise ValueError(
+                "doc_skyline: token/char counts must be in [0, 2^21) for "
+                "the int64 pack; got tokens max %d, chars max %d — widen "
+                "the pack or pre-clip the axes" % (int(t.max()), int(c.max()))
+            )
         packed = np.unique((t << 21) | c)
         pt, pcn = packed >> 21, packed & ((1 << 21) - 1)
         order = np.lexsort((pcn, -pt))  # t desc, c asc

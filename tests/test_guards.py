@@ -70,3 +70,80 @@ def test_value_moments_wide_cents_raises(tmp_path, ray_session):
 
     with pytest.raises(Exception, match="value_moments"):
         value_moments(_write_sf(tmp_path, events=ev))
+
+
+def test_copurchase_wide_orderkey_raises(tmp_path, ray_session):
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1 << 42, 1 << 42], pa.int64()),  # >= 2^42
+            "l_partkey": pa.array([1, 3], pa.int64()),
+        }
+    )
+    from invoice_extraction_ray.ops.relational import copurchase_pairs
+
+    with pytest.raises(Exception, match="copurchase_pairs: orderkey"):
+        copurchase_pairs(_write_sf(tmp_path, lineitem=li)).materialize()
+
+
+def test_triangles_wide_keys_raise(tmp_path, ray_session):
+    from invoice_extraction_ray.ops.graph import copurchase_triangles
+
+    wide_part = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1], pa.int64()),
+            "l_partkey": pa.array([1 << 21, 3], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="copurchase_triangles: partkey"):
+        copurchase_triangles(_write_sf(tmp_path, lineitem=wide_part))
+    wide_order = pa.table(
+        {
+            "l_orderkey": pa.array([1 << 42, 1 << 42], pa.int64()),
+            "l_partkey": pa.array([1, 3], pa.int64()),
+        }
+    )
+    d2 = tmp_path / "sf2"
+    d2.mkdir()
+    pq.write_table(wide_order, str(d2 / "lineitem.parquet"))
+    with pytest.raises(Exception, match="copurchase_triangles: orderkey"):
+        copurchase_triangles(str(d2))
+
+
+def test_dq_report_wide_linenumber_raises(tmp_path, ray_session):
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1], pa.int64()),
+            "l_linenumber": pa.array([9], pa.int32()),  # >= 8: pack-corrupting
+            "l_quantity": pa.array([1.0]),
+            "l_extendedprice": pa.array([10.0]),
+            "l_discount": pa.array([0.05]),
+        }
+    )
+    from invoice_extraction_ray.ops.relational import data_quality_report
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(li, str(d / "lineitem.parquet"))
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([1], pa.int64())}),
+        str(d / "orders.parquet"),
+    )
+    with pytest.raises(Exception, match="data_quality_report"):
+        data_quality_report(str(d))
+
+
+def test_doc_skyline_wide_axis_raises(tmp_path, ray_session):
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["one two"], pa.string()),
+            "n_chars": pa.array([1 << 21], pa.int64()),  # >= 2^21
+        }
+    )
+    from invoice_extraction_ray.ops.relational import doc_skyline
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    with pytest.raises(Exception, match="doc_skyline"):
+        doc_skyline(str(d))
