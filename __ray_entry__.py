@@ -586,6 +586,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("label_centroids", ann.label_centroids),  # exact e6 vector sums
             ("knn_graph", ann.knn_graph),  # e4-ranked exact neighbor graph
             ("filtered_ann_topk", ann.filtered_ann_topk),  # hybrid search
+            ("hybrid_rrf_topk", ann.hybrid_rrf_topk),  # BM25 + dense RRF fusion
         ],
         # multimodal plumbing (stubbed decode/resize/frame-sample)
         "media": [
@@ -2441,6 +2442,27 @@ def oracle_sql() -> dict[str, str]:
             f"pq AS ({out['pq_ann_topk']}) "
             f"SELECT * FROM ({_union}) ORDER BY index_name"
         )
+    # hybrid_rrf_topk: reciprocal-rank fusion composed from the SAME
+    # strings the gate runs for bm25_topk / ann_topk (rankers can never
+    # desync from the fusion); ranks come from the fixed-point scores
+    # with id tie-breaks, never float ordering
+    out["hybrid_rrf_topk"] = (
+        "WITH bmr AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY score_e6 DESC, doc_id) AS r FROM (" + out["bm25_topk"] + ")), "
+        "anr AS (SELECT vec_id AS doc_id, row_number() OVER "
+        "(ORDER BY sim_e4 DESC, vec_id) AS r FROM (" + out["ann_topk"] + ")), "
+        "ids AS (SELECT doc_id FROM bmr UNION SELECT doc_id FROM anr) "
+        "SELECT i.doc_id, "
+        "CAST(coalesce((SELECT 1000000 // (60 + b.r) FROM bmr b "
+        "WHERE b.doc_id = i.doc_id), 0) "
+        "+ coalesce((SELECT 1000000 // (60 + a.r) FROM anr a "
+        "WHERE a.doc_id = i.doc_id), 0) AS BIGINT) AS rrf_e6, "
+        "CAST((SELECT r FROM bmr b WHERE b.doc_id = i.doc_id) AS BIGINT) "
+        "AS bm25_rank, "
+        "CAST((SELECT r FROM anr a WHERE a.doc_id = i.doc_id) AS BIGINT) "
+        "AS ann_rank "
+        "FROM ids i ORDER BY rrf_e6 DESC, i.doc_id LIMIT 10"
+    )
     return out
 
 

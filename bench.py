@@ -135,6 +135,7 @@ HEADLINE = [
     "order_details_bloom",
     "snm_candidate_pairs",
     "mg_heavy_hitters",
+    "hybrid_rrf_topk",
 ]
 
 

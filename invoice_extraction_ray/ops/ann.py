@@ -881,3 +881,51 @@ def filtered_ann_topk(
         )
     )
     return survivors.sort(["sim_e4", "vec_id"], descending=[True, False]).limit(k)
+
+
+def hybrid_rrf_topk(
+    sf_dir: str, k: int = 10, m: int = 10, rrf_c: int = 60
+) -> pa.Table:
+    """HYBRID retrieval fusion — reciprocal-rank fusion (Cormack et al.)
+    of the lexical (BM25) and dense (exact cosine) rankers over the same
+    id space:
+
+        rrf(doc) = sum over lists of 1e6 // (rrf_c + rank_in_list)
+
+    — the standard RAG / retrieval-eval combiner, all-integer so both
+    engines agree exactly.  Ranks are row_number over each list's
+    FIXED-POINT score with id tie-break ((score_e6 desc, doc_id) /
+    (sim_e4 desc, vec_id)) — the gate-verified values — so the fusion
+    never depends on float ordering.
+
+    Scale shape: both input rankers are the proven retrieval pipelines
+    (bm25_topk: two streaming passes, block-bounded stats; ann_topk:
+    broadcast query + per-batch partial top-k); the fusion itself touches
+    only the 2m survivor rows on the driver — rank-bounded, never
+    corpus-bounded."""
+    from .text import bm25_topk
+
+    bm = bm25_topk(sf_dir, k=m).take_all()  # <= m rows
+    an = ann_topk(sf_dir, k=m).take_all()  # <= m rows
+    bm.sort(key=lambda r: (-r["score_e6"], r["doc_id"]))
+    an.sort(key=lambda r: (-r["sim_e4"], r["vec_id"]))
+    bm_rank = {r["doc_id"]: i + 1 for i, r in enumerate(bm)}
+    an_rank = {r["vec_id"]: i + 1 for i, r in enumerate(an)}
+    fused = []
+    for d in sorted(set(bm_rank) | set(an_rank)):
+        s = 0
+        if d in bm_rank:
+            s += 10**6 // (rrf_c + bm_rank[d])
+        if d in an_rank:
+            s += 10**6 // (rrf_c + an_rank[d])
+        fused.append((d, s, bm_rank.get(d), an_rank.get(d)))
+    fused.sort(key=lambda x: (-x[1], x[0]))
+    fused = fused[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array([x[0] for x in fused], pa.int64()),
+            "rrf_e6": pa.array([x[1] for x in fused], pa.int64()),
+            "bm25_rank": pa.array([x[2] for x in fused], pa.int64()),
+            "ann_rank": pa.array([x[3] for x in fused], pa.int64()),
+        }
+    )

@@ -3350,6 +3350,35 @@ def test_order_lineitem_left_matches_local_recompute():
     assert any(r[2] is None for r in got)  # null extension exercised
 
 
+def test_hybrid_rrf_topk_matches_component_recompute():
+    """RRF fusion equals the rank arithmetic recomputed from the two
+    component rankers' own (independently brute-force-tested) outputs."""
+    from invoice_extraction_ray.ops.ann import ann_topk, hybrid_rrf_topk
+    from invoice_extraction_ray.ops.text import bm25_topk
+
+    bm = bm25_topk(SF, k=10).take_all()
+    an = ann_topk(SF, k=10).take_all()
+    bm.sort(key=lambda r: (-r["score_e6"], r["doc_id"]))
+    an.sort(key=lambda r: (-r["sim_e4"], r["vec_id"]))
+    bm_rank = {r["doc_id"]: i + 1 for i, r in enumerate(bm)}
+    an_rank = {r["vec_id"]: i + 1 for i, r in enumerate(an)}
+    want = []
+    for d in set(bm_rank) | set(an_rank):
+        s = sum(
+            10**6 // (60 + rk[d]) for rk in (bm_rank, an_rank) if d in rk
+        )
+        want.append((d, s, bm_rank.get(d), an_rank.get(d)))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    want = want[:10]
+    got = [
+        (r["doc_id"], r["rrf_e6"], r["bm25_rank"], r["ann_rank"])
+        for r in hybrid_rrf_topk(SF).to_pylist()
+    ]
+    assert got == want
+    # both coalesce branches exercised: some doc is in only one list
+    assert any(x[2] is None or x[3] is None for x in got)
+
+
 def test_mg_heavy_hitters_matches_counter_recompute():
     """Candidate-superset + exact-verify heavy hitters equal the exact
     Counter recompute — no false positives, no false negatives."""
