@@ -1735,11 +1735,16 @@ def snm_candidate_pairs(
         if isinstance(norm, pa.ChunkedArray):
             norm = norm.combine_chunks()
         key = pc.utf8_slice_codeunits(norm, 0, key_len)
-        # sha256 once per DISTINCT norm via the dictionary (batch-bounded)
+        # sha256 once per DISTINCT norm via the dictionary (batch-bounded);
+        # the per-row gather is an Arrow take, not a Python loop
+        import pyarrow.compute as pc_
+
         d = norm.dictionary_encode()
-        digs = [hashlib.sha256(v.encode()).digest() for v in d.dictionary.to_pylist()]
-        idx = d.indices.to_numpy(zero_copy_only=False)
-        dig = pa.array([digs[i] for i in idx], pa.binary(32))
+        digs = pa.array(
+            [hashlib.sha256(v.encode()).digest() for v in d.dictionary.to_pylist()],
+            pa.binary(32),
+        )
+        dig = pc_.take(digs, d.indices)
         return pa.table(
             {
                 "key": key,

@@ -2797,8 +2797,35 @@ def test_new_relational_family_random_differential(tmp_path):
         str(tmp_path / "events.parquet"),
     )
 
+    # random documents: duplicate groups (case/spacing variants), mixed
+    # langs, skewed word mix — exercises the text/dedup family oracles
+    n_doc = 400
+    words = ["alpha", "beta", "gamma", "delta", "dup", "vector", "merge", "the"]
+    doc_texts = []
+    for i in range(n_doc):
+        k = rng.randint(3, 12)
+        t = " ".join(words[j] for j in rng.randint(0, len(words), k))
+        if i % 10 == 1:
+            t = doc_texts[i - 1].upper() + "  "  # normalized-dup of neighbor
+        doc_texts.append(t)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n_doc, dtype=np.int64)),
+                "text": pa.array(doc_texts, pa.string()),
+                "lang": pa.array(
+                    [["en", "de", "es", "fr", "zh"][j] for j in rng.randint(0, 5, n_doc)]
+                ),
+                "n_chars": pa.array(
+                    np.array([len(t) for t in doc_texts], dtype=np.int64)
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
     con = duckdb.connect()
-    for tbl in ("orders", "lineitem", "part", "events"):
+    for tbl in ("orders", "lineitem", "part", "events", "documents"):
         con.sql(
             f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{tmp_path}/{tbl}.parquet')"
         )
@@ -2827,6 +2854,10 @@ def test_new_relational_family_random_differential(tmp_path):
         "order_lineitem_left",
         "order_lineitem_full",
         "user_favorite_event",
+        "snm_candidate_pairs",
+        "mg_heavy_hitters",
+        "source_drift_chi2",
+        "doc_skyline",
     ):
         def norm(v):
             # DuckDB's .df() floats nullable-int columns (NULL -> NaN);
