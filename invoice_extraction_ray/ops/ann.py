@@ -35,8 +35,14 @@ def _load_query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
         columns=["vec_id", "embedding"],
         filters=[("vec_id", "==", vec_id)],
     )
-    idx = tbl.column("vec_id").to_pylist().index(vec_id)
-    return np.asarray(tbl.column("embedding")[idx].as_py(), dtype=np.float64)
+    ids = tbl.column("vec_id").to_pylist()
+    if vec_id not in ids:
+        raise ValueError(
+            f"query vec_id {vec_id} not found in {_pq(sf_dir, 'embeddings')} "
+            "— the corpus may be empty or the id wrong; similarity queries "
+            "need an existing query vector"
+        )
+    return np.asarray(tbl.column("embedding")[ids.index(vec_id)].as_py(), dtype=np.float64)
 
 
 def ann_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> ray.data.Dataset:

@@ -213,6 +213,8 @@ def mixture_sample(sf_dir: str) -> ray.data.Dataset:
         .take_all()
     )  # <= |langs| rows ever reach the driver
     n_by_lang = {r["lang"]: int(r["sum(count_all)"]) for r in counts}
+    if not n_by_lang:  # empty corpus -> empty result
+        return ds
     n_min = min(n_by_lang.values())
     thresh = {
         lang: math.floor(math.sqrt(n_min / n) * _MIX_DENOM + 0.5)
@@ -562,6 +564,16 @@ def dsir_logweights(sf_dir: str, target_lang: str = "en") -> ray.data.Dataset:
         .map_groups(merge, batch_format="pyarrow")
         .take_all()
     )
+    if not rows:  # empty corpus -> empty weights
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "logw_q2": pa.array([], pa.int64()),
+                }
+            )
+        )
     raw = np.asarray(rows[0]["raw"], dtype=np.int64)
     tgt = np.asarray(rows[0]["tgt"], dtype=np.int64)
 

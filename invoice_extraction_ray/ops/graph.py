@@ -283,7 +283,10 @@ def pagerank(
     step_t = ray.remote(num_returns=n_shards)(_step)
     final_t = ray.remote(_finalize)
 
-    blocks = state.to_arrow_refs()  # materialize in the object store only
+    state = state.materialize()  # edge/rank state, bounded by distinct pairs
+    if state.count() == 0:  # empty graph -> empty ranks, full schema
+        return ray.data.from_arrow(_OUT.empty_table())
+    blocks = state.to_arrow_refs()  # already materialized: no recompute
     parts = [split_t.remote(b) for b in blocks]
     shard_state = [
         assemble_t.remote(*[parts[b][s] for b in range(len(parts))])

@@ -428,6 +428,12 @@ def media_ann_topk(
         columns=["doc_id", "text"],
         filters=[("doc_id", "==", query_doc_id)],
     )
+    if tbl.num_rows == 0:
+        raise ValueError(
+            f"media_ann_topk: query doc_id {query_doc_id} not found in "
+            f"{sf_dir}/documents.parquet — the corpus may be empty or the "
+            "id wrong; similarity queries need an existing query asset"
+        )
     payload = (tbl.column("text")[0].as_py() or "").encode()
     if real:
         qf = _np.asarray(

@@ -100,11 +100,12 @@ def coverage_summary(sf_dir: str) -> pa.Table:
     total = sum(p["total"] for p in parts)
     n_text = sum(p["n_text"] for p in parts)
     sum_chars = sum(p["sum_chars"] for p in parts)
+    avg = int(sum_chars / total * 10_000 + 0.5) if total else 0
     return pa.table(
         {
             "total": pa.array([total], pa.int64()),
             "n_text": pa.array([n_text], pa.int64()),
-            "avg_chars": pa.array([int(sum_chars / total * 10_000 + 0.5)], pa.int64()),
+            "avg_chars": pa.array([avg], pa.int64()),
         }
     )
 
@@ -592,6 +593,19 @@ def lineitem_order_priority(sf_dir: str, num_partitions: int = 16) -> ray.data.D
             _pq(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
         )
     )
+    # Ray's hash-shuffle join aggregator errors on fully-empty inputs
+    # (zero-block finalize) — an empty side means an empty inner join, so
+    # short-circuit it (count() here is parquet-metadata, not a scan)
+    if li.count() == 0 or orders.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "n_items": pa.array([], pa.int64()),
+                    "sum_price": pa.array([], pa.int64()),
+                }
+            )
+        )
     joined = li.join(
         orders,
         join_type="inner",
@@ -1745,7 +1759,7 @@ def customers_without_big_order(sf_dir: str) -> ray.data.Dataset:
             lambda t: t.group_by("o_custkey").aggregate([]), batch_format="pyarrow"
         )
         .unique("o_custkey")
-    )
+    ) or []  # Dataset.unique returns None on a fully-empty input
     big_ref = ray.put(pa.array(sorted(big_keys), pa.int64()))
 
     def anti_filter(t: pa.Table) -> pa.Table:

@@ -485,6 +485,12 @@ def cms_heavy_hitters(sf_dir: str, denom: int = 64) -> ray.data.Dataset:
         .map_groups(merge, batch_format="pyarrow")
         .take_all()
     )
+    if not rows:  # empty corpus -> empty heavy-hitter set
+        return ray.data.from_arrow(
+            pa.table(
+                {"token": pa.array([], pa.string()), "est_n": pa.array([], pa.int64())}
+            )
+        )
     sketch = np.asarray(rows[0]["counts"], dtype=np.int64).reshape(CMS_D, CMS_W)
     n_total = int(sketch[0].sum())  # every row sums to the full stream length
     sk_ref = ray.put(sketch)
@@ -601,6 +607,12 @@ def bloom_contamination(sf_dir: str, eval_mod: int = 10) -> ray.data.Dataset:
         .map_groups(merge, batch_format="pyarrow")
         .take_all()
     )
+    if not rows:  # empty corpus -> nothing to probe, nothing flagged
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()), "flagged": pa.array([], pa.bool_())}
+            )
+        )
     bits = (
         np.unpackbits(
             np.asarray(rows[0]["words"], dtype=np.int64).astype("<u8").view(np.uint8),
@@ -849,6 +861,15 @@ def kmv_distinct(sf_dir: str, k: int = KMV_K) -> pa.Table:
         .take_all()  # <= k per block
     )
     all_h = np.unique(np.array([r["h"] for r in rows], dtype=np.uint64))
+    if len(all_h) == 0:  # empty corpus -> zero-distinct sketch row
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "kth_hi": pa.array([0], pa.int64()),
+                "kth_lo": pa.array([0], pa.int64()),
+                "approx_distinct": pa.array([0], pa.int64()),
+            }
+        )
     kth = int(all_h[min(k, len(all_h)) - 1])
     est = (min(k, len(all_h)) - 1) * (1 << 64) // kth if kth else 0
     return pa.table(

@@ -1209,6 +1209,12 @@ def bm25_topk(
     n_docs = sum(p["n_docs"] for p in parts)
     sum_dl = sum(p["sum_dl"] for p in parts)
     dfs = [sum(p[f"df_{i}"] for p in parts) for i in range(len(terms))]
+    if n_docs == 0:  # empty corpus -> empty result, not a ZeroDivisionError
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score_e6": pa.array([], pa.int64())}
+            )
+        )
     # avgdl: int/int true division == correctly-rounded IEEE quotient, same
     # as the oracle's CAST(sum_dl AS DOUBLE)/n_docs
     avgdl = sum_dl / n_docs
@@ -1441,6 +1447,16 @@ def surprisal_buckets(sf_dir: str) -> ray.data.Dataset:
         .take_all()
     )
     hist_rows.sort(key=lambda r: r["v"])
+    if not hist_rows:  # empty corpus -> empty output, full schema
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "mean_surprisal_e4": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.string()),
+            }
+        )
+        return ray.data.from_arrow(empty)
     n = sum(r["cnt"] for r in hist_rows)
     vals = [r["v"] for r in hist_rows]
     cums = []
