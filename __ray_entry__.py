@@ -497,6 +497,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("rolling_event_stats", _rolling_event_stats),  # ROWS frame
             ("time_weighted_value", window.time_weighted_value),  # TWAP
             ("user_running_zscore", window.user_running_zscore),  # online anomaly
+            ("user_value_ntile", window.user_value_ntile),  # global rank/NTILE
         ],
         # mergeable sketches
         "sketch": [
@@ -758,6 +759,7 @@ def oracle_sql() -> dict[str, str]:
     from invoice_extraction_ray.config import KMV_K as _KMV_K
     from invoice_extraction_ray.config import (
         KANON_MIN_GROUP as _KANON_K,
+        NTILE_N as _NTILE_N,
         SERVED_FAIL_CODE as _SRV_CODE,
         SERVED_FAIL_MOD as _SRV_MOD,
         SERVED_LONG_MIN_TOKENS as _SRV_MIN,
@@ -1251,6 +1253,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN n >= 1 AND (n*c - s1)*(n*c - s1) > "
             "4*(n*s2 - s1*s1) THEN 1 ELSE 0 END AS BIGINT) AS is_outlier "
             "FROM w ORDER BY user_id, event_id"
+        ),
+        # user_value_ntile: global ORDER BY (no PARTITION BY) rank + NTILE;
+        # tile count shared with the engine via config.NTILE_N
+        "user_value_ntile": (
+            "WITH t AS (SELECT user_id, "
+            "CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS total_c FROM events GROUP BY 1) "
+            "SELECT user_id, total_c, "
+            "CAST(row_number() OVER w AS BIGINT) AS rnk, "
+            f"CAST(ntile({_NTILE_N}) OVER w AS BIGINT) AS tile "
+            "FROM t WINDOW w AS (ORDER BY total_c DESC, user_id)"
         ),
         # rolling_active_users: trailing-7-day distinct actives per observed
         # day (WAU) — the window fan-out x two-stage-distinct shape

@@ -136,6 +136,7 @@ HEADLINE = [
     "snm_candidate_pairs",
     "mg_heavy_hitters",
     "hybrid_rrf_topk",
+    "user_value_ntile",
 ]
 
 

@@ -292,3 +292,7 @@ SERVED_FAIL_CODE = "http_500"
 # k-anonymity group-privacy gate (ops/curate.py::kanon_suppress and its
 # oracle SQL): suppress documents whose (lang, source) group is smaller.
 KANON_MIN_GROUP = 8
+
+# tile count for the distributed global-rank window op
+# (ops/window.py::user_value_ntile) and its NTILE(...) oracle SQL.
+NTILE_N = 10

@@ -722,3 +722,210 @@ def user_running_zscore(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
         )
         .sort(["user_id", "event_id"])
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed global rank / NTILE: an ORDER BY over the WHOLE dataset with no
+# partition key — the one window shape a sharded-by-key groupby cannot
+# express, because every row's rank depends on every other row
+# ---------------------------------------------------------------------------
+
+
+def _rank_bin(v: np.ndarray) -> np.ndarray:
+    """Monotone bucketing of int64 totals into ~1k pseudo-log bins: (binary
+    exponent, 4-bit mantissa slice) via np.frexp — exact for |v| < 2**53
+    (asserted), so the bin function is strictly monotone NON-decreasing in
+    ``v``.  Monotonicity is the only correctness requirement: bins partition
+    the sorted order into contiguous ranges and ties always share a bin;
+    boundary placement steers bucket BALANCE only.  v <= 0 collapses into
+    bin 0 (still monotone — the within-bin exact sort orders them)."""
+    if len(v) and int(np.abs(v).max()) >= 1 << 53:
+        raise ValueError("_rank_bin: |total| >= 2^53 breaks frexp exactness")
+    m, e = np.frexp(v.astype(np.float64))
+    sub = ((m - 0.5) * 32.0).astype(np.int64)  # 16 slices per octave
+    return np.where(v <= 0, 0, e.astype(np.int64) * 16 + sub + 1)
+
+
+def _ntile_of_rank(r0: np.ndarray, n: int, t: int) -> np.ndarray:
+    """SQL NTILE(t) from 0-based global rank: the first n%t tiles carry
+    floor(n/t)+1 rows, the rest floor(n/t) (DuckDB/ANSI convention)."""
+    q, rem = divmod(n, t)
+    if q == 0:  # fewer rows than tiles: one row per tile
+        return (r0 + 1).astype(np.int64)
+    big = q + 1
+    cut = rem * big
+    small = np.maximum(r0 - cut, 0)  # keep the unused branch division-safe
+    return np.where(r0 < cut, r0 // big, rem + small // q).astype(np.int64) + 1
+
+
+def user_value_ntile(sf_dir: str) -> ray.data.Dataset:
+    """Global rank + NTILE over per-user lifetime value — ``row_number() /
+    NTILE(config.NTILE_N) OVER (ORDER BY total_c DESC, user_id)`` with no
+    PARTITION BY, computed WITHOUT a global Dataset.sort and without any
+    corpus- or user-scaled driver state.  Three stages:
+
+      1. per-user total cents: per-batch segment-sum combine, one 64-way
+         user-shard groupby (user-scaled, stays distributed; materialized
+         once because two passes consume it);
+      2. a bounded ~1k-bin monotone histogram of totals (mergeable
+         partials; only the bin table reaches the driver) turns into each
+         bin's global DESC-order base offset, broadcast via ray.put;
+      3. one coarse bin-shard groupby ranks every bin locally (vectorized
+         lexsort — bins are contiguous under (total DESC, user) order) and
+         adds the base: rank = base[bin] + local index.
+
+    Skew caveat: one bin spans a ~±3% relative value slice, so a corpus
+    where most users share one total concentrates that bin's group — the
+    same per-group-fits-memory assumption as sessionize; pre-salt upstream
+    if so.  Output: (user_id, total_c, rnk, tile), rnk 1-based."""
+    import pyarrow.compute as pc  # noqa: F401  (schema casts below)
+    import ray as _ray
+
+    from ._util import int_segment_sum
+    from ..config import NTILE_N
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "value"])
+
+    _TOT = pa.schema([("user_id", pa.int64()), ("total_c", pa.int64())])
+    _OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("total_c", pa.int64()),
+            ("rnk", pa.int64()),
+            ("tile", pa.int64()),
+        ]
+    )
+
+    def _merge_users(u: np.ndarray, c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        order = np.argsort(u, kind="stable")
+        u, c = u[order], c[order]
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        return u[starts], int_segment_sum(c, starts)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _TOT.empty_table().append_column(
+                "shard", pa.array([], pa.int32())
+            )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        uu, cc = _merge_users(u, cents)
+        return pa.table(
+            {
+                "user_id": pa.array(uu, pa.int64()),
+                "total_c": pa.array(cc, pa.int64()),
+                "shard": pa.array((uu & (KEY_SHARDS - 1)).astype(np.int32)),
+            }
+        )
+
+    def merge_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _TOT.empty_table()
+        uu, cc = _merge_users(
+            g.column("user_id").to_numpy(zero_copy_only=False),
+            g.column("total_c").to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {"user_id": pa.array(uu, pa.int64()), "total_c": pa.array(cc, pa.int64())}
+        )
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: merge_shard(g.drop_columns(["shard"])), batch_format="pyarrow"
+        )
+        .materialize()  # consumed twice: histogram pass, then rank pass
+    )
+
+    # -- stage 2: bounded mergeable bin histogram -> global DESC base offsets
+    def hist_partial(t: pa.Table) -> pa.Table:
+        b = _rank_bin(t.column("total_c").to_numpy(zero_copy_only=False))
+        vals, cnts = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bin": pa.array(vals, pa.int64()),
+                "cnt": pa.array(cnts.astype(np.int64)),
+                "bshard": pa.array((vals & 15).astype(np.int32)),
+            }
+        )
+
+    def hist_reduce(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"bin": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        b = g.column("bin").to_numpy(zero_copy_only=False)
+        c = g.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.argsort(b, kind="stable")
+        b, c = b[order], c[order]
+        new = np.ones(len(b), dtype=bool)
+        new[1:] = b[1:] != b[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "bin": pa.array(b[starts], pa.int64()),
+                "cnt": pa.array(int_segment_sum(c, starts), pa.int64()),
+            }
+        )
+
+    hist_rows = (
+        totals.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("bshard")
+        .map_groups(
+            lambda g: hist_reduce(g.drop_columns(["bshard"])), batch_format="pyarrow"
+        )
+        .take_all()
+    )  # <= ~1k rows — bin-bounded, never user-scaled
+    if not hist_rows:
+        return ray.data.from_arrow(_OUT.empty_table())
+
+    bins = np.array([r["bin"] for r in hist_rows], dtype=np.int64)
+    cnts = np.array([r["cnt"] for r in hist_rows], dtype=np.int64)
+    order = np.argsort(-bins)  # DESC total_c order
+    bins, cnts = bins[order], cnts[order]
+    base = np.zeros(len(bins), dtype=np.int64)
+    base[1:] = np.cumsum(cnts[:-1])
+    n_total = int(cnts.sum())
+    state_ref = _ray.put((bins, base, n_total))
+
+    # -- stage 3: coarse bin-shard groupby; exact rank inside, vectorized
+    def add_rshard(t: pa.Table) -> pa.Table:
+        b = _rank_bin(t.column("total_c").to_numpy(zero_copy_only=False))
+        return t.append_column("rshard", pa.array((b >> 4).astype(np.int32)))
+
+    def rank_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        bins_d, base_d, n = _ray.get(state_ref)
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        c = g.column("total_c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, -c))  # (total DESC, user ASC)
+        u, c = u[order], c[order]
+        b = _rank_bin(c)  # descending, so bins form contiguous runs
+        new = np.ones(len(b), dtype=bool)
+        new[1:] = b[1:] != b[:-1]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        local = np.arange(len(b), dtype=np.int64) - starts[run_id]
+        pos = np.searchsorted(-bins_d, -b[starts])  # bins_d is DESC-sorted
+        rnk = base_d[pos][run_id] + local + 1
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "total_c": pa.array(c, pa.int64()),
+                "rnk": pa.array(rnk, pa.int64()),
+                "tile": pa.array(_ntile_of_rank(rnk - 1, n, NTILE_N), pa.int64()),
+            }
+        )
+
+    return (
+        totals.map_batches(add_rshard, batch_format="pyarrow")
+        .groupby("rshard")
+        .map_groups(
+            lambda g: rank_shard(g.drop_columns(["rshard"])), batch_format="pyarrow"
+        )
+    )

@@ -3849,3 +3849,73 @@ def test_kanon_suppress_matches_local_recompute():
         for r in kanon_suppress(SFD).take_all()
     }
     assert got == want and 0 < len(got) < t.num_rows
+
+
+def test_rank_bin_monotone_and_guarded():
+    """_rank_bin is monotone non-decreasing (the sole correctness
+    requirement of the distributed-rank bucketing) and raises past 2^53."""
+    import pytest
+
+    from invoice_extraction_ray.ops.window import _rank_bin
+
+    v = np.unique(
+        np.concatenate(
+            [
+                np.array([-5, -1, 0, 1, 2, 3, 15, 16, 17, 1 << 40], dtype=np.int64),
+                np.random.default_rng(7).integers(0, 1 << 52, 5000),
+            ]
+        )
+    )
+    b = _rank_bin(v)
+    assert (np.diff(b) >= 0).all()
+    with pytest.raises(ValueError):
+        _rank_bin(np.array([1 << 53], dtype=np.int64))
+
+
+def test_ntile_of_rank_matches_sql_convention():
+    """NTILE tile sizes: first n%t tiles get the extra row; n < t degrades
+    to one row per tile."""
+    import collections
+
+    from invoice_extraction_ray.ops.window import _ntile_of_rank
+
+    for n, t in [(10, 3), (9, 3), (1, 4), (3, 10), (100, 7), (7, 7)]:
+        tiles = _ntile_of_rank(np.arange(n, dtype=np.int64), n, t)
+        sizes = collections.Counter(tiles.tolist())
+        q, rem = divmod(n, t)
+        assert sorted(sizes) == list(range(1, min(n, t) + 1))
+        for tile, size in sizes.items():
+            want = (q + 1) if (rem and tile <= rem) else max(q, 1)
+            assert size == want, (n, t, tile, size, want)
+        assert (np.diff(tiles) >= 0).all()
+
+
+def test_user_value_ntile_matches_local_recompute():
+    """Distributed global rank/NTILE equals the single-process sort."""
+    from invoice_extraction_ray.config import NTILE_N
+    from invoice_extraction_ray.ops.window import user_value_ntile
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "value"])
+    totals = {}
+    for u, v in zip(
+        ev.column("user_id").to_pylist(), ev.column("value").to_pylist()
+    ):
+        totals[u] = totals.get(u, 0) + int(np.floor(v * 100.0 + 0.5))
+    ordered = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))
+    n = len(ordered)
+    q, rem = divmod(n, NTILE_N)
+    want = {}
+    for r0, (u, c) in enumerate(ordered):
+        if q == 0:
+            tile = r0 + 1
+        elif r0 < rem * (q + 1):
+            tile = r0 // (q + 1) + 1
+        else:
+            tile = rem + (r0 - rem * (q + 1)) // q + 1
+        want[u] = (c, r0 + 1, tile)
+    got = {
+        r["user_id"]: (r["total_c"], r["rnk"], r["tile"])
+        for r in user_value_ntile(SF).take_all()
+    }
+    assert got == want
+    assert len({v[2] for v in got.values()}) == min(n, NTILE_N)
