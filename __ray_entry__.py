@@ -485,6 +485,9 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("order_lineitem_full", relational.order_lineitem_full),  # FULL OUTER
             ("doc_skyline", relational.doc_skyline),  # Pareto frontier
             ("user_favorite_event", relational.user_favorite_event),  # grouped mode
+            ("large_order_customers", relational.large_order_customers),  # Q18 HAVING+join
+            ("order_lineitem_semi", relational.order_lineitem_semi),  # EXISTS semijoin
+            ("lineitem_cube", relational.lineitem_cube),  # GROUP BY CUBE
         ],
         # window / interval operators
         "window": [
@@ -759,7 +762,9 @@ def oracle_sql() -> dict[str, str]:
     from invoice_extraction_ray.config import KMV_K as _KMV_K
     from invoice_extraction_ray.config import (
         KANON_MIN_GROUP as _KANON_K,
+        LARGE_ORDER_MIN_QTY as _Q18_MIN,
         NTILE_N as _NTILE_N,
+        SEMI_JOIN_RETURNFLAG as _SEMI_RF,
         SERVED_FAIL_CODE as _SRV_CODE,
         SERVED_FAIL_MOD as _SRV_MOD,
         SERVED_LONG_MIN_TOKENS as _SRV_MIN,
@@ -1854,6 +1859,38 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(floor(o_totalprice*100.0 + 0.5) AS BIGINT)) AS BIGINT) "
             "AS sum_price_c, count(*) AS n "
             "FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"
+        ),
+        # Q18-style GROUP BY + HAVING feeding a two-hop join; threshold
+        # shared with the engine via config.LARGE_ORDER_MIN_QTY
+        "large_order_customers": (
+            "WITH big AS (SELECT l_orderkey, "
+            "CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty FROM lineitem GROUP BY 1 "
+            f"HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) >= {_Q18_MIN}) "
+            "SELECT c.c_custkey, c.c_name, o.o_orderkey, "
+            "CAST(floor(o.o_totalprice*100.0 + 0.5) AS BIGINT) AS total_c, "
+            "b.sum_qty FROM big b "
+            "JOIN orders o ON o.o_orderkey = b.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey"
+        ),
+        # row-level EXISTS semijoin; probe flag shared via
+        # config.SEMI_JOIN_RETURNFLAG — each qualifying order appears once
+        "order_lineitem_semi": (
+            "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders o "
+            "WHERE EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            f"AND l.l_returnflag = '{_SEMI_RF}')"
+        ),
+        # full CUBE grouping sets: leaf + both single-key slices + grand
+        # total, NULL markers and exact per-row-rounded cents both engines
+        "lineitem_cube": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty, "
+            "CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100.0 + 0.5) "
+            "AS BIGINT)) AS BIGINT) AS revenue_c, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
         ),
         # trailing ROWS-frame rolling window: exact integer cents sums
         "rolling_event_stats": (

@@ -137,6 +137,9 @@ HEADLINE = [
     "mg_heavy_hitters",
     "hybrid_rrf_topk",
     "user_value_ntile",
+    "large_order_customers",
+    "order_lineitem_semi",
+    "lineitem_cube",
 ]
 
 

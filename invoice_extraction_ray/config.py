@@ -296,3 +296,13 @@ KANON_MIN_GROUP = 8
 # tile count for the distributed global-rank window op
 # (ops/window.py::user_value_ntile) and its NTILE(...) oracle SQL.
 NTILE_N = 10
+
+# GROUP BY + HAVING threshold for the Q18-style large-order query
+# (ops/relational.py::large_order_customers and its oracle SQL): keep
+# orders whose total lineitem quantity reaches this many units.
+LARGE_ORDER_MIN_QTY = 250
+
+# probe-side filter for the row-level EXISTS semijoin
+# (ops/relational.py::order_lineitem_semi and its oracle SQL): an order
+# qualifies iff it has at least one lineitem with this return flag.
+SEMI_JOIN_RETURNFLAG = "R"

@@ -4105,3 +4105,442 @@ def user_favorite_event(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
         )
     )
     return absorb_empty_blocks(out, batch_size=131072).sort("user_id")
+
+
+# ---------------------------------------------------------------------------
+# A1/A8 x J5 composite: GROUP BY + HAVING feeding a two-hop row-level join
+# (TPC-H Q18 shape — "which customers placed the very largest orders");
+# reference validators.py:134-341 master-data joins at arbitrary master size
+# ---------------------------------------------------------------------------
+
+
+def large_order_customers(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
+    """TPC-H Q18 analogue: orders whose TOTAL lineitem quantity reaches
+    ``config.LARGE_ORDER_MIN_QTY``, joined back to the order row and then to
+    the customer's name — the canonical GROUP-BY-HAVING-then-join report.
+
+    Scale shape — two co-partitioned hops, nothing broadcast (customer and
+    orders both scale WITH the corpus, so neither side may land on the
+    driver):
+
+      1. lineitem pre-collapses to per-batch (orderkey, qty) partial sums,
+         unions with slim order rows into ONE orderkey-shard groupby: each
+         shard segment-sums quantities, applies the HAVING threshold, and
+         merge-probes the surviving keys into its (unique-per-key) order
+         rows.  The shuffle carries distinct-key partials + slim order
+         rows; survivors are threshold-bounded (a tiny fraction of orders).
+      2. survivors re-shard by custkey and union with slim customer rows
+         for the name hop — the same sorted-merge kernel.
+
+    Output: (c_custkey, c_name, o_orderkey, total_c, sum_qty)."""
+    import numpy as np
+
+    from ._util import absorb_empty_blocks, int_segment_sum
+    from ..config import LARGE_ORDER_MIN_QTY
+
+    _M1 = pa.schema(
+        [
+            ("oshard", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.int8()),
+            ("q", pa.int64()),  # lineitem: batch-partial qty | orders: 0
+            ("cust", pa.int64()),
+            ("total_c", pa.int64()),
+        ]
+    )
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    def _combine(k: "np.ndarray", w: "np.ndarray"):
+        order = np.argsort(k, kind="stable")
+        k, w = k[order], w[order]
+        new = np.ones(len(k), dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        return k[starts], int_segment_sum(w, starts)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.floor(
+            t.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        kk, qq = _combine(k, q)
+        z = np.zeros(len(kk), dtype=np.int64)
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(kk)),
+                "key": pa.array(kk, pa.int64()),
+                "side": pa.array(np.zeros(len(kk), dtype=np.int8), pa.int8()),
+                "q": pa.array(qq, pa.int64()),
+                "cust": pa.array(z, pa.int64()),
+                "total_c": pa.array(z, pa.int64()),
+            },
+            schema=_M1,
+        )
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        okey = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        total_c = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(okey)),
+                "key": pa.array(okey, pa.int64()),
+                "side": pa.array(np.ones(len(okey), dtype=np.int8), pa.int8()),
+                "q": pa.array(np.zeros(len(okey), dtype=np.int64), pa.int64()),
+                "cust": t.column("o_custkey").cast(pa.int64()),
+                "total_c": pa.array(total_c, pa.int64()),
+            },
+            schema=_M1,
+        )
+
+    li = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(ord_rows, batch_format="pyarrow")
+
+    _SURV = pa.schema(
+        [
+            ("cshard", pa.int32()),
+            ("key", pa.int64()),  # custkey
+            ("side", pa.int8()),
+            ("okey", pa.int64()),
+            ("total_c", pa.int64()),
+            ("sum_qty", pa.int64()),
+            ("name", pa.string()),
+        ]
+    )
+
+    def merge_orders(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _SURV.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        lk, lq = _combine(keys[lmask], g.column("q").to_numpy(zero_copy_only=False)[lmask])
+        big = lq >= LARGE_ORDER_MIN_QTY
+        lk, lq = lk[big], lq[big]
+        bkey = keys[~lmask]
+        if len(lk) == 0 or len(bkey) == 0:
+            return _SURV.empty_table()
+        bcust = g.column("cust").to_numpy(zero_copy_only=False)[~lmask]
+        btot = g.column("total_c").to_numpy(zero_copy_only=False)[~lmask]
+        order = np.argsort(bkey)
+        bkey, bcust, btot = bkey[order], bcust[order], btot[order]
+        pos = np.searchsorted(bkey, lk)
+        hit = (pos < len(bkey)) & (bkey[np.minimum(pos, len(bkey) - 1)] == lk)
+        pos, lk, lq = pos[hit], lk[hit], lq[hit]
+        cust = bcust[pos]
+        return pa.table(
+            {
+                "cshard": pa.array(_shard_of(cust)),
+                "key": pa.array(cust, pa.int64()),
+                "side": pa.array(np.zeros(len(cust), dtype=np.int8), pa.int8()),
+                "okey": pa.array(lk, pa.int64()),
+                "total_c": pa.array(btot[pos], pa.int64()),
+                "sum_qty": pa.array(lq, pa.int64()),
+                "name": pa.array([""] * len(cust), pa.string()),
+            },
+            schema=_SURV,
+        )
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(len(ck), dtype=np.int64)
+        return pa.table(
+            {
+                "cshard": pa.array(_shard_of(ck)),
+                "key": pa.array(ck, pa.int64()),
+                "side": pa.array(np.ones(len(ck), dtype=np.int8), pa.int8()),
+                "okey": pa.array(z, pa.int64()),
+                "total_c": pa.array(z, pa.int64()),
+                "sum_qty": pa.array(z, pa.int64()),
+                "name": t.column("c_name").cast(pa.string()),
+            },
+            schema=_SURV,
+        )
+
+    survivors = (
+        absorb_empty_blocks(li.union(orders), batch_size=131072)
+        .groupby("oshard")
+        .map_groups(
+            lambda g: merge_orders(g.drop_columns(["oshard"])),
+            batch_format="pyarrow",
+        )
+    )
+    cust = ray.data.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_name"]
+    ).map_batches(cust_rows, batch_format="pyarrow")
+
+    _OUT = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("c_name", pa.string()),
+            ("o_orderkey", pa.int64()),
+            ("total_c", pa.int64()),
+            ("sum_qty", pa.int64()),
+        ]
+    )
+
+    def merge_cust(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        bmask = side == 1
+        bkey = keys[bmask]
+        pk = keys[~bmask]
+        if len(pk) == 0 or len(bkey) == 0:
+            return _OUT.empty_table()
+        bname = g.column("name").to_numpy(zero_copy_only=False)[bmask]
+        order = np.argsort(bkey)
+        bkey, bname = bkey[order], bname[order]
+        pok = g.column("okey").to_numpy(zero_copy_only=False)[~bmask]
+        ptot = g.column("total_c").to_numpy(zero_copy_only=False)[~bmask]
+        pq_ = g.column("sum_qty").to_numpy(zero_copy_only=False)[~bmask]
+        pos = np.searchsorted(bkey, pk)
+        hit = (pos < len(bkey)) & (bkey[np.minimum(pos, len(bkey) - 1)] == pk)
+        pos = pos[hit]
+        return pa.table(
+            {
+                "c_custkey": pa.array(pk[hit], pa.int64()),
+                "c_name": pa.array(bname[pos], pa.string()),
+                "o_orderkey": pa.array(pok[hit], pa.int64()),
+                "total_c": pa.array(ptot[hit], pa.int64()),
+                "sum_qty": pa.array(pq_[hit], pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    return (
+        absorb_empty_blocks(survivors.union(cust), batch_size=131072)
+        .groupby("cshard")
+        .map_groups(
+            lambda g: merge_cust(g.drop_columns(["cshard"])), batch_format="pyarrow"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# row-level EXISTS semijoin — completes the shard-merge join family
+# (inner order_details / anti orders_without_lineitems / left / full / SEMI)
+# ---------------------------------------------------------------------------
+
+
+def order_lineitem_semi(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
+    """Fact-fact SEMI-join (SQL ``WHERE EXISTS``): orders having at least
+    one lineitem with ``l_returnflag = config.SEMI_JOIN_RETURNFLAG`` — the
+    complement of :func:`orders_without_lineitems`'s anti-join, sharing its
+    shape: the probe filter is pushed into the lineitem READ (row-group
+    pruning), lineitem pre-collapses to DISTINCT orderkeys per batch, both
+    sides union into one orderkey-shard stream, and each shard emits the
+    order rows whose key IS present.  Output rows appear exactly once (the
+    EXISTS contract) no matter how many lineitems match."""
+    import numpy as np
+
+    from ._util import absorb_empty_blocks, strip_schema_metadata
+    from ..config import SEMI_JOIN_RETURNFLAG
+
+    _MERGED = pa.schema(
+        [
+            ("oshard", pa.int32()),
+            ("key", pa.int64()),
+            ("custkey", pa.int64()),
+            ("priority", pa.string()),
+            ("side", pa.int8()),
+        ]
+    )
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        okey = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(okey)),
+                "key": pa.array(okey, pa.int64()),
+                "custkey": t.column("o_custkey").cast(pa.int64()),
+                "priority": t.column("o_orderpriority").cast(pa.string()),
+                "side": pa.array(np.ones(len(okey), dtype=np.int8), pa.int8()),
+            },
+            schema=_MERGED,
+        )
+
+    def li_keys(t: pa.Table) -> pa.Table:
+        k = np.unique(
+            t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(k)),
+                "key": pa.array(k, pa.int64()),
+                "custkey": pa.array(np.zeros(len(k), dtype=np.int64), pa.int64()),
+                "priority": pa.array([""] * len(k), pa.string()),
+                "side": pa.array(np.zeros(len(k), dtype=np.int8), pa.int8()),
+            },
+            schema=_MERGED,
+        )
+
+    orders = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+        )
+    ).map_batches(ord_rows, batch_format="pyarrow")
+    li = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_orderkey"],
+            filter=(pc.field("l_returnflag") == SEMI_JOIN_RETURNFLAG),
+        )
+    ).map_batches(li_keys, batch_format="pyarrow")
+
+    _OUT = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderpriority", pa.string()),
+        ]
+    )
+
+    def semi(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        have = np.unique(keys[side == 0])
+        ok = keys[side == 1]
+        if len(have) == 0 or len(ok) == 0:
+            return _OUT.empty_table()
+        ck = g.column("custkey").to_numpy(zero_copy_only=False)[side == 1]
+        prio = g.column("priority").to_numpy(zero_copy_only=False)[side == 1]
+        pos = np.searchsorted(have, ok)
+        hit = (pos < len(have)) & (have[np.minimum(pos, len(have) - 1)] == ok)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok[hit], pa.int64()),
+                "o_custkey": pa.array(ck[hit], pa.int64()),
+                "o_orderpriority": pa.array(prio[hit], pa.string()),
+            },
+            schema=_OUT,
+        )
+
+    return (
+        absorb_empty_blocks(orders.union(li), batch_size=131072)
+        .groupby("oshard")
+        .map_groups(semi, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/A10: full CUBE grouping sets over enum keys (ROLLUP's sibling —
+# orders_rollup lacks the (None, status) slice and the cross combinations)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_cube(sf_dir: str) -> pa.Table:
+    """``GROUP BY CUBE(l_returnflag, l_linestatus)`` over quantity, Q1-style
+    discounted revenue (exact integer cents) and row count — all FOUR
+    grouping sets ((f,s), (f), (s), ()) with SQL's NULL markers.
+
+    Scale shape: ONE distributed pass emits per-batch leaf partials (<=
+    |flags x statuses| rows per block); the bounded leaf partials collect on
+    the driver and every coarser set derives locally by re-aggregation —
+    valid because the measures are associative sums.  Revenue rounds to
+    cents PER ROW (floor(p*(1-d)*100 + 0.5), identical double ops both
+    engines) so sums are exact integers."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.floor(pc.add(t.column("l_quantity"), 0.5)), pa.int64())
+        rev = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(
+                        pc.multiply(
+                            t.column("l_extendedprice"),
+                            pc.subtract(1.0, t.column("l_discount")),
+                        ),
+                        100.0,
+                    ),
+                    0.5,
+                )
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {
+                    "l_returnflag": t.column("l_returnflag"),
+                    "l_linestatus": t.column("l_linestatus"),
+                    "qty": qty,
+                    "rev": rev,
+                }
+            )
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("qty", "sum"), ("rev", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "sum_qty": g.column("qty_sum"),
+                "revenue_c": g.column("rev_sum"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    leaf_rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not leaf_rows:
+        # SQL's () grouping set over an empty table: one row, NULL sums, n=0
+        return pa.table(
+            {
+                "l_returnflag": pa.array([None], pa.string()),
+                "l_linestatus": pa.array([None], pa.string()),
+                "sum_qty": pa.array([None], pa.int64()),
+                "revenue_c": pa.array([None], pa.int64()),
+                "n": pa.array([0], pa.int64()),
+            }
+        )
+    agg: dict[tuple, list[int]] = {}
+    for r in leaf_rows:  # bounded: <= |flags x statuses| x blocks partials
+        k = (r["l_returnflag"], r["l_linestatus"])
+        a = agg.setdefault(k, [0, 0, 0])
+        a[0] += r["sum_qty"]
+        a[1] += r["revenue_c"]
+        a[2] += r["n"]
+    rows: list[tuple] = []
+    for (f, s), (q, v, n) in agg.items():  # leaf set (f, s)
+        rows.append((f, s, q, v, n))
+    for pick in (0, 1):  # (f, None) and (None, s)
+        sub: dict[str, list[int]] = {}
+        for (ks), (q, v, n) in agg.items():
+            a = sub.setdefault(ks[pick], [0, 0, 0])
+            a[0] += q
+            a[1] += v
+            a[2] += n
+        for k, (q, v, n) in sub.items():
+            rows.append((k, None, q, v, n) if pick == 0 else (None, k, q, v, n))
+    tq = sum(a[0] for a in agg.values())  # grand total ()
+    tv = sum(a[1] for a in agg.values())
+    tn = sum(a[2] for a in agg.values())
+    rows.append((None, None, tq, tv, tn))
+    return pa.table(
+        {
+            "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+            "l_linestatus": pa.array([r[1] for r in rows], pa.string()),
+            "sum_qty": pa.array([r[2] for r in rows], pa.int64()),
+            "revenue_c": pa.array([r[3] for r in rows], pa.int64()),
+            "n": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )

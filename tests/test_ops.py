@@ -3919,3 +3919,123 @@ def test_user_value_ntile_matches_local_recompute():
     }
     assert got == want
     assert len({v[2] for v in got.values()}) == min(n, NTILE_N)
+
+
+def test_large_order_customers_matches_local_recompute():
+    """Q18 shape: HAVING threshold + two-hop join equals the dict joins."""
+    from invoice_extraction_ray.config import LARGE_ORDER_MIN_QTY
+    from invoice_extraction_ray.ops.relational import large_order_customers
+
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    qty: dict[int, int] = {}
+    for k, q in zip(li.column("l_orderkey").to_pylist(), li.column("l_quantity").to_pylist()):
+        qty[k] = qty.get(k, 0) + int(np.floor(q + 0.5))
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    omap = {
+        k: (c, int(np.floor(p * 100.0 + 0.5)))
+        for k, c, p in zip(
+            orders.column("o_orderkey").to_pylist(),
+            orders.column("o_custkey").to_pylist(),
+            orders.column("o_totalprice").to_pylist(),
+        )
+    }
+    cust = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey", "c_name"])
+    cmap = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist())
+    )
+    want = {
+        (cmap[omap[k][0]], omap[k][0], k, omap[k][1], s)
+        for k, s in qty.items()
+        if s >= LARGE_ORDER_MIN_QTY and k in omap
+    }
+    got = {
+        (r["c_name"], r["c_custkey"], r["o_orderkey"], r["total_c"], r["sum_qty"])
+        for r in large_order_customers(SF).take_all()
+    }
+    assert got == want and 0 < len(got) < len(omap)
+
+
+def test_order_lineitem_semi_matches_local_recompute():
+    """EXISTS semijoin: exactly the orders with >=1 matching lineitem,
+    each emitted once; complement of the anti-join over the same filter."""
+    from invoice_extraction_ray.config import SEMI_JOIN_RETURNFLAG
+    from invoice_extraction_ray.ops.relational import order_lineitem_semi
+
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"])
+    have = {
+        k
+        for k, f in zip(
+            li.column("l_orderkey").to_pylist(), li.column("l_returnflag").to_pylist()
+        )
+        if f == SEMI_JOIN_RETURNFLAG
+    }
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderpriority"]
+    )
+    want = {
+        (k, c, p)
+        for k, c, p in zip(
+            orders.column("o_orderkey").to_pylist(),
+            orders.column("o_custkey").to_pylist(),
+            orders.column("o_orderpriority").to_pylist(),
+        )
+        if k in have
+    }
+    rows = order_lineitem_semi(SF).take_all()
+    got = [(r["o_orderkey"], r["o_custkey"], r["o_orderpriority"]) for r in rows]
+    assert set(got) == want
+    assert len(got) == len(want)  # once per order, never per matching lineitem
+    assert 0 < len(got) < orders.num_rows
+
+
+def test_lineitem_cube_matches_local_recompute():
+    """CUBE: all four grouping sets derive exactly from the leaf counts."""
+    from invoice_extraction_ray.ops.relational import lineitem_cube
+
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    leaf: dict[tuple, list[int]] = {}
+    for f, s, q, p, d in zip(
+        li.column("l_returnflag").to_pylist(),
+        li.column("l_linestatus").to_pylist(),
+        li.column("l_quantity").to_pylist(),
+        li.column("l_extendedprice").to_pylist(),
+        li.column("l_discount").to_pylist(),
+    ):
+        a = leaf.setdefault((f, s), [0, 0, 0])
+        a[0] += int(np.floor(q + 0.5))
+        a[1] += int(np.floor(p * (1.0 - d) * 100.0 + 0.5))
+        a[2] += 1
+    want: dict[tuple, tuple] = {}
+    for (f, s), (q, v, n) in leaf.items():
+        want[(f, s)] = (q, v, n)
+    for pick in (0, 1):
+        sub: dict[tuple, list[int]] = {}
+        for ks, (q, v, n) in leaf.items():
+            key = (ks[0], None) if pick == 0 else (None, ks[1])
+            a = sub.setdefault(key, [0, 0, 0])
+            a[0] += q
+            a[1] += v
+            a[2] += n
+        want.update({k: tuple(a) for k, a in sub.items()})
+    want[(None, None)] = (
+        sum(a[0] for a in leaf.values()),
+        sum(a[1] for a in leaf.values()),
+        sum(a[2] for a in leaf.values()),
+    )
+    t = lineitem_cube(SF)
+    got = {
+        (f, s): (q, v, n)
+        for f, s, q, v, n in zip(
+            t.column("l_returnflag").to_pylist(),
+            t.column("l_linestatus").to_pylist(),
+            t.column("sum_qty").to_pylist(),
+            t.column("revenue_c").to_pylist(),
+            t.column("n").to_pylist(),
+        )
+    }
+    assert got == want and t.num_rows == len(want)
