@@ -501,6 +501,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("time_weighted_value", window.time_weighted_value),  # TWAP
             ("user_running_zscore", window.user_running_zscore),  # online anomaly
             ("user_value_ntile", window.user_value_ntile),  # global rank/NTILE
+            ("daily_ohlc", window.daily_ohlc),  # mergeable open/high/low/close
         ],
         # mergeable sketches
         "sketch": [
@@ -1269,6 +1270,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER w AS BIGINT) AS rnk, "
             f"CAST(ntile({_NTILE_N}) OVER w AS BIGINT) AS tile "
             "FROM t WINDOW w AS (ORDER BY total_c DESC, user_id)"
+        ),
+        # daily_ohlc: per-day candlestick — open/close are the value at the
+        # day's first/last (ts, event_id); high/low/n plain reductions
+        "daily_ohlc": (
+            "WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) "
+            "AS day_i, ts, event_id, "
+            "CAST(floor(value*100.0 + 0.5) AS BIGINT) AS vc FROM events), "
+            "oc AS (SELECT DISTINCT day_i, "
+            "first_value(vc) OVER (PARTITION BY day_i ORDER BY ts, event_id) "
+            "AS open_c, "
+            "first_value(vc) OVER (PARTITION BY day_i ORDER BY ts DESC, "
+            "event_id DESC) AS close_c FROM e), "
+            "hl AS (SELECT day_i, CAST(max(vc) AS BIGINT) AS high_c, "
+            "CAST(min(vc) AS BIGINT) AS low_c, CAST(count(*) AS BIGINT) AS n "
+            "FROM e GROUP BY 1) "
+            "SELECT hl.day_i, oc.open_c, hl.high_c, hl.low_c, oc.close_c, "
+            "hl.n FROM hl JOIN oc USING (day_i)"
         ),
         # rolling_active_users: trailing-7-day distinct actives per observed
         # day (WAU) — the window fan-out x two-stage-distinct shape

@@ -140,6 +140,7 @@ HEADLINE = [
     "large_order_customers",
     "order_lineitem_semi",
     "lineitem_cube",
+    "daily_ohlc",
 ]
 
 

@@ -929,3 +929,133 @@ def user_value_ntile(sf_dir: str) -> ray.data.Dataset:
             lambda g: rank_shard(g.drop_columns(["rshard"])), batch_format="pyarrow"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# per-bucket OHLC: grouped argmin/argmax BY A DIFFERENT COLUMN (open = value
+# at the bucket's earliest timestamp), made mergeable — the time-series
+# candlestick shape the registry's other aggregates (sum/min/max/mode) lack
+# ---------------------------------------------------------------------------
+
+
+def daily_ohlc(sf_dir: str, n_shards: int = 16) -> ray.data.Dataset:
+    """Open/high/low/close/count of event value per UTC day.  Open/close are
+    NOT plain min/max — they are the value AT the day's first/last (ts,
+    event_id) — but the triple (ts, event_id, value_c) under lexicographic
+    (ts, event_id) order IS an associative mergeable summary: per batch each
+    day contributes one partial carrying its first/last triple plus
+    high/low/n, and merging keeps the lexicographically smaller/larger
+    triple.  One coarse day-shard groupby finishes; nothing day- or
+    event-scaled reaches the driver.  Output (day_i = epoch days):
+    (day_i, open_c, high_c, low_c, close_c, n), exact integer cents."""
+    _US_PER_DAY = 86_400_000_000
+
+    _PART = pa.schema(
+        [
+            ("dshard", pa.int32()),
+            ("day_i", pa.int64()),
+            ("o_ts", pa.int64()),
+            ("o_eid", pa.int64()),
+            ("o_vc", pa.int64()),
+            ("c_ts", pa.int64()),
+            ("c_eid", pa.int64()),
+            ("c_vc", pa.int64()),
+            ("high_c", pa.int64()),
+            ("low_c", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+    _OUT = pa.schema(
+        [
+            ("day_i", pa.int64()),
+            ("open_c", pa.int64()),
+            ("high_c", pa.int64()),
+            ("low_c", pa.int64()),
+            ("close_c", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PART.empty_table()
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        vc = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        day = us // _US_PER_DAY
+        order = np.lexsort((eid, us, day))
+        day, us, eid, vc = day[order], us[order], eid[order], vc[order]
+        new = np.ones(len(day), dtype=bool)
+        new[1:] = day[1:] != day[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(day)) - 1
+        counts = np.append(starts[1:], len(day)) - starts
+        d = day[starts]
+        return pa.table(
+            {
+                "dshard": pa.array((d % n_shards).astype(np.int32)),
+                "day_i": pa.array(d, pa.int64()),
+                "o_ts": pa.array(us[starts], pa.int64()),
+                "o_eid": pa.array(eid[starts], pa.int64()),
+                "o_vc": pa.array(vc[starts], pa.int64()),
+                "c_ts": pa.array(us[ends], pa.int64()),
+                "c_eid": pa.array(eid[ends], pa.int64()),
+                "c_vc": pa.array(vc[ends], pa.int64()),
+                "high_c": pa.array(np.maximum.reduceat(vc, starts), pa.int64()),
+                "low_c": pa.array(np.minimum.reduceat(vc, starts), pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        cols = {c: g.column(c).to_numpy(zero_copy_only=False) for c in g.column_names}
+        day = cols["day_i"]
+        # open: lexicographically FIRST (o_ts, o_eid) triple per day
+        oo = np.lexsort((cols["o_eid"], cols["o_ts"], day))
+        d_o = day[oo]
+        first_o = np.ones(len(d_o), dtype=bool)
+        first_o[1:] = d_o[1:] != d_o[:-1]
+        # close: lexicographically LAST (c_ts, c_eid) triple per day
+        co = np.lexsort((-cols["c_eid"], -cols["c_ts"], day))
+        d_c = day[co]
+        first_c = np.ones(len(d_c), dtype=bool)
+        first_c[1:] = d_c[1:] != d_c[:-1]
+        # high/low/n: plain segment reductions under any day-sorted order
+        so = np.argsort(day, kind="stable")
+        d_s = day[so]
+        new = np.ones(len(d_s), dtype=bool)
+        new[1:] = d_s[1:] != d_s[:-1]
+        starts = np.flatnonzero(new)
+        from ._util import int_segment_sum
+
+        return pa.table(
+            {
+                "day_i": pa.array(d_s[starts], pa.int64()),
+                "open_c": pa.array(cols["o_vc"][oo][first_o], pa.int64()),
+                "high_c": pa.array(
+                    np.maximum.reduceat(cols["high_c"][so], starts), pa.int64()
+                ),
+                "low_c": pa.array(
+                    np.minimum.reduceat(cols["low_c"][so], starts), pa.int64()
+                ),
+                "close_c": pa.array(cols["c_vc"][co][first_c], pa.int64()),
+                "n": pa.array(int_segment_sum(cols["n"][so], starts), pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["ts", "event_id", "value"]
+    )
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dshard")
+        .map_groups(
+            lambda g: merge(g.drop_columns(["dshard"])), batch_format="pyarrow"
+        )
+    )

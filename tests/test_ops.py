@@ -4039,3 +4039,56 @@ def test_lineitem_cube_matches_local_recompute():
         )
     }
     assert got == want and t.num_rows == len(want)
+
+
+def _ohlc_recompute(ev):
+    rows = sorted(
+        zip(
+            ev.column("ts").cast(pa.int64()).to_pylist(),
+            ev.column("event_id").to_pylist(),
+            ev.column("value").to_pylist(),
+        )
+    )
+    days: dict[int, list] = {}
+    for ts, eid, v in rows:
+        vc = int(np.floor(v * 100.0 + 0.5))
+        d = ts // 86_400_000_000
+        a = days.setdefault(d, [vc, vc, vc, vc, 0])  # open high low close n
+        a[1] = max(a[1], vc)
+        a[2] = min(a[2], vc)
+        a[3] = vc  # rows sorted by (ts, eid): last write wins
+        a[4] += 1
+    return {d: tuple(a) for d, a in days.items()}
+
+
+def test_daily_ohlc_matches_local_recompute():
+    """Distributed OHLC equals the single-process (ts, event_id) sweep."""
+    from invoice_extraction_ray.ops.window import daily_ohlc
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "event_id", "value"])
+    want = _ohlc_recompute(ev)
+    got = {
+        r["day_i"]: (r["open_c"], r["high_c"], r["low_c"], r["close_c"], r["n"])
+        for r in daily_ohlc(SF).take_all()
+    }
+    assert got == want and len(got) > 1
+
+
+def test_daily_ohlc_partition_invariant(tmp_path):
+    """The open/close triple summary is mergeable: a pathological layout
+    (many tiny row-groups, rows shuffled so each day straddles every block)
+    yields identical output."""
+    from invoice_extraction_ray.ops.window import daily_ohlc
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "event_id", "value"])
+    idx = np.random.default_rng(3).permutation(ev.num_rows)
+    shuffled = ev.take(pa.array(idx))
+    d = tmp_path / "sf_shuf"
+    d.mkdir()
+    pq.write_table(shuffled, d / "events.parquet", row_group_size=97)
+    want = _ohlc_recompute(ev)
+    got = {
+        r["day_i"]: (r["open_c"], r["high_c"], r["low_c"], r["close_c"], r["n"])
+        for r in daily_ohlc(str(d)).take_all()
+    }
+    assert got == want
