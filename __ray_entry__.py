@@ -502,6 +502,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("user_running_zscore", window.user_running_zscore),  # online anomaly
             ("user_value_ntile", window.user_value_ntile),  # global rank/NTILE
             ("daily_ohlc", window.daily_ohlc),  # mergeable open/high/low/close
+            ("user_value_trend", window.user_value_trend),  # grouped OLS slope
         ],
         # mergeable sketches
         "sketch": [
@@ -1287,6 +1288,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM e GROUP BY 1) "
             "SELECT hl.day_i, oc.open_c, hl.high_c, hl.low_c, oc.close_c, "
             "hl.n FROM hl JOIN oc USING (day_i)"
+        ),
+        # user_value_trend: per-user OLS slope of value cents vs day offset,
+        # exact e6 rational; the ((nm % dn) + dn) % dn positive-mod identity
+        # turns DuckDB's truncating // into numpy's floor division
+        "user_value_trend": (
+            "WITH e AS (SELECT user_id, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_i, "
+            "CAST(floor(value*100.0 + 0.5) AS BIGINT) AS y FROM events), "
+            "c AS (SELECT user_id, "
+            "day_i - min(day_i) OVER (PARTITION BY user_id) AS x, y FROM e), "
+            "s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+            "CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy "
+            "FROM c GROUP BY 1), "
+            "r AS (SELECT user_id, n, 1000000*(n*sxy - sx*sy) AS nm, "
+            "n*sxx - sx*sx AS dn FROM s) "
+            "SELECT user_id, n, CASE WHEN dn = 0 THEN NULL ELSE "
+            "CAST((nm - ((nm % dn) + dn) % dn) // dn AS BIGINT) END AS slope_e6 "
+            "FROM r"
         ),
         # rolling_active_users: trailing-7-day distinct actives per observed
         # day (WAU) — the window fan-out x two-stage-distinct shape

@@ -141,6 +141,7 @@ HEADLINE = [
     "order_lineitem_semi",
     "lineitem_cube",
     "daily_ohlc",
+    "user_value_trend",
 ]
 
 

@@ -1059,3 +1059,103 @@ def daily_ohlc(sf_dir: str, n_shards: int = 16) -> ray.data.Dataset:
             lambda g: merge(g.drop_columns(["dshard"])), batch_format="pyarrow"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped OLS trend: per-user linear slope of value over time — the drift
+# diagnostic (is this user/source's value rising?); regression sums are NOT
+# expressible as any single Dataset aggregate, and exactness needs the
+# shift-invariance trick below
+# ---------------------------------------------------------------------------
+
+
+def user_value_trend(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """Per-user least-squares slope of event value (cents) against event DAY,
+    as e6 fixed point: ``slope_e6 = floor(1e6 * (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2))`` — NULL when the user's events all fall on one day
+    (zero x-variance).
+
+    Exactness: the slope is invariant to shifting x, so x = day -
+    min(day of THIS user) — per-user day offsets (tiny ints) instead of
+    absolute epoch days, which keeps every sum exactly in int64 (absolute
+    days ~2*10^4 would push n*Sxx toward 2^63 at ~10^5 events/user; the
+    kernel asserts |1e6*num| < 2^62 and raises loudly past it).  Floor
+    division of a possibly-negative numerator is mirrored in SQL with the
+    positive-mod identity ((nm - ((nm % dn) + dn) % dn) // dn) because
+    DuckDB's ``//`` truncates while numpy floors.
+
+    Scale shape: the user_running_zscore projection — slim (user, day,
+    cents) rows hash-shard by user (one co-location pass, no global sort);
+    inside a shard one lexsort + segment sums produce every user's five
+    regression sums vectorized.  Output: (user_id, n, slope_e6)."""
+    from ._util import absorb_empty_blocks, int_segment_sum
+
+    _US_PER_DAY = 86_400_000_000
+    _OUT = pa.schema(
+        [("user_id", pa.int64()), ("n", pa.int64()), ("slope_e6", pa.int64())]
+    )
+
+    def slim(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        vc = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array((u & (n_shards - 1)).astype(np.int32)),
+                "user_id": pa.array(u, pa.int64()),
+                "day_i": pa.array(us // _US_PER_DAY, pa.int64()),
+                "vc": pa.array(vc, pa.int64()),
+            }
+        )
+
+    def fit(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        d = g.column("day_i").to_numpy(zero_copy_only=False)
+        y = g.column("vc").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d, y = u[order], d[order], y[order]
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        x = d - d[starts][run_id]  # per-user day offset (sorted: first = min)
+        n = np.append(starts[1:], len(u)) - starts
+        sx = int_segment_sum(x, starts)
+        sy = int_segment_sum(y, starts)
+        sxx = int_segment_sum(x * x, starts)
+        sxy = int_segment_sum(x * y, starts)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        if len(num) and int(np.abs(num).max()) >= (1 << 62) // 1_000_000:
+            raise ValueError(
+                "user_value_trend: |regression numerator| too large for exact "
+                "e6 int64 arithmetic — reduce per-user row count or rescale"
+            )
+        ok = den > 0
+        slope = np.zeros(len(num), dtype=np.int64)
+        slope[ok] = np.floor_divide(1_000_000 * num[ok], den[ok])
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "slope_e6": pa.array(
+                    np.where(ok, slope, 0), pa.int64(), mask=~ok
+                ),
+            },
+            schema=_OUT,
+        )
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "ts", "value"]
+    )
+    return (
+        absorb_empty_blocks(
+            ds.map_batches(slim, batch_format="pyarrow"), batch_size=131072
+        )
+        .groupby("shard")
+        .map_groups(lambda g: fit(g.drop_columns(["shard"])), batch_format="pyarrow")
+    )

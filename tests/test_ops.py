@@ -4092,3 +4092,86 @@ def test_daily_ohlc_partition_invariant(tmp_path):
         for r in daily_ohlc(str(d)).take_all()
     }
     assert got == want
+
+
+def test_user_value_trend_matches_local_recompute():
+    """Distributed grouped OLS slope equals the python-int recompute."""
+    from invoice_extraction_ray.ops.window import user_value_trend
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+    per: dict[int, list] = {}
+    for u, ts, v in zip(
+        ev.column("user_id").to_pylist(),
+        ev.column("ts").cast(pa.int64()).to_pylist(),
+        ev.column("value").to_pylist(),
+    ):
+        per.setdefault(u, []).append((ts // 86_400_000_000, int(np.floor(v * 100.0 + 0.5))))
+    want = {}
+    for u, pts in per.items():
+        d0 = min(d for d, _ in pts)
+        xs = [d - d0 for d, _ in pts]
+        ys = [y for _, y in pts]
+        n = len(pts)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        den = n * sxx - sx * sx
+        want[u] = (n, None if den == 0 else (1_000_000 * (n * sxy - sx * sy)) // den)
+    got = {
+        r["user_id"]: (r["n"], r["slope_e6"])
+        for r in user_value_trend(SF).take_all()
+    }
+    assert got == want and len(got) > 1
+
+
+def test_user_value_trend_null_negative_and_guard(tmp_path):
+    """Synthetic corpus exercising what the testdata doesn't: a single-day
+    user (NULL slope), an exactly-decreasing user (negative slope, floor
+    semantics), and the loud numerator guard."""
+    import pytest
+
+    from invoice_extraction_ray.ops.window import user_value_trend
+
+    day = 86_400_000_000
+    rows = []
+    # user 1: one day, two events -> den == 0 -> NULL
+    rows += [(1, 5 * day + 10, 3.0), (1, 5 * day + 20, 9.0)]
+    # user 2: y = 700 - 300x cents over days 0..2, exact slope -3e8 e6
+    rows += [(2, 0 * day, 7.0), (2, 1 * day, 4.0), (2, 2 * day, 1.0)]
+    # user 3: slope 1/3 cents/day -> floor((1e6*num)/den) truncates DOWN
+    rows += [(3, 0 * day, 0.00), (3, 1 * day, 0.00), (3, 2 * day, 0.01)]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array(["x"] * len(rows), pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "props": pa.array([""] * len(rows), pa.string()),
+        }
+    )
+    d = tmp_path / "sf_syn"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    got = {
+        r["user_id"]: (r["n"], r["slope_e6"])
+        for r in user_value_trend(str(d)).take_all()
+    }
+    # user 3: n=3, sx=3, sy=1, sxx=5, sxy=2 -> num=3, den=6 -> 3e6//6 = 5e5
+    assert got == {1: (2, None), 2: (3, -300_000_000), 3: (3, 500_000)}
+
+    huge = pa.table(
+        {
+            "event_id": pa.array([0, 1], pa.int64()),
+            "user_id": pa.array([9, 9], pa.int64()),
+            "ts": pa.array([0, 40_000 * day], pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array(["x", "x"], pa.string()),
+            "value": pa.array([0.0, 70_000_000_000_000.0], pa.float64()),
+            "props": pa.array(["", ""], pa.string()),
+        }
+    )
+    d2 = tmp_path / "sf_huge"
+    d2.mkdir()
+    pq.write_table(huge, d2 / "events.parquet")
+    with pytest.raises(Exception, match="numerator"):
+        user_value_trend(str(d2)).take_all()
