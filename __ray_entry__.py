@@ -422,7 +422,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
         window,
     )
     from invoice_extraction_ray.ops.multimodal import media_ann_topk, media_metadata
-    from invoice_extraction_ray.stages.inference import served_labels
+    from invoice_extraction_ray.stages.inference import served_labels, served_rewards
 
     return {
         # flagship transcript extraction (materialized-oracle DuckDB rows)
@@ -609,6 +609,8 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             # embedding twin of the served stage (list column flattened to
             # exact int columns for the driver's value compare)
             ("served_embeddings", _served_embeddings_flat),
+            # reward member of the served triad (labeling/embedding/reward)
+            ("served_rewards", served_rewards),
         ],
     }
 
@@ -767,6 +769,7 @@ def oracle_sql() -> dict[str, str]:
         LARGE_ORDER_MIN_QTY as _Q18_MIN,
         NTILE_N as _NTILE_N,
         SEMI_JOIN_RETURNFLAG as _SEMI_RF,
+        SERVED_REWARD_SCALE as _SRV_RSCALE,
         SERVED_FAIL_CODE as _SRV_CODE,
         SERVED_FAIL_MOD as _SRV_MOD,
         SERVED_LONG_MIN_TOKENS as _SRV_MIN,
@@ -1988,6 +1991,17 @@ def oracle_sql() -> dict[str, str]:
             f"CASE WHEN nt % {_SRV_MOD} = 0 THEN NULL ELSE CAST(nc AS BIGINT) END AS e1, "
             f"CASE WHEN nt % {_SRV_MOD} = 0 THEN NULL ELSE CAST(nd AS BIGINT) END AS e2, "
             f"CASE WHEN nt % {_SRV_MOD} = 0 THEN NULL ELSE CAST(nu AS BIGINT) END AS e3, "
+            f"CASE WHEN nt % {_SRV_MOD} = 0 THEN '{_SRV_CODE}' END AS error "
+            "FROM s"
+        ),
+        # served_rewards: the reward member of the triad — token density as
+        # e4 fixed point, same failure rule; scale shared via config
+        "served_rewards": (
+            "WITH s AS (SELECT doc_id, "
+            "len(regexp_extract_all(coalesce(text,''), '\\S+')) AS nt, "
+            "length(coalesce(text,'')) AS nc FROM documents) "
+            f"SELECT doc_id, CASE WHEN nt % {_SRV_MOD} = 0 THEN NULL ELSE "
+            f"CAST(({_SRV_RSCALE}*nt) // (nc+1) AS BIGINT) END AS reward_e4, "
             f"CASE WHEN nt % {_SRV_MOD} = 0 THEN '{_SRV_CODE}' END AS error "
             "FROM s"
         ),

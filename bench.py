@@ -142,6 +142,7 @@ HEADLINE = [
     "lineitem_cube",
     "daily_ohlc",
     "user_value_trend",
+    "served_rewards",
 ]
 
 

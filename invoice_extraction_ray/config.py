@@ -288,6 +288,10 @@ BROADCAST_DIM_MAX_ROWS = 5_000_000
 SERVED_LONG_MIN_TOKENS = 40   # label = 'long' iff n_tokens >= this
 SERVED_FAIL_MOD = 13          # n_tokens % this == 0 -> simulated failure
 SERVED_FAIL_CODE = "http_500"
+# served_rewards stub: reward = token density (tokens per char) as e4
+# fixed point, floor((SCALE * n_tokens) / (n_chars + 1)) — exact integers
+# on both engines.
+SERVED_REWARD_SCALE = 10_000
 
 # k-anonymity group-privacy gate (ops/curate.py::kanon_suppress and its
 # oracle SQL): suppress documents whose (lang, source) group is smaller.

@@ -293,3 +293,77 @@ def served_labels(sf_dir: str) -> "ray.data.Dataset":  # noqa: F821
             batch_format="pyarrow",
         )
     )
+
+
+def stub_reward_transport(texts: list) -> list:
+    """Deterministic local stand-in for a served REWARD model (quality /
+    preference scorer): token density (whitespace tokens per character) as
+    exact e4 fixed point — floor((SCALE * n_tokens) / (n_chars + 1)), pure
+    non-negative integer arithmetic on both engines — with the same per-row
+    failure rule as the label/embedding stubs."""
+    from ..config import SERVED_REWARD_SCALE
+
+    out = []
+    for s in texts:
+        s = s or ""
+        n = len(s.split())
+        if n % STUB_FAIL_MOD == 0:
+            out.append({"error": STUB_FAIL_CODE})
+        else:
+            out.append({"reward_e4": (SERVED_REWARD_SCALE * n) // (len(s) + 1)})
+    return out
+
+
+class ServedRewardClient(ServedModelClient):
+    """The reward member of the served-model triad (labeling / embedding /
+    REWARD scoring — the RLHF/quality-filter scorer): identical session +
+    micro-batch + retry + degradation lifecycle; rows gain a nullable
+    ``reward_e4`` int64 column."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column(self.text_col).to_pylist()
+        rewards: list = []
+        errors: list = []
+        for lo in range(0, len(texts), self.micro_batch):
+            chunk = texts[lo : lo + self.micro_batch]
+            result = self._call_with_retry(chunk)
+            if isinstance(result, str):
+                rewards.extend([None] * len(chunk))
+                errors.extend([result] * len(chunk))
+                continue
+            for r in result:
+                if isinstance(r, dict) and "reward_e4" in r:
+                    rewards.append(int(r["reward_e4"]))
+                    errors.append(None)
+                elif isinstance(r, dict) and "error" in r:
+                    rewards.append(None)
+                    errors.append(str(r["error"]))
+                else:
+                    rewards.append(None)
+                    errors.append(ERR_PARSE)
+        return t.append_column(
+            "reward_e4", pa.array(rewards, pa.int64())
+        ).append_column("error", pa.array(errors, pa.string()))
+
+
+def served_rewards(sf_dir: str) -> "ray.data.Dataset":  # noqa: F821
+    """Documents scored by the (stubbed) served reward model — completes
+    the served-model triad.  Output: (doc_id, reward_e4, error)."""
+    import ray.data
+
+    from ..ops._util import pool_size
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(
+            ServedRewardClient,
+            fn_constructor_kwargs={"transport": stub_reward_transport},
+            batch_format="pyarrow",
+            batch_size=512,
+            concurrency=pool_size(),
+        )
+        .map_batches(
+            lambda t: t.select(["doc_id", "reward_e4", "error"]),
+            batch_format="pyarrow",
+        )
+    )

@@ -210,3 +210,34 @@ def test_embedding_client_request_level_degradation():
     out = stage(_batch(["a", "b"]))
     assert out.column("embedding").to_pylist() == [None, None]
     assert out.column("error").to_pylist() == ["http_503"] * 2
+
+
+def test_reward_client_rows_and_degradation():
+    from invoice_extraction_ray.config import SERVED_REWARD_SCALE
+    from invoice_extraction_ray.stages.inference import (
+        ServedRewardClient,
+        stub_reward_transport,
+    )
+
+    texts = ["Ab1 cd", " ".join(["x"] * SERVED_FAIL_MOD), None]
+    out = ServedRewardClient(transport=stub_reward_transport)(_batch(texts))
+    rewards = out.column("reward_e4").to_pylist()
+    # "Ab1 cd": 2 tokens, 6 chars -> floor(SCALE*2 / 7)
+    assert rewards[0] == (SERVED_REWARD_SCALE * 2) // 7
+    assert rewards[1] is None and rewards[2] is None
+    assert out.column("error").to_pylist() == [
+        None,
+        SERVED_FAIL_CODE,
+        SERVED_FAIL_CODE,
+    ]
+
+
+def test_reward_client_request_level_degradation():
+    from invoice_extraction_ray.stages.inference import ServedRewardClient
+
+    stage = ServedRewardClient(
+        transport=_FlakyTransport(fail_n=10**9), max_retries=1, backoff_s=0.001
+    )
+    out = stage(_batch(["a", "b"]))
+    assert out.column("reward_e4").to_pylist() == [None, None]
+    assert out.column("error").to_pylist() == ["http_503"] * 2
