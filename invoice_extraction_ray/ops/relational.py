@@ -4454,8 +4454,6 @@ def lineitem_cube(sf_dir: str) -> pa.Table:
     valid because the measures are associative sums.  Revenue rounds to
     cents PER ROW (floor(p*(1-d)*100 + 0.5), identical double ops both
     engines) so sums are exact integers."""
-    import numpy as np
-
     ds = ray.data.read_parquet(
         _pq(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],

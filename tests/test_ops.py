@@ -2732,9 +2732,29 @@ def test_new_relational_family_random_differential(tmp_path):
                         for i in rng.randint(0, 5, n_ord)
                     ]
                 ),
+                "o_totalprice": np.round(rng.uniform(100, 400000, n_ord), 2),
             }
         ),
         str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(np.arange(500, dtype=np.int64)),
+                "c_name": pa.array([f"Customer#{i:09d}" for i in range(500)]),
+                "c_nationkey": pa.array(
+                    rng.randint(0, 25, 500).astype(np.int32), pa.int32()
+                ),
+                "c_acctbal": np.round(rng.uniform(-999, 9999, 500), 2),
+                "c_mktsegment": pa.array(
+                    [
+                        ["BUILDING", "AUTOMOBILE", "MACHINERY"][i]
+                        for i in rng.randint(0, 3, 500)
+                    ]
+                ),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
     )
     li_ok = okeys[rng.randint(0, n_ord, n_li)]
     li_ok = li_ok[li_ok % 7 != 1]  # drop lineitems of every 7th order
@@ -2760,6 +2780,12 @@ def test_new_relational_family_random_differential(tmp_path):
                     rng.rand(m) < 0.01,
                     rng.choice([-0.5, 1.5], m),
                     np.round(rng.uniform(0, 0.1, m), 2),
+                ),
+                "l_returnflag": pa.array(
+                    [["R", "A", "N"][i] for i in rng.randint(0, 3, m)]
+                ),
+                "l_linestatus": pa.array(
+                    [["O", "F"][i] for i in rng.randint(0, 2, m)]
                 ),
             }
         ),
@@ -2825,7 +2851,7 @@ def test_new_relational_family_random_differential(tmp_path):
     )
 
     con = duckdb.connect()
-    for tbl in ("orders", "lineitem", "part", "events", "documents"):
+    for tbl in ("orders", "lineitem", "part", "customer", "events", "documents"):
         con.sql(
             f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{tmp_path}/{tbl}.parquet')"
         )
@@ -2858,6 +2884,11 @@ def test_new_relational_family_random_differential(tmp_path):
         "mg_heavy_hitters",
         "source_drift_chi2",
         "doc_skyline",
+        "large_order_customers",
+        "order_lineitem_semi",
+        "lineitem_cube",
+        "daily_ohlc",
+        "user_value_trend",
     ):
         def norm(v):
             # DuckDB's .df() floats nullable-int columns (NULL -> NaN);
