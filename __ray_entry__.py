@@ -551,6 +551,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("substring_dup_spans", _substring_dup_spans),  # exact spans
             ("substring_scrub", _substring_scrub),  # exact rebuild
             ("delta_neardup", _delta_neardup),  # exact, cross-side
+            ("snapshot_diff", dedup.snapshot_diff),  # versioned-corpus diff
             ("neardup_clusters", _neardup_clusters),  # recursive CTE oracle
             ("contamination_check", _contamination_check),  # exact integers
             ("prepare_corpus", _prepare_corpus),  # composed pipeline
@@ -770,6 +771,10 @@ def oracle_sql() -> dict[str, str]:
         NTILE_N as _NTILE_N,
         SEMI_JOIN_RETURNFLAG as _SEMI_RF,
         SERVED_REWARD_SCALE as _SRV_RSCALE,
+        SNAPSHOT_ADDED_MOD as _SNAP_AD,
+        SNAPSHOT_ADDED_OFFSET as _SNAP_OFF,
+        SNAPSHOT_CHANGED_MOD as _SNAP_CH,
+        SNAPSHOT_REMOVED_MOD as _SNAP_RM,
         SERVED_FAIL_CODE as _SRV_CODE,
         SERVED_FAIL_MOD as _SRV_MOD,
         SERVED_LONG_MIN_TOKENS as _SRV_MIN,
@@ -2004,6 +2009,26 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(({_SRV_RSCALE}*nt) // (nc+1) AS BIGINT) END AS reward_e4, "
             f"CASE WHEN nt % {_SRV_MOD} = 0 THEN '{_SRV_CODE}' END AS error "
             "FROM s"
+        ),
+        # snapshot_diff: content diff vs the config-derived v2 snapshot —
+        # added / removed / changed only (digest compare; an uppercase
+        # 'change' whose digest is unchanged correctly drops out)
+        "snapshot_diff": (
+            "WITH b0 AS (SELECT doc_id, coalesce(text,'') AS t FROM documents), "
+            "a AS (SELECT doc_id, sha256(t) AS d FROM b0), "
+            "b AS (SELECT doc_id, CASE WHEN doc_id % "
+            f"{_SNAP_CH} = 0 THEN sha256(upper(t)) ELSE sha256(t) END AS d "
+            f"FROM b0 WHERE doc_id % {_SNAP_RM} != 0 "
+            "UNION ALL "
+            f"SELECT doc_id + {_SNAP_OFF} AS doc_id, "
+            "sha256('added:' || t) AS d "
+            f"FROM b0 WHERE doc_id % {_SNAP_AD} = 0) "
+            "SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, "
+            "CASE WHEN a.doc_id IS NULL THEN 'added' "
+            "WHEN b.doc_id IS NULL THEN 'removed' "
+            "ELSE 'changed' END AS status "
+            "FROM a FULL JOIN b ON a.doc_id = b.doc_id "
+            "WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.d <> b.d"
         ),
         # kanon_suppress: k-anonymity group gate — kept rows with group size
         "kanon_suppress": (

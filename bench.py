@@ -143,6 +143,7 @@ HEADLINE = [
     "daily_ohlc",
     "user_value_trend",
     "served_rewards",
+    "snapshot_diff",
 ]
 
 

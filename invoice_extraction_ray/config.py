@@ -288,6 +288,15 @@ BROADCAST_DIM_MAX_ROWS = 5_000_000
 SERVED_LONG_MIN_TOKENS = 40   # label = 'long' iff n_tokens >= this
 SERVED_FAIL_MOD = 13          # n_tokens % this == 0 -> simulated failure
 SERVED_FAIL_CODE = "http_500"
+# snapshot_diff's deterministic "v2" derivation of the documents table
+# (ops/dedup.py::snapshot_diff and its oracle SQL): drop every REMOVED_MOD-th
+# doc, uppercase every CHANGED_MOD-th, add a new doc (id + ADDED_OFFSET,
+# 'added:'-prefixed text) for every ADDED_MOD-th.
+SNAPSHOT_REMOVED_MOD = 13
+SNAPSHOT_CHANGED_MOD = 7
+SNAPSHOT_ADDED_MOD = 11
+SNAPSHOT_ADDED_OFFSET = 50_000_000
+
 # served_rewards stub: reward = token density (tokens per char) as e4
 # fixed point, floor((SCALE * n_tokens) / (n_chars + 1)) — exact integers
 # on both engines.

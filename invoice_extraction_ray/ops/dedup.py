@@ -1820,3 +1820,157 @@ def snm_candidate_pairs(
     if not outs:
         return ray.data.from_arrow(_OUT.empty_table())
     return ray.data.from_arrow_refs(outs)
+
+
+# ---------------------------------------------------------------------------
+# dataset versioning: content diff between two corpus snapshots — the
+# "what changed since the last crawl/release" audit every versioned
+# training-data store needs (added / removed / changed doc ids)
+# ---------------------------------------------------------------------------
+
+
+def dataset_diff(ds_a, ds_b, n_shards: int = 64) -> ray.data.Dataset:
+    """Content diff between two document snapshots (``doc_id, text``
+    datasets): rows whose id exists only in A (``removed``), only in B
+    (``added``), or in both with different text (``changed``) — unchanged
+    rows are NOT emitted, so the output is change-bounded, not
+    corpus-bounded.
+
+    Scale shape: neither snapshot is assumed small or row-aligned — each
+    side maps to slim (doc_id, digest-pair, side) rows (sha256 first 16
+    bytes as two int64s, the exact_dedup key trick; texts never shuffle),
+    both union into ONE id-shard groupby, and each shard classifies its
+    ids with a vectorized sorted sweep.  Equal ids always co-locate, so
+    the verdict is exact (up to 2^-128 digest collisions)."""
+    import hashlib
+
+    _SLIM = pa.schema(
+        [
+            ("shard", pa.int32()),
+            ("doc_id", pa.int64()),
+            ("h1", pa.int64()),
+            ("h2", pa.int64()),
+            ("side", pa.int8()),
+        ]
+    )
+    _OUT = pa.schema([("doc_id", pa.int64()), ("status", pa.string())])
+
+    def _slim_rows(side_val: int):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _SLIM.empty_table()
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            digests = b"".join(
+                hashlib.sha256((s or "").encode()).digest()[:16]
+                for s in t.column("text").to_pylist()
+            )
+            h = np.frombuffer(digests, dtype="<i8").reshape(-1, 2)
+            shard = (((ids * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+            return pa.table(
+                {
+                    "shard": pa.array(shard),
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "h1": pa.array(h[:, 0], pa.int64()),
+                    "h2": pa.array(h[:, 1], pa.int64()),
+                    "side": pa.array(
+                        np.full(len(ids), side_val, dtype=np.int8), pa.int8()
+                    ),
+                },
+                schema=_SLIM,
+            )
+
+        return fn
+
+    def classify(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        h1 = g.column("h1").to_numpy(zero_copy_only=False)
+        h2 = g.column("h2").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, ids))
+        ids, side, h1, h2 = ids[order], side[order], h1[order], h2[order]
+        new = np.ones(len(ids), dtype=bool)
+        new[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.append(starts[1:], len(ids)) - starts
+        # snapshots have unique ids per side, so a group is 1 or 2 rows
+        single = counts == 1
+        s_idx = starts[single]
+        removed = s_idx[side[s_idx] == 0]
+        added = s_idx[side[s_idx] == 1]
+        p_idx = starts[~single]  # pairs: sorted (side 0, side 1)
+        changed = p_idx[(h1[p_idx] != h1[p_idx + 1]) | (h2[p_idx] != h2[p_idx + 1])]
+        out_ids = np.concatenate([ids[removed], ids[added], ids[changed]])
+        status = (
+            ["removed"] * len(removed)
+            + ["added"] * len(added)
+            + ["changed"] * len(changed)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "status": pa.array(status, pa.string()),
+            },
+            schema=_OUT,
+        )
+
+    from ._util import absorb_empty_blocks
+
+    a = ds_a.map_batches(_slim_rows(0), batch_format="pyarrow")
+    b = ds_b.map_batches(_slim_rows(1), batch_format="pyarrow")
+    return (
+        absorb_empty_blocks(a.union(b), batch_size=131072)
+        .groupby("shard")
+        .map_groups(
+            lambda g: classify(g.drop_columns(["shard"])), batch_format="pyarrow"
+        )
+    )
+
+
+def snapshot_diff(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """:func:`dataset_diff` wired to a deterministic 'v2' of the documents
+    table (config-shared derivation, SQL-mirrored): every
+    ``SNAPSHOT_REMOVED_MOD``-th doc dropped, every ``CHANGED_MOD``-th
+    uppercased (docs whose uppercase equals the original — all-caps,
+    digits-only — correctly do NOT report as changed: the diff compares
+    content, not lineage), and an added doc (id + ``ADDED_OFFSET``,
+    'added:'-prefixed text) for every ``ADDED_MOD``-th."""
+    import pyarrow.compute as pc
+
+    from ..config import (
+        SNAPSHOT_ADDED_MOD,
+        SNAPSHOT_ADDED_OFFSET,
+        SNAPSHOT_CHANGED_MOD,
+        SNAPSHOT_REMOVED_MOD,
+    )
+
+    def derive_v2(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        text = pc.fill_null(t.column("text"), "")
+        keep = ids % SNAPSHOT_REMOVED_MOD != 0
+        kept = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": text}).filter(
+            pa.array(keep)
+        )
+        kids = kept.column("doc_id").to_numpy(zero_copy_only=False)
+        ch = pa.array(kids % SNAPSHOT_CHANGED_MOD == 0)
+        new_text = pc.if_else(ch, pc.utf8_upper(kept.column("text")), kept.column("text"))
+        kept = kept.set_column(1, "text", new_text)
+        add_mask = ids % SNAPSHOT_ADDED_MOD == 0
+        added = pa.table(
+            {
+                "doc_id": pa.array(ids[add_mask] + SNAPSHOT_ADDED_OFFSET, pa.int64()),
+                "text": pc.binary_join_element_wise(
+                    pa.array(["added:"] * int(add_mask.sum()), pa.string()),
+                    text.filter(pa.array(add_mask)),
+                    "",
+                ),
+            }
+        )
+        return pa.concat_tables([kept, added])
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    v2 = base.map_batches(derive_v2, batch_format="pyarrow")
+    return dataset_diff(base, v2, n_shards=n_shards)

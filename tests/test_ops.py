@@ -4206,3 +4206,70 @@ def test_user_value_trend_null_negative_and_guard(tmp_path):
     pq.write_table(huge, d2 / "events.parquet")
     with pytest.raises(Exception, match="numerator"):
         user_value_trend(str(d2)).take_all()
+
+
+def test_snapshot_diff_matches_local_recompute():
+    """Distributed snapshot diff equals the dict recompute of the derived
+    v2, including the digest subtlety (an uppercased doc whose text was
+    already caseless does NOT report as changed)."""
+    from invoice_extraction_ray.config import (
+        SNAPSHOT_ADDED_MOD,
+        SNAPSHOT_ADDED_OFFSET,
+        SNAPSHOT_CHANGED_MOD,
+        SNAPSHOT_REMOVED_MOD,
+    )
+    from invoice_extraction_ray.ops.dedup import snapshot_diff
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    a = {
+        d: (s or "")
+        for d, s in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())
+    }
+    b = {}
+    for d, s in a.items():
+        if d % SNAPSHOT_REMOVED_MOD == 0:
+            continue
+        b[d] = s.upper() if d % SNAPSHOT_CHANGED_MOD == 0 else s
+    for d, s in a.items():
+        if d % SNAPSHOT_ADDED_MOD == 0:
+            b[d + SNAPSHOT_ADDED_OFFSET] = "added:" + s
+    want = {}
+    for d in a:
+        if d not in b:
+            want[d] = "removed"
+        elif a[d] != b[d]:
+            want[d] = "changed"
+    for d in b:
+        if d not in a:
+            want[d] = "added"
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(SF).take_all()}
+    assert got == want
+    assert {"added", "removed", "changed"} <= set(got.values())
+
+
+def test_dataset_diff_generic_two_snapshots():
+    """The generic kernel on hand-built snapshots: every class exercised,
+    identical-content pairs excluded, disjoint-id snapshots fully diff."""
+    import ray.data
+
+    from invoice_extraction_ray.ops.dedup import dataset_diff
+
+    a = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(["same", "will change", "gone", None], pa.string()),
+            }
+        )
+    )
+    b = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 4, 9], pa.int64()),
+                "text": pa.array(["same", "CHANGED", "", "brand new"], pa.string()),
+            }
+        )
+    )
+    got = {r["doc_id"]: r["status"] for r in dataset_diff(a, b, n_shards=4).take_all()}
+    # id 4: None in A hashes as "" == B's "" -> unchanged, excluded
+    assert got == {2: "changed", 3: "removed", 9: "added"}
