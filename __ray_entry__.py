@@ -476,6 +476,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("user_first_seen", relational.user_first_seen),  # new users/day
             ("order_details", relational.order_details),  # row-level hash join
             ("order_details_bloom", relational.order_details_bloom),  # bloom-pruned
+            ("order_details_bucketed", relational.order_details_bucketed),  # SMB zero-shuffle
             ("pagerank", graph.pagerank),  # iterative message passing
             ("copurchase_pairs", relational.copurchase_pairs),  # basket mining
             ("copurchase_triangles", graph.copurchase_triangles),  # triangle count
@@ -2573,6 +2574,9 @@ def oracle_sql() -> dict[str, str]:
     # strings the gate runs for bm25_topk / ann_topk (rankers can never
     # desync from the fusion); ranks come from the fixed-point scores
     # with id tie-breaks, never float ordering
+    # order_details_bucketed: the SMB-layout variant is byte-identical to
+    # order_details by construction — same oracle string
+    out["order_details_bucketed"] = out["order_details"]
     out["hybrid_rrf_topk"] = (
         "WITH bmr AS (SELECT doc_id, row_number() OVER "
         "(ORDER BY score_e6 DESC, doc_id) AS r FROM (" + out["bm25_topk"] + ")), "

@@ -144,6 +144,7 @@ HEADLINE = [
     "user_value_trend",
     "served_rewards",
     "snapshot_diff",
+    "order_details_bucketed",
 ]
 
 

@@ -4273,3 +4273,40 @@ def test_dataset_diff_generic_two_snapshots():
     got = {r["doc_id"]: r["status"] for r in dataset_diff(a, b, n_shards=4).take_all()}
     # id 4: None in A hashes as "" == B's "" -> unchanged, excluded
     assert got == {2: "changed", 3: "removed", 9: "added"}
+
+
+def test_order_details_bucketed_equals_shuffle_join_and_reuses_layout():
+    """The SMB zero-query-shuffle join is byte-identical to the shuffled
+    order_details, and the bucketed layout materializes exactly once
+    (completion-marker reuse)."""
+    import os
+
+    from invoice_extraction_ray.ops.relational import (
+        bucketed_layout,
+        order_details,
+        order_details_bucketed,
+    )
+
+    def keyset(rows):
+        return sorted(
+            (
+                r["o_orderkey"],
+                r["l_linenumber"],
+                r["o_custkey"],
+                r["o_orderdate"],
+                r["l_price_c"],
+            )
+            for r in rows
+        )
+
+    got = keyset(order_details_bucketed(SF, n_buckets=8).take_all())
+    want = keyset(order_details(SF).take_all())
+    assert got == want and len(got) > 100
+
+    d = bucketed_layout(SF, "orders", "o_orderkey", 8,
+                        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+    marker = f"{d}/_COMPLETE"
+    mtime = os.path.getmtime(marker)
+    got2 = keyset(order_details_bucketed(SF, n_buckets=8).take_all())
+    assert got2 == want
+    assert os.path.getmtime(marker) == mtime  # layout written once, reused
