@@ -520,6 +520,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("value_moments", sketch.value_moments),  # int128 mean/variance
             ("kmv_jaccard", sketch.kmv_jaccard),  # theta-sketch set algebra
             ("mg_heavy_hitters", sketch.mg_heavy_hitters),  # exact HH, no FPs
+            ("join_size_estimate", sketch.join_size_estimate),  # KMV join card.
         ],
         # text analysis
         "text": [
@@ -765,6 +766,7 @@ def oracle_sql() -> dict[str, str]:
     # Engine/oracle-shared sketch defaults (CLAUDE.md rule): interpolated
     # into the KMV SQL so changing config re-syncs both sides.
     from invoice_extraction_ray.config import KMV_JACCARD_TYPES as _KMV_TYPES
+    from invoice_extraction_ray.config import JOIN_EST_K as _JEST_K
     from invoice_extraction_ray.config import KMV_K as _KMV_K
     from invoice_extraction_ray.config import (
         KANON_MIN_GROUP as _KANON_K,
@@ -1097,6 +1099,38 @@ def oracle_sql() -> dict[str, str]:
             "CAST(kth % 4294967296 AS BIGINT) AS kth_lo, "
             f"CAST((kk - 1) * CAST({1 << 64} AS HUGEINT) // kth AS BIGINT) AS approx_distinct "
             "FROM m"
+        ),
+        # join_size_estimate: KMV join-cardinality estimator — min-k sample
+        # of the union key space scales the sampled count products; same
+        # splitmix HUGEINT mirror as kmv_distinct, prod carried through
+        "join_size_estimate": (
+            "WITH ja AS (SELECT o_orderkey AS key, CAST(count(*) AS BIGINT) AS c "
+            "FROM orders GROUP BY 1), "
+            "jb AS (SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS c "
+            "FROM lineitem GROUP BY 1), "
+            "ju AS (SELECT coalesce(ja.key, jb.key) AS key, "
+            "CAST(coalesce(ja.c,0)*coalesce(jb.c,0) AS HUGEINT) AS prod "
+            "FROM ja FULL JOIN jb ON ja.key = jb.key), "
+            f"jx AS (SELECT ((CAST(key AS HUGEINT) % {_M64}) + {_M64}) % {_M64} "
+            "AS x, prod FROM ju), "
+            f"j0 AS (SELECT (x + {0x9E3779B97F4A7C15}) % {_M64} AS z, prod FROM jx), "
+            f"j1 AS (SELECT {_mul64('xor(z, z // 1073741824)', 0xBF58476D1CE4E5B9)} AS z, prod FROM j0), "
+            f"j2 AS (SELECT {_mul64('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z, prod FROM j1), "
+            "jh AS (SELECT xor(z, z // 2147483648) AS h, prod FROM j2), "
+            "jr AS (SELECT h, prod, row_number() OVER (ORDER BY h) AS rn, "
+            "count(*) OVER () AS n FROM jh), "
+            f"jm AS (SELECT max(CASE WHEN rn = {_JEST_K} THEN h END) AS kth, "
+            "max(n) AS n FROM jr) "
+            f"SELECT CAST(CASE WHEN n < {_JEST_K} THEN n ELSE {_JEST_K} END "
+            "AS BIGINT) AS k, "
+            "CAST(coalesce(kth,0) // 4294967296 AS BIGINT) AS kth_hi, "
+            "CAST(coalesce(kth,0) % 4294967296 AS BIGINT) AS kth_lo, "
+            f"CAST(CASE WHEN n < {_JEST_K} THEN "
+            "coalesce((SELECT sum(prod) FROM jh), 0) "
+            "WHEN kth = 0 THEN 0 ELSE "
+            "coalesce((SELECT sum(prod) FROM jr WHERE h < jm.kth), 0) "
+            f"* CAST({1 << 64} AS HUGEINT) // kth END AS BIGINT) "
+            "AS est_join_rows FROM jm"
         ),
         # user_first_seen: new users per UTC day (global per-user MIN, then
         # a day-bucket count)

@@ -145,6 +145,7 @@ HEADLINE = [
     "served_rewards",
     "snapshot_diff",
     "order_details_bucketed",
+    "join_size_estimate",
 ]
 
 

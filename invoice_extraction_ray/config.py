@@ -288,6 +288,10 @@ BROADCAST_DIM_MAX_ROWS = 5_000_000
 SERVED_LONG_MIN_TOKENS = 40   # label = 'long' iff n_tokens >= this
 SERVED_FAIL_MOD = 13          # n_tokens % this == 0 -> simulated failure
 SERVED_FAIL_CODE = "http_500"
+# sample size for the KMV join-cardinality estimator
+# (ops/sketch.py::join_size_estimate and its oracle SQL).
+JOIN_EST_K = 256
+
 # snapshot_diff's deterministic "v2" derivation of the documents table
 # (ops/dedup.py::snapshot_diff and its oracle SQL): drop every REMOVED_MOD-th
 # doc, uppercase every CHANGED_MOD-th, add a new doc (id + ADDED_OFFSET,

@@ -1170,3 +1170,131 @@ def mg_heavy_hitters(sf_dir: str, denom: int = 64) -> pa.Table:
             "n": pa.array([x[1] for x in out], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# join-cardinality estimation: the query-planning sketch — how big would
+# orders JOIN lineitem be, WITHOUT running the join?  A KMV (min-k) sample
+# of the union key space carries both sides' per-key counts; the sampled
+# count products scale by the inclusion probability
+# ---------------------------------------------------------------------------
+
+
+def join_size_estimate(sf_dir: str, n_shards: int = 64) -> pa.Table:
+    """Estimate |orders ⋈ lineitem on orderkey| from a ``config.JOIN_EST_K``
+    min-hash sample: for the keys whose splitmix64 hash falls below the
+    k-th smallest, sum cA(key)·cB(key) and scale by the sampled fraction —
+    ``est = S · 2^64 // h_k`` (all-integer, HUGEINT-mirrored, bit-exact
+    across engines like kmv_distinct).  Fewer distinct keys than K degrades
+    to the exact join size (the sample IS the population).
+
+    Scale shape: per-batch (key, side, count) distinct partials → one
+    key-shard groupby makes per-key counts exact (every partial of a key
+    lands in one shard) → each shard emits its min-k (hash, product) rows
+    (a valid combiner) → the driver merges ≤ shards·k rows.  Neither fact
+    table's rows ever shuffle; state is k pairs per shard.
+
+    Output: (k, kth_hi, kth_lo, est_join_rows)."""
+    from ._util import absorb_empty_blocks, int_segment_sum
+    from ..config import JOIN_EST_K
+
+    k = JOIN_EST_K
+
+    _PART = pa.schema(
+        [
+            ("kshard", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.int8()),
+            ("c", pa.int64()),
+        ]
+    )
+
+    def side_partial(col: str, side_val: int):
+        def fn(t: pa.Table) -> pa.Table:
+            keys = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+            ks, counts = np.unique(keys, return_counts=True)
+            return pa.table(
+                {
+                    "kshard": pa.array(
+                        (((ks * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+                    ),
+                    "key": pa.array(ks, pa.int64()),
+                    "side": pa.array(
+                        np.full(len(ks), side_val, dtype=np.int8), pa.int8()
+                    ),
+                    "c": pa.array(counts.astype(np.int64), pa.int64()),
+                },
+                schema=_PART,
+            )
+
+        return fn
+
+    def shard_mink(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"h": pa.array([], pa.uint64()), "prod": pa.array([], pa.int64())}
+            )
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        keys, side, c = keys[order], side[order], c[order]
+        new = np.ones(len(keys), dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        ca = int_segment_sum(c * (side == 0), starts)
+        cb = int_segment_sum(c * (side == 1), starts)
+        prod = ca * cb  # 0 when a key exists on only one side — correct
+        h = _hash64(keys[starts])
+        top = np.argsort(h, kind="stable")[:k]
+        return pa.table(
+            {
+                "h": pa.array(h[top], pa.uint64()),
+                "prod": pa.array(prod[top], pa.int64()),
+            }
+        )
+
+    a = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey"]).map_batches(
+        side_partial("o_orderkey", 0), batch_format="pyarrow"
+    )
+    b = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_orderkey"]
+    ).map_batches(side_partial("l_orderkey", 1), batch_format="pyarrow")
+
+    rows = (
+        absorb_empty_blocks(a.union(b), batch_size=131072)
+        .groupby("kshard")
+        .map_groups(
+            lambda g: shard_mink(g.drop_columns(["kshard"])), batch_format="pyarrow"
+        )
+        .take_all()  # <= n_shards * k rows
+    )
+    if not rows:
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "kth_hi": pa.array([0], pa.int64()),
+                "kth_lo": pa.array([0], pa.int64()),
+                "est_join_rows": pa.array([0], pa.int64()),
+            }
+        )
+    h = np.array([r["h"] for r in rows], dtype=np.uint64)
+    prod = np.array([r["prod"] for r in rows], dtype=np.int64)
+    order = np.argsort(h, kind="stable")
+    h, prod = h[order], prod[order]
+    n = len(h)
+    if n < k:  # sample is the whole population: exact join size
+        est = int(prod.sum())
+        kth = 0
+    else:
+        kth = int(h[k - 1])
+        s = int(prod[h < np.uint64(kth)].sum())
+        est = s * (1 << 64) // kth if kth else 0
+    return pa.table(
+        {
+            "k": pa.array([min(n, k)], pa.int64()),
+            "kth_hi": pa.array([kth >> 32], pa.int64()),
+            "kth_lo": pa.array([kth & 0xFFFFFFFF], pa.int64()),
+            "est_join_rows": pa.array([est], pa.int64()),
+        }
+    )

@@ -173,3 +173,40 @@ def test_prep_partial_chunk_is_rerun(tmp_path):
     # session-unique, so compare everything but them)
     drop = lambda m: {k: v for k, v in m.items() if k != "output_files"}
     assert drop(after) == drop(before)
+
+
+def test_compact_parquet_preserves_content_and_reduces_files(tmp_path):
+    """Compaction: 40 tiny files -> few large files, exact row multiset
+    preserved, crash-safe output (no .tmp left), refuses to clobber."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from invoice_extraction_ray.state.compact import compact_parquet
+
+    src = tmp_path / "small"
+    src.mkdir()
+    rng = np.random.RandomState(0)
+    all_rows = []
+    for i in range(40):
+        n = int(rng.randint(5, 60))
+        ids = rng.randint(0, 10**9, n).astype(np.int64)
+        vals = rng.randint(0, 1000, n).astype(np.int64)
+        all_rows += list(zip(ids.tolist(), vals.tolist()))
+        pq.write_table(
+            pa.table({"id": pa.array(ids), "v": pa.array(vals)}),
+            src / f"part-{i:04d}.parquet",
+        )
+    out = tmp_path / "compacted"
+    stats = compact_parquet(str(src), str(out), target_rows_per_file=100_000)
+    assert stats["files_in"] == 40
+    assert stats["files_out"] < 40 and stats["files_out"] >= 1
+    assert stats["rows"] == len(all_rows)
+    got = pq.read_table(str(out))
+    assert sorted(zip(got.column("id").to_pylist(), got.column("v").to_pylist())) == sorted(all_rows)
+    assert not any(".tmp" in n for n in os.listdir(tmp_path))
+    with pytest.raises(ValueError, match="not empty"):
+        compact_parquet(str(src), str(out))

@@ -4310,3 +4310,53 @@ def test_order_details_bucketed_equals_shuffle_join_and_reuses_layout():
     got2 = keyset(order_details_bucketed(SF, n_buckets=8).take_all())
     assert got2 == want
     assert os.path.getmtime(marker) == mtime  # layout written once, reused
+
+
+def test_join_size_estimate_matches_sampled_recompute_and_bound():
+    """The KMV join-cardinality estimator reproduces the single-process
+    sampled computation exactly, and lands within the ~4/sqrt(K) error
+    band of the true join size."""
+    from invoice_extraction_ray.config import JOIN_EST_K
+    from invoice_extraction_ray.ops.sketch import _hash64, join_size_estimate
+
+    orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey"])
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey"])
+    ca: dict[int, int] = {}
+    cb: dict[int, int] = {}
+    for x in orders.column("o_orderkey").to_pylist():
+        ca[x] = ca.get(x, 0) + 1
+    for x in li.column("l_orderkey").to_pylist():
+        cb[x] = cb.get(x, 0) + 1
+    keys = np.array(sorted(set(ca) | set(cb)), dtype=np.int64)
+    h = _hash64(keys)
+    prod = np.array([ca.get(int(x), 0) * cb.get(int(x), 0) for x in keys], dtype=np.int64)
+    order = np.argsort(h, kind="stable")
+    h, prod = h[order], prod[order]
+    if len(h) < JOIN_EST_K:
+        want_est = int(prod.sum())
+    else:
+        kth = int(h[JOIN_EST_K - 1])
+        want_est = int(prod[h < np.uint64(kth)].sum()) * (1 << 64) // kth
+    t = join_size_estimate(SF)
+    assert t.column("est_join_rows")[0].as_py() == want_est
+    true = sum(ca.get(x, 0) * cb.get(x, 0) for x in set(ca) | set(cb))
+    rel = abs(want_est - true) / true
+    assert rel < 4.0 / np.sqrt(JOIN_EST_K), (want_est, true, rel)
+
+
+def test_join_size_estimate_exact_below_k(tmp_path):
+    """Fewer distinct keys than K: the sample is the population -> exact."""
+    from invoice_extraction_ray.ops.sketch import join_size_estimate
+
+    okeys = np.arange(10, dtype=np.int64)
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array(np.repeat(okeys, 2))}),  # cA = 2
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array(np.repeat(okeys[:7], 3))}),  # cB = 3
+        tmp_path / "lineitem.parquet",
+    )
+    t = join_size_estimate(str(tmp_path))
+    assert t.column("est_join_rows")[0].as_py() == 7 * 2 * 3  # exact 42
+    assert t.column("k")[0].as_py() == 10
