@@ -116,3 +116,13 @@ def parquet_num_rows(path) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def drop_if_present(t, cols):
+    """``drop_columns`` tolerant of Ray's ZERO-COLUMN empty group tables:
+    union + groupby can hand ``map_groups`` a schema-less empty table (the
+    same hazard CLAUDE.md documents for join output), and a plain
+    ``drop_columns`` then raises ``KeyError: Field ... does not exist``.
+    Intermittent by block layout — always use this in map_groups lambdas."""
+    names = [c for c in cols if c in t.column_names]
+    return t.drop_columns(names) if names else t

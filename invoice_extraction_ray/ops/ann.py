@@ -17,6 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
+from ._util import drop_if_present as _dropg
 
 
 def _pq(sf_dir: str, name: str) -> str:
@@ -882,7 +883,7 @@ def filtered_ann_topk(
         absorb_empty_blocks(docs.union(embs), batch_size=131072)
         .groupby("kshard")
         .map_groups(
-            lambda g: score_shard(g.drop_columns(["kshard"])),
+            lambda g: score_shard(_dropg(g, ["kshard"])),
             batch_format="pyarrow",
         )
     )

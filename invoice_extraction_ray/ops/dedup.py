@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
+from ._util import drop_if_present as _dropg
 
 # deterministic universal-hash parameters for minhash permutations
 _MH_PRIME = (1 << 61) - 1
@@ -1923,7 +1924,7 @@ def dataset_diff(ds_a, ds_b, n_shards: int = 64) -> ray.data.Dataset:
         absorb_empty_blocks(a.union(b), batch_size=131072)
         .groupby("shard")
         .map_groups(
-            lambda g: classify(g.drop_columns(["shard"])), batch_format="pyarrow"
+            lambda g: classify(_dropg(g, ["shard"])), batch_format="pyarrow"
         )
     )
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data
+from ._util import drop_if_present as _dropg
 
 _PKEY_BITS = 21  # partkey < 2^21, asserted at the read like copurchase_pairs
 _PKEY_MASK = (1 << _PKEY_BITS) - 1
@@ -444,14 +445,14 @@ def copurchase_triangles(
             )
             .groupby("oshard")
             .map_groups(
-                lambda g: expand_pairs(g.drop_columns(["oshard"])),
+                lambda g: expand_pairs(_dropg(g, ["oshard"])),
                 batch_format="pyarrow",
             ),
             batch_size=131072,
         )
         .groupby("pshard")
         .map_groups(
-            lambda g: support_filter(g.drop_columns(["pshard"])),
+            lambda g: support_filter(_dropg(g, ["pshard"])),
             batch_format="pyarrow",
         )
         .materialize()  # bounded by the support filter; consumed twice below
@@ -659,7 +660,7 @@ def copurchase_triangles(
                 )
                 .groupby("shard")
                 .map_groups(
-                    lambda g: degree_stamp(g.drop_columns(["shard"])),
+                    lambda g: degree_stamp(_dropg(g, ["shard"])),
                     batch_format="pyarrow",
                 ),
                 batch_size=131072,

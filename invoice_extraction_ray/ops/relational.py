@@ -23,6 +23,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
 from ..config import BROADCAST_DIM_MAX_ROWS
+from ._util import drop_if_present as _dropg
 
 
 def _pq(sf_dir: str, name: str) -> str:
@@ -513,7 +514,7 @@ def _orders_by_segment_sharded(sf_dir: str, n_shards: int = 64) -> ray.data.Data
         absorb_empty_blocks(orders.union(cust), batch_size=131072)
         .groupby("cshard")
         .map_groups(
-            lambda g: merge_shard(g.drop_columns(["cshard"])),
+            lambda g: merge_shard(_dropg(g, ["cshard"])),
             batch_format="pyarrow",
         )
         .groupby("c_mktsegment")
@@ -802,7 +803,7 @@ def top_revenue_orders(
             )
             .groupby("cshard")
             .map_groups(
-                lambda g: semi_shard(g.drop_columns(["cshard"])),
+                lambda g: semi_shard(_dropg(g, ["cshard"])),
                 batch_format="pyarrow",
             )
         )
@@ -1571,7 +1572,7 @@ def _brand_revenue_sharded(sf_dir: str, n_shards: int) -> ray.data.Dataset:
         absorb_empty_blocks(li.union(parts), batch_size=131072)
         .groupby("pshard")
         .map_groups(
-            lambda g: merge_shard(g.drop_columns(["pshard"])),
+            lambda g: merge_shard(_dropg(g, ["pshard"])),
             batch_format="pyarrow",
         )
         .groupby("p_brand")
@@ -2073,7 +2074,7 @@ def nation_revenue(
             absorb_empty_blocks(merged.union(cust_side), batch_size=131072)
             .groupby("cshard")
             .map_groups(
-                lambda g: nation_hop(g.drop_columns(["cshard"])),
+                lambda g: nation_hop(_dropg(g, ["cshard"])),
                 batch_format="pyarrow",
             )
         )
@@ -2204,7 +2205,7 @@ def brand_supplier_counts(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
     )
     return (
         out.groupby("g")
-        .map_groups(lambda g: final(g.drop_columns(["g"])), batch_format="pyarrow")
+        .map_groups(lambda g: final(_dropg(g, ["g"])), batch_format="pyarrow")
         .sort("p_brand")
     )
 
@@ -2351,7 +2352,7 @@ def _small_quantity_revenue_sharded(sf_dir: str, n_shards: int) -> ray.data.Data
         absorb_empty_blocks(li.union(parts), batch_size=131072)
         .groupby("pshard")
         .map_groups(
-            lambda g: merge_shard(g.drop_columns(["pshard"])),
+            lambda g: merge_shard(_dropg(g, ["pshard"])),
             batch_format="pyarrow",
         )
         .groupby("p_brand")
@@ -2454,7 +2455,7 @@ def small_quantity_revenue(
         )
         .groupby("pshard")
         .map_groups(
-            lambda g: qty_merge(g.drop_columns(["pshard"])), batch_format="pyarrow"
+            lambda g: qty_merge(_dropg(g, ["pshard"])), batch_format="pyarrow"
         )
         .take_all()  # dimension-bounded: <= |part| rows
     )
@@ -2599,7 +2600,7 @@ def user_event_overlap(
         )
         .groupby("ushard")
         .map_groups(
-            lambda g: shard_merge(g.drop_columns(["ushard"])), batch_format="pyarrow"
+            lambda g: shard_merge(_dropg(g, ["ushard"])), batch_format="pyarrow"
         )
         .take_all()  # <= n_shards rows
     )
@@ -2753,7 +2754,7 @@ def daily_active_users(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
         )
         .groupby("pshard")
         .map_groups(
-            lambda g: shard_count(g.drop_columns(["pshard"])), batch_format="pyarrow"
+            lambda g: shard_count(_dropg(g, ["pshard"])), batch_format="pyarrow"
         )
         .groupby("day_i")
         .aggregate(Sum("n", alias_name="n_users"))
@@ -2904,7 +2905,7 @@ def user_first_seen(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
         )
         .groupby("ushard")
         .map_groups(
-            lambda g: shard_days(g.drop_columns(["ushard"])), batch_format="pyarrow"
+            lambda g: shard_days(_dropg(g, ["ushard"])), batch_format="pyarrow"
         )
         .groupby("day_i")
         .aggregate(Sum("n", alias_name="n_new_users"))
@@ -3348,14 +3349,14 @@ def copurchase_pairs(
             )
             .groupby("oshard")
             .map_groups(
-                lambda g: expand_pairs(g.drop_columns(["oshard"])),
+                lambda g: expand_pairs(_dropg(g, ["oshard"])),
                 batch_format="pyarrow",
             ),
             batch_size=131072,
         )
         .groupby("pshard")
         .map_groups(
-            lambda g: shard_topk(g.drop_columns(["pshard"])), batch_format="pyarrow"
+            lambda g: shard_topk(_dropg(g, ["pshard"])), batch_format="pyarrow"
         )
     )
     return survivors.sort(
@@ -3448,7 +3449,7 @@ def data_quality_report(sf_dir: str, n_shards: int = 64) -> pa.Table:
         )
         .groupby("pshard")
         .map_groups(
-            lambda g: pk_count(g.drop_columns(["pshard"])), batch_format="pyarrow"
+            lambda g: pk_count(_dropg(g, ["pshard"])), batch_format="pyarrow"
         )
         .take_all()  # <= n_shards rows
     )
@@ -3514,7 +3515,7 @@ def data_quality_report(sf_dir: str, n_shards: int = 64) -> pa.Table:
         absorb_empty_blocks(li_s.union(or_s), batch_size=131072)
         .groupby("kshard")
         .map_groups(
-            lambda g: dangling(g.drop_columns(["kshard"])), batch_format="pyarrow"
+            lambda g: dangling(_dropg(g, ["kshard"])), batch_format="pyarrow"
         )
         .take_all()  # <= n_shards rows
     )
@@ -3624,7 +3625,7 @@ def rolling_active_users(
         )
         .groupby("pshard")
         .map_groups(
-            lambda g: shard_count(g.drop_columns(["pshard"])), batch_format="pyarrow"
+            lambda g: shard_count(_dropg(g, ["pshard"])), batch_format="pyarrow"
         )
         .groupby("day_i")
         .aggregate(
@@ -4101,7 +4102,7 @@ def user_favorite_event(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
         )
         .groupby("ushard")
         .map_groups(
-            lambda g: shard_mode(g.drop_columns(["ushard"])), batch_format="pyarrow"
+            lambda g: shard_mode(_dropg(g, ["ushard"])), batch_format="pyarrow"
         )
     )
     return absorb_empty_blocks(out, batch_size=131072).sort("user_id")
@@ -4268,7 +4269,7 @@ def large_order_customers(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset
         absorb_empty_blocks(li.union(orders), batch_size=131072)
         .groupby("oshard")
         .map_groups(
-            lambda g: merge_orders(g.drop_columns(["oshard"])),
+            lambda g: merge_orders(_dropg(g, ["oshard"])),
             batch_format="pyarrow",
         )
     )
@@ -4320,7 +4321,7 @@ def large_order_customers(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset
         absorb_empty_blocks(survivors.union(cust), batch_size=131072)
         .groupby("cshard")
         .map_groups(
-            lambda g: merge_cust(g.drop_columns(["cshard"])), batch_format="pyarrow"
+            lambda g: merge_cust(_dropg(g, ["cshard"])), batch_format="pyarrow"
         )
     )
 

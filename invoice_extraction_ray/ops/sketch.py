@@ -18,6 +18,7 @@ import math
 import numpy as np
 import pyarrow as pa
 import ray.data
+from ._util import drop_if_present as _dropg
 
 QUANTILES = (0.25, 0.5, 0.75, 0.95)
 
@@ -1153,7 +1154,7 @@ def mg_heavy_hitters(sf_dir: str, denom: int = 64) -> pa.Table:
         ds.map_batches(probe, batch_format="pyarrow")
         .groupby("tshard")
         .map_groups(
-            lambda g: reduce_shard(g.drop_columns(["tshard"])),
+            lambda g: reduce_shard(_dropg(g, ["tshard"])),
             batch_format="pyarrow",
         )
         .take_all()
@@ -1265,7 +1266,7 @@ def join_size_estimate(sf_dir: str, n_shards: int = 64) -> pa.Table:
         absorb_empty_blocks(a.union(b), batch_size=131072)
         .groupby("kshard")
         .map_groups(
-            lambda g: shard_mink(g.drop_columns(["kshard"])), batch_format="pyarrow"
+            lambda g: shard_mink(_dropg(g, ["kshard"])), batch_format="pyarrow"
         )
         .take_all()  # <= n_shards * k rows
     )

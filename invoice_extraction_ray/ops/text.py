@@ -15,6 +15,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ._util import int_bincount, int_segment_sum
+from ._util import drop_if_present as _dropg
 
 _TOKEN_RE = r"\S+"
 _WORD_RE = re.compile(r"[a-zA-Z']+")
@@ -1635,7 +1636,7 @@ def source_drift_chi2(
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("tshard")
         .map_groups(
-            lambda g: reduce_shard(g.drop_columns(["tshard"])),
+            lambda g: reduce_shard(_dropg(g, ["tshard"])),
             batch_format="pyarrow",
         )
         .take_all()

@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data
+from ._util import drop_if_present as _dropg
 
 KEY_SHARDS = 64
 
@@ -620,7 +621,7 @@ def time_weighted_value(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
         ds.map_batches(add_shard, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(
-            lambda g: per_shard(g.drop_columns(["shard"])), batch_format="pyarrow"
+            lambda g: per_shard(_dropg(g, ["shard"])), batch_format="pyarrow"
         )
     )
     # per-shard outputs are |users/shard| skinny blocks: coalesce before the
@@ -718,7 +719,7 @@ def user_running_zscore(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
         ds.map_batches(add_shard, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(
-            lambda g: per_shard(g.drop_columns(["shard"])), batch_format="pyarrow"
+            lambda g: per_shard(_dropg(g, ["shard"])), batch_format="pyarrow"
         )
         .sort(["user_id", "event_id"])
     )
@@ -836,7 +837,7 @@ def user_value_ntile(sf_dir: str) -> ray.data.Dataset:
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(
-            lambda g: merge_shard(g.drop_columns(["shard"])), batch_format="pyarrow"
+            lambda g: merge_shard(_dropg(g, ["shard"])), batch_format="pyarrow"
         )
         .materialize()  # consumed twice: histogram pass, then rank pass
     )
@@ -876,7 +877,7 @@ def user_value_ntile(sf_dir: str) -> ray.data.Dataset:
         totals.map_batches(hist_partial, batch_format="pyarrow")
         .groupby("bshard")
         .map_groups(
-            lambda g: hist_reduce(g.drop_columns(["bshard"])), batch_format="pyarrow"
+            lambda g: hist_reduce(_dropg(g, ["bshard"])), batch_format="pyarrow"
         )
         .take_all()
     )  # <= ~1k rows — bin-bounded, never user-scaled
@@ -926,7 +927,7 @@ def user_value_ntile(sf_dir: str) -> ray.data.Dataset:
         totals.map_batches(add_rshard, batch_format="pyarrow")
         .groupby("rshard")
         .map_groups(
-            lambda g: rank_shard(g.drop_columns(["rshard"])), batch_format="pyarrow"
+            lambda g: rank_shard(_dropg(g, ["rshard"])), batch_format="pyarrow"
         )
     )
 
@@ -1056,7 +1057,7 @@ def daily_ohlc(sf_dir: str, n_shards: int = 16) -> ray.data.Dataset:
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("dshard")
         .map_groups(
-            lambda g: merge(g.drop_columns(["dshard"])), batch_format="pyarrow"
+            lambda g: merge(_dropg(g, ["dshard"])), batch_format="pyarrow"
         )
     )
 
@@ -1157,5 +1158,5 @@ def user_value_trend(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
             ds.map_batches(slim, batch_format="pyarrow"), batch_size=131072
         )
         .groupby("shard")
-        .map_groups(lambda g: fit(g.drop_columns(["shard"])), batch_format="pyarrow")
+        .map_groups(lambda g: fit(_dropg(g, ["shard"])), batch_format="pyarrow")
     )

@@ -16,6 +16,7 @@ import ray.data
 from ray.data.aggregate import Count, Mean, Sum
 
 from .. import config as C
+from ..ops._util import drop_if_present as _dropg
 
 FIELD_NAMES = ["entity", "code", "power", "amount", "region_a", "region_b"]
 
@@ -485,6 +486,6 @@ def conversation_pack(
         slim.map_batches(stamp, batch_format="pyarrow")
         .groupby("cshard")
         .map_groups(
-            lambda g: pack_shard(g.drop_columns(["cshard"])), batch_format="pyarrow"
+            lambda g: pack_shard(_dropg(g, ["cshard"])), batch_format="pyarrow"
         )
     )

@@ -101,3 +101,92 @@ def test_neardup_clusters_giant_component():
     got = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(docs, 0.5).take_all()}
     assert len(got) == n
     assert all(lbl == 0 for lbl in got.values()), "giant component must fold to min id"
+
+
+def test_r5_window_ops_under_hot_key_skew(tmp_path):
+    """One user holds half the events and one day holds most of them:
+    the user-shard (trend, ntile) and day-shard (ohlc) ops stay exact
+    when a single group dominates its shard."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.config import NTILE_N
+    from invoice_extraction_ray.ops.window import (
+        daily_ohlc,
+        user_value_ntile,
+        user_value_trend,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 20_000
+    day = 86_400_000_000
+    user = np.where(rng.rand(n) < 0.5, 7, rng.randint(0, 200, n)).astype(np.int64)
+    days = np.where(rng.rand(n) < 0.8, 3, rng.randint(0, 10, n)).astype(np.int64)
+    ts = days * day + rng.randint(0, day, n)
+    value = np.round(rng.uniform(0, 500, n), 2)
+    t = pa.table(
+        {
+            "event_id": pa.array(rng.permutation(n).astype(np.int64)),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(user),
+            "event_type": pa.array(["x"] * n),
+            "value": pa.array(value, pa.float64()),
+            "props": pa.array([""] * n),
+        }
+    )
+    d = tmp_path / "skew"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet", row_group_size=701)
+
+    cents = np.floor(value * 100.0 + 0.5).astype(np.int64)
+
+    # trend: recompute per user with python ints
+    per: dict = {}
+    for u, dd, c in zip(user.tolist(), days.tolist(), cents.tolist()):
+        per.setdefault(u, []).append((dd, c))
+    for u, pts in per.items():
+        d0 = min(x for x, _ in pts)
+        xs = [x - d0 for x, _ in pts]
+        ys = [y for _, y in pts]
+        m = len(pts)
+        sx, sy = sum(xs), sum(ys)
+        den = m * sum(x * x for x in xs) - sx * sx
+        num = m * sum(x * y for x, y in zip(xs, ys)) - sx * sy
+        per[u] = (m, None if den == 0 else (1_000_000 * num) // den)
+    got_t = {
+        r["user_id"]: (r["n"], r["slope_e6"])
+        for r in user_value_trend(str(d)).take_all()
+    }
+    assert got_t == per
+
+    # ohlc: recompute via sorted sweep (reuses the test_ops helper shape)
+    eid = t.column("event_id").to_pylist()
+    rows = sorted(zip(ts.tolist(), eid, cents.tolist()))
+    want_o: dict = {}
+    for tts, _, c in rows:
+        dd = tts // day
+        a = want_o.setdefault(dd, [c, c, c, c, 0])
+        a[1] = max(a[1], c)
+        a[2] = min(a[2], c)
+        a[3] = c
+        a[4] += 1
+    got_o = {
+        r["day_i"]: (r["open_c"], r["high_c"], r["low_c"], r["close_c"], r["n"])
+        for r in daily_ohlc(str(d)).take_all()
+    }
+    assert got_o == {k: tuple(v) for k, v in want_o.items()}
+
+    # ntile: hot user's huge total must rank first; full order matches
+    totals: dict = {}
+    for u, c in zip(user.tolist(), cents.tolist()):
+        totals[u] = totals.get(u, 0) + c
+    ordered = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))
+    got_n = {
+        r["user_id"]: (r["total_c"], r["rnk"])
+        for r in user_value_ntile(str(d)).take_all()
+    }
+    assert got_n == {u: (c, i + 1) for i, (u, c) in enumerate(ordered)}
+    assert got_n[7][1] == 1  # the hot user dominates lifetime value
+    assert len({r for _, r in got_n.values()}) == len(totals)
+    assert NTILE_N >= 1
