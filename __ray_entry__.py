@@ -504,6 +504,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("user_value_ntile", window.user_value_ntile),  # global rank/NTILE
             ("daily_ohlc", window.daily_ohlc),  # mergeable open/high/low/close
             ("user_value_trend", window.user_value_trend),  # grouped OLS slope
+            ("user_decayed_value", window.user_decayed_value),  # integer EWMA
         ],
         # mergeable sketches
         "sketch": [
@@ -1350,6 +1351,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, n, CASE WHEN dn = 0 THEN NULL ELSE "
             "CAST((nm - ((nm % dn) + dn) % dn) // dn AS BIGINT) END AS slope_e6 "
             "FROM r"
+        ),
+        # user_decayed_value: recency-weighted value, half-life 1 day —
+        # exact bit-shift weights (cents >> age), both engines integer
+        "user_decayed_value": (
+            "WITH e AS (SELECT user_id, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_i, "
+            "CAST(floor(value*100.0 + 0.5) AS BIGINT) AS vc FROM events), "
+            "r AS (SELECT max(day_i) AS ref FROM e) "
+            "SELECT user_id, "
+            "CAST(sum(vc >> LEAST(r.ref - day_i, 63)) AS BIGINT) AS decayed_c, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM e, r GROUP BY user_id"
         ),
         # rolling_active_users: trailing-7-day distinct actives per observed
         # day (WAU) — the window fan-out x two-stage-distinct shape

@@ -146,6 +146,7 @@ HEADLINE = [
     "snapshot_diff",
     "order_details_bucketed",
     "join_size_estimate",
+    "user_decayed_value",
 ]
 
 

@@ -1160,3 +1160,93 @@ def user_value_trend(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
         .groupby("shard")
         .map_groups(lambda g: fit(_dropg(g, ["shard"])), batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# temporal decay weighting: recency-weighted per-user value with an integer
+# half-life — the recsys / curation "recent activity counts more" primitive;
+# a power-of-two half-life makes the weight an exact bit shift, so the score
+# is deterministic integer arithmetic on both engines
+# ---------------------------------------------------------------------------
+
+
+def user_decayed_value(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """Per-user exponentially time-decayed value: each event contributes
+    ``cents >> age_days`` (half-life = 1 day, weight halves per day of age
+    relative to the corpus's LAST observed day; shift capped at 63).  Two
+    passes: a bounded max-day scan (one int per block reaches the driver),
+    then row-local decayed contributions pre-sum per user per batch and
+    ride one user-shard groupby.  All-integer — floor-of-halving per day —
+    so both engines agree bit-for-bit.  Output: (user_id, decayed_c, n)."""
+    from ._util import absorb_empty_blocks, int_segment_sum
+
+    _US_PER_DAY = 86_400_000_000
+    _OUT = pa.schema(
+        [("user_id", pa.int64()), ("decayed_c", pa.int64()), ("n", pa.int64())]
+    )
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "ts", "value"]
+    )
+
+    def day_max(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(us) == 0:
+            return pa.table({"mx": pa.array([], pa.int64())})
+        return pa.table({"mx": pa.array([int(us.max()) // _US_PER_DAY], pa.int64())})
+
+    mx_rows = ds.map_batches(day_max, batch_format="pyarrow").take_all()
+    if not mx_rows:
+        return ray.data.from_arrow(_OUT.empty_table())
+    ref_day = max(r["mx"] for r in mx_rows)
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vc = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        age = np.minimum(ref_day - us // _US_PER_DAY, 63)
+        contrib = vc >> age
+        order = np.argsort(u, kind="stable")
+        u, contrib = u[order], contrib[order]
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        n = np.append(starts[1:], len(u)) - starts
+        return pa.table(
+            {
+                "shard": pa.array((u[starts] & (n_shards - 1)).astype(np.int32)),
+                "user_id": pa.array(u[starts], pa.int64()),
+                "decayed_c": pa.array(int_segment_sum(contrib, starts), pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        c = g.column("decayed_c").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        u, c, n = u[order], c[order], n[order]
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "decayed_c": pa.array(int_segment_sum(c, starts), pa.int64()),
+                "n": pa.array(int_segment_sum(n, starts), pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    return (
+        absorb_empty_blocks(
+            ds.map_batches(partial, batch_format="pyarrow"), batch_size=131072
+        )
+        .groupby("shard")
+        .map_groups(lambda g: merge(_dropg(g, ["shard"])), batch_format="pyarrow")
+    )

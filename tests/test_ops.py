@@ -4360,3 +4360,35 @@ def test_join_size_estimate_exact_below_k(tmp_path):
     t = join_size_estimate(str(tmp_path))
     assert t.column("est_join_rows")[0].as_py() == 7 * 2 * 3  # exact 42
     assert t.column("k")[0].as_py() == 10
+
+
+def test_user_decayed_value_matches_local_recompute():
+    """Integer time-decay (cents >> age vs the corpus max day) equals the
+    python-int recompute; a recent event outweighs an equal older one."""
+    from invoice_extraction_ray.ops.window import user_decayed_value
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+    day = 86_400_000_000
+    rows = list(
+        zip(
+            ev.column("user_id").to_pylist(),
+            ev.column("ts").cast(pa.int64()).to_pylist(),
+            ev.column("value").to_pylist(),
+        )
+    )
+    ref = max(ts for _, ts, _ in rows) // day
+    want: dict[int, list[int]] = {}
+    for u, ts, v in rows:
+        vc = int(np.floor(v * 100.0 + 0.5))
+        age = min(ref - ts // day, 63)
+        a = want.setdefault(u, [0, 0])
+        a[0] += vc >> age
+        a[1] += 1
+    got = {
+        r["user_id"]: (r["decayed_c"], r["n"])
+        for r in user_decayed_value(SF).take_all()
+    }
+    assert got == {u: tuple(a) for u, a in want.items()} and len(got) > 1
+    # decay sanity: total decayed value is strictly below the undecayed sum
+    plain = sum(int(np.floor(v * 100.0 + 0.5)) for _, _, v in rows)
+    assert 0 < sum(a[0] for a in want.values()) < plain
