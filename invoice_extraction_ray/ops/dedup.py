@@ -1778,6 +1778,8 @@ def snm_candidate_pairs(
 
     @ray.remote
     def _pairs(block: pa.Table, *ctx: pa.Table) -> pa.Table:
+        if block.num_rows == 0:  # owner block empty (may be zero-column)
+            return _OUT.empty_table()
         parts = [block] + [c for c in ctx if c.num_rows]
         t = pa.concat_tables(parts) if len(parts) > 1 else block
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)

@@ -168,7 +168,12 @@ def pagerank(
     )
 
     def _split_block(tbl: pa.Table):
-        """One stage-1 output block -> its per-shard sub-tables."""
+        """One stage-1 output block -> its per-shard sub-tables.  The
+        groupby can emit ZERO-COLUMN empty blocks (the schema-less
+        empty-block hazard); _assemble drops zero-row parts regardless of
+        schema, so hand those straight through."""
+        if tbl.num_rows == 0 or "shard" not in tbl.column_names:
+            return (tbl,) * n_shards
         sh = tbl.column("shard").to_numpy(zero_copy_only=False)
         return tuple(tbl.filter(pa.array(sh == s)) for s in range(n_shards))
 

@@ -332,6 +332,13 @@ def pack_documents(
         )
 
     def pack(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:  # zero-column empty group blocks
+            return pa.table(
+                {
+                    c: pa.array([], pa.int64())
+                    for c in ("doc_id", "shard", "n_tok", "pack_id", "pack_offset")
+                }
+            )
         ids = g.column("doc_id").to_numpy(zero_copy_only=False)
         n = g.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(ids, kind="stable")  # stream order within shard
