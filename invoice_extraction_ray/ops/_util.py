@@ -126,3 +126,21 @@ def drop_if_present(t, cols):
     Intermittent by block layout — always use this in map_groups lambdas."""
     names = [c for c in cols if c in t.column_names]
     return t.drop_columns(names) if names else t
+
+
+def combine_by_key(keys, *weight_cols):
+    """Sort-and-segment-sum combine: group int64 ``keys`` and sum each of
+    ``weight_cols`` per distinct key (stable sort; exact int64 sums via
+    int_segment_sum).  Returns (unique_keys_ascending, *summed_cols).  The
+    shared kernel behind the per-batch/per-shard combiners — one place to
+    get the stable-sort and empty-input edge cases right."""
+    import numpy as np
+
+    order = np.argsort(keys, kind="stable")
+    k = keys[order]
+    new = np.ones(len(k), dtype=bool)
+    new[1:] = k[1:] != k[:-1]
+    starts = np.flatnonzero(new)
+    return (k[starts],) + tuple(
+        int_segment_sum(np.asarray(w)[order], starts) for w in weight_cols
+    )

@@ -1897,7 +1897,18 @@ def dataset_diff(ds_a, ds_b, n_shards: int = 64) -> ray.data.Dataset:
         new[1:] = ids[1:] != ids[:-1]
         starts = np.flatnonzero(new)
         counts = np.append(starts[1:], len(ids)) - starts
-        # snapshots have unique ids per side, so a group is 1 or 2 rows
+        # VALIDATE the unique-id-per-side precondition: a duplicated id
+        # would otherwise silently mislabel or drop a real change
+        from ._util import int_segment_sum as _iss
+
+        n1 = _iss(side.astype(np.int64), starts)
+        n0 = counts - n1
+        if (n0 > 1).any() or (n1 > 1).any():
+            bad = ids[starts][(n0 > 1) | (n1 > 1)][:5]
+            raise ValueError(
+                f"dataset_diff: duplicate doc_ids within one snapshot "
+                f"(e.g. {bad.tolist()}) — dedup each snapshot first"
+            )
         single = counts == 1
         s_idx = starts[single]
         removed = s_idx[side[s_idx] == 0]

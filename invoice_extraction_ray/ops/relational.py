@@ -4136,7 +4136,7 @@ def large_order_customers(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset
     Output: (c_custkey, c_name, o_orderkey, total_c, sum_qty)."""
     import numpy as np
 
-    from ._util import absorb_empty_blocks, int_segment_sum
+    from ._util import absorb_empty_blocks, combine_by_key
     from ..config import LARGE_ORDER_MIN_QTY
 
     _M1 = pa.schema(
@@ -4153,20 +4153,12 @@ def large_order_customers(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset
     def _shard_of(keys: "np.ndarray") -> "np.ndarray":
         return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
 
-    def _combine(k: "np.ndarray", w: "np.ndarray"):
-        order = np.argsort(k, kind="stable")
-        k, w = k[order], w[order]
-        new = np.ones(len(k), dtype=bool)
-        new[1:] = k[1:] != k[:-1]
-        starts = np.flatnonzero(new)
-        return k[starts], int_segment_sum(w, starts)
-
     def li_partial(t: pa.Table) -> pa.Table:
         k = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
         q = np.floor(
             t.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
         ).astype(np.int64)
-        kk, qq = _combine(k, q)
+        kk, qq = combine_by_key(k, q)
         z = np.zeros(len(kk), dtype=np.int64)
         return pa.table(
             {
@@ -4222,7 +4214,7 @@ def large_order_customers(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset
         side = g.column("side").to_numpy(zero_copy_only=False)
         keys = g.column("key").to_numpy(zero_copy_only=False)
         lmask = side == 0
-        lk, lq = _combine(keys[lmask], g.column("q").to_numpy(zero_copy_only=False)[lmask])
+        lk, lq = combine_by_key(keys[lmask], g.column("q").to_numpy(zero_copy_only=False)[lmask])
         big = lq >= LARGE_ORDER_MIN_QTY
         lk, lq = lk[big], lq[big]
         bkey = keys[~lmask]
@@ -4557,6 +4549,19 @@ _BUCKET_CACHE_ROOT = "/tmp/ier_bucketed"
 _BUCKET_LAYOUT_VERSION = 1
 
 
+def _require_layout_visible(root: str) -> None:
+    """Raise unless ``root`` carries its completion marker on THIS node —
+    a bucket-zip worker that cannot see the layout must fail loudly, never
+    silently contribute an empty bucket."""
+    import os
+
+    if not os.path.exists(f"{root}/_COMPLETE"):
+        raise RuntimeError(
+            f"bucketed layout {root} is not visible on this node — "
+            "the SMB cache must live on storage all readers share"
+        )
+
+
 def bucketed_layout(
     sf_dir: str, table: str, key: str, n_buckets: int, columns: list[str]
 ) -> str:
@@ -4566,6 +4571,14 @@ def bucketed_layout(
     joins, so layouts produced here co-partition with each other).  Returns
     the layout directory; subsequent calls reuse it via a completion marker
     (tmp-rename discipline, crash-safe like state/checkpoint.py).
+
+    Cache key covers the SOURCE parquet's (size, mtime) as well as the
+    layout parameters, so regenerating the data at the same path re-buckets
+    instead of serving a stale layout.  The cache root must live on storage
+    every reader node can see — /tmp works single-node; point
+    ``IER_BUCKETED_CACHE`` at shared/object storage on a real cluster
+    (consumers raise loudly when a layout is not visible, never return
+    partial results).
 
     At 100 TB this is the shuffle you pay ONCE per table per key instead of
     once per query; every co-bucketed join afterwards is a metadata-only
@@ -4577,13 +4590,16 @@ def bucketed_layout(
 
     import numpy as np
 
+    src = _pq(sf_dir, table)
+    st = os.stat(src)
     spec = json.dumps(
         [os.path.abspath(sf_dir), table, key, n_buckets, sorted(columns),
-         _BUCKET_LAYOUT_VERSION],
+         st.st_size, int(st.st_mtime_ns), _BUCKET_LAYOUT_VERSION],
         sort_keys=True,
     )
     digest = hashlib.sha256(spec.encode()).hexdigest()[:16]
-    dest = f"{_BUCKET_CACHE_ROOT}/{digest}/{table}"
+    root = os.environ.get("IER_BUCKETED_CACHE", _BUCKET_CACHE_ROOT)
+    dest = f"{root}/{digest}/{table}"
     marker = f"{dest}/_COMPLETE"
     if os.path.exists(marker):
         return dest
@@ -4596,7 +4612,7 @@ def bucketed_layout(
         return t.append_column("bucket", pa.array(b, pa.int64()))
 
     (
-        ray.data.read_parquet(_pq(sf_dir, table), columns=columns)
+        ray.data.read_parquet(src, columns=columns)
         .map_batches(add_bucket, batch_format="pyarrow")
         .write_parquet(tmp, partition_cols=["bucket"])
     )
@@ -4604,10 +4620,17 @@ def bucketed_layout(
     if not os.path.exists(marker):  # racing writer may have finished first
         try:
             os.rename(tmp, dest)
-            with open(marker, "w") as f:
-                f.write(spec)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+            if os.path.exists(marker):  # racer won cleanly
+                shutil.rmtree(tmp, ignore_errors=True)
+                return dest
+            # dest exists WITHOUT a marker: a prior run crashed between
+            # rename and marker write — replace the suspect directory
+            # (never leave a markerless dest that would rebuild forever)
+            shutil.rmtree(dest, ignore_errors=True)
+            os.rename(tmp, dest)
+        with open(marker, "w") as f:
+            f.write(spec)
     else:
         shutil.rmtree(tmp, ignore_errors=True)
     return dest
@@ -4647,9 +4670,19 @@ def order_details_bucketed(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset
     )
 
     @ray.remote
-    def join_bucket(opath: str, lpath: str) -> pa.Table:
+    def join_bucket(odir_root: str, ldir_root: str, bucket: int) -> pa.Table:
         import pyarrow.parquet as pq_
 
+        # layout visibility is a hard precondition: a worker node that
+        # cannot see the cache directory must FAIL, never silently
+        # contribute an empty bucket (point IER_BUCKETED_CACHE at shared
+        # storage on a multi-node cluster)
+        _require_layout_visible(odir_root)
+        _require_layout_visible(ldir_root)
+        opath = f"{odir_root}/bucket={bucket}"
+        lpath = f"{ldir_root}/bucket={bucket}"
+        # with the marker present, a missing bucket dir means the bucket is
+        # legitimately empty (write_parquet creates no dir for zero rows)
         if not (os.path.isdir(opath) and os.path.isdir(lpath)):
             return _OUT.empty_table()
         o = pq_.read_table(
@@ -4686,7 +4719,7 @@ def order_details_bucketed(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset
         )
 
     outs = [
-        join_bucket.remote(f"{odir}/bucket={b}", f"{ldir}/bucket={b}")
+        join_bucket.remote(odir, ldir, b)
         for b in range(n_buckets)
     ]
     return ray.data.from_arrow_refs(outs)

@@ -1196,7 +1196,7 @@ def join_size_estimate(sf_dir: str, n_shards: int = 64) -> pa.Table:
     table's rows ever shuffle; state is k pairs per shard.
 
     Output: (k, kth_hi, kth_lo, est_join_rows)."""
-    from ._util import absorb_empty_blocks, int_segment_sum
+    from ._util import absorb_empty_blocks, combine_by_key
     from ..config import JOIN_EST_K
 
     k = JOIN_EST_K
@@ -1238,15 +1238,9 @@ def join_size_estimate(sf_dir: str, n_shards: int = 64) -> pa.Table:
         keys = g.column("key").to_numpy(zero_copy_only=False)
         side = g.column("side").to_numpy(zero_copy_only=False).astype(np.int64)
         c = g.column("c").to_numpy(zero_copy_only=False)
-        order = np.argsort(keys, kind="stable")
-        keys, side, c = keys[order], side[order], c[order]
-        new = np.ones(len(keys), dtype=bool)
-        new[1:] = keys[1:] != keys[:-1]
-        starts = np.flatnonzero(new)
-        ca = int_segment_sum(c * (side == 0), starts)
-        cb = int_segment_sum(c * (side == 1), starts)
+        uk, ca, cb = combine_by_key(keys, c * (side == 0), c * (side == 1))
         prod = ca * cb  # 0 when a key exists on only one side — correct
-        h = _hash64(keys[starts])
+        h = _hash64(uk)
         top = np.argsort(h, kind="stable")[:k]
         return pa.table(
             {

@@ -782,7 +782,7 @@ def user_value_ntile(sf_dir: str) -> ray.data.Dataset:
     import pyarrow.compute as pc  # noqa: F401  (schema casts below)
     import ray as _ray
 
-    from ._util import int_segment_sum
+    from ._util import combine_by_key
     from ..config import NTILE_N
 
     ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "value"])
@@ -797,14 +797,6 @@ def user_value_ntile(sf_dir: str) -> ray.data.Dataset:
         ]
     )
 
-    def _merge_users(u: np.ndarray, c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        order = np.argsort(u, kind="stable")
-        u, c = u[order], c[order]
-        new = np.ones(len(u), dtype=bool)
-        new[1:] = u[1:] != u[:-1]
-        starts = np.flatnonzero(new)
-        return u[starts], int_segment_sum(c, starts)
-
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return _TOT.empty_table().append_column(
@@ -813,7 +805,7 @@ def user_value_ntile(sf_dir: str) -> ray.data.Dataset:
         u = t.column("user_id").to_numpy(zero_copy_only=False)
         v = t.column("value").to_numpy(zero_copy_only=False)
         cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
-        uu, cc = _merge_users(u, cents)
+        uu, cc = combine_by_key(u, cents)
         return pa.table(
             {
                 "user_id": pa.array(uu, pa.int64()),
@@ -825,7 +817,7 @@ def user_value_ntile(sf_dir: str) -> ray.data.Dataset:
     def merge_shard(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return _TOT.empty_table()
-        uu, cc = _merge_users(
+        uu, cc = combine_by_key(
             g.column("user_id").to_numpy(zero_copy_only=False),
             g.column("total_c").to_numpy(zero_copy_only=False),
         )
@@ -859,17 +851,14 @@ def user_value_ntile(sf_dir: str) -> ray.data.Dataset:
             return pa.table(
                 {"bin": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
             )
-        b = g.column("bin").to_numpy(zero_copy_only=False)
-        c = g.column("cnt").to_numpy(zero_copy_only=False)
-        order = np.argsort(b, kind="stable")
-        b, c = b[order], c[order]
-        new = np.ones(len(b), dtype=bool)
-        new[1:] = b[1:] != b[:-1]
-        starts = np.flatnonzero(new)
+        bb, cc = combine_by_key(
+            g.column("bin").to_numpy(zero_copy_only=False),
+            g.column("cnt").to_numpy(zero_copy_only=False),
+        )
         return pa.table(
             {
-                "bin": pa.array(b[starts], pa.int64()),
-                "cnt": pa.array(int_segment_sum(c, starts), pa.int64()),
+                "bin": pa.array(bb, pa.int64()),
+                "cnt": pa.array(cc, pa.int64()),
             }
         )
 
@@ -1078,9 +1067,10 @@ def user_value_trend(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
 
     Exactness: the slope is invariant to shifting x, so x = day -
     min(day of THIS user) — per-user day offsets (tiny ints) instead of
-    absolute epoch days, which keeps every sum exactly in int64 (absolute
-    days ~2*10^4 would push n*Sxx toward 2^63 at ~10^5 events/user; the
-    kernel asserts |1e6*num| < 2^62 and raises loudly past it).  Floor
+    absolute epoch days keep the int64 SEGMENT SUMS exact (the kernel
+    bounds rows x span x cents per user and raises loudly past 2^62);
+    num/den then form in arbitrary-precision python ints (one element per
+    USER), so the rational can neither wrap nor falsely reject.  Floor
     division of a possibly-negative numerator is mirrored in SQL with the
     positive-mod identity ((nm - ((nm % dn) + dn) % dn) // dn) because
     DuckDB's ``//`` truncates while numpy floors.
@@ -1125,20 +1115,37 @@ def user_value_trend(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
         run_id = np.cumsum(new) - 1
         x = d - d[starts][run_id]  # per-user day offset (sorted: first = min)
         n = np.append(starts[1:], len(u)) - starts
+        # the int64 SEGMENT SUMS must not wrap (a wrapped sum is garbage the
+        # later exact math cannot repair): bound them by exact python-int
+        # operand maxima BEFORE computing — per-user sxy <= nm*mx*my etc.
+        mx = int(x.max()) if len(x) else 0
+        my = int(np.abs(y).max()) if len(y) else 0
+        nm = int(n.max()) if len(n) else 0
+        if nm * mx * max(my, mx) >= (1 << 62):
+            raise ValueError(
+                "user_value_trend: per-user (rows x day-span x cents) too "
+                "large for exact int64 regression sums — reduce per-user "
+                "row count or rescale"
+            )
         sx = int_segment_sum(x, starts)
         sy = int_segment_sum(y, starts)
         sxx = int_segment_sum(x * x, starts)
         sxy = int_segment_sum(x * y, starts)
-        num = n * sxy - sx * sy
-        den = n * sxx - sx * sx
-        if len(num) and int(np.abs(num).max()) >= (1 << 62) // 1_000_000:
-            raise ValueError(
-                "user_value_trend: |regression numerator| too large for exact "
-                "e6 int64 arithmetic — reduce per-user row count or rescale"
-            )
-        ok = den > 0
-        slope = np.zeros(len(num), dtype=np.int64)
-        slope[ok] = np.floor_divide(1_000_000 * num[ok], den[ok])
+        # num/den in EXACT python ints (object dtype): the per-user vectors
+        # are small (one element per user), so arbitrary-precision products
+        # cost nothing and can neither wrap nor falsely reject skewed-but-
+        # valid inputs (one element per USER, not per event)
+        n_o = n.astype(object)
+        num = n_o * sxy.astype(object) - sx.astype(object) * sy.astype(object)
+        den = n_o * sxx.astype(object) - sx.astype(object) * sx.astype(object)
+        ok = np.array([v > 0 for v in den], dtype=bool)
+        slope_obj = [
+            (1_000_000 * nu) // de if de > 0 else 0
+            for nu, de in zip(num.tolist(), den.tolist())
+        ]
+        if any(abs(s) >= (1 << 63) for s in slope_obj):
+            raise ValueError("user_value_trend: slope_e6 exceeds int64")
+        slope = np.array(slope_obj, dtype=np.int64)
         return pa.table(
             {
                 "user_id": pa.array(u[starts], pa.int64()),
@@ -1178,7 +1185,7 @@ def user_decayed_value(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
     then row-local decayed contributions pre-sum per user per batch and
     ride one user-shard groupby.  All-integer — floor-of-halving per day —
     so both engines agree bit-for-bit.  Output: (user_id, decayed_c, n)."""
-    from ._util import absorb_empty_blocks, int_segment_sum
+    from ._util import absorb_empty_blocks, combine_by_key
 
     _US_PER_DAY = 86_400_000_000
     _OUT = pa.schema(
@@ -1207,38 +1214,29 @@ def user_decayed_value(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
             t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
         ).astype(np.int64)
         age = np.minimum(ref_day - us // _US_PER_DAY, 63)
-        contrib = vc >> age
-        order = np.argsort(u, kind="stable")
-        u, contrib = u[order], contrib[order]
-        new = np.ones(len(u), dtype=bool)
-        new[1:] = u[1:] != u[:-1]
-        starts = np.flatnonzero(new)
-        n = np.append(starts[1:], len(u)) - starts
+        uu, cc, nn = combine_by_key(u, vc >> age, np.ones(len(u), dtype=np.int64))
         return pa.table(
             {
-                "shard": pa.array((u[starts] & (n_shards - 1)).astype(np.int32)),
-                "user_id": pa.array(u[starts], pa.int64()),
-                "decayed_c": pa.array(int_segment_sum(contrib, starts), pa.int64()),
-                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "shard": pa.array((uu & (n_shards - 1)).astype(np.int32)),
+                "user_id": pa.array(uu, pa.int64()),
+                "decayed_c": pa.array(cc, pa.int64()),
+                "n": pa.array(nn, pa.int64()),
             }
         )
 
     def merge(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return _OUT.empty_table()
-        u = g.column("user_id").to_numpy(zero_copy_only=False)
-        c = g.column("decayed_c").to_numpy(zero_copy_only=False)
-        n = g.column("n").to_numpy(zero_copy_only=False)
-        order = np.argsort(u, kind="stable")
-        u, c, n = u[order], c[order], n[order]
-        new = np.ones(len(u), dtype=bool)
-        new[1:] = u[1:] != u[:-1]
-        starts = np.flatnonzero(new)
+        uu, cc, nn = combine_by_key(
+            g.column("user_id").to_numpy(zero_copy_only=False),
+            g.column("decayed_c").to_numpy(zero_copy_only=False),
+            g.column("n").to_numpy(zero_copy_only=False),
+        )
         return pa.table(
             {
-                "user_id": pa.array(u[starts], pa.int64()),
-                "decayed_c": pa.array(int_segment_sum(c, starts), pa.int64()),
-                "n": pa.array(int_segment_sum(n, starts), pa.int64()),
+                "user_id": pa.array(uu, pa.int64()),
+                "decayed_c": pa.array(cc, pa.int64()),
+                "n": pa.array(nn, pa.int64()),
             },
             schema=_OUT,
         )

@@ -4204,7 +4204,7 @@ def test_user_value_trend_null_negative_and_guard(tmp_path):
     d2 = tmp_path / "sf_huge"
     d2.mkdir()
     pq.write_table(huge, d2 / "events.parquet")
-    with pytest.raises(Exception, match="numerator"):
+    with pytest.raises(Exception, match="too large"):
         user_value_trend(str(d2)).take_all()
 
 
@@ -4392,3 +4392,83 @@ def test_user_decayed_value_matches_local_recompute():
     # decay sanity: total decayed value is strictly below the undecayed sum
     plain = sum(int(np.floor(v * 100.0 + 0.5)) for _, _, v in rows)
     assert 0 < sum(a[0] for a in want.values()) < plain
+
+
+def test_dataset_diff_raises_on_duplicate_ids():
+    """A duplicated doc_id inside one snapshot must fail loudly, never
+    silently mislabel the change."""
+    import pytest
+    import ray.data
+
+    from invoice_extraction_ray.ops.dedup import dataset_diff
+
+    a = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([5, 5, 6], pa.int64()),
+                "text": pa.array(["x", "x", "z"], pa.string()),
+            }
+        )
+    )
+    b = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([5, 6], pa.int64()),
+                "text": pa.array(["y", "z"], pa.string()),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="duplicate doc_ids"):
+        dataset_diff(a, b, n_shards=2).take_all()
+
+
+def test_bucketed_layout_staleness_and_visibility(tmp_path, monkeypatch):
+    """Regenerating the source parquet re-buckets (cache key covers
+    size+mtime); a layout whose completion marker is missing makes the
+    join RAISE instead of silently returning empty buckets."""
+    import os
+    import shutil
+
+    import pytest
+
+    from invoice_extraction_ray.ops.relational import (
+        bucketed_layout,
+        order_details_bucketed,
+    )
+
+    monkeypatch.setenv("IER_BUCKETED_CACHE", str(tmp_path / "cache"))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for t in ("orders", "lineitem"):
+        shutil.copy(f"{SF}/{t}.parquet", sf / f"{t}.parquet")
+
+    d1 = bucketed_layout(
+        str(sf), "orders", "o_orderkey", 4,
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    assert os.path.exists(f"{d1}/_COMPLETE")
+    # same source -> same layout dir (cache hit)
+    assert d1 == bucketed_layout(
+        str(sf), "orders", "o_orderkey", 4,
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    # regenerate the source: different mtime/size -> NEW layout dir
+    os.utime(sf / "orders.parquet", ns=(1, 1))
+    d2 = bucketed_layout(
+        str(sf), "orders", "o_orderkey", 4,
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    assert d2 != d1
+
+    # the layout query itself works against the env-pointed cache
+    rows = order_details_bucketed(str(sf), n_buckets=4).take_all()
+    assert len(rows) > 100
+
+    # worker-side visibility guard: a node that cannot see the layout's
+    # completion marker raises instead of contributing empty buckets (the
+    # driver rebuilds marker-less layouts, so exercise the guard directly)
+    from invoice_extraction_ray.ops.relational import _require_layout_visible
+
+    _require_layout_visible(d2)  # visible layout passes
+    with pytest.raises(RuntimeError, match="not visible"):
+        _require_layout_visible(str(tmp_path / "nonexistent_layout"))
