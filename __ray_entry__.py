@@ -489,6 +489,10 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("large_order_customers", relational.large_order_customers),  # Q18 HAVING+join
             ("order_lineitem_semi", relational.order_lineitem_semi),  # EXISTS semijoin
             ("lineitem_cube", relational.lineitem_cube),  # GROUP BY CUBE
+            # Q13 aggregate-of-aggregates with the LEFT-JOIN zero class
+            ("customer_order_distribution", relational.customer_order_distribution),
+            # Q2 groupwise argmin + witness row-recovery join
+            ("cheapest_supplier", relational.cheapest_supplier),
         ],
         # window / interval operators
         "window": [
@@ -1985,6 +1989,29 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT)) AS BIGINT) AS revenue_c, "
             "CAST(count(*) AS BIGINT) AS n "
             "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
+        ),
+        # Q13 custdist: per-customer order-count distribution including the
+        # LEFT-JOIN zero bucket; engine derives the zero class from the
+        # customer parquet footer row count (c_custkey is the PK)
+        "customer_order_distribution": (
+            "WITH pc AS (SELECT c.c_custkey, "
+            "CAST(count(o.o_orderkey) AS BIGINT) AS c_count "
+            "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+            "GROUP BY 1) "
+            "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist "
+            "FROM pc GROUP BY 1"
+        ),
+        # Q2 groupwise argmin with witness recovery: cheapest supplier per
+        # part (price cents asc, suppkey asc tie-break), named via supplier
+        "cheapest_supplier": (
+            "WITH l AS (SELECT l_partkey, l_suppkey, "
+            "CAST(floor(l_extendedprice*100.0 + 0.5) AS BIGINT) AS pc "
+            "FROM lineitem), "
+            "w AS (SELECT l_partkey, l_suppkey, pc, row_number() OVER "
+            "(PARTITION BY l_partkey ORDER BY pc, l_suppkey) AS rn FROM l) "
+            "SELECT w.l_partkey AS p_partkey, w.l_suppkey AS s_suppkey, "
+            "s.s_name, w.pc AS min_price_c FROM w "
+            "JOIN supplier s ON s.s_suppkey = w.l_suppkey WHERE rn = 1"
         ),
         # trailing ROWS-frame rolling window: exact integer cents sums
         "rolling_event_stats": (

@@ -4616,6 +4616,9 @@ def bucketed_layout(
         .map_batches(add_bucket, batch_format="pyarrow")
         .write_parquet(tmp, partition_cols=["bucket"])
     )
+    # an EMPTY table writes no files at all — materialize the (bucket-less)
+    # directory so the rename + marker still commit a valid empty layout
+    os.makedirs(tmp, exist_ok=True)
     os.makedirs(os.path.dirname(dest), exist_ok=True)
     if not os.path.exists(marker):  # racing writer may have finished first
         try:
@@ -4723,3 +4726,300 @@ def order_details_bucketed(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset
         for b in range(n_buckets)
     ]
     return ray.data.from_arrow_refs(outs)
+
+
+# ---------------------------------------------------------------------------
+# A7 x J5: aggregate-of-aggregates with an outer-join zero class (TPC-H Q13
+# "custdist" — how many customers placed exactly k orders, INCLUDING the
+# customers that placed none); reference validators.py master-data coverage
+# reports count per-field hit/miss distributions the same way
+# ---------------------------------------------------------------------------
+
+
+def customer_order_distribution(sf_dir: str, n_shards: int = 64) -> pa.Table:
+    """TPC-H Q13 shape: the distribution of per-customer order counts with
+    the LEFT-JOIN zero bucket — ``(c_count, custdist)`` rows, one per
+    distinct order count observed (plus ``c_count = 0`` for order-less
+    customers).
+
+    Scale shape — the customer table is never read, let alone joined:
+
+      1. orders pre-collapse to per-batch (custkey, n) partials (one
+         np.unique per block), so the custkey shuffle carries O(distinct
+         custkeys per block) rows, not raw orders;
+      2. each custkey shard finishes the per-customer counts exactly
+         (disjoint key ranges) and immediately re-collapses to its LOCAL
+         count histogram — at most |distinct count values| rows per shard
+         reach the driver;
+      3. the zero class needs ONLY the customer row count: ``c_custkey`` is
+         the table's primary key (enforced by data_quality_report's PK
+         audit), so the parquet FOOTER row count — no data pages — gives
+         |customer|, and custdist(0) = |customer| − |customers with ≥1
+         order|.  The FK side (every o_custkey exists in customer) is the
+         same precondition the SQL LEFT JOIN oracle assumes; dirty corpora
+         surface in data_quality_report's dangling-FK audit first.
+    """
+    import numpy as np
+
+    from ._util import absorb_empty_blocks, combine_by_key, parquet_num_rows
+
+    total_customers = parquet_num_rows(_pq(sf_dir, "customer"))
+    ds = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey"])
+
+    _PART = pa.schema(
+        [("cshard", pa.int32()), ("cust", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, cnt = np.unique(ck, return_counts=True)
+        return pa.table(
+            {
+                "cshard": pa.array(
+                    (((u * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+                ),
+                "cust": pa.array(u, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    _HIST = pa.schema([("c_count", pa.int64()), ("custdist", pa.int64())])
+
+    def shard_hist(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _HIST.empty_table()
+        cust = g.column("cust").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        _, tot = combine_by_key(cust, n)  # exact per-customer order counts
+        cc, ncust = np.unique(tot, return_counts=True)
+        return pa.table(
+            {
+                "c_count": pa.array(cc.astype(np.int64), pa.int64()),
+                "custdist": pa.array(ncust.astype(np.int64), pa.int64()),
+            },
+            schema=_HIST,
+        )
+
+    parts = (
+        absorb_empty_blocks(
+            ds.map_batches(partial, batch_format="pyarrow"), batch_size=131072
+        )
+        .groupby("cshard")
+        .map_groups(
+            lambda g: shard_hist(_dropg(g, ["cshard"])), batch_format="pyarrow"
+        )
+        .take_all()  # bounded: <= n_shards x |distinct count values| rows
+    )
+    if parts:
+        cc = np.array([r["c_count"] for r in parts], dtype=np.int64)
+        nc = np.array([r["custdist"] for r in parts], dtype=np.int64)
+        ucc, dist = combine_by_key(cc, nc)  # shards own disjoint customers
+    else:
+        ucc = np.empty(0, dtype=np.int64)
+        dist = np.empty(0, dtype=np.int64)
+    zero = total_customers - int(dist.sum())
+    if zero > 0:
+        ucc = np.concatenate(([0], ucc))
+        dist = np.concatenate(([zero], dist))
+    order = np.lexsort((-ucc, -dist))  # TPC-H: custdist DESC, c_count DESC
+    return pa.table(
+        {
+            "c_count": pa.array(ucc[order], pa.int64()),
+            "custdist": pa.array(dist[order], pa.int64()),
+        },
+        schema=_HIST,
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 x J5: groupwise ARGMIN feeding a row-recovery join (TPC-H Q2 shape —
+# "the cheapest supplier for every part"); reference extractors.py picks the
+# min-cost candidate per field the same way before the lookup that names it
+# ---------------------------------------------------------------------------
+
+
+def cheapest_supplier(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
+    """TPC-H Q2 analogue over the tables we have: for every part observed in
+    lineitem, the supplier that charged the minimum extended price (ties →
+    smallest suppkey), recovered to the supplier's name — groupwise argmin
+    whose WITNESS ROW must survive to a later join, the shape a plain
+    ``groupby().min()`` cannot express.
+
+    Scale shape — two co-partitioned hops, neither side broadcast (part and
+    supplier both scale with the corpus in TPC-H):
+
+      1. lineitem pre-collapses per batch to one (partkey, suppkey, price_c)
+         argmin witness per partkey (lexsort + first-of-run — vectorized),
+         so the partkey shuffle carries O(distinct parts per block) rows;
+      2. each partkey shard repeats the same kernel on the partials —
+         argmin is associative with the witness carried, so partials lose
+         nothing;
+      3. winners re-shard by SUPPKEY and union with slim supplier rows; the
+         shard merge recovers ``s_name`` via searchsorted — the repo's
+         standard union co-partition join, nothing driver-side.
+    """
+    import numpy as np
+
+    from ._util import absorb_empty_blocks, strip_schema_metadata
+
+    def _argmin_first(part, price, supp):
+        """First row per part under (price asc, suppkey asc) order."""
+        order = np.lexsort((supp, price, part))
+        p = part[order]
+        first = np.ones(len(p), dtype=bool)
+        first[1:] = p[1:] != p[:-1]
+        keep = order[first]
+        return part[keep], price[keep], supp[keep]
+
+    _WIT = pa.schema(
+        [
+            ("pshard", pa.int32()),
+            ("part", pa.int64()),
+            ("supp", pa.int64()),
+            ("price_c", pa.int64()),
+        ]
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        part = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        supp = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        price = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        part, price, supp = _argmin_first(part, price, supp)
+        return pa.table(
+            {
+                "pshard": pa.array(
+                    (((part * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+                ),
+                "part": pa.array(part, pa.int64()),
+                "supp": pa.array(supp, pa.int64()),
+                "price_c": pa.array(price, pa.int64()),
+            },
+            schema=_WIT,
+        )
+
+    def shard_argmin(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _WIT.empty_table().drop_columns(["pshard"])
+        part, price, supp = _argmin_first(
+            g.column("part").to_numpy(zero_copy_only=False),
+            g.column("price_c").to_numpy(zero_copy_only=False),
+            g.column("supp").to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "part": pa.array(part, pa.int64()),
+                "supp": pa.array(supp, pa.int64()),
+                "price_c": pa.array(price, pa.int64()),
+            }
+        )
+
+    winners = (
+        absorb_empty_blocks(
+            ray.data.read_parquet(
+                _pq(sf_dir, "lineitem"),
+                columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+            ).map_batches(li_partial, batch_format="pyarrow"),
+            batch_size=131072,
+        )
+        .groupby("pshard")
+        .map_groups(
+            lambda g: shard_argmin(_dropg(g, ["pshard"])), batch_format="pyarrow"
+        )
+    )
+
+    _MERGED = pa.schema(
+        [
+            ("sshard", pa.int32()),
+            ("supp", pa.int64()),
+            ("part", pa.int64()),
+            ("price_c", pa.int64()),
+            ("name", pa.string()),
+            ("side", pa.int8()),
+        ]
+    )
+
+    def _sshard(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    def win_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "supp" not in t.column_names:
+            return _MERGED.empty_table()
+        sk = t.column("supp").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "sshard": pa.array(_sshard(sk)),
+                "supp": pa.array(sk, pa.int64()),
+                "part": t.column("part").cast(pa.int64()),
+                "price_c": t.column("price_c").cast(pa.int64()),
+                "name": pa.array([""] * len(sk), pa.string()),
+                "side": pa.array(np.zeros(len(sk), dtype=np.int8), pa.int8()),
+            },
+            schema=_MERGED,
+        )
+
+    def sup_rows(t: pa.Table) -> pa.Table:
+        sk = t.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(len(sk), dtype=np.int64)
+        return pa.table(
+            {
+                "sshard": pa.array(_sshard(sk)),
+                "supp": pa.array(sk, pa.int64()),
+                "part": pa.array(z, pa.int64()),
+                "price_c": pa.array(z, pa.int64()),
+                "name": t.column("s_name").cast(pa.string()),
+                "side": pa.array(np.ones(len(sk), dtype=np.int8), pa.int8()),
+            },
+            schema=_MERGED,
+        )
+
+    supplier = strip_schema_metadata(
+        ray.data.read_parquet(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    ).map_batches(sup_rows, batch_format="pyarrow")
+
+    _OUT = pa.schema(
+        [
+            ("p_partkey", pa.int64()),
+            ("s_suppkey", pa.int64()),
+            ("s_name", pa.string()),
+            ("min_price_c", pa.int64()),
+        ]
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        supp = g.column("supp").to_numpy(zero_copy_only=False)
+        bkey = supp[side == 1]
+        wk = supp[side == 0]
+        if len(bkey) == 0 or len(wk) == 0:
+            return _OUT.empty_table()
+        order = np.argsort(bkey)
+        bkey = bkey[order]
+        bname = g.column("name").filter(pa.array(side == 1)).take(
+            pa.array(order, pa.int64())
+        )
+        part = g.column("part").to_numpy(zero_copy_only=False)[side == 0]
+        price = g.column("price_c").to_numpy(zero_copy_only=False)[side == 0]
+        pos = np.searchsorted(bkey, wk)
+        hit = (pos < len(bkey)) & (bkey[np.minimum(pos, len(bkey) - 1)] == wk)
+        pos = pos[hit]
+        return pa.table(
+            {
+                "p_partkey": pa.array(part[hit], pa.int64()),
+                "s_suppkey": pa.array(wk[hit], pa.int64()),
+                "s_name": bname.take(pa.array(pos, pa.int64())),
+                "min_price_c": pa.array(price[hit], pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    tagged = winners.map_batches(win_rows, batch_format="pyarrow").union(supplier)
+    return (
+        absorb_empty_blocks(tagged, batch_size=131072)
+        .groupby("sshard")
+        .map_groups(lambda g: merge(_dropg(g, ["sshard"])), batch_format="pyarrow")
+    )

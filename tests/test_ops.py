@@ -2756,6 +2756,15 @@ def test_new_relational_family_random_differential(tmp_path):
         ),
         str(tmp_path / "customer.parquet"),
     )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(np.arange(40, dtype=np.int64)),
+                "s_name": pa.array([f"Supplier#{i:09d}" for i in range(40)]),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
     li_ok = okeys[rng.randint(0, n_ord, n_li)]
     li_ok = li_ok[li_ok % 7 != 1]  # drop lineitems of every 7th order
     li_ok[:: 500] += 1  # plant dangling FK rows (keys between real orders)
@@ -2851,7 +2860,9 @@ def test_new_relational_family_random_differential(tmp_path):
     )
 
     con = duckdb.connect()
-    for tbl in ("orders", "lineitem", "part", "customer", "events", "documents"):
+    for tbl in (
+        "orders", "lineitem", "part", "customer", "supplier", "events", "documents"
+    ):
         con.sql(
             f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{tmp_path}/{tbl}.parquet')"
         )
@@ -2889,6 +2900,8 @@ def test_new_relational_family_random_differential(tmp_path):
         "lineitem_cube",
         "daily_ohlc",
         "user_value_trend",
+        "customer_order_distribution",
+        "cheapest_supplier",
     ):
         def norm(v):
             # DuckDB's .df() floats nullable-int columns (NULL -> NaN);
@@ -4472,3 +4485,59 @@ def test_bucketed_layout_staleness_and_visibility(tmp_path, monkeypatch):
     _require_layout_visible(d2)  # visible layout passes
     with pytest.raises(RuntimeError, match="not visible"):
         _require_layout_visible(str(tmp_path / "nonexistent_layout"))
+
+
+def test_customer_order_distribution_matches_local_recompute():
+    """Q13 custdist: histogram of per-customer order counts including the
+    zero bucket derived from the customer footer row count."""
+    from invoice_extraction_ray.ops.relational import customer_order_distribution
+
+    orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_custkey"])
+    per_cust: dict[int, int] = {}
+    for c in orders.column("o_custkey").to_pylist():
+        per_cust[c] = per_cust.get(c, 0) + 1
+    n_cust = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey"]).num_rows
+    hist: dict[int, int] = {}
+    for n in per_cust.values():
+        hist[n] = hist.get(n, 0) + 1
+    zero = n_cust - len(per_cust)
+    if zero > 0:
+        hist[0] = zero
+    t = customer_order_distribution(SF)
+    got = dict(zip(t.column("c_count").to_pylist(), t.column("custdist").to_pylist()))
+    assert got == hist
+    assert sum(got.values()) == n_cust  # every customer lands in one bucket
+    # output honors the TPC-H (custdist DESC, c_count DESC) report order
+    pairs = list(zip(t.column("custdist").to_pylist(), t.column("c_count").to_pylist()))
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], -p[1]))
+
+
+def test_cheapest_supplier_matches_local_recompute():
+    """Q2 groupwise argmin: the (price asc, suppkey asc) witness per part,
+    recovered to the supplier name — partials must not lose ties."""
+    from invoice_extraction_ray.ops.relational import cheapest_supplier
+
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+    best: dict[int, tuple[int, int]] = {}
+    for p, s, x in zip(
+        li.column("l_partkey").to_pylist(),
+        li.column("l_suppkey").to_pylist(),
+        li.column("l_extendedprice").to_pylist(),
+    ):
+        cand = (int(np.floor(x * 100.0 + 0.5)), s)
+        if p not in best or cand < best[p]:
+            best[p] = cand
+    sup = pq.read_table(f"{SF}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    smap = dict(
+        zip(sup.column("s_suppkey").to_pylist(), sup.column("s_name").to_pylist())
+    )
+    want = {(p, s, smap[s], c) for p, (c, s) in best.items()}
+    got = {
+        (r["p_partkey"], r["s_suppkey"], r["s_name"], r["min_price_c"])
+        for r in cheapest_supplier(SF).take_all()
+    }
+    assert got == want
+    assert len(got) == len(best)  # exactly one witness per part
