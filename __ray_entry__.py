@@ -509,6 +509,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("daily_ohlc", window.daily_ohlc),  # mergeable open/high/low/close
             ("user_value_trend", window.user_value_trend),  # grouped OLS slope
             ("user_decayed_value", window.user_decayed_value),  # integer EWMA
+            ("user_gap_fill", window.user_gap_fill),  # dense resample + ffill
         ],
         # mergeable sketches
         "sketch": [
@@ -1367,6 +1368,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(vc >> LEAST(r.ref - day_i, 63)) AS BIGINT) AS decayed_c, "
             "CAST(count(*) AS BIGINT) AS n "
             "FROM e, r GROUP BY user_id"
+        ),
+        # user_gap_fill: dense per-user daily grid with forward fill — the
+        # grid day can't precede the user's first observed day, so the
+        # IGNORE NULLS last_value is never NULL (both engines emit BIGINT)
+        "user_gap_fill": (
+            "WITH d AS (SELECT user_id, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_i, "
+            "CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS vc FROM events GROUP BY 1, 2), "
+            "s AS (SELECT user_id, min(day_i) AS lo, max(day_i) AS hi "
+            "FROM d GROUP BY 1), "
+            "g AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day_i "
+            "FROM s), "
+            "j AS (SELECT g.user_id, g.day_i, d.vc "
+            "FROM g LEFT JOIN d USING (user_id, day_i)) "
+            "SELECT user_id, day_i, "
+            "CAST(last_value(vc IGNORE NULLS) OVER "
+            "(PARTITION BY user_id ORDER BY day_i) AS BIGINT) AS value_c, "
+            "CAST(vc IS NOT NULL AS BIGINT) AS observed FROM j"
         ),
         # rolling_active_users: trailing-7-day distinct actives per observed
         # day (WAU) — the window fan-out x two-stage-distinct shape

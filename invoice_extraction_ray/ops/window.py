@@ -1248,3 +1248,124 @@ def user_decayed_value(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
         .groupby("shard")
         .map_groups(lambda g: merge(_dropg(g, ["shard"])), batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# dense time-grid resample + forward fill (gap fill): the one window shape
+# that EXPANDS rows — every (user, day) cell of the user's observed span is
+# materialized, carrying the most recent observed daily total.  Reference
+# error_analysis.py renders per-day metric series the same way (missing
+# days carry the last value) before charting.
+# ---------------------------------------------------------------------------
+
+_GAP_DAY_BITS = 20  # epoch-day < 2^20 holds until year ~4840
+_GAP_OUT = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("day_i", pa.int64()),
+        ("value_c", pa.int64()),
+        ("observed", pa.int64()),
+    ]
+)
+
+
+def user_gap_fill(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """Per-user daily resample with forward fill: for EVERY day in
+    [user's first day, user's last day] emit the user's daily cents total,
+    gap days carrying the most recent observed total (``observed = 0``).
+
+    Scale shape: per-batch (user, day) partial sums collapse raw events to
+    distinct observed cells before the one user-shard shuffle; the shard
+    kernel is fully vectorized — the packed (user << 20 | day) key is
+    GLOBALLY sorted, so one ``np.searchsorted(side='right') - 1`` maps every
+    grid cell to its forward-fill source across all users at once (grid
+    days never precede the user's first observed day, so the probe cannot
+    escape its user's segment).  Output size is the sum of user spans —
+    the dense grid a charting/feature layer needs, produced distributed,
+    never on the driver.  Pack widths assert loudly (user < 2^43,
+    epoch-day < 2^20) per the repo's guard convention."""
+    import numpy as np
+
+    from ._util import absorb_empty_blocks, combine_by_key
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "ts", "value"]
+    )
+
+    _PART = pa.schema(
+        [("ushard", pa.int32()), ("key", pa.int64()), ("vc", pa.int64())]
+    )
+    _DAY_US = 86400 * 10**6
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // _DAY_US
+        vc = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        if len(u):
+            assert u.max() < (1 << 43) and u.min() >= 0, "user_id exceeds pack width"
+            assert day.max() < (1 << _GAP_DAY_BITS) and day.min() >= 0, (
+                "epoch-day exceeds pack width"
+            )
+        packed = (u << _GAP_DAY_BITS) | day
+        k, s = combine_by_key(packed, vc)
+        return pa.table(
+            {
+                "ushard": pa.array(
+                    ((((k >> _GAP_DAY_BITS) * 2654435761) % (1 << 32)) % n_shards
+                     ).astype(np.int32)
+                ),
+                "key": pa.array(k, pa.int64()),
+                "vc": pa.array(s, pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    def shard_fill(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _GAP_OUT.empty_table()
+        k, vc = combine_by_key(
+            g.column("key").to_numpy(zero_copy_only=False),
+            g.column("vc").to_numpy(zero_copy_only=False),
+        )
+        user = k >> _GAP_DAY_BITS
+        day = k & ((1 << _GAP_DAY_BITS) - 1)
+        new = np.ones(len(user), dtype=bool)
+        new[1:] = user[1:] != user[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(user))
+        lo, hi = day[starts], day[ends - 1]
+        span = hi - lo + 1
+        total = int(span.sum())
+        out_starts = np.concatenate(([0], np.cumsum(span)[:-1]))
+        grid_day = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(out_starts, span)
+            + np.repeat(lo, span)
+        )
+        grid_user = np.repeat(user[starts], span)
+        grid_key = (grid_user << _GAP_DAY_BITS) | grid_day
+        src = np.searchsorted(k, grid_key, side="right") - 1
+        return pa.table(
+            {
+                "user_id": pa.array(grid_user, pa.int64()),
+                "day_i": pa.array(grid_day, pa.int64()),
+                "value_c": pa.array(vc[src], pa.int64()),
+                "observed": pa.array(
+                    (k[src] == grid_key).astype(np.int64), pa.int64()
+                ),
+            },
+            schema=_GAP_OUT,
+        )
+
+    return (
+        absorb_empty_blocks(
+            ds.map_batches(partial, batch_format="pyarrow"), batch_size=131072
+        )
+        .groupby("ushard")
+        .map_groups(
+            lambda g: shard_fill(_dropg(g, ["ushard"])), batch_format="pyarrow"
+        )
+    )

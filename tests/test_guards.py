@@ -147,3 +147,33 @@ def test_doc_skyline_wide_axis_raises(tmp_path, ray_session):
     pq.write_table(docs, str(d / "documents.parquet"))
     with pytest.raises(Exception, match="doc_skyline"):
         doc_skyline(str(d))
+
+
+def test_user_gap_fill_wide_day_raises(tmp_path, ray_session):
+    ev = pa.table(
+        {
+            "user_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [(1 << 20) * 86_400_000_000, 0], pa.int64()
+            ).cast(pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+        }
+    )
+    from invoice_extraction_ray.ops.window import user_gap_fill
+
+    with pytest.raises(Exception, match="pack width"):
+        user_gap_fill(_write_sf(tmp_path, events=ev)).materialize()
+
+
+def test_user_gap_fill_wide_user_raises(tmp_path, ray_session):
+    ev = pa.table(
+        {
+            "user_id": pa.array([1 << 43, 2], pa.int64()),
+            "ts": pa.array([0, 86_400_000_000], pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+        }
+    )
+    from invoice_extraction_ray.ops.window import user_gap_fill
+
+    with pytest.raises(Exception, match="pack width"):
+        user_gap_fill(_write_sf(tmp_path, events=ev)).materialize()

@@ -2902,6 +2902,7 @@ def test_new_relational_family_random_differential(tmp_path):
         "user_value_trend",
         "customer_order_distribution",
         "cheapest_supplier",
+        "user_gap_fill",
     ):
         def norm(v):
             # DuckDB's .df() floats nullable-int columns (NULL -> NaN);
@@ -4541,3 +4542,40 @@ def test_cheapest_supplier_matches_local_recompute():
     }
     assert got == want
     assert len(got) == len(best)  # exactly one witness per part
+
+
+def test_user_gap_fill_matches_local_recompute():
+    """Dense per-user daily grid: every day in the user's span appears
+    exactly once, observed days carry their exact total, gap days carry
+    the most recent observed total."""
+    from invoice_extraction_ray.ops.window import user_gap_fill
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+    daily: dict[tuple[int, int], int] = {}
+    for u, ts, v in zip(
+        ev.column("user_id").to_pylist(),
+        ev.column("ts").cast(pa.int64()).to_pylist(),
+        ev.column("value").to_pylist(),
+    ):
+        d = ts // (86400 * 10**6)
+        daily[(u, d)] = daily.get((u, d), 0) + int(np.floor(v * 100.0 + 0.5))
+    span: dict[int, list[int]] = {}
+    for u, d in daily:
+        lo_hi = span.setdefault(u, [d, d])
+        lo_hi[0] = min(lo_hi[0], d)
+        lo_hi[1] = max(lo_hi[1], d)
+    want = {}
+    for u, (lo, hi) in span.items():
+        last = None
+        for d in range(lo, hi + 1):
+            if (u, d) in daily:
+                last = daily[(u, d)]
+                want[(u, d)] = (last, 1)
+            else:
+                want[(u, d)] = (last, 0)
+    got = {
+        (r["user_id"], r["day_i"]): (r["value_c"], r["observed"])
+        for r in user_gap_fill(SF).take_all()
+    }
+    assert got == want
+    assert any(obs == 0 for _, obs in got.values())  # gaps actually exist

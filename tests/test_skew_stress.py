@@ -190,3 +190,56 @@ def test_r5_window_ops_under_hot_key_skew(tmp_path):
     assert got_n[7][1] == 1  # the hot user dominates lifetime value
     assert len({r for _, r in got_n.values()}) == len(totals)
     assert NTILE_N >= 1
+
+
+def test_user_gap_fill_under_hot_key_skew(tmp_path):
+    """One user = half the events, one day = most of them: the gap-fill
+    expansion stays exact (grid cells, ffill values, observed flags) when
+    a single user dominates its shard."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.window import user_gap_fill
+
+    rng = np.random.RandomState(23)
+    n = 10_000
+    day = 86_400_000_000
+    user = np.where(rng.rand(n) < 0.5, 7, rng.randint(0, 100, n)).astype(np.int64)
+    days = np.where(rng.rand(n) < 0.7, 4, rng.randint(0, 30, n)).astype(np.int64)
+    ts = days * day + rng.randint(0, day, n)
+    value = np.round(rng.uniform(0, 500, n), 2)
+    t = pa.table(
+        {
+            "user_id": pa.array(user),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array(value, pa.float64()),
+        }
+    )
+    d = tmp_path / "skewg"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet", row_group_size=397)
+
+    cents = np.floor(value * 100.0 + 0.5).astype(np.int64)
+    daily: dict = {}
+    for u, dd, c in zip(user.tolist(), days.tolist(), cents.tolist()):
+        daily[(u, dd)] = daily.get((u, dd), 0) + c
+    span: dict = {}
+    for u, dd in daily:
+        lo_hi = span.setdefault(u, [dd, dd])
+        lo_hi[0] = min(lo_hi[0], dd)
+        lo_hi[1] = max(lo_hi[1], dd)
+    want = {}
+    for u, (lo, hi) in span.items():
+        last = None
+        for dd in range(lo, hi + 1):
+            if (u, dd) in daily:
+                last = daily[(u, dd)]
+                want[(u, dd)] = (last, 1)
+            else:
+                want[(u, dd)] = (last, 0)
+    got = {
+        (r["user_id"], r["day_i"]): (r["value_c"], r["observed"])
+        for r in user_gap_fill(str(d)).take_all()
+    }
+    assert got == want
