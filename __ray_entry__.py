@@ -493,6 +493,8 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("customer_order_distribution", relational.customer_order_distribution),
             # Q2 groupwise argmin + witness row-recovery join
             ("cheapest_supplier", relational.cheapest_supplier),
+            # materialized-view refresh: cached base + hot-delta rescan
+            ("incremental_user_value", relational.incremental_user_value),
         ],
         # window / interval operators
         "window": [
@@ -2032,6 +2034,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w.l_partkey AS p_partkey, w.l_suppkey AS s_suppkey, "
             "s.s_name, w.pc AS min_price_c FROM w "
             "JOIN supplier s ON s.s_suppkey = w.l_suppkey WHERE rn = 1"
+        ),
+        # incremental aggregate maintenance: the engine serves old days from
+        # a cached base-partial layout and rescans only the hot delta; the
+        # oracle is the FULL recompute — refresh correctness IS the gate
+        "incremental_user_value": (
+            "SELECT user_id, "
+            "CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS total_c, CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY 1"
         ),
         # trailing ROWS-frame rolling window: exact integer cents sums
         "rolling_event_stats": (

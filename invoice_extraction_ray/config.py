@@ -323,3 +323,11 @@ LARGE_ORDER_MIN_QTY = 250
 # (ops/relational.py::order_lineitem_semi and its oracle SQL): an order
 # qualifies iff it has at least one lineitem with this return flag.
 SEMI_JOIN_RETURNFLAG = "R"
+
+# incremental aggregate maintenance (ops/relational.py::
+# incremental_user_value): events in the trailing this-many observed days
+# are the "hot delta" rescanned per refresh; older days are served from the
+# cached base-partial layout.  The refreshed result is cutoff-invariant
+# (base + delta partials merge to the full GROUP BY), so the oracle is the
+# plain full recompute and cannot desync from this knob.
+INCREMENTAL_DELTA_DAYS = 7

@@ -4616,8 +4616,21 @@ def bucketed_layout(
         .map_batches(add_bucket, batch_format="pyarrow")
         .write_parquet(tmp, partition_cols=["bucket"])
     )
-    # an EMPTY table writes no files at all — materialize the (bucket-less)
-    # directory so the rename + marker still commit a valid empty layout
+    _publish_layout_dir(tmp, dest, spec)
+    return dest
+
+
+def _publish_layout_dir(tmp: str, dest: str, spec: str) -> None:
+    """Commit a built layout directory under the tmp-rename + marker
+    discipline shared by every cached materialization (SMB buckets,
+    incremental-aggregate bases): rename is atomic, the marker lands LAST,
+    a racing winner's result is kept, and a markerless dest (crash between
+    rename and marker) is replaced rather than rebuilt forever.  An EMPTY
+    build that wrote no files still commits a valid empty layout."""
+    import os
+    import shutil
+
+    marker = f"{dest}/_COMPLETE"
     os.makedirs(tmp, exist_ok=True)
     os.makedirs(os.path.dirname(dest), exist_ok=True)
     if not os.path.exists(marker):  # racing writer may have finished first
@@ -4626,7 +4639,7 @@ def bucketed_layout(
         except OSError:
             if os.path.exists(marker):  # racer won cleanly
                 shutil.rmtree(tmp, ignore_errors=True)
-                return dest
+                return
             # dest exists WITHOUT a marker: a prior run crashed between
             # rename and marker write — replace the suspect directory
             # (never leave a markerless dest that would rebuild forever)
@@ -4636,7 +4649,6 @@ def bucketed_layout(
             f.write(spec)
     else:
         shutil.rmtree(tmp, ignore_errors=True)
-    return dest
 
 
 def order_details_bucketed(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
@@ -5022,4 +5034,169 @@ def cheapest_supplier(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
         absorb_empty_blocks(tagged, batch_size=131072)
         .groupby("sshard")
         .map_groups(lambda g: merge(_dropg(g, ["sshard"])), batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 x S6: incremental aggregate maintenance (materialized-view refresh) —
+# the base partials are computed ONCE and cached; each refresh rescans only
+# the trailing hot-delta days.  Reference error_analysis.py recomputes its
+# metrics report from scratch per run; at 100 TB a daily refresh must not.
+# ---------------------------------------------------------------------------
+
+_INCR_CACHE_ROOT = "/tmp/ier_incr"
+_INCR_VERSION = 1
+
+
+def incremental_user_value(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """Per-user ``(total_c, n)`` over ALL events, maintained incrementally:
+    events older than the trailing ``config.INCREMENTAL_DELTA_DAYS`` window
+    are served from a CACHED parquet of per-user base partials (built once
+    under the tmp-rename + marker discipline, keyed by source (size,
+    mtime) + cutoff); only the hot delta days rescan per refresh.  Sums and
+    counts are associative, so base partials + delta partials merge to the
+    exact full GROUP BY — the oracle is the plain full recompute, making
+    refresh correctness the thing the gate proves.
+
+    Scale shape: the cutoff needs one bounded max-ts scan (one int per
+    block); the base build and the refresh both pre-combine per batch and
+    ride one user-shard groupby; both reads push the ts cutoff into the
+    parquet scan (row-group pruning — at 100 TB with date-partitioned
+    layouts the base build reads each cold partition exactly once, ever).
+    Cache invalidation is conservative: ANY source change (size/mtime)
+    rebuilds the base — correct-by-default for a single mutable file;
+    append-only arrivals keep their old partitions' row groups pruned by
+    the same ts predicate."""
+    import hashlib
+    import json
+    import os
+
+    import numpy as np
+
+    from ..config import INCREMENTAL_DELTA_DAYS
+    from ._util import absorb_empty_blocks, combine_by_key
+
+    _US_PER_DAY = 86_400_000_000
+    _OUT = pa.schema(
+        [("user_id", pa.int64()), ("total_c", pa.int64()), ("n", pa.int64())]
+    )
+    src = _pq(sf_dir, "events")
+
+    # pass 1: bounded max-day scan (one int per block reaches the driver)
+    def day_max(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(us) == 0:
+            return pa.table({"mx": pa.array([], pa.int64())})
+        return pa.table({"mx": pa.array([int(us.max()) // _US_PER_DAY], pa.int64())})
+
+    mx_rows = (
+        ray.data.read_parquet(src, columns=["ts"])
+        .map_batches(day_max, batch_format="pyarrow")
+        .take_all()
+    )
+    if not mx_rows:
+        return ray.data.from_arrow(_OUT.empty_table())
+    ref_day = max(r["mx"] for r in mx_rows)
+    cutoff_us = (ref_day - INCREMENTAL_DELTA_DAYS + 1) * _US_PER_DAY
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        vc = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        uu, cc, nn = combine_by_key(u, vc, np.ones(len(u), dtype=np.int64))
+        return pa.table(
+            {
+                "user_id": pa.array(uu, pa.int64()),
+                "total_c": pa.array(cc, pa.int64()),
+                "n": pa.array(nn, pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        uu, cc, nn = combine_by_key(
+            g.column("user_id").to_numpy(zero_copy_only=False),
+            g.column("total_c").to_numpy(zero_copy_only=False),
+            g.column("n").to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uu, pa.int64()),
+                "total_c": pa.array(cc, pa.int64()),
+                "n": pa.array(nn, pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.schema(
+                [("shard", pa.int32())] + list(_OUT)
+            ).empty_table()
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(
+                    (((u * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+                ),
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "total_c": t.column("total_c").cast(pa.int64()),
+                "n": t.column("n").cast(pa.int64()),
+            }
+        )
+
+    # base layout: per-user partials over days < cutoff, built once
+    st = os.stat(src)
+    spec = json.dumps(
+        [os.path.abspath(src), st.st_size, int(st.st_mtime_ns),
+         int(cutoff_us), _INCR_VERSION],
+        sort_keys=True,
+    )
+    digest = hashlib.sha256(spec.encode()).hexdigest()[:16]
+    root = os.environ.get("IER_INCR_CACHE", _INCR_CACHE_ROOT)
+    dest = f"{root}/{digest}"
+    if not os.path.exists(f"{dest}/_COMPLETE"):
+        tmp = f"{dest}.tmp.{os.getpid()}"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            ray.data.read_parquet(
+                src,
+                columns=["user_id", "value"],
+                filter=(pc.field("ts") < pa.scalar(cutoff_us).cast(pa.timestamp("us"))),
+            )
+            .map_batches(partial, batch_format="pyarrow")
+            .map_batches(add_shard, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(lambda g: merge(_dropg(g, ["shard"])), batch_format="pyarrow")
+            .write_parquet(tmp)
+        )
+        _publish_layout_dir(tmp, dest, spec)
+
+    base_files = sorted(
+        f"{dest}/{f}" for f in os.listdir(dest) if f.endswith(".parquet")
+    )
+    base = (
+        ray.data.read_parquet(base_files, columns=["user_id", "total_c", "n"])
+        if base_files
+        else ray.data.from_arrow(_OUT.empty_table())
+    )
+
+    delta = ray.data.read_parquet(
+        src,
+        columns=["user_id", "value"],
+        filter=(pc.field("ts") >= pa.scalar(cutoff_us).cast(pa.timestamp("us"))),
+    ).map_batches(partial, batch_format="pyarrow")
+
+    return (
+        absorb_empty_blocks(
+            base.union(delta).map_batches(add_shard, batch_format="pyarrow"),
+            batch_size=131072,
+        )
+        .groupby("shard")
+        .map_groups(lambda g: merge(_dropg(g, ["shard"])), batch_format="pyarrow")
     )

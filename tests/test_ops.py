@@ -2903,6 +2903,7 @@ def test_new_relational_family_random_differential(tmp_path):
         "customer_order_distribution",
         "cheapest_supplier",
         "user_gap_fill",
+        "incremental_user_value",
     ):
         def norm(v):
             # DuckDB's .df() floats nullable-int columns (NULL -> NaN);
@@ -4579,3 +4580,77 @@ def test_user_gap_fill_matches_local_recompute():
     }
     assert got == want
     assert any(obs == 0 for _, obs in got.values())  # gaps actually exist
+
+
+def test_incremental_user_value_cache_reuse_and_exactness(tmp_path, monkeypatch):
+    """Materialized-view refresh: first call builds the base-partial layout,
+    the second SERVES it (marker untouched) and still merges to the exact
+    full GROUP BY; a source rewrite invalidates the key and rebuilds."""
+    import os
+    import time
+
+    from invoice_extraction_ray.ops.relational import incremental_user_value
+
+    monkeypatch.setenv("IER_INCR_CACHE", str(tmp_path / "cache"))
+    rng = np.random.RandomState(7)
+    n = 5000
+    day = 86_400_000_000
+    user = rng.randint(0, 80, n).astype(np.int64)
+    days = rng.randint(0, 30, n).astype(np.int64)  # 30-day span > 7-day delta
+    value = np.round(rng.uniform(0, 300, n), 2)
+
+    def write(dirname, u, dd, v):
+        t = pa.table(
+            {
+                "user_id": pa.array(u),
+                "ts": pa.array(dd * day + 17, pa.int64()).cast(pa.timestamp("us")),
+                "value": pa.array(v, pa.float64()),
+            }
+        )
+        d = tmp_path / dirname
+        d.mkdir(exist_ok=True)
+        pq.write_table(t, d / "events.parquet", row_group_size=511)
+        return str(d)
+
+    sf = write("v1", user, days, value)
+
+    def want_of(u, v):
+        cents = np.floor(np.asarray(v) * 100.0 + 0.5).astype(np.int64)
+        w: dict = {}
+        for uu, c in zip(np.asarray(u).tolist(), cents.tolist()):
+            tc, cnt = w.get(uu, (0, 0))
+            w[uu] = (tc + c, cnt + 1)
+        return w
+
+    got1 = {
+        r["user_id"]: (r["total_c"], r["n"])
+        for r in incremental_user_value(sf).take_all()
+    }
+    assert got1 == want_of(user, value)
+
+    cache_root = tmp_path / "cache"
+    markers = list(cache_root.glob("*/_COMPLETE"))
+    assert len(markers) == 1
+    stamp = markers[0].stat().st_mtime_ns
+    time.sleep(0.01)
+
+    got2 = {
+        r["user_id"]: (r["total_c"], r["n"])
+        for r in incremental_user_value(sf).take_all()
+    }
+    assert got2 == got1
+    assert markers[0].stat().st_mtime_ns == stamp  # base served, not rebuilt
+    assert not list(cache_root.glob("*.tmp.*"))  # no stray build dirs
+
+    # delta-style arrival: append hot rows (max day + small) — the rewritten
+    # source must invalidate the old key and the refreshed result stay exact
+    u2 = np.concatenate([user, rng.randint(0, 80, 500).astype(np.int64)])
+    d2 = np.concatenate([days, np.full(500, 31, dtype=np.int64)])
+    v2 = np.concatenate([value, np.round(rng.uniform(0, 300, 500), 2)])
+    sf2 = write("v1", u2, d2, v2)  # same path, new content
+    got3 = {
+        r["user_id"]: (r["total_c"], r["n"])
+        for r in incremental_user_value(sf2).take_all()
+    }
+    assert got3 == want_of(u2, v2)
+    assert len(list(cache_root.glob("*/_COMPLETE"))) == 2  # new key built
