@@ -495,6 +495,8 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("cheapest_supplier", relational.cheapest_supplier),
             # materialized-view refresh: cached base + hot-delta rescan
             ("incremental_user_value", relational.incremental_user_value),
+            # z-ordered layout: 2-D range scan with both-axis pruning
+            ("events_zorder_scan", relational.events_zorder_scan),
         ],
         # window / interval operators
         "window": [
@@ -789,6 +791,10 @@ def oracle_sql() -> dict[str, str]:
         SERVED_FAIL_CODE as _SRV_CODE,
         SERVED_FAIL_MOD as _SRV_MOD,
         SERVED_LONG_MIN_TOKENS as _SRV_MIN,
+        ZORDER_DAY_BACK_HI as _ZO_DHI,
+        ZORDER_DAY_BACK_LO as _ZO_DLO,
+        ZORDER_USER_HI as _ZO_UHI,
+        ZORDER_USER_LO as _ZO_ULO,
     )
 
     def _mul64(a: str, b: int) -> str:
@@ -2043,6 +2049,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT)) AS BIGINT) "
             "AS total_c, CAST(count(*) AS BIGINT) AS n "
             "FROM events GROUP BY 1"
+        ),
+        # 2-D range scan (z-order layout on the engine side is invisible to
+        # the oracle — output is layout-invariant); rectangle shared via
+        # config.ZORDER_* so engine and gate cannot desync
+        "events_zorder_scan": (
+            "WITH e AS (SELECT event_id, user_id, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_i, "
+            "CAST(floor(value*100.0 + 0.5) AS BIGINT) AS value_c FROM events), "
+            "r AS (SELECT max(day_i) AS mx FROM e) "
+            "SELECT event_id, user_id, day_i, value_c FROM e, r "
+            f"WHERE user_id BETWEEN {_ZO_ULO} AND {_ZO_UHI} "
+            f"AND day_i BETWEEN mx - {_ZO_DLO} AND mx - {_ZO_DHI}"
         ),
         # trailing ROWS-frame rolling window: exact integer cents sums
         "rolling_event_stats": (

@@ -331,3 +331,12 @@ SEMI_JOIN_RETURNFLAG = "R"
 # (base + delta partials merge to the full GROUP BY), so the oracle is the
 # plain full recompute and cannot desync from this knob.
 INCREMENTAL_DELTA_DAYS = 7
+
+# z-order scan window (ops/relational.py::events_zorder_scan and its oracle
+# SQL): the 2-D predicate rectangle — user ids in [LO, HI], days in
+# [max_day - BACK_LO, max_day - BACK_HI].  Shared so engine and gate can
+# never desync on the probe rectangle.
+ZORDER_USER_LO = 4
+ZORDER_USER_HI = 11
+ZORDER_DAY_BACK_LO = 9
+ZORDER_DAY_BACK_HI = 3

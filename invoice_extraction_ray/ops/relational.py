@@ -5200,3 +5200,181 @@ def incremental_user_value(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
         .groupby("shard")
         .map_groups(lambda g: merge(_dropg(g, ["shard"])), batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# S6 x O1: multi-dimensional clustering layout (z-order) — the third member
+# of the storage-maintenance family (hash buckets = join locality,
+# compaction = file hygiene, z-order = 2-D range-scan locality).  Reference
+# utils/preprocess.py re-tiles images into scan-friendly order for the same
+# reason: make later rectangular reads touch few pages.
+# ---------------------------------------------------------------------------
+
+
+def _morton2(x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":  # noqa: F821
+    """Interleave the low 31 bits of two non-negative int64 arrays into one
+    int64 Morton key (x even bits, y odd).  31+31 = 62 bits stays int64-
+    positive; callers assert range first."""
+    import numpy as np
+
+    def part1by1(v: "np.ndarray") -> "np.ndarray":
+        v = v.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return v
+
+    return (part1by1(x) | (part1by1(y) << np.uint64(1))).astype(np.int64)
+
+
+_ZORDER_CACHE_ROOT = "/tmp/ier_zorder"
+_ZORDER_VERSION = 1
+
+
+def zorder_layout(sf_dir: str, row_group_rows: int = 131072) -> str:
+    """Materialize (once) a z-ordered parquet layout of events: rows sort
+    globally by the Morton interleave of (user_id, epoch-day), so every
+    parquet row group covers a TIGHT rectangle in (user, day) space and its
+    footer min/max statistics prune 2-D range scans on BOTH axes — the
+    clustering win a single-column sort can only give one axis.
+
+    The global sort is the build cost, paid ONCE per source version (cache
+    keyed by source size/mtime, row-group size, version; tmp-rename +
+    marker discipline shared with the SMB layout).  ``day_i`` lands as a
+    real column so the scan predicate pushes straight into the footer
+    stats.  Pack guard: both axes assert < 2^31 (Morton stays int64)."""
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    import numpy as np
+
+    src = _pq(sf_dir, "events")
+    st = os.stat(src)
+    spec = json.dumps(
+        [os.path.abspath(src), st.st_size, int(st.st_mtime_ns),
+         row_group_rows, _ZORDER_VERSION],
+        sort_keys=True,
+    )
+    digest = hashlib.sha256(spec.encode()).hexdigest()[:16]
+    root = os.environ.get("IER_ZORDER_CACHE", _ZORDER_CACHE_ROOT)
+    dest = f"{root}/{digest}"
+    if os.path.exists(f"{dest}/_COMPLETE"):
+        return dest
+    tmp = f"{dest}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    _US_PER_DAY = 86_400_000_000
+
+    def add_zkey(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // _US_PER_DAY
+        )
+        if len(u):
+            assert u.max() < (1 << 31) and u.min() >= 0, (
+                "zorder: user_id exceeds 31-bit Morton axis"
+            )
+            assert day.max() < (1 << 31) and day.min() >= 0, (
+                "zorder: epoch-day exceeds 31-bit Morton axis"
+            )
+        t = t.append_column("day_i", pa.array(day, pa.int64()))
+        return t.append_column("zkey", pa.array(_morton2(u, day), pa.int64()))
+
+    (
+        ray.data.read_parquet(
+            src, columns=["event_id", "user_id", "ts", "value"]
+        )
+        .map_batches(add_zkey, batch_format="pyarrow")
+        .sort("zkey")
+        .write_parquet(tmp, row_group_size=row_group_rows)
+    )
+    _publish_layout_dir(tmp, dest, spec)
+    return dest
+
+
+def events_zorder_scan(sf_dir: str) -> ray.data.Dataset:
+    """2-D range scan over the z-ordered layout: events with ``user_id`` in
+    [config.ZORDER_USER_LO, HI] and day in the trailing window
+    [max_day − BACK_LO, max_day − BACK_HI].  The predicate pushes into the
+    layout read, where z-clustering makes the row-group min/max stats tight
+    on BOTH axes — at 100 TB the scan touches O(selected rectangle) row
+    groups instead of every group that matches either axis alone.  Output
+    (and oracle) are layout-invariant: exactly the matching event rows."""
+    import numpy as np
+
+    from ..config import (
+        ZORDER_DAY_BACK_HI,
+        ZORDER_DAY_BACK_LO,
+        ZORDER_USER_HI,
+        ZORDER_USER_LO,
+    )
+
+    _US_PER_DAY = 86_400_000_000
+
+    # bounded max-day scan (one int per block) — same pass the oracle's
+    # max(day_i) subquery performs
+    def day_max(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(us) == 0:
+            return pa.table({"mx": pa.array([], pa.int64())})
+        return pa.table({"mx": pa.array([int(us.max()) // _US_PER_DAY], pa.int64())})
+
+    _OUT = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("day_i", pa.int64()),
+            ("value_c", pa.int64()),
+        ]
+    )
+    mx_rows = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts"])
+        .map_batches(day_max, batch_format="pyarrow")
+        .take_all()
+    )
+    if not mx_rows:
+        return ray.data.from_arrow(_OUT.empty_table())
+    mx = max(r["mx"] for r in mx_rows)
+    lo_day, hi_day = mx - ZORDER_DAY_BACK_LO, mx - ZORDER_DAY_BACK_HI
+
+    layout = zorder_layout(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        vc = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "day_i": t.column("day_i").cast(pa.int64()),
+                "value_c": pa.array(vc, pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    import os
+
+    files = sorted(
+        f"{layout}/{f}" for f in os.listdir(layout) if f.endswith(".parquet")
+    )
+    if not files:
+        return ray.data.from_arrow(_OUT.empty_table())
+    scan = ray.data.read_parquet(
+        files,
+        columns=["event_id", "user_id", "day_i", "value"],
+        filter=(
+            (pc.field("user_id") >= ZORDER_USER_LO)
+            & (pc.field("user_id") <= ZORDER_USER_HI)
+            & (pc.field("day_i") >= lo_day)
+            & (pc.field("day_i") <= hi_day)
+        ),
+    ).map_batches(project, batch_format="pyarrow")
+    # a fully-pruned scan yields ZERO blocks and loses the schema — union a
+    # schema-carrying empty table so consumers always see _OUT's columns
+    return scan.union(ray.data.from_arrow(_OUT.empty_table()))

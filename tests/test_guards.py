@@ -177,3 +177,19 @@ def test_user_gap_fill_wide_user_raises(tmp_path, ray_session):
 
     with pytest.raises(Exception, match="pack width"):
         user_gap_fill(_write_sf(tmp_path, events=ev)).materialize()
+
+
+def test_zorder_wide_axis_raises(tmp_path, ray_session, monkeypatch):
+    monkeypatch.setenv("IER_ZORDER_CACHE", str(tmp_path / "zc"))
+    ev = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([0, 86_400_000_000], pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array([1 << 31, 2], pa.int64()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+        }
+    )
+    from invoice_extraction_ray.ops.relational import zorder_layout
+
+    with pytest.raises(Exception, match="Morton axis"):
+        zorder_layout(_write_sf(tmp_path, events=ev))

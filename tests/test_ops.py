@@ -2904,6 +2904,7 @@ def test_new_relational_family_random_differential(tmp_path):
         "cheapest_supplier",
         "user_gap_fill",
         "incremental_user_value",
+        "events_zorder_scan",
     ):
         def norm(v):
             # DuckDB's .df() floats nullable-int columns (NULL -> NaN);
@@ -4654,3 +4655,103 @@ def test_incremental_user_value_cache_reuse_and_exactness(tmp_path, monkeypatch)
     }
     assert got3 == want_of(u2, v2)
     assert len(list(cache_root.glob("*/_COMPLETE"))) == 2  # new key built
+
+
+def test_morton2_interleaves_bits():
+    from invoice_extraction_ray.ops.relational import _morton2
+
+    x = np.array([0, 3, 1, (1 << 31) - 1], dtype=np.int64)
+    y = np.array([0, 1, 0, (1 << 31) - 1], dtype=np.int64)
+    got = _morton2(x, y)
+    assert got[0] == 0
+    assert got[1] == 7  # x=0b11 -> even bits 0b0101; y=0b01 -> odd bit 0b10
+    assert got[2] == 1
+    assert got[3] == (1 << 62) - 1 and got[3] > 0  # stays int64-positive
+
+
+def test_zorder_layout_prunes_both_axes_and_reuses_cache(tmp_path, monkeypatch):
+    """The z-ordered layout's row-group min/max stats must prune a 2-D
+    rectangle on BOTH axes (most groups skipped), the scan must return
+    exactly the matching rows, and a second call must serve the cached
+    layout (marker untouched)."""
+    from invoice_extraction_ray.config import (
+        ZORDER_DAY_BACK_HI,
+        ZORDER_DAY_BACK_LO,
+        ZORDER_USER_HI,
+        ZORDER_USER_LO,
+    )
+    from invoice_extraction_ray.ops.relational import events_zorder_scan, zorder_layout
+
+    monkeypatch.setenv("IER_ZORDER_CACHE", str(tmp_path / "zcache"))
+    rng = np.random.RandomState(31)
+    n = 60_000
+    day_us = 86_400_000_000
+    user = rng.randint(0, 256, n).astype(np.int64)
+    days = rng.randint(0, 64, n).astype(np.int64)
+    value = np.round(rng.uniform(0, 100, n), 2)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(days * day_us + 11, pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(user),
+            "value": pa.array(value, pa.float64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+
+    layout = zorder_layout(str(d), row_group_rows=2048)
+    mx = int(days.max())
+    lo_d, hi_d = mx - ZORDER_DAY_BACK_LO, mx - ZORDER_DAY_BACK_HI
+
+    # footer-stats pruning: most row groups must MISS the rectangle
+    import glob as _glob
+
+    total, hit = 0, 0
+    for f in _glob.glob(f"{layout}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for g in range(md.num_row_groups):
+            total += 1
+            su = md.row_group(g).column(names["user_id"]).statistics
+            sd = md.row_group(g).column(names["day_i"]).statistics
+            if (
+                su.min <= ZORDER_USER_HI
+                and su.max >= ZORDER_USER_LO
+                and sd.min <= hi_d
+                and sd.max >= lo_d
+            ):
+                hit += 1
+    assert total >= 16
+    assert hit / total < 0.5, (hit, total)  # both-axis clustering pays
+
+    cents = np.floor(value * 100.0 + 0.5).astype(np.int64)
+    mask = (
+        (user >= ZORDER_USER_LO)
+        & (user <= ZORDER_USER_HI)
+        & (days >= lo_d)
+        & (days <= hi_d)
+    )
+    want = {
+        (int(i), int(u), int(dd), int(c))
+        for i, u, dd, c in zip(
+            np.arange(n)[mask], user[mask], days[mask], cents[mask]
+        )
+    }
+    got = {
+        (r["event_id"], r["user_id"], r["day_i"], r["value_c"])
+        for r in events_zorder_scan(str(d)).take_all()
+    }
+    assert got == want and len(got) > 0
+
+    import pathlib
+
+    # two keys exist: the 2048-row test layout + the scan's default layout
+    markers = sorted(pathlib.Path(tmp_path / "zcache").glob("*/_COMPLETE"))
+    assert len(markers) == 2
+    stamps = [m.stat().st_mtime_ns for m in markers]
+    got2 = events_zorder_scan(str(d)).count()
+    assert got2 == len(want)
+    assert [m.stat().st_mtime_ns for m in markers] == stamps  # served, not rebuilt
+    assert not list(pathlib.Path(tmp_path / "zcache").glob("*.tmp.*"))
