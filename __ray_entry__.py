@@ -478,6 +478,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("order_details_bloom", relational.order_details_bloom),  # bloom-pruned
             ("order_details_bucketed", relational.order_details_bucketed),  # SMB zero-shuffle
             ("pagerank", graph.pagerank),  # iterative message passing
+            ("bfs_hops", graph.bfs_hops),  # level-sync BFS (WITH RECURSIVE)
             ("copurchase_pairs", relational.copurchase_pairs),  # basket mining
             ("copurchase_triangles", graph.copurchase_triangles),  # triangle count
             ("data_quality_report", relational.data_quality_report),  # contract audit
@@ -791,6 +792,8 @@ def oracle_sql() -> dict[str, str]:
         SERVED_FAIL_CODE as _SRV_CODE,
         SERVED_FAIL_MOD as _SRV_MOD,
         SERVED_LONG_MIN_TOKENS as _SRV_MIN,
+        BFS_MAX_HOPS as _BFS_MAXH,
+        BFS_SOURCE_PART as _BFS_SEED,
         ZORDER_DAY_BACK_HI as _ZO_DHI,
         ZORDER_DAY_BACK_LO as _ZO_DLO,
         ZORDER_USER_HI as _ZO_UHI,
@@ -1189,6 +1192,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(s2 % 4294967296 AS BIGINT) AS c2_lo, "
             "CAST((n * s2 - s1 * s1) // (n * n) AS BIGINT) AS var_floor_c2 "
             "FROM m ORDER BY event_type"
+        ),
+        # bfs_hops: level-synchronous BFS mirrored by the recursive CTE —
+        # UNION dedups (v, h) pairs, h < max bounds the recursion, min(h)
+        # is the BFS distance; seed/budget shared via config.BFS_*
+        "bfs_hops": (
+            "WITH RECURSIVE ed AS ("
+            "SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey+1 AS dst "
+            "FROM lineitem UNION "
+            "SELECT DISTINCT 2*l_suppkey+1 AS src, 2*l_partkey AS dst "
+            "FROM lineitem), "
+            "r AS ("
+            f"SELECT CAST(2*{_BFS_SEED} AS BIGINT) AS v, CAST(0 AS BIGINT) AS h "
+            "UNION "
+            "SELECT ed.dst AS v, r.h + 1 AS h FROM r JOIN ed ON ed.src = r.v "
+            f"WHERE r.h < {_BFS_MAXH}) "
+            "SELECT CASE WHEN v % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind, "
+            "CAST(v // 2 AS BIGINT) AS key, CAST(min(h) AS BIGINT) AS hops "
+            "FROM r GROUP BY 1, 2"
         ),
         # pagerank: 3 unrolled integer power iterations over the
         # part<->supplier bipartite edge set; floor division at the

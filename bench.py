@@ -147,6 +147,14 @@ HEADLINE = [
     "order_details_bucketed",
     "join_size_estimate",
     "user_decayed_value",
+    # r5 late additions: Q13 custdist, Q2 argmin+recovery, dense gap fill,
+    # materialized-view refresh, z-order 2-D range scan
+    "customer_order_distribution",
+    "cheapest_supplier",
+    "user_gap_fill",
+    "incremental_user_value",
+    "events_zorder_scan",
+    "bfs_hops",
 ]
 
 

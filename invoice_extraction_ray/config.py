@@ -340,3 +340,9 @@ ZORDER_USER_LO = 4
 ZORDER_USER_HI = 11
 ZORDER_DAY_BACK_LO = 9
 ZORDER_DAY_BACK_HI = 3
+
+# BFS traversal (ops/graph.py::bfs_hops and its WITH RECURSIVE oracle):
+# seed part key and the hop budget.  Shared so engine and gate agree on
+# the traversal frontier exactly.
+BFS_SOURCE_PART = 1
+BFS_MAX_HOPS = 4

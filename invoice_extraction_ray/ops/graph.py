@@ -691,3 +691,251 @@ def copurchase_triangles(
             "clustering_e6": pa.array([clustering_e6], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# breadth-first traversal (min-hop distances) — the WITH RECURSIVE shape:
+# level-synchronous BFS over the same bipartite part<->supplier graph,
+# using pagerank's pinned per-shard edge tables; per round only NEWLY
+# discovered frontier vertex ids travel (shrinking wire, unlike pagerank's
+# constant message volume).  Reference validators.py walks master-data
+# reference chains the same way (field -> code -> range group).
+# ---------------------------------------------------------------------------
+
+
+def bfs_hops(
+    sf_dir: str,
+    source_part: int | None = None,
+    max_hops: int | None = None,
+    n_shards: int = 8,
+) -> ray.data.Dataset:
+    """Minimum hop count from part ``source_part`` to every vertex reachable
+    within ``max_hops`` over the bipartite part<->supplier graph (vertex ids
+    2p / 2s+1, one edge per distinct lineitem (part, supplier) pair, both
+    directions).  The seed row (hops 0) is always emitted, matching the
+    recursive-CTE oracle.
+
+    Scale shape: stage 1 is pagerank's ONE all-to-all (distinct edges land
+    in their source vertex's shard); per-shard edge tables are then pinned
+    in the object store and each round is ONE fused receive-expand task per
+    shard — fold incoming candidate ids against the shard's visited table
+    (vertex ownership is hash(v) % n_shards on both sides), stamp hop h on
+    the survivors, expand their out-neighbors via two searchsorteds over
+    the src-sorted edges, and ship np.unique'd candidates to their owner
+    shards.  Visited state lives in shard tasks' outputs, never on the
+    driver; the wire carries only newly-discovered vertex ids, so rounds
+    get CHEAPER as the frontier saturates (level-synchronous BFS's
+    signature).  Rounds are latency-bound: max_hops is a small constant."""
+    from ..config import BFS_MAX_HOPS, BFS_SOURCE_PART
+    from ._util import absorb_empty_blocks
+
+    if source_part is None:
+        source_part = BFS_SOURCE_PART
+    if max_hops is None:
+        max_hops = BFS_MAX_HOPS
+    seed = 2 * int(source_part)
+
+    def _shard_of(v: "np.ndarray") -> "np.ndarray":
+        return (((v * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+
+    _EROWS = pa.schema(
+        [("shard", pa.int32()), ("src", pa.int64()), ("dst", pa.int64())]
+    )
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(p) == 0:
+            return _EROWS.empty_table()
+        if p.max() >= (1 << 20) or s.max() >= (1 << 20) or p.min() < 0 or s.min() < 0:
+            raise ValueError(
+                "bfs_hops: part/supp keys must be in [0, 2^20) for the "
+                "int64 edge pack; got partkey max %d, suppkey max %d"
+                % (int(p.max()), int(s.max()))
+            )
+        packed = np.unique((p << 20) | s)
+        p, s = packed >> 20, packed & ((1 << 20) - 1)
+        src = np.concatenate([p * 2, s * 2 + 1])
+        dst = np.concatenate([s * 2 + 1, p * 2])
+        return pa.table(
+            {
+                "shard": pa.array(_shard_of(src)),
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            },
+            schema=_EROWS,
+        )
+
+    _EDGES = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    _STATE = pa.schema([("v", pa.int64()), ("h", pa.int64())])
+    _MSG = pa.schema([("v", pa.int64())])
+    _OUT = pa.schema(
+        [("kind", pa.string()), ("key", pa.int64()), ("hops", pa.int64())]
+    )
+
+    def _split_block(tbl: pa.Table):
+        if tbl.num_rows == 0 or "shard" not in tbl.column_names:
+            return (tbl,) * n_shards
+        sh = tbl.column("shard").to_numpy(zero_copy_only=False)
+        return tuple(tbl.filter(pa.array(sh == s)) for s in range(n_shards))
+
+    def _assemble(own_seed: bool, *parts: pa.Table):
+        """This shard's edge rows -> (src-sorted dedup'd edges, seed state).
+        The seed is stamped even when it has no edges (oracle emits it)."""
+        parts = [p for p in parts if p.num_rows]
+        state = (
+            pa.table(
+                {"v": pa.array([seed], pa.int64()), "h": pa.array([0], pa.int64())},
+                schema=_STATE,
+            )
+            if own_seed
+            else _STATE.empty_table()
+        )
+        if not parts:
+            return _EDGES.empty_table(), state
+        t = pa.concat_tables(parts)
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        pair = np.unique((src << 21) | dst)  # vertex ids < 2^21 by the guard
+        src, dst = pair >> 21, pair & ((1 << 21) - 1)
+        edges = pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())},
+            schema=_EDGES,
+        )
+        return edges, state
+
+    def _expand(edges: pa.Table, frontier: "np.ndarray"):
+        """Out-neighbors of the (sorted) frontier via two searchsorteds over
+        src-sorted edges — vectorized across the whole frontier."""
+        if edges.num_rows == 0 or len(frontier) == 0:
+            return np.empty(0, dtype=np.int64)
+        src = edges.column("src").to_numpy(zero_copy_only=False)
+        dst = edges.column("dst").to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(src, frontier, side="left")
+        hi = np.searchsorted(src, frontier, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64)
+        out_starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        idx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(out_starts, cnt)
+            + np.repeat(lo, cnt)
+        )
+        return np.unique(dst[idx])
+
+    def _step(edges: pa.Table, state: pa.Table, h: int, *msgs: pa.Table):
+        """ONE task per shard per round: fold candidate ids into the visited
+        table (drop already-seen), stamp hop h, expand the NEW frontier's
+        neighbors, ship per-owner-shard candidate ids.  Returns the updated
+        state followed by n_shards message tables."""
+        if h == 0:
+            frontier = state.column("v").to_numpy(zero_copy_only=False)
+        else:
+            cands = [m.column("v").to_numpy(zero_copy_only=False) for m in msgs
+                     if m.num_rows]
+            cand = (
+                np.unique(np.concatenate(cands))
+                if cands
+                else np.empty(0, dtype=np.int64)
+            )
+            seen = state.column("v").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(seen, cand)
+            new_mask = (
+                (pos >= len(seen)) | (seen[np.minimum(pos, max(len(seen) - 1, 0))]
+                                      != cand)
+                if len(seen)
+                else np.ones(len(cand), dtype=bool)
+            )
+            frontier = cand[new_mask]
+            if len(frontier):
+                add = pa.table(
+                    {
+                        "v": pa.array(frontier, pa.int64()),
+                        "h": pa.array(np.full(len(frontier), h, np.int64)),
+                    },
+                    schema=_STATE,
+                )
+                state = (
+                    pa.concat_tables([state, add]).sort_by("v")
+                    if state.num_rows
+                    else add
+                )
+        nbrs = _expand(edges, np.sort(frontier)) if len(frontier) else np.empty(
+            0, dtype=np.int64
+        )
+        nsh = _shard_of(nbrs)
+        return tuple(
+            [state]
+            + [
+                pa.table({"v": pa.array(nbrs[nsh == s], pa.int64())}, schema=_MSG)
+                for s in range(n_shards)
+            ]
+        )
+
+    def _finalize(state: pa.Table) -> pa.Table:
+        v = state.column("v").to_numpy(zero_copy_only=False)
+        h = state.column("h").to_numpy(zero_copy_only=False)
+        kind = np.where(v % 2 == 0, "part", "supplier")
+        return pa.table(
+            {
+                "kind": pa.array(kind, pa.string()),
+                "key": pa.array(v >> 1, pa.int64()),
+                "hops": pa.array(h, pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    rows = absorb_empty_blocks(
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"]
+        ).map_batches(pair_rows, batch_format="pyarrow"),
+        batch_size=131072,
+    ).materialize()
+
+    split_t = ray.remote(num_returns=n_shards)(_split_block)
+    assemble_t = ray.remote(num_returns=2)(_assemble)
+    step_t = ray.remote(num_returns=n_shards + 1)(_step)
+    final_t = ray.remote(_finalize)
+
+    blocks = rows.to_arrow_refs()
+    seed_shard = int((((seed * 2654435761) % (1 << 32))) % n_shards)
+    if blocks:
+        parts = [split_t.remote(b) for b in blocks]
+        shard_state = [
+            assemble_t.remote(s == seed_shard, *[parts[b][s] for b in range(len(parts))])
+            for s in range(n_shards)
+        ]
+        edges_ref = [st[0] for st in shard_state]
+        state_ref = [st[1] for st in shard_state]
+    else:  # empty graph: the seed row alone still comes back
+        edges_ref = [ray.put(_EDGES.empty_table()) for _ in range(n_shards)]
+        state_ref = [
+            ray.put(
+                pa.table(
+                    {"v": pa.array([seed], pa.int64()),
+                     "h": pa.array([0], pa.int64())},
+                    schema=_STATE,
+                )
+                if s == seed_shard
+                else _STATE.empty_table()
+            )
+            for s in range(n_shards)
+        ]
+    grid = [
+        step_t.remote(edges_ref[s], state_ref[s], 0) for s in range(n_shards)
+    ]
+    for h in range(1, max_hops + 1):
+        grid = [
+            step_t.remote(
+                edges_ref[s],
+                grid[s][0],
+                h,
+                *[grid[sp][s + 1] for sp in range(n_shards)],
+            )
+            for s in range(n_shards)
+        ]
+    return ray.data.from_arrow_refs(
+        [final_t.remote(grid[s][0]) for s in range(n_shards)]
+    ).sort(["kind", "key"])

@@ -193,3 +193,16 @@ def test_zorder_wide_axis_raises(tmp_path, ray_session, monkeypatch):
 
     with pytest.raises(Exception, match="Morton axis"):
         zorder_layout(_write_sf(tmp_path, events=ev))
+
+
+def test_bfs_hops_wide_partkey_raises(tmp_path, ray_session):
+    li = pa.table(
+        {
+            "l_partkey": pa.array([1 << 20, 5], pa.int64()),
+            "l_suppkey": pa.array([1, 2], pa.int64()),
+        }
+    )
+    from invoice_extraction_ray.ops.graph import bfs_hops
+
+    with pytest.raises(Exception, match="bfs_hops: part/supp keys"):
+        bfs_hops(_write_sf(tmp_path, lineitem=li)).materialize()

@@ -2905,6 +2905,7 @@ def test_new_relational_family_random_differential(tmp_path):
         "user_gap_fill",
         "incremental_user_value",
         "events_zorder_scan",
+        "bfs_hops",
     ):
         def norm(v):
             # DuckDB's .df() floats nullable-int columns (NULL -> NaN);
@@ -4755,3 +4756,68 @@ def test_zorder_layout_prunes_both_axes_and_reuses_cache(tmp_path, monkeypatch):
     assert got2 == len(want)
     assert [m.stat().st_mtime_ns for m in markers] == stamps  # served, not rebuilt
     assert not list(pathlib.Path(tmp_path / "zcache").glob("*.tmp.*"))
+
+
+def test_bfs_hops_matches_local_recompute():
+    """Level-synchronous BFS: exact min-hop distances over the bipartite
+    part<->supplier graph, seed row included."""
+    from collections import deque
+
+    from invoice_extraction_ray.config import BFS_MAX_HOPS, BFS_SOURCE_PART
+    from invoice_extraction_ray.ops.graph import bfs_hops
+
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    adj: dict[int, set[int]] = {}
+    for p, s in zip(
+        li.column("l_partkey").to_pylist(), li.column("l_suppkey").to_pylist()
+    ):
+        a, b = 2 * p, 2 * s + 1
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seed = 2 * BFS_SOURCE_PART
+    dist = {seed: 0}
+    q = deque([seed])
+    while q:
+        v = q.popleft()
+        if dist[v] >= BFS_MAX_HOPS:
+            continue
+        for w in adj.get(v, ()):
+            if w not in dist:
+                dist[w] = dist[v] + 1
+                q.append(w)
+    want = {
+        ("part" if v % 2 == 0 else "supplier", v // 2): h for v, h in dist.items()
+    }
+    got = {
+        (r["kind"], r["key"]): r["hops"] for r in bfs_hops(SF).take_all()
+    }
+    assert got == want
+    assert got[("part", BFS_SOURCE_PART)] == 0
+    assert max(got.values()) <= BFS_MAX_HOPS and len(got) > 1
+
+
+def test_bfs_hops_isolated_seed(tmp_path):
+    """A seed with no edges yields exactly its own hops-0 row."""
+    from invoice_extraction_ray.ops.graph import bfs_hops
+
+    li = pa.table(
+        {
+            "l_partkey": pa.array([5, 6], pa.int64()),
+            "l_suppkey": pa.array([2, 2], pa.int64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(li, d / "lineitem.parquet")
+    rows = bfs_hops(str(d), source_part=10).take_all()
+    assert [(r["kind"], r["key"], r["hops"]) for r in rows] == [("part", 10, 0)]
+    # and a connected seed reaches the other side of its component
+    rows2 = {
+        (r["kind"], r["key"]): r["hops"]
+        for r in bfs_hops(str(d), source_part=5).take_all()
+    }
+    assert rows2 == {
+        ("part", 5): 0,
+        ("supplier", 2): 1,
+        ("part", 6): 2,
+    }
