@@ -5082,21 +5082,27 @@ def incremental_user_value(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
     )
     src = _pq(sf_dir, "events")
 
-    # pass 1: bounded max-day scan (one int per block reaches the driver)
-    def day_max(t: pa.Table) -> pa.Table:
-        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        if len(us) == 0:
-            return pa.table({"mx": pa.array([], pa.int64())})
-        return pa.table({"mx": pa.array([int(us.max()) // _US_PER_DAY], pa.int64())})
+    # cutoff from the parquet FOOTER's exact ts max statistics — no data
+    # pages read (the 100-TB answer: one footer per fragment); falls back
+    # to a bounded max scan when a writer omitted stats
+    ref_us = _parquet_ts_max(src, "ts")
+    if ref_us is None:
 
-    mx_rows = (
-        ray.data.read_parquet(src, columns=["ts"])
-        .map_batches(day_max, batch_format="pyarrow")
-        .take_all()
-    )
-    if not mx_rows:
+        def day_max(t: pa.Table) -> pa.Table:
+            us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if len(us) == 0:
+                return pa.table({"mx": pa.array([], pa.int64())})
+            return pa.table({"mx": pa.array([int(us.max())], pa.int64())})
+
+        mx_rows = (
+            ray.data.read_parquet(src, columns=["ts"])
+            .map_batches(day_max, batch_format="pyarrow")
+            .take_all()
+        )
+        ref_us = max((r["mx"] for r in mx_rows), default=None)
+    if ref_us is None:
         return ray.data.from_arrow(_OUT.empty_table())
-    ref_day = max(r["mx"] for r in mx_rows)
+    ref_day = ref_us // _US_PER_DAY
     cutoff_us = (ref_day - INCREMENTAL_DELTA_DAYS + 1) * _US_PER_DAY
 
     def partial(t: pa.Table) -> pa.Table:
@@ -5164,16 +5170,26 @@ def incremental_user_value(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
 
         shutil.rmtree(tmp, ignore_errors=True)
         (
-            ray.data.read_parquet(
-                src,
-                columns=["user_id", "value"],
-                filter=(pc.field("ts") < pa.scalar(cutoff_us).cast(pa.timestamp("us"))),
-            )
-            .map_batches(partial, batch_format="pyarrow")
-            .map_batches(add_shard, batch_format="pyarrow")
-            .groupby("shard")
-            .map_groups(lambda g: merge(_dropg(g, ["shard"])), batch_format="pyarrow")
-            .write_parquet(tmp)
+            # absorb the 64 per-shard groupby outputs before writing so the
+            # base layout lands in few large files, not one tiny file per
+            # shard (per-file open cost dominated the warm refresh)
+            absorb_empty_blocks(
+                ray.data.read_parquet(
+                    src,
+                    columns=["user_id", "value"],
+                    filter=(
+                        pc.field("ts")
+                        < pa.scalar(cutoff_us).cast(pa.timestamp("us"))
+                    ),
+                )
+                .map_batches(partial, batch_format="pyarrow")
+                .map_batches(add_shard, batch_format="pyarrow")
+                .groupby("shard")
+                .map_groups(
+                    lambda g: merge(_dropg(g, ["shard"])), batch_format="pyarrow"
+                ),
+                batch_size=1 << 20,
+            ).write_parquet(tmp)
         )
         _publish_layout_dir(tmp, dest, spec)
 
@@ -5285,13 +5301,21 @@ def zorder_layout(sf_dir: str, row_group_rows: int = 131072) -> str:
         t = t.append_column("day_i", pa.array(day, pa.int64()))
         return t.append_column("zkey", pa.array(_morton2(u, day), pa.int64()))
 
+    from ._util import absorb_empty_blocks as _absorb
+
     (
-        ray.data.read_parquet(
-            src, columns=["event_id", "user_id", "ts", "value"]
-        )
-        .map_batches(add_zkey, batch_format="pyarrow")
-        .sort("zkey")
-        .write_parquet(tmp, row_group_size=row_group_rows)
+        # absorb the sort's skinny output blocks before writing: map_batches
+        # preserves row order, so adjacent sorted blocks coalesce into few
+        # LARGE files instead of one tiny file per sort partition (per-file
+        # open cost was 3x the warm scan wall at sf0.1)
+        _absorb(
+            ray.data.read_parquet(
+                src, columns=["event_id", "user_id", "ts", "value"]
+            )
+            .map_batches(add_zkey, batch_format="pyarrow")
+            .sort("zkey"),
+            batch_size=max(4 * row_group_rows, 131072),
+        ).write_parquet(tmp, row_group_size=row_group_rows)
     )
     _publish_layout_dir(tmp, dest, spec)
     return dest
@@ -5378,3 +5402,29 @@ def events_zorder_scan(sf_dir: str) -> ray.data.Dataset:
     # a fully-pruned scan yields ZERO blocks and loses the schema — union a
     # schema-carrying empty table so consumers always see _OUT's columns
     return scan.union(ray.data.from_arrow(_OUT.empty_table()))
+
+
+def _parquet_ts_max(path: str, col: str) -> int | None:
+    """Exact max of a timestamp column in EPOCH MICROSECONDS from the
+    parquet footer statistics alone (no data pages).  None when any row
+    group lacks stats (caller falls back to a scan) or the file is empty."""
+    import pyarrow.parquet as pq_
+
+    md = pq_.ParquetFile(path).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    idx = names[col]
+    best = None
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        v = st.max
+        # naive-datetime -> epoch us via Arrow (datetime.timestamp() would
+        # apply the LOCAL timezone and float-round the microseconds)
+        us = (
+            pa.scalar(v, pa.timestamp("us")).cast(pa.int64()).as_py()
+            if not isinstance(v, int)
+            else int(v)
+        )
+        best = us if best is None else max(best, us)
+    return best
