@@ -203,3 +203,50 @@ def test_new_shard_ops_shard_count_invariant():
         for r in dedup_keep_best(SF, n_shards=n).take_all()
     )
     assert dkb(1) == dkb(16)
+
+
+def test_continuation_ops_shard_count_invariant(tmp_path, monkeypatch):
+    """The continuation ops must be exact for ANY shard count: gap fill and
+    custdist (associative per-key partials), Q2 argmin (witness carried),
+    incremental refresh (base+delta merge), BFS (vertex ownership is
+    hash(v) % n_shards on both edge and message sides)."""
+    from invoice_extraction_ray.ops.graph import bfs_hops
+    from invoice_extraction_ray.ops.relational import (
+        cheapest_supplier,
+        customer_order_distribution,
+        incremental_user_value,
+    )
+    from invoice_extraction_ray.ops.window import user_gap_fill
+
+    SF = "/root/testdata/sf0.001"
+    monkeypatch.setenv("IER_INCR_CACHE", str(tmp_path / "ic"))
+
+    gap = lambda n: sorted(
+        (r["user_id"], r["day_i"], r["value_c"], r["observed"])
+        for r in user_gap_fill(SF, n_shards=n).take_all()
+    )
+    assert gap(1) == gap(16)
+
+    cod = lambda n: sorted(
+        (r["c_count"], r["custdist"])
+        for r in customer_order_distribution(SF, n_shards=n).to_pylist()
+    )
+    assert cod(1) == cod(16)
+
+    chs = lambda n: sorted(
+        (r["p_partkey"], r["s_suppkey"], r["s_name"], r["min_price_c"])
+        for r in cheapest_supplier(SF, num_shards=n).take_all()
+    )
+    assert chs(1) == chs(16)
+
+    inc = lambda n: sorted(
+        (r["user_id"], r["total_c"], r["n"])
+        for r in incremental_user_value(SF, n_shards=n).take_all()
+    )
+    assert inc(1) == inc(16)
+
+    bfs = lambda n: sorted(
+        (r["kind"], r["key"], r["hops"])
+        for r in bfs_hops(SF, n_shards=n).take_all()
+    )
+    assert bfs(2) == bfs(8)
