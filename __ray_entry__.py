@@ -480,6 +480,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("pagerank", graph.pagerank),  # iterative message passing
             ("bfs_hops", graph.bfs_hops),  # level-sync BFS (WITH RECURSIVE)
             ("copurchase_pairs", relational.copurchase_pairs),  # basket mining
+            ("assoc_rules", relational.assoc_rules),  # support/confidence/lift
             ("copurchase_triangles", graph.copurchase_triangles),  # triangle count
             ("data_quality_report", relational.data_quality_report),  # contract audit
             ("rolling_active_users", relational.rolling_active_users),  # WAU
@@ -1441,6 +1442,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders "
             "FROM pairs GROUP BY 1, 2 "
             "ORDER BY n_orders DESC, part_a, part_b LIMIT 20"
+        ),
+        # assoc_rules: association-rule metrics over the same capped-basket
+        # universe as copurchase_pairs — support / confidence / lift in e6
+        # fixed point; all ratios exact integer floor divisions (HUGEINT
+        # product for lift so the mirror never wraps at scale)
+        "assoc_rules": (
+            "WITH dp0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "okk AS (SELECT l_orderkey FROM dp0 GROUP BY 1 HAVING count(*) <= 64), "
+            "dp AS (SELECT dp0.* FROM dp0 JOIN okk USING (l_orderkey)), "
+            "nn AS (SELECT count(DISTINCT l_orderkey) AS n FROM dp), "
+            "items AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item "
+            "FROM dp GROUP BY 1), "
+            "pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+            "CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM dp a JOIN dp b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey GROUP BY 1, 2), "
+            "top AS (SELECT * FROM pairs "
+            "ORDER BY n_orders DESC, part_a, part_b LIMIT 20) "
+            "SELECT t.part_a, t.part_b, t.n_orders, "
+            "ia.n_item AS n_a, ib.n_item AS n_b, "
+            "CAST(1000000 * t.n_orders // nn.n AS BIGINT) AS support_e6, "
+            "CAST(1000000 * t.n_orders // ia.n_item AS BIGINT) AS conf_ab_e6, "
+            "CAST(1000000 * t.n_orders // ib.n_item AS BIGINT) AS conf_ba_e6, "
+            "CAST(CAST(1000000 AS HUGEINT) * nn.n * t.n_orders // "
+            "(CAST(ia.n_item AS HUGEINT) * ib.n_item) AS BIGINT) AS lift_e6 "
+            "FROM top t CROSS JOIN nn "
+            "JOIN items ia ON ia.l_partkey = t.part_a "
+            "JOIN items ib ON ib.l_partkey = t.part_b "
+            "ORDER BY n_orders DESC, part_a, part_b"
         ),
         # mg_heavy_hitters: Misra-Gries superset candidates + exact verify
         # — emits the exact heavy-hitter set (n * 64 >= N), no false

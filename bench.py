@@ -155,6 +155,8 @@ HEADLINE = [
     "incremental_user_value",
     "events_zorder_scan",
     "bfs_hops",
+    # association-rule metrics (support/confidence/lift) over capped baskets
+    "assoc_rules",
 ]
 
 

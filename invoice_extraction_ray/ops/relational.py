@@ -5428,3 +5428,208 @@ def _parquet_ts_max(path: str, col: str) -> int | None:
         )
         best = us if best is None else max(best, us)
     return best
+
+
+def assoc_rules(
+    sf_dir: str,
+    k: int = 20,
+    n_shards: int = 64,
+    n_pair_shards: int = 64,
+    max_basket: int = 64,
+) -> pa.Table:
+    """Market-basket ASSOCIATION RULES (support / confidence / lift) for the
+    top-k co-purchased part pairs — the ratio-of-aggregates layer on top of
+    ``copurchase_pairs``'s raw pair counts (reference analogue: the
+    master-data co-occurrence checks in submission/utils/validators.py).
+
+    Three aggregate families ride ONE scan of lineitem and one unified
+    (kind, shard) groupby: pair counts (kind 0, pair-sharded with an exact
+    per-shard top-k prefilter), item marginals (kind 1 — orders co-locate
+    wholly within an order shard, so per-shard per-part counts are additive
+    partials), and the capped-basket universe size N (kind 2, one counter
+    row per shard).  The driver sees only the k winner pairs, the <=2k
+    marginals it filters for, and <= n_shards scalar rows; the |part|-sized
+    marginal table stays distributed (materialized small summary, never
+    take_all'd).  Ratios are exact python-int floor divisions in e6 fixed
+    point, HUGEINT-mirrored in the oracle.  Baskets above ``max_basket``
+    distinct parts are dropped before expansion (same fanout cap and SQL
+    mirror as copurchase_pairs)."""
+    import numpy as np
+
+    from ._util import absorb_empty_blocks, combine_by_key
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(p) and (p.max() >= (1 << 21) or p.min() < 0):
+            raise ValueError(
+                "assoc_rules: partkey must be in [0, 2^21) for the "
+                "int64 (orderkey<<21)|partkey pack; got max %d" % int(p.max())
+            )
+        if len(o) and (o.max() >= (1 << 42) or o.min() < 0):
+            raise ValueError(
+                "assoc_rules: orderkey must be in [0, 2^42) for the "
+                "int64 (orderkey<<21)|partkey pack; got max %d" % int(o.max())
+            )
+        packed = np.unique((o << 21) | p)
+        o = packed >> 21
+        return pa.table(
+            {
+                "oshard": pa.array(
+                    (((o * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+                ),
+                "packed": pa.array(packed, pa.int64()),
+            }
+        )
+
+    # unified partial rows: gs = (kind << 8) | shard, kind 0=pair 1=item 2=N
+    _PART = pa.schema([("gs", pa.int32()), ("key", pa.int64()), ("n", pa.int64())])
+
+    def expand(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PART.empty_table()
+        packed = np.unique(g.column("packed").to_numpy(zero_copy_only=False))
+        o = packed >> 21
+        new = np.ones(len(o), dtype=bool)
+        new[1:] = o[1:] != o[:-1]
+        lens = np.diff(np.append(np.flatnonzero(new), len(o)))
+        elem_keep = np.repeat(lens <= max_basket, lens)  # fanout cap
+        packed = packed[elem_keep]
+        if len(packed) == 0:
+            return _PART.empty_table()
+        o, p = packed >> 21, packed & ((1 << 21) - 1)
+        new = np.ones(len(o), dtype=bool)
+        new[1:] = o[1:] != o[:-1]
+        starts = np.flatnonzero(new)
+        # ---- pairs (triangular within-run expansion, vectorized) ----------
+        ends = np.append(starts[1:], len(o))
+        run_end = np.repeat(ends, np.diff(np.append(starts, len(o))))
+        counts = run_end - np.arange(len(o)) - 1
+        a_idx = np.repeat(np.arange(len(o)), counts)
+        blk = np.cumsum(counts) - counts
+        b_idx = a_idx + 1 + (np.arange(counts.sum()) - np.repeat(blk, counts))
+        pair = (p[a_idx] << 21) | p[b_idx]
+        upair, pcnt = np.unique(pair, return_counts=True)
+        # ---- item marginals: distinct orders containing each part ---------
+        uitem, icnt = np.unique(p, return_counts=True)
+        gs = np.concatenate(
+            [
+                (((upair * 2654435761) % (1 << 32)) % n_pair_shards).astype(np.int64),
+                (1 << 8)
+                | (((uitem * 2654435761) % (1 << 32)) % n_pair_shards).astype(np.int64),
+                np.array([2 << 8], dtype=np.int64),
+            ]
+        )
+        key = np.concatenate([upair, uitem, np.zeros(1, dtype=np.int64)])
+        n = np.concatenate(
+            [
+                pcnt.astype(np.int64),
+                icnt.astype(np.int64),
+                np.array([len(starts)], dtype=np.int64),  # capped orders here
+            ]
+        )
+        return pa.table(
+            {
+                "gs": pa.array(gs.astype(np.int32), pa.int32()),
+                "key": pa.array(key, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    _SUM = pa.schema([("kind", pa.int8()), ("key", pa.int64()), ("n", pa.int64())])
+
+    def finish(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _SUM.empty_table()
+        gs = int(g.column("gs")[0].as_py())
+        kind = gs >> 8
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        ukey, tot = combine_by_key(keys, n)
+        if kind == 0 and len(ukey) > k:
+            # pairs partition by shard -> per-shard top-k is an exact prefilter
+            top = np.lexsort((ukey, -tot))[:k]
+            top.sort()
+            ukey, tot = ukey[top], tot[top]
+        return pa.table(
+            {
+                "kind": pa.array(np.full(len(ukey), kind, dtype=np.int8), pa.int8()),
+                "key": pa.array(ukey, pa.int64()),
+                "n": pa.array(tot, pa.int64()),
+            },
+            schema=_SUM,
+        )
+
+    summary = (
+        absorb_empty_blocks(
+            absorb_empty_blocks(
+                ds.map_batches(key_rows, batch_format="pyarrow"), batch_size=131072
+            )
+            .groupby("oshard")
+            .map_groups(
+                lambda g: expand(_dropg(g, ["oshard"])), batch_format="pyarrow"
+            ),
+            batch_size=131072,
+        )
+        .groupby("gs")
+        .map_groups(finish, batch_format="pyarrow")
+    ).materialize()
+
+    _OUT = pa.schema(
+        [
+            ("part_a", pa.int64()),
+            ("part_b", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+            ("support_e6", pa.int64()),
+            ("conf_ab_e6", pa.int64()),
+            ("conf_ba_e6", pa.int64()),
+            ("lift_e6", pa.int64()),
+        ]
+    )
+
+    def _pick(kind: int, keys: "np.ndarray | None" = None):
+        """Vectorized kind/key selection over the small summary table."""
+
+        def sel(t: pa.Table) -> pa.Table:
+            m = t.column("kind").to_numpy(zero_copy_only=False) == kind
+            if keys is not None:
+                m &= np.isin(t.column("key").to_numpy(zero_copy_only=False), keys)
+            return t.filter(pa.array(m))
+
+        return summary.map_batches(sel, batch_format="pyarrow")
+
+    top = (
+        _pick(0).sort(["n", "key"], descending=[True, False]).limit(k).take_all()
+    )  # bounded: k rows
+    if not top:
+        return _OUT.empty_table()
+    need = np.unique(
+        np.array(
+            [r["key"] >> 21 for r in top] + [r["key"] & ((1 << 21) - 1) for r in top],
+            dtype=np.int64,
+        )
+    )
+    marg_rows = _pick(1, need).take_all()  # bounded: <= 2k rows
+    marg = {r["key"]: r["n"] for r in marg_rows}
+    total = sum(r["n"] for r in _pick(2).take_all())
+    cols = {f.name: [] for f in _OUT}
+    for r in top:
+        a, b, nab = r["key"] >> 21, r["key"] & ((1 << 21) - 1), int(r["n"])
+        na, nb = int(marg[a]), int(marg[b])
+        cols["part_a"].append(a)
+        cols["part_b"].append(b)
+        cols["n_orders"].append(nab)
+        cols["n_a"].append(na)
+        cols["n_b"].append(nb)
+        cols["support_e6"].append(10**6 * nab // total)
+        cols["conf_ab_e6"].append(10**6 * nab // na)
+        cols["conf_ba_e6"].append(10**6 * nab // nb)
+        cols["lift_e6"].append(10**6 * total * nab // (na * nb))
+    return pa.table(cols, schema=_OUT)

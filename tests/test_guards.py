@@ -59,6 +59,32 @@ def test_copurchase_wide_partkey_raises(tmp_path, ray_session):
         copurchase_pairs(_write_sf(tmp_path, lineitem=li)).materialize()
 
 
+def test_assoc_rules_wide_partkey_raises(tmp_path, ray_session):
+    from invoice_extraction_ray.ops.relational import assoc_rules
+
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1], pa.int64()),
+            "l_partkey": pa.array([1 << 21, 3], pa.int64()),  # >= 2^21
+        }
+    )
+    with pytest.raises(Exception, match="assoc_rules: partkey"):
+        assoc_rules(_write_sf(tmp_path, lineitem=li))
+
+
+def test_assoc_rules_wide_orderkey_raises(tmp_path, ray_session):
+    from invoice_extraction_ray.ops.relational import assoc_rules
+
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1 << 42, 1 << 42], pa.int64()),  # >= 2^42
+            "l_partkey": pa.array([1, 3], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="assoc_rules: orderkey"):
+        assoc_rules(_write_sf(tmp_path, lineitem=li))
+
+
 def test_value_moments_wide_cents_raises(tmp_path, ray_session):
     ev = pa.table(
         {

@@ -2906,6 +2906,7 @@ def test_new_relational_family_random_differential(tmp_path):
         "incremental_user_value",
         "events_zorder_scan",
         "bfs_hops",
+        "assoc_rules",
     ):
         def norm(v):
             # DuckDB's .df() floats nullable-int columns (NULL -> NaN);
@@ -3094,6 +3095,63 @@ def test_copurchase_pairs_matches_local_recompute():
     got = [
         (r["part_a"], r["part_b"], r["n_orders"])
         for r in copurchase_pairs(SF, n_shards=9, n_pair_shards=7).take_all()
+    ]
+    assert got == want
+
+
+def test_assoc_rules_matches_local_recompute():
+    """Support/confidence/lift equal the itertools + python-int recompute
+    (same capped-basket universe as copurchase_pairs)."""
+    from itertools import combinations
+
+    from invoice_extraction_ray.ops.relational import assoc_rules
+
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    baskets = {}
+    for o, p in zip(
+        li.column("l_orderkey").to_pylist(), li.column("l_partkey").to_pylist()
+    ):
+        baskets.setdefault(o, set()).add(p)
+    capped = {o: ps for o, ps in baskets.items() if len(ps) <= 64}
+    total = len(capped)
+    item = {}
+    pair = {}
+    for parts in capped.values():
+        for a in parts:
+            item[a] = item.get(a, 0) + 1
+        for a, b in combinations(sorted(parts), 2):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    top = sorted(pair.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = [
+        (
+            a,
+            b,
+            nab,
+            item[a],
+            item[b],
+            10**6 * nab // total,
+            10**6 * nab // item[a],
+            10**6 * nab // item[b],
+            10**6 * total * nab // (item[a] * item[b]),
+        )
+        for (a, b), nab in top
+    ]
+    got = [
+        tuple(
+            r[c]
+            for c in (
+                "part_a",
+                "part_b",
+                "n_orders",
+                "n_a",
+                "n_b",
+                "support_e6",
+                "conf_ab_e6",
+                "conf_ba_e6",
+                "lift_e6",
+            )
+        )
+        for r in assoc_rules(SF, n_shards=9, n_pair_shards=7).to_pylist()
     ]
     assert got == want
 
