@@ -548,6 +548,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("quality_features", text.quality_features),  # fixed-point
             ("doc_fingerprints", text.doc_fingerprints),  # HUGEINT rolling hash
             ("bm25_topk", text.bm25_topk),  # log-free idf, e6 fixed-point
+            ("bm25_topk_indexed", text.bm25_topk_indexed),  # postings layout
             ("unigram_surprisal", text.unigram_surprisal),  # bitlen-exact
             ("tfidf_top_terms", text.tfidf_top_terms),  # float-free order
             ("chunk_documents", text.chunk_documents),  # token windows
@@ -2751,6 +2752,10 @@ def oracle_sql() -> dict[str, str]:
     # order_details_bucketed: the SMB-layout variant is byte-identical to
     # order_details by construction — same oracle string
     out["order_details_bucketed"] = out["order_details"]
+    # bm25_topk_indexed: the inverted-index (postings_layout) variant is
+    # byte-identical to bm25_topk by construction (tf=0 contributions are
+    # exact IEEE zeros) — same oracle string
+    out["bm25_topk_indexed"] = out["bm25_topk"]
     out["hybrid_rrf_topk"] = (
         "WITH bmr AS (SELECT doc_id, row_number() OVER "
         "(ORDER BY score_e6 DESC, doc_id) AS r FROM (" + out["bm25_topk"] + ")), "

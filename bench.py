@@ -157,6 +157,8 @@ HEADLINE = [
     "bfs_hops",
     # association-rule metrics (support/confidence/lift) over capped baskets
     "assoc_rules",
+    # inverted-index BM25: postings layout build amortized, term-shard reads
+    "bm25_topk_indexed",
 ]
 
 

@@ -1670,3 +1670,248 @@ def source_drift_chi2(
             "chi2_e6": pa.array([x[3] for x in out], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# inverted-index (postings) layout: pay the tokenize + token-shard shuffle
+# ONCE at write time, then every keyword query reads ONLY its terms' shards
+# with a token filter pushed to the parquet row groups — the search-engine
+# member of the storage-layout family (SMB buckets = join locality,
+# compaction = file hygiene, z-order = 2-D scan locality, postings =
+# keyword-lookup locality)
+# ---------------------------------------------------------------------------
+
+_POSTINGS_CACHE_ROOT = "/tmp/ier_postings"
+_POSTINGS_LAYOUT_VERSION = 1
+
+
+def postings_layout(sf_dir: str, n_shards: int = 32) -> str:
+    """Materialize (once) a token-sharded inverted index over ``documents``:
+    one row per distinct (token, doc) with its term frequency and the doc's
+    length, hive-partitioned by crc32 token shard and TOKEN-SORTED within
+    each shard so a term lookup prunes to a few row groups via footer stats.
+    A ``shard=-1`` partition carries per-block corpus-stats sentinel rows
+    (doc count / token total) so queries never rescan the corpus for BM25's
+    N and avgdl.  Cached under the same (source size, mtime) + params +
+    tmp-rename + ``_COMPLETE`` discipline as the SMB layouts; point
+    ``IER_POSTINGS_CACHE`` at shared storage on a real cluster.
+
+    At 100 TB this is the pay-once index build every retrieval system runs;
+    afterwards a k-term query touches <= k shards of the index and ZERO
+    document text."""
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    from .relational import _publish_layout_dir
+
+    if n_shards & (n_shards - 1):
+        raise ValueError("postings_layout: n_shards must be a power of two")
+    src = _pq(sf_dir, "documents")
+    st = os.stat(src)
+    spec = json.dumps(
+        [
+            os.path.abspath(sf_dir),
+            "postings",
+            n_shards,
+            st.st_size,
+            int(st.st_mtime_ns),
+            _POSTINGS_LAYOUT_VERSION,
+        ],
+        sort_keys=True,
+    )
+    digest = hashlib.sha256(spec.encode()).hexdigest()[:16]
+    root = os.environ.get("IER_POSTINGS_CACHE", _POSTINGS_CACHE_ROOT)
+    dest = f"{root}/{digest}/documents"
+    marker = f"{dest}/_COMPLETE"
+    if os.path.exists(marker):
+        return dest
+    tmp = f"{dest}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    _POST = pa.schema(
+        [
+            ("shard", pa.int32()),
+            ("token", pa.string()),
+            ("doc_id", pa.int64()),
+            ("tf", pa.int64()),
+            ("dl", pa.int64()),
+        ]
+    )
+
+    def rows(t: pa.Table) -> pa.Table:
+        flat, parent = _ws_tokens(t.column("text"))
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        # (token, local row) tf via one Arrow group_by — no Python loop
+        g = (
+            pa.table(
+                {"token": flat, "row": pa.array(parent.astype(np.int64), pa.int64())}
+            )
+            .group_by(["token", "row"])
+            .aggregate([([], "count_all")])
+        )
+        rowi = g.column("row").to_numpy(zero_copy_only=False).astype(np.int64)
+        tok = g.column("token")
+        post = pa.table(
+            {
+                "shard": _crc32_shard(tok, n_shards - 1),
+                "token": tok,
+                "doc_id": pa.array(did[rowi], pa.int64()),
+                "tf": pc.cast(g.column("count_all"), pa.int64()),
+                "dl": pa.array(dl[rowi], pa.int64()),
+            },
+            schema=_POST,
+        )
+        # per-block corpus-stats sentinel: doc_id carries the block's doc
+        # count, tf its token total (summed at query time for N / avgdl)
+        sentinel = pa.table(
+            {
+                "shard": pa.array([-1], pa.int32()),
+                "token": pa.array([""], pa.string()),
+                "doc_id": pa.array([t.num_rows], pa.int64()),
+                "tf": pa.array([int(dl.sum())], pa.int64()),
+                "dl": pa.array([0], pa.int64()),
+            },
+            schema=_POST,
+        )
+        return pa.concat_tables([post, sentinel])
+
+    (
+        ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(rows, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            # token-sorted within each shard -> row-group stats prune lookups
+            lambda g: g.sort_by([("token", "ascending"), ("doc_id", "ascending")]),
+            batch_format="pyarrow",
+        )
+        .write_parquet(tmp, partition_cols=["shard"])
+    )
+    _publish_layout_dir(tmp, dest, spec)
+    return dest
+
+
+def bm25_topk_indexed(
+    sf_dir: str,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    n_shards: int = 32,
+    n_doc_shards: int = 64,
+) -> ray.data.Dataset:
+    """``bm25_topk`` served from the ``postings_layout`` inverted index —
+    byte-identical output (same pinned IEEE evaluation order, same
+    fixed-point ``score_e6``, same oracle string), but the query reads ONLY
+    the query terms' index shards with the token filter pushed to parquet
+    row groups: document text is never touched, and work scales with the
+    terms' posting sizes, not the corpus.
+
+    Equality argument: a doc absent from a term's postings has tf = 0, whose
+    BM25 contribution is exactly ``idf * ((0*(k1+1)) / (0+norm)) == 0.0``,
+    and IEEE ``x + 0.0 == x`` for the non-negative scores here — so summing
+    only over candidate postings in query-term order reproduces
+    ``bm25_topk``'s full-corpus accumulation bit for bit.  N / sum_dl come
+    from the layout's sentinel partition (exact integers), df from the
+    postings themselves (one row per (token, doc))."""
+    import os
+    import zlib
+
+    import pyarrow.parquet as pq_
+
+    from .relational import _require_layout_visible
+
+    root = postings_layout(sf_dir, n_shards)
+    _require_layout_visible(root)
+    _EMPTY = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "score_e6": pa.array([], pa.int64())}
+    )
+    sdir = f"{root}/shard=-1"
+    if not os.path.isdir(sdir):  # empty corpus wrote no sentinel partition
+        return ray.data.from_arrow(_EMPTY)
+    stats = pq_.read_table(sdir, columns=["doc_id", "tf"])
+    n_docs = int(pc.sum(stats.column("doc_id")).as_py() or 0)
+    sum_dl = int(pc.sum(stats.column("tf")).as_py() or 0)
+    if n_docs == 0:
+        return ray.data.from_arrow(_EMPTY)
+    avgdl = sum_dl / n_docs  # same int/int IEEE quotient as bm25_topk
+    k1p1 = k1 + 1.0
+
+    import glob as _glob
+
+    shards = sorted({zlib.crc32(t.encode()) & (n_shards - 1) for t in terms})
+    files = [
+        f
+        for s in shards
+        for f in sorted(_glob.glob(f"{root}/shard={s}/*.parquet"))
+    ]
+    if not files:  # none of the terms' shards have any postings
+        return ray.data.from_arrow(_EMPTY)
+    cand = ray.data.read_parquet(
+        files,
+        columns=["token", "doc_id", "tf", "dl"],
+        filter=pc.field("token").isin(list(terms)),
+    ).materialize()  # df-bounded candidate postings, reused for df + scoring
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("token").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "token": g.column("token"),
+                "df": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    dfm: dict[str, int] = {}
+    for r in cand.map_batches(df_partial, batch_format="pyarrow").take_all():
+        dfm[r["token"]] = dfm.get(r["token"], 0) + r["df"]  # O(blocks*terms)
+    idfs = [
+        (n_docs - dfm.get(t, 0) + 0.5) / (dfm.get(t, 0) + 0.5) for t in terms
+    ]
+
+    def add_dshard(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "dshard",
+            pa.array((((d * 2654435761) % (1 << 32)) % n_doc_shards).astype(np.int32)),
+        )
+
+    _OUT = pa.schema([("doc_id", pa.int64()), ("score_e6", pa.int64())])
+
+    def score_shard(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["dshard"])
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        did = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tfs = g.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        dls = g.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
+        tok = g.column("token")
+        udoc, inv = np.unique(did, return_inverse=True)
+        dl = np.zeros(len(udoc), dtype=np.float64)
+        dl[inv] = dls  # every posting of a doc carries the same dl
+        # pinned order: k1 * ((1-b) + b*(dl/avgdl)) — as in bm25_topk
+        norm = k1 * ((1.0 - b) + b * (dl / avgdl))
+        score = np.zeros(len(udoc), dtype=np.float64)
+        for term, idf in zip(terms, idfs):
+            m = pc.equal(tok, term).to_numpy(zero_copy_only=False)
+            tf = np.zeros(len(udoc), dtype=np.float64)
+            tf[inv[m]] = tfs[m]
+            score = score + idf * ((tf * k1p1) / (tf + norm))
+        score_e6 = np.floor(score * 1000000.0 + 0.5).astype(np.int64)
+        idx = np.lexsort((udoc, -score_e6))[:k]  # per-shard partial top-k
+        return pa.table(
+            {
+                "doc_id": pa.array(udoc[idx], pa.int64()),
+                "score_e6": pa.array(score_e6[idx], pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    scored = (
+        cand.map_batches(add_dshard, batch_format="pyarrow")
+        .groupby("dshard")
+        .map_groups(score_shard, batch_format="pyarrow")
+    )
+    return scored.sort(["score_e6", "doc_id"], descending=[True, False]).limit(k)

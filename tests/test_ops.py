@@ -4387,6 +4387,64 @@ def test_order_details_bucketed_equals_shuffle_join_and_reuses_layout():
     assert os.path.getmtime(marker) == mtime  # layout written once, reused
 
 
+def test_bm25_topk_indexed_equals_scan_and_reuses_layout():
+    """The inverted-index BM25 is byte-identical to the full-scan bm25_topk
+    (tf=0 contributions are exact IEEE zeros) and the postings layout
+    materializes exactly once (completion-marker reuse)."""
+    import os
+
+    from invoice_extraction_ray.ops.text import (
+        bm25_topk,
+        bm25_topk_indexed,
+        postings_layout,
+    )
+
+    want = [(r["doc_id"], r["score_e6"]) for r in bm25_topk(SF).take_all()]
+    got = [(r["doc_id"], r["score_e6"]) for r in bm25_topk_indexed(SF).take_all()]
+    assert got == want and len(got) == 10
+
+    root = postings_layout(SF)
+    mtime = os.path.getmtime(f"{root}/_COMPLETE")
+    got2 = [(r["doc_id"], r["score_e6"]) for r in bm25_topk_indexed(SF).take_all()]
+    assert got2 == want
+    assert os.path.getmtime(f"{root}/_COMPLETE") == mtime  # built once, reused
+
+
+def test_postings_layout_staleness_missing_terms_and_empty(tmp_path, monkeypatch):
+    """Regenerated source -> NEW postings layout; query terms absent from
+    the corpus -> empty result (not an error); empty corpus -> empty."""
+    import os
+    import shutil
+
+    from invoice_extraction_ray.ops.text import bm25_topk_indexed, postings_layout
+
+    monkeypatch.setenv("IER_POSTINGS_CACHE", str(tmp_path / "cache"))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", sf / "documents.parquet")
+
+    d1 = postings_layout(str(sf), n_shards=8)
+    assert os.path.exists(f"{d1}/_COMPLETE")
+    assert d1 == postings_layout(str(sf), n_shards=8)  # cache hit
+    os.utime(sf / "documents.parquet", ns=(1, 1))
+    assert postings_layout(str(sf), n_shards=8) != d1  # staleness: new dir
+
+    # terms that appear nowhere: exact empty ranking
+    assert (
+        bm25_topk_indexed(str(sf), terms=("qqqzzzqq", "xxyyyzz"), n_shards=8).take_all()
+        == []
+    )
+
+    # empty corpus: valid empty layout, empty result
+    sf2 = tmp_path / "sf2"
+    sf2.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}),
+        str(sf2 / "documents.parquet"),
+    )
+    assert bm25_topk_indexed(str(sf2), n_shards=8).take_all() == []
+
+
 def test_join_size_estimate_matches_sampled_recompute_and_bound():
     """The KMV join-cardinality estimator reproduces the single-process
     sampled computation exactly, and lands within the ~4/sqrt(K) error
