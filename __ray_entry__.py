@@ -503,6 +503,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
         # window / interval operators
         "window": [
             ("interval_overlap", _interval_overlap),
+            ("value_band_pairs", relational.value_band_pairs),  # numeric band join
             ("asof_purchase_view", _asof_purchase_view),
             ("sliding_window_counts", _sliding_window),
             ("user_cumulative_value", _user_cumulative_value),  # ROWS frame, cents
@@ -794,6 +795,9 @@ def oracle_sql() -> dict[str, str]:
         SERVED_FAIL_CODE as _SRV_CODE,
         SERVED_FAIL_MOD as _SRV_MOD,
         SERVED_LONG_MIN_TOKENS as _SRV_MIN,
+        BAND_EPS_C as _BAND_EPS,
+        BAND_MAX_PER_SIDE as _BAND_CAP,
+        BAND_TYPES as _BAND_T,
         BFS_MAX_HOPS as _BFS_MAXH,
         BFS_SOURCE_PART as _BFS_SEED,
         ZORDER_DAY_BACK_HI as _ZO_DHI,
@@ -1443,6 +1447,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders "
             "FROM pairs GROUP BY 1, 2 "
             "ORDER BY n_orders DESC, part_a, part_b LIMIT 20"
+        ),
+        # value_band_pairs: numeric band join — same-user (click, purchase)
+        # pairs within BAND_EPS_C cents; per-(user, side) HAVING cap mirrors
+        # the engine's pre-expansion fanout drop (config-shared constants)
+        "value_band_pairs": (
+            f"WITH f AS (SELECT event_id, user_id, event_type, "
+            f"CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events "
+            f"WHERE event_type IN ('{_BAND_T[0]}', '{_BAND_T[1]}')), "
+            f"ca AS (SELECT user_id FROM f WHERE event_type = '{_BAND_T[0]}' "
+            f"GROUP BY 1 HAVING count(*) <= {_BAND_CAP}), "
+            f"cb AS (SELECT user_id FROM f WHERE event_type = '{_BAND_T[1]}' "
+            f"GROUP BY 1 HAVING count(*) <= {_BAND_CAP}), "
+            f"a AS (SELECT f.* FROM f JOIN ca USING (user_id) "
+            f"WHERE event_type = '{_BAND_T[0]}'), "
+            f"b AS (SELECT f.* FROM f JOIN cb USING (user_id) "
+            f"WHERE event_type = '{_BAND_T[1]}') "
+            f"SELECT a.user_id, a.event_id AS click_id, "
+            f"b.event_id AS purchase_id, a.vc - b.vc AS diff_c "
+            f"FROM a JOIN b ON a.user_id = b.user_id "
+            f"AND abs(a.vc - b.vc) <= {_BAND_EPS}"
         ),
         # assoc_rules: association-rule metrics over the same capped-basket
         # universe as copurchase_pairs — support / confidence / lift in e6

@@ -159,6 +159,8 @@ HEADLINE = [
     "assoc_rules",
     # inverted-index BM25: postings layout build amortized, term-shard reads
     "bm25_topk_indexed",
+    # numeric band join (|click - purchase| <= eps cents, same user)
+    "value_band_pairs",
 ]
 
 

@@ -346,3 +346,13 @@ ZORDER_DAY_BACK_HI = 3
 # the traversal frontier exactly.
 BFS_SOURCE_PART = 1
 BFS_MAX_HOPS = 4
+
+# numeric band join (ops/relational.py::value_band_pairs and its oracle
+# SQL): pair same-user events of the two types whose cent values differ by
+# at most BAND_EPS_C.  Users with more than BAND_MAX_PER_SIDE events of a
+# side are dropped BEFORE expansion (the quadratic-fanout cap, mirrored in
+# the oracle's HAVING) so one hot user can never emit an unbounded pair
+# shard.  Shared here so engine and gate can never desync.
+BAND_TYPES = ("click", "purchase")
+BAND_EPS_C = 100          # |click_cents - purchase_cents| <= $1.00
+BAND_MAX_PER_SIDE = 256

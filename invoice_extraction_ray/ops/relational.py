@@ -5633,3 +5633,136 @@ def assoc_rules(
         cols["conf_ba_e6"].append(10**6 * nab // nb)
         cols["lift_e6"].append(10**6 * total * nab // (na * nb))
     return pa.table(cols, schema=_OUT)
+
+
+def value_band_pairs(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """Numeric BAND JOIN (range join on a value axis): pair same-user events
+    of the two ``config.BAND_TYPES`` whose cent values differ by at most
+    ``config.BAND_EPS_C`` — the |a.v - b.v| <= eps join family member
+    (contrast ``interval_overlap``, the time-interval overlap join).
+    Reference analogue: the amount-tolerance matching in
+    submission/utils/validators.py range checks.
+
+    Scale shape: rows co-partition by user hash (a user's events live
+    wholly in one shard, so per-user caps and matches are exact per shard);
+    inside a shard both sides lexsort by (user, value) ONCE and every
+    B row finds its A window with two vectorized ``searchsorted`` calls on
+    a packed (user << 32 | cents) key — no per-row loop, no quadratic
+    blowup (users over ``BAND_MAX_PER_SIDE`` on either side are dropped
+    before expansion, mirrored in the oracle's HAVING).  Pack widths are
+    guarded loudly (user < 2^30, cents < 2^32)."""
+    import numpy as np
+
+    from ..config import BAND_EPS_C, BAND_MAX_PER_SIDE, BAND_TYPES
+    from ._util import absorb_empty_blocks
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type", "value"],
+        filter=(pc.field("event_type").isin(list(BAND_TYPES))),
+    )
+
+    _ROWS = pa.schema(
+        [
+            ("ushard", pa.int32()),
+            ("user_id", pa.int64()),
+            ("side", pa.int8()),
+            ("event_id", pa.int64()),
+            ("vc", pa.int64()),
+        ]
+    )
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(u) and (u.max() >= (1 << 30) or u.min() < 0):
+            raise ValueError(
+                "value_band_pairs: user_id must be in [0, 2^30) for the "
+                "(user << 32) | cents searchsorted pack; got max %d" % int(u.max())
+            )
+        vc = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        if len(vc) and (vc.max() >= (1 << 32) or vc.min() < 0):
+            raise ValueError(
+                "value_band_pairs: cents must be in [0, 2^32) for the "
+                "(user << 32) | cents searchsorted pack; got %d" % int(vc.max())
+            )
+        side = pc.equal(t.column("event_type"), BAND_TYPES[1]).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "ushard": pa.array(
+                    (((u * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+                ),
+                "user_id": pa.array(u, pa.int64()),
+                "side": pa.array(side.astype(np.int8), pa.int8()),
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "vc": pa.array(vc, pa.int64()),
+            },
+            schema=_ROWS,
+        )
+
+    _OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("click_id", pa.int64()),
+            ("purchase_id", pa.int64()),
+            ("diff_c", pa.int64()),
+        ]
+    )
+
+    def band_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        vc = g.column("vc").to_numpy(zero_copy_only=False)
+        # per-(user, side) cap: users are whole within this shard, so the
+        # counts (and therefore the drop decision) are exact and global
+        keep = np.ones(len(u), dtype=bool)
+        for s in (0, 1):
+            m = side == s
+            uu, cnt = np.unique(u[m], return_counts=True)
+            hot = uu[cnt > BAND_MAX_PER_SIDE]
+            if len(hot):
+                keep &= ~(m & np.isin(u, hot))
+        u, side, eid, vc = u[keep], side[keep], eid[keep], vc[keep]
+        am, bm = side == 0, side == 1
+        if not am.any() or not bm.any():
+            return _OUT.empty_table()
+        apack = (u[am] << 32) | vc[am]
+        order = np.argsort(apack, kind="stable")
+        apack, aid = apack[order], eid[am][order]
+        bu, bv, bid = u[bm], vc[bm], eid[bm]
+        lo = np.searchsorted(
+            apack, (bu << 32) | np.maximum(bv - BAND_EPS_C, 0), side="left"
+        )
+        hi = np.searchsorted(
+            apack,
+            (bu << 32) | np.minimum(bv + BAND_EPS_C, (1 << 32) - 1),
+            side="right",
+        )
+        counts = hi - lo
+        b_idx = np.repeat(np.arange(len(bu)), counts)
+        blk = np.cumsum(counts) - counts
+        a_idx = np.repeat(lo, counts) + (np.arange(counts.sum()) - np.repeat(blk, counts))
+        avc = (apack & ((1 << 32) - 1))[a_idx]
+        return pa.table(
+            {
+                "user_id": pa.array(bu[b_idx], pa.int64()),
+                "click_id": pa.array(aid[a_idx], pa.int64()),
+                "purchase_id": pa.array(bid[b_idx], pa.int64()),
+                "diff_c": pa.array(avc - bv[b_idx], pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    return (
+        absorb_empty_blocks(
+            ds.map_batches(key_rows, batch_format="pyarrow"), batch_size=131072
+        )
+        .groupby("ushard")
+        .map_groups(lambda g: band_shard(_dropg(g, ["ushard"])), batch_format="pyarrow")
+    )

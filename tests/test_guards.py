@@ -85,6 +85,21 @@ def test_assoc_rules_wide_orderkey_raises(tmp_path, ray_session):
         assoc_rules(_write_sf(tmp_path, lineitem=li))
 
 
+def test_value_band_pairs_wide_user_raises(tmp_path, ray_session):
+    from invoice_extraction_ray.ops.relational import value_band_pairs
+
+    ev = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "user_id": pa.array([1 << 30, 1], pa.int64()),  # >= 2^30
+            "event_type": pa.array(["click", "purchase"], pa.string()),
+            "value": pa.array([1.0, 1.5]),
+        }
+    )
+    with pytest.raises(Exception, match="value_band_pairs: user_id"):
+        value_band_pairs(_write_sf(tmp_path, events=ev)).materialize()
+
+
 def test_value_moments_wide_cents_raises(tmp_path, ray_session):
     ev = pa.table(
         {

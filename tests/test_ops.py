@@ -2907,6 +2907,7 @@ def test_new_relational_family_random_differential(tmp_path):
         "events_zorder_scan",
         "bfs_hops",
         "assoc_rules",
+        "value_band_pairs",
     ):
         def norm(v):
             # DuckDB's .df() floats nullable-int columns (NULL -> NaN);
@@ -3154,6 +3155,64 @@ def test_assoc_rules_matches_local_recompute():
         for r in assoc_rules(SF, n_shards=9, n_pair_shards=7).to_pylist()
     ]
     assert got == want
+
+
+def test_value_band_pairs_matches_recompute_and_caps_hot_user(tmp_path):
+    """Band join equals the nested-loop recompute, and a user over the
+    per-side cap is dropped BEFORE pair expansion (no quadratic shard)."""
+    import numpy as np
+
+    from invoice_extraction_ray.config import (
+        BAND_EPS_C,
+        BAND_MAX_PER_SIDE,
+        BAND_TYPES,
+    )
+    from invoice_extraction_ray.ops.relational import value_band_pairs
+
+    rng = np.random.RandomState(7)
+    n = 2000
+    users = rng.randint(0, 40, n).astype(np.int64)
+    types = np.array([BAND_TYPES[i] for i in rng.randint(0, 2, n)], dtype=object)
+    vals = np.round(rng.uniform(0, 50, n), 2)
+    # plant a hot user: cap+1 clicks clustered at the same value
+    hot_n = BAND_MAX_PER_SIDE + 1
+    users = np.concatenate([users, np.full(hot_n, 99, dtype=np.int64)])
+    types = np.concatenate([types, np.array([BAND_TYPES[0]] * hot_n, dtype=object)])
+    vals = np.concatenate([vals, np.full(hot_n, 10.0)])
+    ev = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(users), dtype=np.int64)),
+            "user_id": pa.array(users),
+            "event_type": pa.array(list(types), pa.string()),
+            "value": pa.array(vals),
+        }
+    )
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+
+    vc = np.floor(vals * 100.0 + 0.5).astype(np.int64)
+    # eligible rows: per-(user, side) count <= cap
+    want = set()
+    from collections import Counter
+
+    cnt = Counter(zip(users.tolist(), types.tolist()))
+    for i in range(len(users)):
+        if types[i] != BAND_TYPES[0] or cnt[(users[i], BAND_TYPES[0])] > BAND_MAX_PER_SIDE:
+            continue
+        for j in range(len(users)):
+            if (
+                types[j] == BAND_TYPES[1]
+                and users[j] == users[i]
+                and cnt[(users[j], BAND_TYPES[1])] <= BAND_MAX_PER_SIDE
+                and abs(vc[i] - vc[j]) <= BAND_EPS_C
+            ):
+                want.add((int(users[i]), i, j, int(vc[i] - vc[j])))
+    got = {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["diff_c"])
+        for r in value_band_pairs(str(tmp_path), n_shards=5).take_all()
+    }
+    assert got == want
+    assert not any(r[0] == 99 for r in got)  # hot user capped out
+    assert len(got) > 50  # non-degenerate
 
 
 def test_data_quality_report_planted(tmp_path):
