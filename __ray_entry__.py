@@ -544,6 +544,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("vocab_coverage", text.vocab_coverage),  # exact integers
             ("quality_topquantile", lambda sf: text.quality_topquantile(sf, 0.75)),
             ("quality_percentiles", text.quality_percentiles),  # cume_dist mirror
+            ("weighted_quality_median", text.weighted_quality_median),  # weighted pctile
             ("bpe_token_count", text.bpe_token_count),  # RE2 both sides
             ("langid", text.langid),
             ("quality_features", text.quality_features),  # fixed-point
@@ -2029,6 +2030,21 @@ def oracle_sql() -> dict[str, str]:
             "WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_pred FROM c"
         ),
         "quality_features": _QUALITY_SQL,
+        # weighted_quality_median: token-weighted median quality score per
+        # lang — weighted median := min s with 2*cumweight(<=s) >= total
+        # (RANGE-frame window semantics); composed from the same
+        # _QUALITY_SQL kernel so the score can never desync
+        "weighted_quality_median": (
+            "WITH q AS (" + _QUALITY_SQL + "), "
+            "d AS (SELECT q.score_e5 AS s, q.n_tokens AS w, doc.lang "
+            "FROM q JOIN documents doc USING (doc_id)), "
+            "o AS (SELECT lang, s, "
+            "sum(w) OVER (PARTITION BY lang ORDER BY s) AS cw, "
+            "sum(w) OVER (PARTITION BY lang) AS tw FROM d) "
+            "SELECT lang, CAST(min(s) AS BIGINT) AS wmedian_e5, "
+            "CAST(min(tw) AS BIGINT) AS total_tokens "
+            "FROM o WHERE 2 * cw >= tw GROUP BY lang"
+        ),
         # dedup keeping the best-quality copy per NORMALIZED-text group
         # (lower + \s+ collapsed): same quality expression as
         # quality_features on the RAW text, argmax via row_number

@@ -161,6 +161,8 @@ HEADLINE = [
     "bm25_topk_indexed",
     # numeric band join (|click - purchase| <= eps cents, same user)
     "value_band_pairs",
+    # token-weighted median quality score per lang (weighted percentile)
+    "weighted_quality_median",
 ]
 
 

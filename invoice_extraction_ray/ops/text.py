@@ -1915,3 +1915,87 @@ def bm25_topk_indexed(
         .map_groups(score_shard, batch_format="pyarrow")
     )
     return scored.sort(["score_e6", "doc_id"], descending=[True, False]).limit(k)
+
+
+def weighted_quality_median(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """Token-WEIGHTED median quality score per language — the weighted-
+    percentile shape (weights = token counts): when curating by token
+    budget, the median must weight documents by the token mass they
+    contribute, not count them equally.  Convention mirrors SQL's
+    cumulative-window definition: the weighted median is the smallest score
+    s with 2 * cumweight(<= s) >= totalweight (ties share the cumulative
+    value, like a RANGE window frame).
+
+    Scale shape: scores come from the shared ``quality_arrays`` kernel;
+    each batch pre-combines to (lang, score, weight-sum) partials via one
+    Arrow group_by, languages co-partition by crc32 shard (a lang's rows
+    live wholly in one shard, so the per-lang pick is exact), and each
+    shard walks its few langs with a vectorized combine + cumsum — only
+    one row per (lang, distinct score) ever shuffles, one row per lang
+    returns."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        qa = quality_arrays(t.column("text"))
+        g = (
+            pa.table(
+                {
+                    "lang": t.column("lang"),
+                    "s": pa.array(qa["score_e5"], pa.int64()),
+                    "w": pa.array(qa["n_tokens"], pa.int64()),
+                }
+            )
+            .group_by(["lang", "s"])
+            .aggregate([("w", "sum")])
+        )
+        return pa.table(
+            {
+                "lshard": _crc32_shard(g.column("lang"), n_shards - 1),
+                "lang": g.column("lang"),
+                "s": g.column("s"),
+                "w": pc.cast(g.column("w_sum"), pa.int64()),
+            }
+        )
+
+    _OUT = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("wmedian_e5", pa.int64()),
+            ("total_tokens", pa.int64()),
+        ]
+    )
+
+    def reduce_shard(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["lshard"])
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        langs = g.column("lang").to_pylist()
+        s = g.column("s").to_numpy(zero_copy_only=False)
+        w = g.column("w").to_numpy(zero_copy_only=False)
+        out_l, out_m, out_t = [], [], []
+        for lang in sorted(set(langs)):  # few langs per shard (enum column)
+            m = np.fromiter((x == lang for x in langs), dtype=bool, count=len(langs))
+            from ._util import combine_by_key
+
+            us, uw = combine_by_key(s[m], w[m])
+            cw = np.cumsum(uw)
+            tw = int(cw[-1])
+            # smallest score with 2*cw >= tw; tw == 0 degenerates to min score
+            idx = int(np.searchsorted(2 * cw, tw, side="left"))
+            out_l.append(lang)
+            out_m.append(int(us[min(idx, len(us) - 1)]))
+            out_t.append(tw)
+        return pa.table(
+            {
+                "lang": pa.array(out_l, pa.string()),
+                "wmedian_e5": pa.array(out_m, pa.int64()),
+                "total_tokens": pa.array(out_t, pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lshard")
+        .map_groups(reduce_shard, batch_format="pyarrow")
+    )

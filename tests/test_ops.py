@@ -2908,6 +2908,7 @@ def test_new_relational_family_random_differential(tmp_path):
         "bfs_hops",
         "assoc_rules",
         "value_band_pairs",
+        "weighted_quality_median",
     ):
         def norm(v):
             # DuckDB's .df() floats nullable-int columns (NULL -> NaN);
@@ -3155,6 +3156,37 @@ def test_assoc_rules_matches_local_recompute():
         for r in assoc_rules(SF, n_shards=9, n_pair_shards=7).to_pylist()
     ]
     assert got == want
+
+
+def test_weighted_quality_median_matches_recompute():
+    """Token-weighted median per lang equals the sort + cumsum recompute,
+    including zero-weight docs and tied scores."""
+    from invoice_extraction_ray.ops.text import quality_arrays, weighted_quality_median
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text", "lang"])
+    qa = quality_arrays(docs.column("text"))
+    want = {}
+    by_lang: dict = {}
+    for lang, s, w in zip(
+        docs.column("lang").to_pylist(), qa["score_e5"], qa["n_tokens"]
+    ):
+        by_lang.setdefault(lang, []).append((int(s), int(w)))
+    for lang, rows in by_lang.items():
+        rows.sort()
+        tw = sum(w for _, w in rows)
+        cw = 0
+        med = rows[0][0]
+        for s, w in rows:
+            cw += w
+            if 2 * cw >= tw:
+                med = s
+                break
+        want[lang] = (med, tw)
+    got = {
+        r["lang"]: (r["wmedian_e5"], r["total_tokens"])
+        for r in weighted_quality_median(SF, n_shards=8).take_all()
+    }
+    assert got == want and len(got) >= 3
 
 
 def test_value_band_pairs_matches_recompute_and_caps_hot_user(tmp_path):
