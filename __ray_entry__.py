@@ -504,6 +504,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
         "window": [
             ("interval_overlap", _interval_overlap),
             ("value_band_pairs", relational.value_band_pairs),  # numeric band join
+            ("event_path_topk", relational.event_path_topk),  # user-journey paths
             ("asof_purchase_view", _asof_purchase_view),
             ("sliding_window_counts", _sliding_window),
             ("user_cumulative_value", _user_cumulative_value),  # ROWS frame, cents
@@ -1448,6 +1449,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders "
             "FROM pairs GROUP BY 1, 2 "
             "ORDER BY n_orders DESC, part_a, part_b LIMIT 20"
+        ),
+        # event_path_topk: user-journey mining — top-k first-3-event type
+        # paths; "first p per user" is an associative min-p combiner in the
+        # engine, string_agg ORDER BY rn in SQL
+        "event_path_topk": (
+            "WITH o AS (SELECT user_id, event_type, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), "
+            "p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) "
+            "AS path FROM o WHERE rn <= 3 GROUP BY user_id) "
+            "SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p "
+            "GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20"
         ),
         # value_band_pairs: numeric band join — same-user (click, purchase)
         # pairs within BAND_EPS_C cents; per-(user, side) HAVING cap mirrors

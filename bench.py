@@ -163,6 +163,8 @@ HEADLINE = [
     "value_band_pairs",
     # token-weighted median quality score per lang (weighted percentile)
     "weighted_quality_median",
+    # user-journey path mining (first-3 event-type sequences)
+    "event_path_topk",
 ]
 
 

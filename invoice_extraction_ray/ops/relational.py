@@ -5766,3 +5766,130 @@ def value_band_pairs(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
         .groupby("ushard")
         .map_groups(lambda g: band_shard(_dropg(g, ["ushard"])), batch_format="pyarrow")
     )
+
+
+def event_path_topk(sf_dir: str, p: int = 3, k: int = 20, n_shards: int = 64) -> pa.Table:
+    """USER-JOURNEY path mining: the top-k most common event-type SEQUENCES
+    formed by each user's first ``p`` events (ordered by ts, event_id),
+    joined with ``>`` — the full-path sibling of ``event_transitions``'s
+    bigram counts (reference analogue: the per-invoice extraction-strategy
+    sequencing in submission/utils/extractor.py).
+
+    Scale shape: "first p per user" is an associative min-p combiner, so
+    every batch locally sorts by (user, ts, event_id) and keeps at most p
+    rows per user BEFORE the user-shard shuffle (the wire carries <= p rows
+    per distinct user per block); each user shard finishes the exact first-p
+    per user, builds path strings vectorized per count class (the path
+    vocabulary is the EVENT_TYPES enum, <= |types|^p values), and collapses
+    to (path, n) partials — the driver sees only enum-bounded rows.  Users
+    never concentrate: the hottest user still contributes p rows."""
+    import numpy as np
+
+    from ._util import absorb_empty_blocks
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    _ROWS = pa.schema(
+        [
+            ("ushard", pa.int32()),
+            ("user_id", pa.int64()),
+            ("ts", pa.int64()),
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+        ]
+    )
+
+    def firstp(u, ts, eid) -> "np.ndarray":
+        """Indices of the first <= p rows per user given (u, ts, eid) sort
+        order keys — shared by the per-batch combiner and the shard finish."""
+        order = np.lexsort((eid, ts, u))
+        uu = u[order]
+        new = np.ones(len(uu), dtype=bool)
+        new[1:] = uu[1:] != uu[:-1]
+        starts = np.flatnonzero(new)
+        run_start = np.repeat(starts, np.diff(np.append(starts, len(uu))))
+        rank = np.arange(len(uu)) - run_start
+        return order[rank < p], rank[rank < p]
+
+    def batch_partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep, _ = firstp(u, ts, eid)
+        uk = u[keep]
+        return pa.table(
+            {
+                "ushard": pa.array(
+                    (((uk * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+                ),
+                "user_id": pa.array(uk, pa.int64()),
+                "ts": pa.array(ts[keep], pa.int64()),
+                "event_id": pa.array(eid[keep], pa.int64()),
+                "event_type": t.column("event_type").take(pa.array(keep)),
+            },
+            schema=_ROWS,
+        )
+
+    _PATHS = pa.schema([("path", pa.string()), ("n_users", pa.int64())])
+
+    def shard_paths(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PATHS.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        keep, rank = firstp(u, ts, eid)
+        types = g.column("event_type").take(pa.array(keep))
+        uu = u[keep]
+        udoc, inv = np.unique(uu, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(udoc))
+        # per-rank type columns aligned by user index; paths built per
+        # count class with one vectorized binary join each (no user loop)
+        cols = []
+        for r in range(p):
+            vals = np.full(len(udoc), "", dtype=object)
+            m = rank == r
+            tv = types.filter(pa.array(m)).to_pylist()
+            vals[inv[m]] = tv
+            cols.append(vals)
+        paths = np.full(len(udoc), "", dtype=object)
+        for c in range(1, p + 1):
+            m = cnt == c
+            if not m.any():
+                continue
+            joined = cols[0][m]
+            for r in range(1, c):
+                joined = np.char.add(np.char.add(joined.astype(str), ">"), cols[r][m].astype(str))
+            paths[m] = joined
+        upath, pcnt = np.unique(paths.astype(str), return_counts=True)
+        return pa.table(
+            {
+                "path": pa.array(upath.tolist(), pa.string()),
+                "n_users": pa.array(pcnt.astype(np.int64), pa.int64()),
+            },
+            schema=_PATHS,
+        )
+
+    partials = (
+        absorb_empty_blocks(
+            ds.map_batches(batch_partial, batch_format="pyarrow"), batch_size=131072
+        )
+        .groupby("ushard")
+        .map_groups(
+            lambda g: shard_paths(_dropg(g, ["ushard"])), batch_format="pyarrow"
+        )
+        .take_all()
+    )  # enum-bounded: <= |EVENT_TYPES|^p paths per shard
+    agg: dict[str, int] = {}
+    for r in partials:
+        agg[r["path"]] = agg.get(r["path"], 0) + r["n_users"]
+    top = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table(
+        {
+            "path": pa.array([t[0] for t in top], pa.string()),
+            "n_users": pa.array([t[1] for t in top], pa.int64()),
+        },
+        schema=_PATHS,
+    )

@@ -2909,6 +2909,7 @@ def test_new_relational_family_random_differential(tmp_path):
         "assoc_rules",
         "value_band_pairs",
         "weighted_quality_median",
+        "event_path_topk",
     ):
         def norm(v):
             # DuckDB's .df() floats nullable-int columns (NULL -> NaN);
@@ -3156,6 +3157,38 @@ def test_assoc_rules_matches_local_recompute():
         for r in assoc_rules(SF, n_shards=9, n_pair_shards=7).to_pylist()
     ]
     assert got == want
+
+
+def test_event_path_topk_matches_recompute():
+    """First-3-event journey paths equal the per-user sort recompute,
+    shard-count invariant."""
+    from collections import Counter
+
+    from invoice_extraction_ray.ops.relational import event_path_topk
+
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    by_user: dict = {}
+    for eid, ts, u, et in zip(
+        ev.column("event_id").to_pylist(),
+        ev.column("ts").cast(pa.int64()).to_pylist(),
+        ev.column("user_id").to_pylist(),
+        ev.column("event_type").to_pylist(),
+    ):
+        by_user.setdefault(u, []).append((ts, eid, et))
+    paths = Counter()
+    for rows in by_user.values():
+        rows.sort()
+        paths[">".join(et for _, _, et in rows[:3])] += 1
+    want = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    for shards in (1, 7):
+        got = [
+            (r["path"], r["n_users"])
+            for r in event_path_topk(SF, n_shards=shards).to_pylist()
+        ]
+        assert got == want
+    assert len(want) > 5
 
 
 def test_weighted_quality_median_matches_recompute():
