@@ -482,6 +482,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("copurchase_pairs", relational.copurchase_pairs),  # basket mining
             ("assoc_rules", relational.assoc_rules),  # support/confidence/lift
             ("copurchase_triangles", graph.copurchase_triangles),  # triangle count
+            ("copurchase_components", graph.copurchase_components),  # connected comps
             ("data_quality_report", relational.data_quality_report),  # contract audit
             ("rolling_active_users", relational.rolling_active_users),  # WAU
             ("order_lineitem_left", relational.order_lineitem_left),  # LEFT join
@@ -1480,6 +1481,25 @@ def oracle_sql() -> dict[str, str]:
             f"b.event_id AS purchase_id, a.vc - b.vc AS diff_c "
             f"FROM a JOIN b ON a.user_id = b.user_id "
             f"AND abs(a.vc - b.vc) <= {_BAND_EPS}"
+        ),
+        # copurchase_components: connected components of the support>=2
+        # co-purchase graph — min-label propagation in the engine, the
+        # min-reachable-label WITH RECURSIVE walk in SQL (same pattern as
+        # neardup_clusters, different pair generator)
+        "copurchase_components": (
+            "WITH RECURSIVE dp0 AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem), "
+            "okk AS (SELECT l_orderkey FROM dp0 GROUP BY 1 HAVING count(*) <= 64), "
+            "dp AS (SELECT dp0.* FROM dp0 JOIN okk USING (l_orderkey)), "
+            "pairs AS (SELECT a.l_partkey AS a_id, b.l_partkey AS b_id "
+            "FROM dp a JOIN dp b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2), "
+            "e AS (SELECT a_id AS src, b_id AS dst FROM pairs "
+            "UNION ALL SELECT b_id, a_id FROM pairs), "
+            "walk(node, lbl) AS (SELECT DISTINCT src, src FROM e "
+            "UNION SELECT e.src, walk.lbl FROM e JOIN walk ON e.dst = walk.node) "
+            "SELECT node AS part_id, CAST(min(lbl) AS BIGINT) AS component_id "
+            "FROM walk GROUP BY node"
         ),
         # assoc_rules: association-rule metrics over the same capped-basket
         # universe as copurchase_pairs — support / confidence / lift in e6

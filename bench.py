@@ -165,6 +165,8 @@ HEADLINE = [
     "weighted_quality_median",
     # user-journey path mining (first-3 event-type sequences)
     "event_path_topk",
+    # connected components of the support-filtered co-purchase graph
+    "copurchase_components",
 ]
 
 

@@ -939,3 +939,248 @@ def bfs_hops(
     return ray.data.from_arrow_refs(
         [final_t.remote(grid[s][0]) for s in range(n_shards)]
     ).sort(["kind", "key"])
+
+
+def copurchase_components(
+    sf_dir: str,
+    min_support: int = 2,
+    n_shards: int = 64,
+    max_basket: int = 64,
+    max_iters: int = 50,
+) -> ray.data.Dataset:
+    """CONNECTED COMPONENTS of the support-filtered co-purchase graph —
+    the graph-family fourth member (pagerank = centrality, bfs_hops =
+    traversal, copurchase_triangles = local clustering, components =
+    global partitioning): every part that co-occurs with another in at
+    least ``min_support`` orders is labeled with the MIN part id of its
+    component.  The market-basket analogue of dedup's cluster step
+    (ops/dedup.py::neardup_clusters — same join-free min-label
+    propagation, different pair generator).
+
+    Scale shape: pair counts ride the capped-basket expansion of
+    ``copurchase_pairs`` (order-shard triangular expansion, pair-shard
+    exact totals, support filter BEFORE any edge materializes); the
+    iteration unions edge rows with label rows, delivers labels with one
+    run-detected gather per shard per round, and converges on the
+    monotone label sum.  Per-round state is O(|edges|), never
+    corpus-sized; rounds = component diameter."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from ._util import absorb_empty_blocks
+    from .relational import _pq as _rpq
+
+    ds = ray.data.read_parquet(
+        _rpq(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(p) and (p.max() >= (1 << 21) or p.min() < 0):
+            raise ValueError(
+                "copurchase_components: partkey must be in [0, 2^21) for the "
+                "int64 (orderkey<<21)|partkey pack; got max %d" % int(p.max())
+            )
+        if len(o) and (o.max() >= (1 << 42) or o.min() < 0):
+            raise ValueError(
+                "copurchase_components: orderkey must be in [0, 2^42) for "
+                "the int64 (orderkey<<21)|partkey pack; got max %d" % int(o.max())
+            )
+        packed = np.unique((o << 21) | p)
+        oo = packed >> 21
+        return pa.table(
+            {
+                "oshard": pa.array(
+                    (((oo * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+                ),
+                "packed": pa.array(packed, pa.int64()),
+            }
+        )
+
+    _PAIRS = pa.schema([("pshard", pa.int32()), ("pair", pa.int64()), ("n", pa.int64())])
+
+    def expand_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PAIRS.empty_table()
+        packed = np.unique(g.column("packed").to_numpy(zero_copy_only=False))
+        o = packed >> 21
+        new = np.ones(len(o), dtype=bool)
+        new[1:] = o[1:] != o[:-1]
+        lens = np.diff(np.append(np.flatnonzero(new), len(o)))
+        elem_keep = np.repeat(lens <= max_basket, lens)
+        packed = packed[elem_keep]
+        if len(packed) == 0:
+            return _PAIRS.empty_table()
+        o, p = packed >> 21, packed & ((1 << 21) - 1)
+        new = np.ones(len(o), dtype=bool)
+        new[1:] = o[1:] != o[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(o))
+        run_end = np.repeat(ends, np.diff(np.append(starts, len(o))))
+        counts = run_end - np.arange(len(o)) - 1
+        a_idx = np.repeat(np.arange(len(o)), counts)
+        blk = np.cumsum(counts) - counts
+        b_idx = a_idx + 1 + (np.arange(counts.sum()) - np.repeat(blk, counts))
+        pair = (p[a_idx] << 21) | p[b_idx]
+        upair, cnt = np.unique(pair, return_counts=True)
+        return pa.table(
+            {
+                "pshard": pa.array(
+                    (((upair * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+                ),
+                "pair": pa.array(upair, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            },
+            schema=_PAIRS,
+        )
+
+    _EDGE = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())])
+
+    def support_filter(g: pa.Table) -> pa.Table:
+        """Pairs co-locate by pshard, so per-shard totals are global and
+        the support filter is exact."""
+        if g.num_rows == 0:
+            return _EDGE.empty_table()
+        from ._util import combine_by_key
+
+        pair = g.column("pair").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        upair, tot = combine_by_key(pair, n)
+        keep = tot >= min_support
+        upair = upair[keep]
+        return pa.table(
+            {
+                "a_id": pa.array(upair >> 21, pa.int64()),
+                "b_id": pa.array(upair & ((1 << 21) - 1), pa.int64()),
+            },
+            schema=_EDGE,
+        )
+
+    pairs = (
+        absorb_empty_blocks(
+            absorb_empty_blocks(
+                ds.map_batches(key_rows, batch_format="pyarrow"), batch_size=131072
+            )
+            .groupby("oshard")
+            .map_groups(
+                lambda g: expand_pairs(_dropg(g, ["oshard"])), batch_format="pyarrow"
+            ),
+            batch_size=131072,
+        )
+        .groupby("pshard")
+        .map_groups(
+            lambda g: support_filter(_dropg(g, ["pshard"])), batch_format="pyarrow"
+        )
+        .materialize()  # support-bounded edge set; reused every round
+    )
+
+    _OUTCC = pa.schema([("part_id", pa.int64()), ("component_id", pa.int64())])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("a_id").combine_chunks()
+        b = t.column("b_id").combine_chunks()
+        src = pa.chunked_array([a, b]).combine_chunks()
+        dst = pa.chunked_array([b, a]).combine_chunks()
+        shard = pc.cast(pc.bit_wise_and(src, 63), pa.int32())
+        return pa.table({"gnode": src, "peer": dst, "shard": shard})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(_OUTCC.empty_table())
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("gnode"),
+                "label": pc.min_element_wise(t.column("gnode"), t.column("nbr")),
+            }
+        )
+
+    labels = (
+        edges.groupby("gnode")
+        .aggregate(Min("peer", alias_name="nbr"))
+        .map_batches(fold, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t.column("node"), 63), pa.int32())
+        return pa.table(
+            {
+                "gnode": t.column("node"),
+                "peer": pa.nulls(t.num_rows, pa.int64()),
+                "shard": shard,
+                "lbl": t.column("label"),
+            }
+        )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "gnode": t.column("gnode"),
+                "peer": t.column("peer"),
+                "shard": t.column("shard"),
+                "lbl": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    _MSG = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    def deliver(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _MSG.empty_table()
+        g = g.sort_by([("gnode", "ascending")])
+        gnode = g.column("gnode").to_numpy(zero_copy_only=False)
+        peer_col = g.column("peer").combine_chunks()
+        lbl_col = g.column("lbl").combine_chunks()
+        is_edge = pc.is_valid(peer_col).to_numpy(zero_copy_only=False)
+        lbl_valid = pc.is_valid(lbl_col).to_numpy(zero_copy_only=False)
+        new = np.ones(len(gnode), dtype=bool)
+        new[1:] = gnode[1:] != gnode[:-1]
+        run_id = np.cumsum(new) - 1
+        run_label = np.empty(run_id[-1] + 1, dtype=np.int64)
+        lbl_np = lbl_col.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        run_label[run_id[lbl_valid]] = lbl_np[lbl_valid]
+        m = run_label[run_id]
+        peer_np = peer_col.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([peer_np[is_edge], gnode[~is_edge]])
+        label = np.concatenate([m[is_edge], m[~is_edge]])
+        return pa.table(
+            {"node": pa.array(node.astype(np.int64)), "label": pa.array(label)}
+        )
+
+    tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    prev_sum = None
+    for _ in range(max_iters):
+        tagged_labels = labels.map_batches(tag_labels, batch_format="pyarrow")
+        msgs = (
+            tagged_edges.union(tagged_labels)
+            .groupby("shard")
+            .map_groups(deliver, batch_format="pyarrow")
+        )
+        labels = (
+            msgs.groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur = 0
+        for blk in labels.iter_batches(batch_format="pyarrow", batch_size=65536):
+            cur += int(
+                np.sum(blk.column("label").to_numpy(zero_copy_only=False), dtype=np.int64)
+            )
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part_id": t.column("node").cast(pa.int64()),
+                "component_id": t.column("label").cast(pa.int64()),
+            },
+            schema=_OUTCC,
+        )
+
+    return labels.map_batches(project, batch_format="pyarrow")

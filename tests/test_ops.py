@@ -3159,6 +3159,83 @@ def test_assoc_rules_matches_local_recompute():
     assert got == want
 
 
+def test_copurchase_components_matches_union_find():
+    """Support-filtered co-purchase connected components equal the
+    union-find recompute (same capped-basket pair universe)."""
+    from itertools import combinations
+
+    from invoice_extraction_ray.ops.graph import copurchase_components
+
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    baskets = {}
+    for o, p in zip(
+        li.column("l_orderkey").to_pylist(), li.column("l_partkey").to_pylist()
+    ):
+        baskets.setdefault(o, set()).add(p)
+    cnt = {}
+    for parts in baskets.values():
+        if len(parts) > 64:
+            continue
+        for a, b in combinations(sorted(parts), 2):
+            cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (a, b), n in cnt.items():
+        if n < 2:
+            continue
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    got = {
+        r["part_id"]: r["component_id"]
+        for r in copurchase_components(SF, n_shards=9).take_all()
+    }
+    assert got == want and len(got) > 20
+
+
+def test_copurchase_components_planted_graph(tmp_path):
+    """Two planted cliques joined by a single-support (sub-threshold) tie
+    stay SEPARATE components; in-clique pairs (support 2) merge."""
+    from invoice_extraction_ray.ops.graph import copurchase_components
+
+    rows = []
+    # clique A: parts 1,2,3 bought together in orders 10 and 11 (support 2)
+    # clique B: parts 7,8 together in orders 20 and 21
+    # weak tie: parts 3 and 7 together ONCE (order 30) — below min_support
+    for o, parts in [
+        (10, [1, 2, 3]),
+        (11, [1, 2, 3]),
+        (20, [7, 8]),
+        (21, [7, 8]),
+        (30, [3, 7]),
+    ]:
+        for p in parts:
+            rows.append((o, p))
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    got = {
+        r["part_id"]: r["component_id"]
+        for r in copurchase_components(str(tmp_path), n_shards=3).take_all()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
 def test_event_path_topk_matches_recompute():
     """First-3-event journey paths equal the per-user sort recompute,
     shard-count invariant."""
