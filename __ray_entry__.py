@@ -602,6 +602,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("ann_topk_multi", ann.ann_topk_multi),  # QUALIFY per query
             ("lsh_ann_topk", ann.lsh_topk),  # plane literals
             ("ivf_ann_topk", ann.ivf_topk),  # centroid literals
+            ("ivf_ann_topk_indexed", ann.ivf_topk_indexed),  # persisted IVF layout
             ("kmeans_clusters", lambda sf: ann.kmeans_clusters(sf, 8)),
             ("pq_ann_topk", ann.pq_topk),  # codebook literals, pinned
             ("ann_recall_report", ann.ann_recall_report),  # composed, pinned
@@ -2817,6 +2818,10 @@ def oracle_sql() -> dict[str, str]:
             f"pq AS ({out['pq_ann_topk']}) "
             f"SELECT * FROM ({_union}) ORDER BY index_name"
         )
+        # ivf_ann_topk_indexed: the persisted-ivf_layout variant assigns
+        # with the identical normalized argmax, so its candidate set and
+        # scores are ivf_ann_topk's by construction — same oracle string
+        out["ivf_ann_topk_indexed"] = out["ivf_ann_topk"]
     # hybrid_rrf_topk: reciprocal-rank fusion composed from the SAME
     # strings the gate runs for bm25_topk / ann_topk (rankers can never
     # desync from the fusion); ranks come from the fixed-point scores
@@ -2859,6 +2864,7 @@ SF001_PINNED = [
     "boilerplate_scrub",
     "redact_names",
     "ivf_ann_topk",
+    "ivf_ann_topk_indexed",
     "kmeans_clusters",
     "pq_ann_topk",
     "ann_recall_report",

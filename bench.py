@@ -167,6 +167,8 @@ HEADLINE = [
     "event_path_topk",
     # connected components of the support-filtered co-purchase graph
     "copurchase_components",
+    # persisted-IVF-layout ANN (index build amortized, probe-list reads)
+    "ivf_ann_topk_indexed",
 ]
 
 

@@ -936,3 +936,153 @@ def hybrid_rrf_topk(
             "ann_rank": pa.array([x[3] for x in fused], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index LAYOUT: persist the corpus hive-partitioned by nearest-centroid
+# list (plus the centroid model itself), so an ANN query reads ONLY its
+# n_probe lists' files — the vector-side member of the storage-layout family
+# (SMB buckets, compaction, z-order, postings).  Contrast ivf_topk, which
+# re-assigns the whole corpus per query.
+# ---------------------------------------------------------------------------
+
+_IVF_CACHE_ROOT = "/tmp/ier_ivf"
+_IVF_LAYOUT_VERSION = 1
+
+
+def ivf_layout(sf_dir: str, n_list: int = 16) -> str:
+    """Materialize (once) the IVF index layout: vectors land in ``list=L/``
+    hive directories with L = argmax over the trained coarse centroids of
+    the NORMALIZED dot product (exactly ``ivf_topk``'s assignment, so the
+    indexed query's candidate set is identical by construction); the
+    centroid matrix persists as ``_centroids.parquet`` in the layout root
+    so queries never retrain.  Same cache discipline as the other layouts:
+    key covers source (size, mtime) + params, tmp-rename + ``_COMPLETE``;
+    point ``IER_IVF_CACHE`` at shared storage on a real cluster.
+
+    At 100 TB this is the index build every vector store amortizes: one
+    assignment pass + one partitioned write, after which every query
+    touches n_probe/n_list of the corpus bytes."""
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq_
+
+    from .relational import _publish_layout_dir
+
+    src = _pq(sf_dir, "embeddings")
+    st = os.stat(src)
+    spec = json.dumps(
+        [
+            os.path.abspath(sf_dir),
+            "ivf",
+            n_list,
+            st.st_size,
+            int(st.st_mtime_ns),
+            _IVF_LAYOUT_VERSION,
+        ],
+        sort_keys=True,
+    )
+    digest = hashlib.sha256(spec.encode()).hexdigest()[:16]
+    root = os.environ.get("IER_IVF_CACHE", _IVF_CACHE_ROOT)
+    dest = f"{root}/{digest}/embeddings"
+    marker = f"{dest}/_COMPLETE"
+    if os.path.exists(marker):
+        return dest
+    tmp = f"{dest}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    cents = _train_centroids(sf_dir, n_list)
+    dim = cents.shape[1]
+    cents_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        bc = ray.get(cents_ref)  # plasma zero-copy per batch
+        m = embedding_matrix(t.column("embedding"), dim=dim)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        a = np.argmax(mn @ bc.T, axis=1).astype(np.int64)  # == ivf_topk
+        return t.append_column("list", pa.array(a, pa.int64()))
+
+    (
+        ray.data.read_parquet(src, columns=["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow")
+        .write_parquet(tmp, partition_cols=["list"])
+    )
+    os.makedirs(tmp, exist_ok=True)  # empty corpus: commit a valid empty layout
+    pq_.write_table(
+        pa.table(
+            {
+                "list_id": pa.array(np.arange(len(cents), dtype=np.int64)),
+                "centroid": pa.array(
+                    [c.astype(np.float32) for c in cents], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        f"{tmp}/_centroids.parquet",
+    )
+    _publish_layout_dir(tmp, dest, spec)
+    return dest
+
+
+def ivf_topk_indexed(
+    sf_dir: str,
+    k: int = 10,
+    query_vec_id: int = 0,
+    n_list: int = 16,
+    n_probe: int = 4,
+) -> ray.data.Dataset:
+    """``ivf_topk`` served from the persisted ``ivf_layout``: identical
+    output by construction (the layout stores every vector under exactly
+    the list ``ivf_topk`` would assign it to, and the persisted centroids
+    reproduce the same probe set), but the query READS only the n_probe
+    list directories — no corpus-wide assignment pass, no retraining.
+    Same oracle string as ivf_ann_topk."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from .relational import _require_layout_visible
+
+    root = ivf_layout(sf_dir, n_list)
+    _require_layout_visible(root)
+    _EMPTY = pa.table(
+        {"vec_id": pa.array([], pa.int64()), "sim_e4": pa.array([], pa.int64())}
+    )
+    ct = pq_.read_table(f"{root}/_centroids.parquet")
+    order = np.argsort(ct.column("list_id").to_numpy(zero_copy_only=False))
+    cents = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in ct.column("centroid").to_pylist()]
+    )[order]
+
+    q = _load_query_vec(sf_dir, query_vec_id)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    probe = np.argsort(-(cents @ qn))[:n_probe].tolist()
+    files = [
+        f
+        for L in sorted(probe)
+        for f in sorted(_glob.glob(f"{root}/list={L}/*.parquet"))
+    ]
+    if not files:
+        return ray.data.from_arrow(_EMPTY)
+    qref = ray.put(qn)
+
+    def score(t: pa.Table) -> pa.Table:
+        bq = ray.get(qref)
+        m = embedding_matrix(t.column("embedding"), dim=len(bq))
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = mn @ bq
+        return pa.table(
+            {
+                "vec_id": pa.array(vid),
+                "sim_e4": pa.array(np.floor(sims * 10_000.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    scored = ray.data.read_parquet(files, columns=["vec_id", "embedding"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+    return scored.sort(["sim_e4", "vec_id"], descending=[True, False]).limit(k)

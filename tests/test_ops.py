@@ -4588,6 +4588,24 @@ def test_order_details_bucketed_equals_shuffle_join_and_reuses_layout():
     assert os.path.getmtime(marker) == mtime  # layout written once, reused
 
 
+def test_ivf_topk_indexed_equals_scan_and_reuses_layout():
+    """The persisted-layout IVF query is identical to the per-query
+    assignment path, and the index materializes exactly once."""
+    import os
+
+    from invoice_extraction_ray.ops.ann import ivf_layout, ivf_topk, ivf_topk_indexed
+
+    want = [(r["vec_id"], r["sim_e4"]) for r in ivf_topk(SF).take_all()]
+    got = [(r["vec_id"], r["sim_e4"]) for r in ivf_topk_indexed(SF).take_all()]
+    assert got == want and len(got) == 10
+
+    root = ivf_layout(SF)
+    mtime = os.path.getmtime(f"{root}/_COMPLETE")
+    got2 = [(r["vec_id"], r["sim_e4"]) for r in ivf_topk_indexed(SF).take_all()]
+    assert got2 == want
+    assert os.path.getmtime(f"{root}/_COMPLETE") == mtime  # built once, reused
+
+
 def test_bm25_topk_indexed_equals_scan_and_reuses_layout():
     """The inverted-index BM25 is byte-identical to the full-scan bm25_topk
     (tf=0 contributions are exact IEEE zeros) and the postings layout
