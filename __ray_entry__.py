@@ -553,6 +553,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("doc_fingerprints", text.doc_fingerprints),  # HUGEINT rolling hash
             ("bm25_topk", text.bm25_topk),  # log-free idf, e6 fixed-point
             ("bm25_topk_indexed", text.bm25_topk_indexed),  # postings layout
+            ("boolean_and_search", text.boolean_and_search),  # postings intersect
             ("unigram_surprisal", text.unigram_surprisal),  # bitlen-exact
             ("tfidf_top_terms", text.tfidf_top_terms),  # float-free order
             ("chunk_documents", text.chunk_documents),  # token windows
@@ -659,6 +660,7 @@ def oracle_sql() -> dict[str, str]:
         SESSION_GAP_MIN,
     )
     from invoice_extraction_ray.ops.text import _BPE_RE
+    from invoice_extraction_ray.ops.text import BM25_TERMS as _BM25_TERMS
 
     _BPE_SQL_PATTERN = _BPE_RE.pattern.replace("'", "''")
 
@@ -2063,6 +2065,16 @@ def oracle_sql() -> dict[str, str]:
             "WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_pred FROM c"
         ),
         "quality_features": _QUALITY_SQL,
+        # boolean_and_search: postings-list intersection — docs containing
+        # EVERY BM25 query term (terms shared via ops.text.BM25_TERMS, the
+        # same constant bm25_topk's oracle interpolates)
+        "boolean_and_search": (
+            "WITH w AS (SELECT doc_id, "
+            "regexp_extract_all(coalesce(text,''), '\\S+') AS ws FROM documents) "
+            "SELECT doc_id FROM w WHERE "
+            + " AND ".join(f"list_contains(ws, '{t}')" for t in _BM25_TERMS)
+            + " ORDER BY doc_id"
+        ),
         # weighted_quality_median: token-weighted median quality score per
         # lang — weighted median := min s with 2*cumweight(<=s) >= total
         # (RANGE-frame window semantics); composed from the same

@@ -169,6 +169,8 @@ HEADLINE = [
     "copurchase_components",
     # persisted-IVF-layout ANN (index build amortized, probe-list reads)
     "ivf_ann_topk_indexed",
+    # boolean AND retrieval (postings-list intersection, zero corpus scan)
+    "boolean_and_search",
 ]
 
 

@@ -1999,3 +1999,71 @@ def weighted_quality_median(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset
         .groupby("lshard")
         .map_groups(reduce_shard, batch_format="pyarrow")
     )
+
+
+def boolean_and_search(
+    sf_dir: str,
+    terms: tuple[str, ...] = BM25_TERMS,
+    n_shards: int = 32,
+    n_doc_shards: int = 64,
+) -> ray.data.Dataset:
+    """Boolean AND retrieval over the ``postings_layout`` inverted index:
+    the doc ids containing EVERY query term — the classic postings-list
+    intersection, served with ZERO corpus scan (only the terms' index
+    shards are read, token filter pushed to row groups).
+
+    Scale shape: a doc's postings for different terms can live in
+    different token shards, so candidates co-partition by doc hash and
+    each doc shard counts DISTINCT matched terms vectorized; a doc
+    qualifies iff its distinct-term count equals |terms|.  Work scales
+    with the smallest practical bound — the terms' posting sizes — never
+    the corpus."""
+    import glob as _glob
+    import os
+    import zlib
+
+    from .relational import _require_layout_visible
+
+    terms = tuple(dict.fromkeys(terms))  # dedupe, preserve order
+    root = postings_layout(sf_dir, n_shards)
+    _require_layout_visible(root)
+    _EMPTY = pa.table({"doc_id": pa.array([], pa.int64())})
+    shards = sorted({zlib.crc32(t.encode()) & (n_shards - 1) for t in terms})
+    files = [
+        f
+        for s in shards
+        for f in sorted(_glob.glob(f"{root}/shard={s}/*.parquet"))
+    ]
+    if not files:
+        return ray.data.from_arrow(_EMPTY)
+    cand = ray.data.read_parquet(
+        files,
+        columns=["token", "doc_id"],
+        filter=pc.field("token").isin(list(terms)),
+    )
+
+    def add_dshard(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "dshard",
+            pa.array((((d * 2654435761) % (1 << 32)) % n_doc_shards).astype(np.int32)),
+        )
+
+    need = len(terms)
+
+    def intersect(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["dshard"])
+        if g.num_rows == 0:
+            return _EMPTY
+        did = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        # one posting row per (token, doc) by layout construction, so the
+        # per-doc row count IS the distinct matched-term count
+        udoc, cnt = np.unique(did, return_counts=True)
+        return pa.table({"doc_id": pa.array(udoc[cnt >= need], pa.int64())})
+
+    return (
+        cand.map_batches(add_dshard, batch_format="pyarrow")
+        .groupby("dshard")
+        .map_groups(intersect, batch_format="pyarrow")
+        .sort("doc_id")
+    )

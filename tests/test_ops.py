@@ -4606,6 +4606,21 @@ def test_ivf_topk_indexed_equals_scan_and_reuses_layout():
     assert os.path.getmtime(f"{root}/_COMPLETE") == mtime  # built once, reused
 
 
+def test_boolean_and_search_matches_recompute():
+    """Postings-list intersection equals the per-doc token-set recompute
+    and shares the bm25 postings layout."""
+    from invoice_extraction_ray.ops.text import BM25_TERMS, boolean_and_search
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    want = sorted(
+        d
+        for d, t in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())
+        if all(term in (t or "").split() for term in BM25_TERMS)
+    )
+    got = [r["doc_id"] for r in boolean_and_search(SF).take_all()]
+    assert got == want and len(got) > 0
+
+
 def test_bm25_topk_indexed_equals_scan_and_reuses_layout():
     """The inverted-index BM25 is byte-identical to the full-scan bm25_topk
     (tf=0 contributions are exact IEEE zeros) and the postings layout
