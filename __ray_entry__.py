@@ -491,6 +491,9 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("user_favorite_event", relational.user_favorite_event),  # grouped mode
             ("large_order_customers", relational.large_order_customers),  # Q18 HAVING+join
             ("order_lineitem_semi", relational.order_lineitem_semi),  # EXISTS semijoin
+            # Q21 exactly-one-witness: the sole returning supplier on
+            # multi-supplier orders (EXISTS + NOT-EXISTS as distinct counts)
+            ("sole_return_suppliers", relational.sole_return_suppliers),
             ("lineitem_cube", relational.lineitem_cube),  # GROUP BY CUBE
             # Q13 aggregate-of-aggregates with the LEFT-JOIN zero class
             ("customer_order_distribution", relational.customer_order_distribution),
@@ -793,6 +796,7 @@ def oracle_sql() -> dict[str, str]:
         LARGE_ORDER_MIN_QTY as _Q18_MIN,
         NTILE_N as _NTILE_N,
         SEMI_JOIN_RETURNFLAG as _SEMI_RF,
+        SOLE_RETURN_TOPK as _SRS_TOPK,
         SERVED_REWARD_SCALE as _SRV_RSCALE,
         SNAPSHOT_ADDED_MOD as _SNAP_AD,
         SNAPSHOT_ADDED_OFFSET as _SNAP_OFF,
@@ -2143,6 +2147,21 @@ def oracle_sql() -> dict[str, str]:
             "WHERE EXISTS (SELECT 1 FROM lineitem l "
             "WHERE l.l_orderkey = o.o_orderkey "
             f"AND l.l_returnflag = '{_SEMI_RF}')"
+        ),
+        # Q21 exactly-one-witness: EXISTS-another-supplier AND
+        # NOT-EXISTS-another-returning-supplier re-expressed as distinct
+        # counting per order; flag + top-k shared via config
+        # (SEMI_JOIN_RETURNFLAG, SOLE_RETURN_TOPK)
+        "sole_return_suppliers": (
+            "WITH os AS (SELECT l_orderkey, l_suppkey, "
+            f"max(CASE WHEN l_returnflag = '{_SEMI_RF}' THEN 1 ELSE 0 END) "
+            "AS has_r FROM lineitem GROUP BY 1, 2), "
+            "o AS (SELECT l_orderkey, count(*) AS n_supp, sum(has_r) AS n_r, "
+            "max(CASE WHEN has_r = 1 THEN l_suppkey END) AS r_supp "
+            "FROM os GROUP BY 1) "
+            "SELECT r_supp AS s_suppkey, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM o WHERE n_supp >= 2 AND n_r = 1 GROUP BY 1 "
+            f"ORDER BY n_orders DESC, s_suppkey LIMIT {_SRS_TOPK}"
         ),
         # full CUBE grouping sets: leaf + both single-key slices + grand
         # total, NULL markers and exact per-row-rounded cents both engines

@@ -171,6 +171,8 @@ HEADLINE = [
     "ivf_ann_topk_indexed",
     # boolean AND retrieval (postings-list intersection, zero corpus scan)
     "boolean_and_search",
+    # Q21 exactly-one-witness per-order set logic (EXISTS + NOT EXISTS)
+    "sole_return_suppliers",
 ]
 
 

@@ -356,3 +356,9 @@ BFS_MAX_HOPS = 4
 BAND_TYPES = ("click", "purchase")
 BAND_EPS_C = 100          # |click_cents - purchase_cents| <= $1.00
 BAND_MAX_PER_SIDE = 256
+
+# TPC-H Q21's exactly-one-witness shape (ops/relational.py::
+# sole_return_suppliers and its oracle SQL): credit the single supplier
+# holding the only returned lineitem on a multi-supplier order; report the
+# top-K suppliers by credited-order count.  Flag shared with the semijoin.
+SOLE_RETURN_TOPK = 20

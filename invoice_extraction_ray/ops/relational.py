@@ -5893,3 +5893,126 @@ def event_path_topk(sf_dir: str, p: int = 3, k: int = 20, n_shards: int = 64) ->
         },
         schema=_PATHS,
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: per-group exactly-one-witness logic (EXISTS another
+# supplier AND NOT EXISTS another *failing* supplier, re-expressed as
+# distinct counting inside one orderkey-shard groupby)
+# ---------------------------------------------------------------------------
+
+
+def sole_return_suppliers(
+    sf_dir: str, num_shards: int = 64, k: int | None = None
+) -> ray.data.Dataset:
+    """TPC-H Q21's EXISTS / NOT-EXISTS pair: suppliers credited for orders
+    that involve >= 2 distinct suppliers but where EXACTLY ONE supplier has
+    a returned (``config.SEMI_JOIN_RETURNFLAG``) lineitem — that supplier
+    "caused" the return; report the top ``config.SOLE_RETURN_TOPK``
+    suppliers by credited-order count (count desc, suppkey asc).
+
+    Scale shape: Q21's correlated subqueries become distinct counting over
+    (orderkey, suppkey) pairs.  Lineitem pre-collapses PER BATCH to
+    distinct (orderkey, suppkey, any_returned) triples — an associative OR
+    partial, so duplicates across batches merge exactly — and only those
+    slim triples ride ONE orderkey-shard groupby.  Each shard finishes the
+    per-order logic fully vectorized (lexsort + run detection + segment
+    sums: n_supp >= 2 and n_returned == 1 picks the witness row) and emits
+    bounded (s_suppkey, n_orders) partials; a tiny supplier-level Sum plus
+    sort + limit ends it.  Nothing order- or lineitem-scaled reaches the
+    driver; no broadcast side.
+    """
+    import numpy as np
+
+    from ._util import absorb_empty_blocks, int_segment_sum
+    from ..config import SEMI_JOIN_RETURNFLAG, SOLE_RETURN_TOPK
+
+    if k is None:
+        k = SOLE_RETURN_TOPK
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    _PART = pa.schema(
+        [
+            ("oshard", pa.int32()),
+            ("okey", pa.int64()),
+            ("skey", pa.int64()),
+            ("has_r", pa.int64()),
+        ]
+    )
+
+    def _collapse(ok, sk, hr):
+        """Distinct (okey, skey) pairs with OR-combined has_r (as 0/1)."""
+        order = np.lexsort((sk, ok))
+        ok, sk, hr = ok[order], sk[order], hr[order]
+        new = np.ones(len(ok), dtype=bool)
+        new[1:] = (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])
+        starts = np.flatnonzero(new)
+        hr_any = (int_segment_sum(hr, starts) > 0).astype(np.int64)
+        return ok[starts], sk[starts], hr_any
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PART.empty_table()
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        hr = (
+            pc.equal(t.column("l_returnflag"), SEMI_JOIN_RETURNFLAG)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ok, sk, hr = _collapse(ok, sk, hr)
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(ok)),
+                "okey": pa.array(ok, pa.int64()),
+                "skey": pa.array(sk, pa.int64()),
+                "has_r": pa.array(hr, pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    _OUT = pa.schema([("s_suppkey", pa.int64()), ("n_orders", pa.int64())])
+
+    def merge_shard(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["oshard"])
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        ok = g.column("okey").to_numpy(zero_copy_only=False)
+        sk = g.column("skey").to_numpy(zero_copy_only=False)
+        hr = g.column("has_r").to_numpy(zero_copy_only=False)
+        ok, sk, hr = _collapse(ok, sk, hr)
+        # per-order segments over the now-distinct pair rows
+        new_o = np.ones(len(ok), dtype=bool)
+        new_o[1:] = ok[1:] != ok[:-1]
+        ostarts = np.flatnonzero(new_o)
+        n_supp = np.diff(np.append(ostarts, len(ok)))
+        n_r = int_segment_sum(hr, ostarts)
+        seg = np.cumsum(new_o) - 1
+        qual = (n_supp >= 2) & (n_r == 1)
+        witness = qual[seg] & (hr == 1)
+        if not witness.any():
+            return _OUT.empty_table()
+        us, cnt = np.unique(sk[witness], return_counts=True)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(us, pa.int64()),
+                "n_orders": pa.array(cnt.astype(np.int64), pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+    ).map_batches(partial, batch_format="pyarrow")
+    return (
+        absorb_empty_blocks(ds, batch_size=131072)
+        .groupby("oshard")
+        .map_groups(merge_shard, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .sort(["n_orders", "s_suppkey"], descending=[True, False])
+        .limit(k)
+    )

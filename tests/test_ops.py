@@ -5171,3 +5171,41 @@ def test_bfs_hops_isolated_seed(tmp_path):
         ("supplier", 2): 1,
         ("part", 6): 2,
     }
+
+
+def test_sole_return_suppliers_matches_local_recompute():
+    """Q21 exactly-one-witness: per order, >=2 distinct suppliers and
+    exactly one with an R-flag lineitem credits that supplier; top-k by
+    (count desc, suppkey asc)."""
+    from collections import defaultdict
+
+    from invoice_extraction_ray.config import (
+        SEMI_JOIN_RETURNFLAG,
+        SOLE_RETURN_TOPK,
+    )
+    from invoice_extraction_ray.ops.relational import sole_return_suppliers
+
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+    )
+    per_order: dict[int, dict[int, bool]] = defaultdict(dict)
+    for ok, sk, f in zip(
+        li.column("l_orderkey").to_pylist(),
+        li.column("l_suppkey").to_pylist(),
+        li.column("l_returnflag").to_pylist(),
+    ):
+        per_order[ok][sk] = per_order[ok].get(sk, False) or (
+            f == SEMI_JOIN_RETURNFLAG
+        )
+    credit: dict[int, int] = defaultdict(int)
+    for supps in per_order.values():
+        rs = [s for s, r in supps.items() if r]
+        if len(supps) >= 2 and len(rs) == 1:
+            credit[rs[0]] += 1
+    want = sorted(credit.items(), key=lambda kv: (-kv[1], kv[0]))[:SOLE_RETURN_TOPK]
+    got = [
+        (r["s_suppkey"], r["n_orders"])
+        for r in sole_return_suppliers(SF).take_all()
+    ]
+    assert got == want and len(got) > 0
