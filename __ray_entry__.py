@@ -494,6 +494,8 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             # Q21 exactly-one-witness: the sole returning supplier on
             # multi-supplier orders (EXISTS + NOT-EXISTS as distinct counts)
             ("sole_return_suppliers", relational.sole_return_suppliers),
+            # Q22 global-scalar subquery + NOT-EXISTS anti-join + rollup
+            ("rich_idle_customers", relational.rich_idle_customers),
             ("lineitem_cube", relational.lineitem_cube),  # GROUP BY CUBE
             # Q13 aggregate-of-aggregates with the LEFT-JOIN zero class
             ("customer_order_distribution", relational.customer_order_distribution),
@@ -2162,6 +2164,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r_supp AS s_suppkey, CAST(count(*) AS BIGINT) AS n_orders "
             "FROM o WHERE n_supp >= 2 AND n_r = 1 GROUP BY 1 "
             f"ORDER BY n_orders DESC, s_suppkey LIMIT {_SRS_TOPK}"
+        ),
+        # Q22 shape: scalar subquery (global avg positive balance, exact
+        # integer cents*n > sum comparison) + NOT EXISTS anti-join + segment
+        # rollup; cents via the shared floor(x*100 + 0.5) formula
+        "rich_idle_customers": (
+            "WITH pos AS (SELECT c_custkey, c_mktsegment, "
+            "CAST(floor(c_acctbal*100.0 + 0.5) AS BIGINT) AS cents "
+            "FROM customer), "
+            "avgc AS (SELECT sum(cents) AS s, count(*) AS n FROM pos "
+            "WHERE cents > 0), "
+            "idle AS (SELECT p.* FROM pos p, avgc a WHERE p.cents * a.n > a.s "
+            "AND NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = p.c_custkey AND o.o_totalprice > 300000)) "
+            "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust, "
+            "CAST(sum(cents) AS BIGINT) AS totacctbal_c "
+            "FROM idle GROUP BY 1 ORDER BY 1"
         ),
         # full CUBE grouping sets: leaf + both single-key slices + grand
         # total, NULL markers and exact per-row-rounded cents both engines

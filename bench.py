@@ -173,6 +173,8 @@ HEADLINE = [
     "boolean_and_search",
     # Q21 exactly-one-witness per-order set logic (EXISTS + NOT EXISTS)
     "sole_return_suppliers",
+    # Q22 global-scalar subquery + predicated anti-join + segment rollup
+    "rich_idle_customers",
 ]
 
 

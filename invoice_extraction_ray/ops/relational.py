@@ -6016,3 +6016,168 @@ def sole_return_suppliers(
         .sort(["n_orders", "s_suppkey"], descending=[True, False])
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: global scalar subquery (avg positive balance) broadcast
+# into a stream filter, then a fact anti-join and a per-segment rollup
+# ---------------------------------------------------------------------------
+
+
+def rich_idle_customers(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
+    """TPC-H Q22's shape: customers whose account balance is STRICTLY above
+    the global average positive balance (the scalar subquery) and who have
+    placed no order above ``BIG_ORDER_THRESHOLD`` (the predicated NOT
+    EXISTS anti-join), rolled up per market segment as
+    (c_mktsegment, numcust, totacctbal_c).
+
+    Scale shape, in three scalable pieces:
+    - the scalar subquery is a mergeable (sum_cents, n) partial per batch;
+      only the tiny partial rows reach the driver, and the comparison stays
+      exact-integer (``cents * n > sum``) — no float average.
+    - the anti-join is the union co-partition shard merge (orders is
+      fact-sized, so NO broadcast side): rich customer rows + per-batch
+      DISTINCT big-order custkeys (threshold filter pushed into the orders
+      READ for row-group pruning) ride one custkey-shard groupby.
+    - each shard pre-collapses survivors to per-segment partials, so the
+      final segment groupby shuffles O(segments) rows per shard.
+    """
+    import numpy as np
+
+    from ._util import absorb_empty_blocks, int_bincount
+
+    def _cents(col) -> "np.ndarray":
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+    # --- pass 1: the scalar subquery as mergeable integer partials -------
+    def bal_partial(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("c_acctbal"))
+        pos = c[c > 0]
+        return pa.table(
+            {
+                "s": pa.array([int(pos.sum())], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(_pq(sf_dir, "customer"), columns=["c_acctbal"])
+        .map_batches(bal_partial, batch_format="pyarrow")
+        .take_all()
+    )  # bounded: one row per block
+    S = sum(int(r["s"]) for r in parts)
+    N = sum(int(r["n"]) for r in parts)
+
+    _MERGED = pa.schema(
+        [
+            ("cshard", pa.int32()),
+            ("key", pa.int64()),
+            ("cents", pa.int64()),
+            ("segment", pa.string()),
+            ("side", pa.int8()),
+        ]
+    )
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("c_acctbal"))
+        # exact-integer strictly-above-average test; loud width guard (the
+        # product must not wrap int64 — |cents| < 2^27 and N < 2^35 here)
+        if len(c) and abs(int(c[np.argmax(np.abs(c))])) * N >= (1 << 62):
+            raise ValueError("rich_idle_customers: cents*N would overflow int64")
+        rich = c * N > S
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)[rich]
+        seg = t.column("c_mktsegment").filter(pa.array(rich)).cast(pa.string())
+        return pa.table(
+            {
+                "cshard": pa.array(_shard_of(k)),
+                "key": pa.array(k, pa.int64()),
+                "cents": pa.array(c[rich], pa.int64()),
+                "segment": seg,
+                "side": pa.array(np.ones(len(k), dtype=np.int8), pa.int8()),
+            },
+            schema=_MERGED,
+        )
+
+    def order_keys(t: pa.Table) -> pa.Table:
+        k = np.unique(
+            t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "cshard": pa.array(_shard_of(k)),
+                "key": pa.array(k, pa.int64()),
+                "cents": pa.array(np.zeros(len(k), dtype=np.int64), pa.int64()),
+                "segment": pa.array([""] * len(k), pa.string()),
+                "side": pa.array(np.zeros(len(k), dtype=np.int8), pa.int8()),
+            },
+            schema=_MERGED,
+        )
+
+    _OUT = pa.schema(
+        [
+            ("c_mktsegment", pa.string()),
+            ("numcust", pa.int64()),
+            ("totacctbal_c", pa.int64()),
+        ]
+    )
+
+    def anti_rollup(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["cshard"])
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        have = np.unique(keys[side == 0])
+        cmask = side == 1
+        ck = keys[cmask]
+        if len(ck) == 0:
+            return _OUT.empty_table()
+        if len(have):
+            pos = np.searchsorted(have, ck)
+            hit = (pos < len(have)) & (have[np.minimum(pos, len(have) - 1)] == ck)
+        else:
+            hit = np.zeros(len(ck), dtype=bool)
+        keep = ~hit
+        if not keep.any():
+            return _OUT.empty_table()
+        cents = g.column("cents").to_numpy(zero_copy_only=False)[cmask][keep]
+        seg = g.column("segment").filter(pa.array(cmask)).filter(pa.array(keep))
+        enc = seg.combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nseg = len(enc.dictionary)
+        ones = np.ones(len(idx), dtype=np.int64)
+        return pa.table(
+            {
+                "c_mktsegment": enc.dictionary,
+                "numcust": pa.array(int_bincount(idx, ones, minlength=nseg)),
+                "totacctbal_c": pa.array(int_bincount(idx, cents, minlength=nseg)),
+            },
+            schema=_OUT,
+        )
+
+    cust = ray.data.read_parquet(
+        _pq(sf_dir, "customer"),
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+    ).map_batches(cust_rows, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_custkey"],
+        filter=(pc.field("o_totalprice") > BIG_ORDER_THRESHOLD),
+    ).map_batches(order_keys, batch_format="pyarrow")
+    agg = (
+        absorb_empty_blocks(cust.union(orders), batch_size=131072)
+        .groupby("cshard")
+        .map_groups(anti_rollup, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("numcust", alias_name="numcust"),
+            Sum("totacctbal_c", alias_name="totacctbal_c"),
+        )
+    )
+    # an all-filtered corpus aggregates to ZERO schema-less blocks — union a
+    # schema-carrying empty so consumers always see _OUT's columns
+    return agg.union(ray.data.from_arrow(_OUT.empty_table())).sort("c_mktsegment")

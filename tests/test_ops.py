@@ -5209,3 +5209,51 @@ def test_sole_return_suppliers_matches_local_recompute():
         for r in sole_return_suppliers(SF).take_all()
     ]
     assert got == want and len(got) > 0
+
+
+def test_rich_idle_customers_matches_local_recompute():
+    """Q22 shape: strictly-above-global-average positive balance AND no
+    big order; exact integer cents*n > sum comparison, per-segment rollup."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from invoice_extraction_ray.ops.relational import (
+        BIG_ORDER_THRESHOLD,
+        rich_idle_customers,
+    )
+
+    cust = pq.read_table(
+        f"{SF}/customer.parquet",
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+    )
+    cents = np.floor(
+        cust.column("c_acctbal").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+    ).astype(np.int64)
+    pos = cents[cents > 0]
+    S, N = int(pos.sum()), len(pos)
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    big = {
+        c
+        for c, p in zip(
+            orders.column("o_custkey").to_pylist(),
+            orders.column("o_totalprice").to_pylist(),
+        )
+        if p > BIG_ORDER_THRESHOLD
+    }
+    want: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for k, seg, c in zip(
+        cust.column("c_custkey").to_pylist(),
+        cust.column("c_mktsegment").to_pylist(),
+        cents.tolist(),
+    ):
+        if c * N > S and k not in big:
+            want[seg][0] += 1
+            want[seg][1] += c
+    got = {
+        r["c_mktsegment"]: [r["numcust"], r["totacctbal_c"]]
+        for r in rich_idle_customers(SF).take_all()
+    }
+    assert got == dict(want) and len(got) > 0
