@@ -496,6 +496,8 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("sole_return_suppliers", relational.sole_return_suppliers),
             # Q22 global-scalar subquery + NOT-EXISTS anti-join + rollup
             ("rich_idle_customers", relational.rich_idle_customers),
+            # grouped Shannon entropy (bitlen-exact floor-log2, per group)
+            ("user_event_entropy", relational.user_event_entropy),
             ("lineitem_cube", relational.lineitem_cube),  # GROUP BY CUBE
             # Q13 aggregate-of-aggregates with the LEFT-JOIN zero class
             ("customer_order_distribution", relational.customer_order_distribution),
@@ -2180,6 +2182,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust, "
             "CAST(sum(cents) AS BIGINT) AS totacctbal_c "
             "FROM idle GROUP BY 1 ORDER BY 1"
+        ),
+        # grouped Shannon entropy in bitlen-exact floor-log2 units (the
+        # unigram_surprisal trick applied per group); half-up e4 mean
+        "user_event_entropy": (
+            "WITH c AS (SELECT user_id, event_type, "
+            "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+            "u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n "
+            "FROM c GROUP BY 1) "
+            "SELECT c.user_id, u.n AS n_events, "
+            "CAST(sum(c.c * (length(bin(u.n)) - length(bin(c.c)))) AS BIGINT) "
+            "AS entropy_fl2, "
+            "CAST((20000 * sum(c.c * (length(bin(u.n)) - length(bin(c.c)))) "
+            "+ u.n) // (2 * u.n) AS BIGINT) AS mean_entropy_e4 "
+            "FROM c JOIN u USING (user_id) GROUP BY c.user_id, u.n "
+            "ORDER BY c.user_id"
         ),
         # full CUBE grouping sets: leaf + both single-key slices + grand
         # total, NULL markers and exact per-row-rounded cents both engines

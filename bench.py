@@ -175,6 +175,8 @@ HEADLINE = [
     "sole_return_suppliers",
     # Q22 global-scalar subquery + predicated anti-join + segment rollup
     "rich_idle_customers",
+    # grouped Shannon entropy (bitlen-exact floor-log2 per user)
+    "user_event_entropy",
 ]
 
 

@@ -6181,3 +6181,112 @@ def rich_idle_customers(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
     # an all-filtered corpus aggregates to ZERO schema-less blocks — union a
     # schema-carrying empty so consumers always see _OUT's columns
     return agg.union(ray.data.from_arrow(_OUT.empty_table())).sort("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# grouped distribution statistic: per-user Shannon entropy of the event-type
+# mix, in exact floor-log2 (bitlen) units so both engines agree bit-for-bit
+# ---------------------------------------------------------------------------
+
+
+def user_event_entropy(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
+    """Per-user Shannon entropy of the event-type distribution, in the
+    repo's bitlen-exact floor-log2 units (``unigram_surprisal``'s trick,
+    applied per GROUP instead of against a broadcast global census):
+    ``entropy_fl2 = sum_t c_t * (bitlen(n) - bitlen(c_t))`` with
+    ``bitlen = np.frexp exponent == length(bin(x))`` oracle-side, plus the
+    half-up e4 mean ``(20000*ent + n) // (2*n)``.
+
+    Scale shape: per-batch Arrow group_by emits (user, type, c) partials —
+    O(users x types) per block, not O(rows) — and ONE user-shard groupby
+    finishes: counts merge by lexsort + run detection, per-user totals and
+    the entropy sum are segment sums; nothing user-scaled reaches the
+    driver.  Exactness guard: frexp is exact only below 2^53, asserted per
+    shard."""
+    import numpy as np
+
+    from ._util import absorb_empty_blocks, int_segment_sum
+
+    _PART = pa.schema(
+        [
+            ("ushard", pa.int32()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("c", pa.int64()),
+        ]
+    )
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PART.empty_table()
+        g = t.group_by(["user_id", "event_type"]).aggregate([("user_id", "count")])
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "ushard": pa.array(_shard_of(u)),
+                "user_id": pa.array(u, pa.int64()),
+                "event_type": g.column("event_type").cast(pa.string()),
+                "c": g.column("user_id_count").cast(pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    _OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("entropy_fl2", pa.int64()),
+            ("mean_entropy_e4", pa.int64()),
+        ]
+    )
+
+    def _bitlen(x: "np.ndarray") -> "np.ndarray":
+        return np.frexp(x.astype(np.float64))[1].astype(np.int64)
+
+    def merge_shard(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["ushard"])
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ty = g.column("event_type").combine_chunks().dictionary_encode()
+        ti = ty.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ti, u))
+        u, ti, c = u[order], ti[order], c[order]
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (ti[1:] != ti[:-1])
+        starts = np.flatnonzero(new)
+        cu = int_segment_sum(c, starts)  # merged per-(user, type) counts
+        uu = u[starts]
+        new_u = np.ones(len(uu), dtype=bool)
+        new_u[1:] = uu[1:] != uu[:-1]
+        ustarts = np.flatnonzero(new_u)
+        n = int_segment_sum(cu, ustarts)  # per-user totals
+        if len(n) and n.max() >= (1 << 53):
+            raise ValueError("user_event_entropy: count exceeds exact-frexp range")
+        seg = np.cumsum(new_u) - 1
+        ent_terms = cu * (_bitlen(n)[seg] - _bitlen(cu))
+        ent = int_segment_sum(ent_terms, ustarts)
+        mean_e4 = (20000 * ent + n) // (2 * n)
+        return pa.table(
+            {
+                "user_id": pa.array(uu[ustarts], pa.int64()),
+                "n_events": pa.array(n, pa.int64()),
+                "entropy_fl2": pa.array(ent, pa.int64()),
+                "mean_entropy_e4": pa.array(mean_e4, pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "event_type"]
+    ).map_batches(partial, batch_format="pyarrow")
+    return (
+        absorb_empty_blocks(ds, batch_size=131072)
+        .groupby("ushard")
+        .map_groups(merge_shard, batch_format="pyarrow")
+        .sort("user_id")
+    )

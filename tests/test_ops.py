@@ -5257,3 +5257,64 @@ def test_rich_idle_customers_matches_local_recompute():
         for r in rich_idle_customers(SF).take_all()
     }
     assert got == dict(want) and len(got) > 0
+
+
+def test_user_event_entropy_matches_local_recompute():
+    """Grouped bitlen-exact entropy: sum c*(bitlen(n)-bitlen(c)) per user
+    plus the half-up e4 mean, against a pure-python recompute."""
+    from collections import Counter
+
+    from invoice_extraction_ray.ops.relational import user_event_entropy
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+    cnt = Counter(
+        zip(ev.column("user_id").to_pylist(), ev.column("event_type").to_pylist())
+    )
+    totals: dict[int, int] = Counter()
+    for (u, _), c in cnt.items():
+        totals[u] += c
+    want = {}
+    for u, n in totals.items():
+        ent = sum(
+            c * (n.bit_length() - c.bit_length())
+            for (uu, _), c in cnt.items()
+            if uu == u
+        )
+        want[u] = (n, ent, (20000 * ent + n) // (2 * n))
+    got = {
+        r["user_id"]: (r["n_events"], r["entropy_fl2"], r["mean_entropy_e4"])
+        for r in user_event_entropy(SF).take_all()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_user_event_entropy_partition_invariance():
+    """The (user, type) partials merge associatively: a 7-row block split
+    gives byte-identical output to the default read layout."""
+    import ray as _ray
+
+    from invoice_extraction_ray.ops.relational import user_event_entropy
+
+    base = {
+        r["user_id"]: (r["n_events"], r["entropy_fl2"])
+        for r in user_event_entropy(SF).take_all()
+    }
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+    import invoice_extraction_ray.ops.relational as R
+
+    ds = _ray.data.from_arrow(
+        [ev.slice(i, 7) for i in range(0, ev.num_rows, 7)]
+    )
+    # run the same pipeline stages over the adversarial layout
+    import numpy as np  # noqa: F401
+
+    orig = _ray.data.read_parquet
+    try:
+        _ray.data.read_parquet = lambda *a, **k: ds
+        split = {
+            r["user_id"]: (r["n_events"], r["entropy_fl2"])
+            for r in user_event_entropy(SF).take_all()
+        }
+    finally:
+        _ray.data.read_parquet = orig
+    assert split == base
