@@ -561,6 +561,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("bm25_topk", text.bm25_topk),  # log-free idf, e6 fixed-point
             ("bm25_topk_indexed", text.bm25_topk_indexed),  # postings layout
             ("boolean_and_search", text.boolean_and_search),  # postings intersect
+            ("phrase_search", text.phrase_search),  # positional adjacency
             ("unigram_surprisal", text.unigram_surprisal),  # bitlen-exact
             ("tfidf_top_terms", text.tfidf_top_terms),  # float-free order
             ("chunk_documents", text.chunk_documents),  # token windows
@@ -668,6 +669,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from invoice_extraction_ray.ops.text import _BPE_RE
     from invoice_extraction_ray.ops.text import BM25_TERMS as _BM25_TERMS
+    from invoice_extraction_ray.config import PHRASE_TERMS as _PHRASE
 
     _BPE_SQL_PATTERN = _BPE_RE.pattern.replace("'", "''")
 
@@ -2082,6 +2084,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM w WHERE "
             + " AND ".join(f"list_contains(ws, '{t}')" for t in _BM25_TERMS)
             + " ORDER BY doc_id"
+        ),
+        # phrase_search: positional-index adjacency — every (overlapping)
+        # occurrence of config.PHRASE_TERMS at consecutive whitespace-token
+        # positions (DuckDB list lambda mirrors the start-position scan)
+        "phrase_search": (
+            "WITH w AS (SELECT doc_id, "
+            "regexp_extract_all(coalesce(text,''), '\\S+') AS ws FROM documents), "
+            "m AS (SELECT doc_id, len(list_filter(generate_series(1, "
+            f"greatest(len(ws) - {len(_PHRASE) - 1}, 0)), i -> "
+            + " AND ".join(
+                f"ws[i + {j}] = '{t}'" if j else f"ws[i] = '{t}'"
+                for j, t in enumerate(_PHRASE)
+            )
+            + ")) AS n_matches FROM w) "
+            "SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches "
+            "FROM m WHERE n_matches > 0 ORDER BY doc_id"
         ),
         # weighted_quality_median: token-weighted median quality score per
         # lang — weighted median := min s with 2*cumweight(<=s) >= total

@@ -177,6 +177,8 @@ HEADLINE = [
     "rich_idle_customers",
     # grouped Shannon entropy (bitlen-exact floor-log2 per user)
     "user_event_entropy",
+    # positional-index phrase retrieval (adjacency intersection)
+    "phrase_search",
 ]
 
 

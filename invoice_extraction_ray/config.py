@@ -362,3 +362,8 @@ BAND_MAX_PER_SIDE = 256
 # holding the only returned lineitem on a multi-supplier order; report the
 # top-K suppliers by credited-order count.  Flag shared with the semijoin.
 SOLE_RETURN_TOPK = 20
+
+# exact phrase retrieval (ops/text.py::phrase_search and its oracle SQL):
+# the query phrase, matched on whitespace tokens with every (overlapping)
+# occurrence counted.  Shared so engine and gate can never desync.
+PHRASE_TERMS = ("big", "order", "scan")

@@ -1682,13 +1682,15 @@ def source_drift_chi2(
 # ---------------------------------------------------------------------------
 
 _POSTINGS_CACHE_ROOT = "/tmp/ier_postings"
-_POSTINGS_LAYOUT_VERSION = 1
+_POSTINGS_LAYOUT_VERSION = 2  # v2: positional postings (pos list per (token, doc))
 
 
 def postings_layout(sf_dir: str, n_shards: int = 32) -> str:
-    """Materialize (once) a token-sharded inverted index over ``documents``:
-    one row per distinct (token, doc) with its term frequency and the doc's
-    length, hive-partitioned by crc32 token shard and TOKEN-SORTED within
+    """Materialize (once) a token-sharded POSITIONAL inverted index over
+    ``documents``: one row per distinct (token, doc) with its term
+    frequency, the doc's length and the token's in-doc positions
+    (Lucene-style prox data, feeding phrase_search's adjacency check),
+    hive-partitioned by crc32 token shard and TOKEN-SORTED within
     each shard so a term lookup prunes to a few row groups via footer stats.
     A ``shard=-1`` partition carries per-block corpus-stats sentinel rows
     (doc count / token total) so queries never rescan the corpus for BM25's
@@ -1737,6 +1739,7 @@ def postings_layout(sf_dir: str, n_shards: int = 32) -> str:
             ("doc_id", pa.int64()),
             ("tf", pa.int64()),
             ("dl", pa.int64()),
+            ("pos", pa.list_(pa.int32())),
         ]
     )
 
@@ -1744,26 +1747,42 @@ def postings_layout(sf_dir: str, n_shards: int = 32) -> str:
         flat, parent = _ws_tokens(t.column("text"))
         did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         dl = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
-        # (token, local row) tf via one Arrow group_by — no Python loop
-        g = (
-            pa.table(
-                {"token": flat, "row": pa.array(parent.astype(np.int64), pa.int64())}
+        n = len(parent)
+        if n:
+            # in-doc token position (post-filter order == str.split order),
+            # then one lexsort groups (doc, token) runs with positions
+            # ascending inside each run — no Python loop, fully
+            # deterministic (Lucene-style prox data)
+            newdoc = np.r_[True, parent[1:] != parent[:-1]]
+            dstarts = np.flatnonzero(newdoc)
+            dseg = np.cumsum(newdoc) - 1
+            pos = (np.arange(n) - dstarts[dseg]).astype(np.int32)
+            enc = flat.dictionary_encode()
+            ti = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((pos, ti, parent))
+            gp, gt, gpos = parent[order], ti[order], pos[order]
+            newg = np.r_[True, (gp[1:] != gp[:-1]) | (gt[1:] != gt[:-1])]
+            gstarts = np.flatnonzero(newg)
+            tf = np.diff(np.append(gstarts, n)).astype(np.int64)
+            tok = pc.take(enc.dictionary, pa.array(gt[gstarts], pa.int64()))
+            grow = gp[gstarts]
+            pos_list = pa.ListArray.from_arrays(
+                pa.array(np.append(gstarts, n).astype(np.int32), pa.int32()),
+                pa.array(gpos, pa.int32()),
             )
-            .group_by(["token", "row"])
-            .aggregate([([], "count_all")])
-        )
-        rowi = g.column("row").to_numpy(zero_copy_only=False).astype(np.int64)
-        tok = g.column("token")
-        post = pa.table(
-            {
-                "shard": _crc32_shard(tok, n_shards - 1),
-                "token": tok,
-                "doc_id": pa.array(did[rowi], pa.int64()),
-                "tf": pc.cast(g.column("count_all"), pa.int64()),
-                "dl": pa.array(dl[rowi], pa.int64()),
-            },
-            schema=_POST,
-        )
+            post = pa.table(
+                {
+                    "shard": _crc32_shard(tok, n_shards - 1),
+                    "token": tok,
+                    "doc_id": pa.array(did[grow], pa.int64()),
+                    "tf": pa.array(tf, pa.int64()),
+                    "dl": pa.array(dl[grow], pa.int64()),
+                    "pos": pos_list,
+                },
+                schema=_POST,
+            )
+        else:
+            post = _POST.empty_table()
         # per-block corpus-stats sentinel: doc_id carries the block's doc
         # count, tf its token total (summed at query time for N / avgdl)
         sentinel = pa.table(
@@ -1773,6 +1792,7 @@ def postings_layout(sf_dir: str, n_shards: int = 32) -> str:
                 "doc_id": pa.array([t.num_rows], pa.int64()),
                 "tf": pa.array([int(dl.sum())], pa.int64()),
                 "dl": pa.array([0], pa.int64()),
+                "pos": pa.array([[]], pa.list_(pa.int32())),
             },
             schema=_POST,
         )
@@ -2065,5 +2085,126 @@ def boolean_and_search(
         cand.map_batches(add_dshard, batch_format="pyarrow")
         .groupby("dshard")
         .map_groups(intersect, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def phrase_search(
+    sf_dir: str,
+    phrase: tuple[str, ...] | None = None,
+    n_shards: int = 32,
+    n_doc_shards: int = 64,
+) -> ray.data.Dataset:
+    """Exact phrase retrieval over the POSITIONAL ``postings_layout``: docs
+    containing the query tokens at consecutive positions, with every
+    (overlapping) occurrence counted — the classic positional-index
+    adjacency intersection: token i's start positions are ``pos - i``, and
+    a phrase occurrence is a (doc, start) shared by ALL phrase indices.
+
+    Scale shape: only the phrase tokens' index shards are read (token
+    filter pushed to row groups; document text never touched); candidates
+    co-partition by doc hash, and each doc shard counts matches with one
+    lexsort + run detection — a (doc, start) run of length == |phrase| IS
+    an occurrence (rows are unique per (doc, phrase_index, start) by layout
+    construction).  Work scales with the phrase tokens' posting sizes,
+    never the corpus."""
+    import glob as _glob
+    import zlib
+
+    from .relational import _require_layout_visible
+    from ..config import PHRASE_TERMS
+
+    if phrase is None:
+        phrase = PHRASE_TERMS
+    if not phrase:
+        raise ValueError("phrase_search: empty phrase")
+    k = len(phrase)
+    root = postings_layout(sf_dir, n_shards)
+    _require_layout_visible(root)
+    _OUT = pa.schema([("doc_id", pa.int64()), ("n_matches", pa.int64())])
+    shards = sorted({zlib.crc32(t.encode()) & (n_shards - 1) for t in phrase})
+    files = [
+        f
+        for s in shards
+        for f in sorted(_glob.glob(f"{root}/shard={s}/*.parquet"))
+    ]
+    if not files:
+        return ray.data.from_arrow(_OUT.empty_table())
+    cand = ray.data.read_parquet(
+        files,
+        columns=["token", "doc_id", "pos"],
+        filter=pc.field("token").isin(list(set(phrase))),
+    )
+
+    _EXP = pa.schema(
+        [
+            ("dshard", pa.int32()),
+            ("doc_id", pa.int64()),
+            ("start", pa.int64()),
+        ]
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EXP.empty_table()
+        pos = t.column("pos")
+        if isinstance(pos, pa.ChunkedArray):
+            pos = pos.combine_chunks()
+        flat = pos.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = (
+            pc.list_parent_indices(pos).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        docs, starts = [], []
+        # |phrase| is tiny: one vectorized mask pass per phrase slot (a
+        # token may occupy several slots — each emits its own shifted copy)
+        for i, term in enumerate(phrase):
+            rmask = pc.equal(t.column("token"), term).to_numpy(zero_copy_only=False)
+            pmask = rmask[parent]
+            adj = flat[pmask] - i
+            ok = adj >= 0
+            docs.append(did[parent[pmask]][ok])
+            starts.append(adj[ok])
+        d = np.concatenate(docs)
+        a = np.concatenate(starts)
+        return pa.table(
+            {
+                "dshard": pa.array(
+                    (((d * 2654435761) % (1 << 32)) % n_doc_shards).astype(np.int32)
+                ),
+                "doc_id": pa.array(d, pa.int64()),
+                "start": pa.array(a, pa.int64()),
+            },
+            schema=_EXP,
+        )
+
+    def count_matches(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["dshard"])
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        d = g.column("doc_id").to_numpy(zero_copy_only=False)
+        a = g.column("start").to_numpy(zero_copy_only=False)
+        order = np.lexsort((a, d))
+        d, a = d[order], a[order]
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = (d[1:] != d[:-1]) | (a[1:] != a[:-1])
+        runlen = np.diff(np.append(np.flatnonzero(new), len(d)))
+        hit = runlen == k  # all |phrase| slots present at this start
+        if not hit.any():
+            return _OUT.empty_table()
+        mdoc = d[new][hit]
+        ud, cnt = np.unique(mdoc, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ud, pa.int64()),
+                "n_matches": pa.array(cnt.astype(np.int64), pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    return (
+        cand.map_batches(expand, batch_format="pyarrow")
+        .groupby("dshard")
+        .map_groups(count_matches, batch_format="pyarrow")
         .sort("doc_id")
     )

@@ -5318,3 +5318,52 @@ def test_user_event_entropy_partition_invariance():
     finally:
         _ray.data.read_parquet = orig
     assert split == base
+
+
+def test_phrase_search_matches_local_recompute():
+    """Positional-index phrase retrieval equals the per-doc token-scan
+    recompute (every start position counted)."""
+    from invoice_extraction_ray.config import PHRASE_TERMS
+    from invoice_extraction_ray.ops.text import phrase_search
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    k = len(PHRASE_TERMS)
+    want = {}
+    for d, t in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()):
+        ws = (t or "").split()
+        n = sum(
+            1
+            for i in range(len(ws) - k + 1)
+            if tuple(ws[i : i + k]) == PHRASE_TERMS
+        )
+        if n:
+            want[d] = n
+    got = {r["doc_id"]: r["n_matches"] for r in phrase_search(SF).take_all()}
+    assert got == want and len(got) > 0
+
+
+def test_phrase_search_counts_overlapping_occurrences():
+    """A self-overlapping phrase ('pad pad' in 'pad pad pad') counts every
+    start position — the lookahead semantics a naive split-count misses."""
+    import os
+    import tempfile
+
+    from invoice_extraction_ray.ops.text import phrase_search
+
+    with tempfile.TemporaryDirectory() as td:
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["pad pad pad", "x pad pad y pad pad", "pad nope pad"],
+                    pa.string(),
+                ),
+                "lang": pa.array(["en"] * 3, pa.string()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(td, "documents.parquet"))
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in phrase_search(td, phrase=("pad", "pad")).take_all()
+        }
+    assert got == {1: 2, 2: 2}
