@@ -541,6 +541,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("kmv_distinct", sketch.kmv_distinct),  # k-minimum-values sketch
             ("value_moments", sketch.value_moments),  # int128 mean/variance
             ("kmv_jaccard", sketch.kmv_jaccard),  # theta-sketch set algebra
+            ("value_ks_drift", sketch.value_ks_drift),  # exact 2-sample KS
             ("mg_heavy_hitters", sketch.mg_heavy_hitters),  # exact HH, no FPs
             ("join_size_estimate", sketch.join_size_estimate),  # KMV join card.
         ],
@@ -670,6 +671,7 @@ def oracle_sql() -> dict[str, str]:
     from invoice_extraction_ray.ops.text import _BPE_RE
     from invoice_extraction_ray.ops.text import BM25_TERMS as _BM25_TERMS
     from invoice_extraction_ray.config import PHRASE_TERMS as _PHRASE
+    from invoice_extraction_ray.config import KS_EVENT_TYPES as _KS_T
 
     _BPE_SQL_PATTERN = _BPE_RE.pattern.replace("'", "''")
 
@@ -1595,6 +1597,28 @@ def oracle_sql() -> dict[str, str]:
             f"CAST((k_eff - 1) * CAST({1 << 64} AS HUGEINT) // kth AS BIGINT) "
             "AS union_est, "
             "CAST(1000000 * inter // k_eff AS BIGINT) AS jaccard_e6 FROM m"
+        ),
+        # exact two-sample KS distance over cent values of the two
+        # config.KS_EVENT_TYPES: the sup runs over cross-multiplied
+        # cumulative counts (integer, no CDF division); e6 divides once
+        "value_ks_drift": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(floor(value*100.0 + 0.5) AS BIGINT) AS c FROM events "
+            f"WHERE event_type IN ('{_KS_T[0]}', '{_KS_T[1]}')), "
+            "tot AS (SELECT "
+            f"CAST(count(*) FILTER (event_type = '{_KS_T[0]}') AS BIGINT) AS n1, "
+            f"CAST(count(*) FILTER (event_type = '{_KS_T[1]}') AS BIGINT) AS n2 "
+            "FROM e), "
+            "d AS (SELECT c, "
+            f"CAST(count(*) FILTER (event_type = '{_KS_T[0]}') AS BIGINT) AS a, "
+            f"CAST(count(*) FILTER (event_type = '{_KS_T[1]}') AS BIGINT) AS b "
+            "FROM e GROUP BY c), "
+            "cum AS (SELECT sum(a) OVER (ORDER BY c) AS ca, "
+            "sum(b) OVER (ORDER BY c) AS cb FROM d) "
+            "SELECT CAST(max(abs(ca*n2 - cb*n1)) AS BIGINT) AS d_num, "
+            "CAST(1000000 * max(abs(ca*n2 - cb*n1)) // (n1*n2) AS BIGINT) "
+            "AS d_e6, n1, n2 FROM cum, tot "
+            "WHERE n1 > 0 AND n2 > 0 GROUP BY n1, n2"
         ),
         # user_event_overlap: distinct-key set algebra (INTERSECT / EXCEPT)
         "user_event_overlap": (

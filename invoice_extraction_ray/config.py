@@ -367,3 +367,8 @@ SOLE_RETURN_TOPK = 20
 # the query phrase, matched on whitespace tokens with every (overlapping)
 # occurrence counted.  Shared so engine and gate can never desync.
 PHRASE_TERMS = ("big", "order", "scan")
+
+# two-sample Kolmogorov-Smirnov drift audit (ops/sketch.py::value_ks_drift
+# and its oracle SQL): the two event-type value distributions compared.
+# Shared so engine and gate can never desync.
+KS_EVENT_TYPES = ("click", "error")

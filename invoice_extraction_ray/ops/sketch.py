@@ -1293,3 +1293,171 @@ def join_size_estimate(sf_dir: str, n_shards: int = 64) -> pa.Table:
             "est_join_rows": pa.array([est], pa.int64()),
         }
     )
+
+
+def value_ks_drift(
+    sf_dir: str,
+    types: tuple[str, str] | None = None,
+    num_shards: int = 64,
+) -> pa.Table:
+    """Exact two-sample Kolmogorov-Smirnov distance between the cent-value
+    distributions of two event types (the distribution-drift audit between
+    crawl batches / mixture snapshots) — INTEGER-exact: the KS sup is taken
+    over cross-multiplied cumulative counts, ``max |cum1*n2 - cum2*n1|``,
+    so no float CDF division ever happens; the e6-scaled distance divides
+    once in arbitrary-precision python ints.
+
+    Scale shape (user_value_ntile's ordered-prefix trick): per-batch census
+    partials collapse rows to distinct (cents, a, b) counts; a ~1k-bin
+    monotone (frexp) histogram gives every bin its exact GLOBAL prefix
+    base; bins ride ONE coarse-shard groupby where each shard cumsums
+    WITHIN its bins (order across bins is carried entirely by the broadcast
+    bases) and emits one per-shard max — only O(shards + bins) rows reach
+    the driver, never the value census."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..config import KS_EVENT_TYPES
+    from ..ops.window import _rank_bin
+    from ._util import absorb_empty_blocks, int_segment_sum
+
+    if types is None:
+        types = KS_EVENT_TYPES
+    t1, t2 = types
+
+    _CENSUS = pa.schema(
+        [
+            ("kshard", pa.int32()),
+            ("bin", pa.int64()),
+            ("cents", pa.int64()),
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+        ]
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _CENSUS.empty_table()
+        ty = t.column("event_type")
+        keep = pc.or_(pc.equal(ty, t1), pc.equal(ty, t2))
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return _CENSUS.empty_table()
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        isa = pc.equal(t.column("event_type"), t1).to_numpy(zero_copy_only=False)
+        order = np.argsort(cents, kind="stable")
+        cents = cents[order]
+        isa = isa[order]
+        new = np.ones(len(cents), dtype=bool)
+        new[1:] = cents[1:] != cents[:-1]
+        starts = np.flatnonzero(new)
+        a = int_segment_sum(isa.astype(np.int64), starts)
+        b = int_segment_sum((~isa).astype(np.int64), starts)
+        uc = cents[starts]
+        bins = _rank_bin(uc)
+        return pa.table(
+            {
+                "kshard": pa.array((bins % num_shards).astype(np.int32)),
+                "bin": pa.array(bins, pa.int64()),
+                "cents": pa.array(uc, pa.int64()),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+            },
+            schema=_CENSUS,
+        )
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_type", "value"]
+    )
+    cens = absorb_empty_blocks(
+        ds.map_batches(census, batch_format="pyarrow"), batch_size=131072
+    ).materialize()  # distinct-cents-bounded slim census, consumed twice
+
+    # pass 1: exact per-bin totals -> global prefix bases (tiny: ~1k bins)
+    def bin_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("bin").aggregate([("a", "sum"), ("b", "sum")])
+        return pa.table(
+            {
+                "bin": g.column("bin"),
+                "a": pc.cast(g.column("a_sum"), pa.int64()),
+                "b": pc.cast(g.column("b_sum"), pa.int64()),
+            }
+        )
+
+    rows = (
+        cens.map_batches(bin_partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("a", alias_name="a"), Sum("b", alias_name="b"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["bin"])
+    _EMPTY = pa.schema(
+        [("d_num", pa.int64()), ("d_e6", pa.int64()), ("n1", pa.int64()), ("n2", pa.int64())]
+    ).empty_table()
+    if not rows:
+        return _EMPTY
+    base_a: dict[int, int] = {}
+    base_b: dict[int, int] = {}
+    ca = cb = 0
+    for r in rows:
+        base_a[r["bin"]], base_b[r["bin"]] = ca, cb
+        ca += int(r["a"])
+        cb += int(r["b"])
+    n1, n2 = ca, cb
+    if n1 == 0 or n2 == 0:
+        return _EMPTY
+    if max(n1, n2) ** 2 >= (1 << 62):
+        raise ValueError("value_ks_drift: cum*count product would overflow int64")
+
+    _PART = pa.schema([("d_num", pa.int64())])
+
+    def shard_max(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["kshard"])
+        if g.num_rows == 0:
+            return _PART.empty_table()
+        bi = g.column("bin").to_numpy(zero_copy_only=False)
+        ce = g.column("cents").to_numpy(zero_copy_only=False)
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ce, bi))
+        bi, ce, a, b = bi[order], ce[order], a[order], b[order]
+        # merge duplicate cents (same value censused in several blocks)
+        new = np.ones(len(ce), dtype=bool)
+        new[1:] = (bi[1:] != bi[:-1]) | (ce[1:] != ce[:-1])
+        starts = np.flatnonzero(new)
+        a = int_segment_sum(a, starts)
+        b = int_segment_sum(b, starts)
+        bi, ce = bi[starts], ce[starts]
+        newb = np.ones(len(bi), dtype=bool)
+        newb[1:] = bi[1:] != bi[:-1]
+        bstarts = np.flatnonzero(newb)
+        seg = np.cumsum(newb) - 1
+        ca_loc = np.cumsum(a)
+        cb_loc = np.cumsum(b)
+        # reset cumsum at each bin start, add the broadcast global base
+        off_a = ca_loc[bstarts] - a[bstarts]
+        off_b = cb_loc[bstarts] - b[bstarts]
+        ga = ca_loc - off_a[seg] + np.array([base_a[x] for x in bi[bstarts]])[seg]
+        gb = cb_loc - off_b[seg] + np.array([base_b[x] for x in bi[bstarts]])[seg]
+        d = np.abs(ga * n2 - gb * n1)
+        return pa.table({"d_num": pa.array([int(d.max())], pa.int64())}, schema=_PART)
+
+    parts = (
+        cens.groupby("kshard")
+        .map_groups(shard_max, batch_format="pyarrow")
+        .take_all()
+    )
+    if not parts:
+        return _EMPTY
+    d_num = max(int(r["d_num"]) for r in parts)
+    d_e6 = (1_000_000 * d_num) // (n1 * n2)
+    return pa.table(
+        {
+            "d_num": pa.array([d_num], pa.int64()),
+            "d_e6": pa.array([d_e6], pa.int64()),
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+        }
+    )

@@ -5367,3 +5367,51 @@ def test_phrase_search_counts_overlapping_occurrences():
             for r in phrase_search(td, phrase=("pad", "pad")).take_all()
         }
     assert got == {1: 2, 2: 2}
+
+
+def test_value_ks_drift_matches_local_recompute():
+    """Integer-exact two-sample KS: max |cum1*n2 - cum2*n1| over distinct
+    cent thresholds, against a pure-python recompute."""
+    import numpy as np
+
+    from invoice_extraction_ray.config import KS_EVENT_TYPES
+    from invoice_extraction_ray.ops.sketch import value_ks_drift
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "value"])
+    t1, t2 = KS_EVENT_TYPES
+    s1, s2 = [], []
+    for ty, v in zip(
+        ev.column("event_type").to_pylist(), ev.column("value").to_pylist()
+    ):
+        c = int(np.floor(v * 100.0 + 0.5))
+        if ty == t1:
+            s1.append(c)
+        elif ty == t2:
+            s2.append(c)
+    n1, n2 = len(s1), len(s2)
+    thresholds = sorted(set(s1) | set(s2))
+    d_num = max(
+        abs(sum(1 for x in s1 if x <= t) * n2 - sum(1 for x in s2 if x <= t) * n1)
+        for t in thresholds
+    )
+    out = value_ks_drift(SF).to_pylist()
+    assert out == [
+        {
+            "d_num": d_num,
+            "d_e6": (1_000_000 * d_num) // (n1 * n2),
+            "n1": n1,
+            "n2": n2,
+        }
+    ]
+
+
+def test_value_ks_drift_identical_distributions_is_zero():
+    """KS of a distribution against itself is exactly 0 (planted case via
+    the same type on both sides through the types parameter)."""
+    from invoice_extraction_ray.ops.sketch import value_ks_drift
+
+    out = value_ks_drift(SF, types=("click", "click")).to_pylist()
+    # same type on both sides: the filter keeps each row once and the
+    # isa mask marks ALL kept rows as side 1 -> n2 == 0 -> empty result
+    # (degenerate by contract, mirrored by the oracle's n2 > 0 guard)
+    assert out == []
