@@ -507,6 +507,14 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("incremental_user_value", relational.incremental_user_value),
             # z-ordered layout: 2-D range scan with both-axis pruning
             ("events_zorder_scan", relational.events_zorder_scan),
+            # Q7 bilateral trade flows: two independent dimension hops
+            ("nation_trade_flows", relational.nation_trade_flows),
+            # Q15 global argmax-with-ties over an aggregated view
+            ("top_supplier_revenue", relational.top_supplier_revenue),
+            # Q14 conditional ratio aggregate over a dimension join
+            ("promo_revenue_share", relational.promo_revenue_share),
+            # Q19 disjunctive OR-of-ANDs predicate join
+            ("disjunctive_revenue", relational.disjunctive_revenue),
         ],
         # window / interval operators
         "window": [
@@ -672,6 +680,27 @@ def oracle_sql() -> dict[str, str]:
     from invoice_extraction_ray.ops.text import BM25_TERMS as _BM25_TERMS
     from invoice_extraction_ray.config import PHRASE_TERMS as _PHRASE
     from invoice_extraction_ray.config import KS_EVENT_TYPES as _KS_T
+    from invoice_extraction_ray.config import (
+        Q7_NATIONS as _Q7N,
+        Q7_SHIP_LO as _Q7LO,
+        Q7_SHIP_HI as _Q7HI,
+        Q15_SHIP_LO as _Q15LO,
+        Q15_SHIP_HI as _Q15HI,
+        Q14_SHIP_LO as _Q14LO,
+        Q14_SHIP_HI as _Q14HI,
+        Q14_PROMO_TYPE as _Q14T,
+        Q19_CLAUSES as _Q19C,
+    )
+
+    _REV_I = (
+        "CAST(floor(l.l_extendedprice*100.0 + 0.5) AS BIGINT) * "
+        "(10000 - CAST(floor(l.l_discount*10000.0 + 0.5) AS BIGINT))"
+    )
+    _Q19_PRED = " OR ".join(
+        f"(p_brand = '{cb}' AND p_size BETWEEN {slo} AND {shi} "
+        f"AND qty BETWEEN {qlo} AND {qhi})"
+        for (cb, slo, shi, qlo, qhi) in _Q19C
+    )
 
     _BPE_SQL_PATTERN = _BPE_RE.pattern.replace("'", "''")
 
@@ -1049,6 +1078,64 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' "
             "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
             "GROUP BY n.n_name ORDER BY revenue_i DESC, n_name"
+        ),
+        # nation_trade_flows: Q7 bilateral trade flows — two independent
+        # dimension hops (supplier nation x customer nation) by ship year
+        "nation_trade_flows": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(l.l_shipdate) AS BIGINT) AS l_year, "
+            f"CAST(sum({_REV_I}) AS BIGINT) AS revenue_i "
+            "FROM lineitem l "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
+            f"WHERE ((n1.n_name = '{_Q7N[0]}' AND n2.n_name = '{_Q7N[1]}') "
+            f"OR (n1.n_name = '{_Q7N[1]}' AND n2.n_name = '{_Q7N[0]}')) "
+            f"AND l.l_shipdate >= TIMESTAMP '{_Q7LO}' "
+            f"AND l.l_shipdate < TIMESTAMP '{_Q7HI}' "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        # top_supplier_revenue: Q15 global argmax WITH TIES over the
+        # per-supplier revenue view inside one ship quarter
+        "top_supplier_revenue": (
+            "WITH r AS (SELECT l.l_suppkey, "
+            f"CAST(sum({_REV_I}) AS BIGINT) AS total_revenue_i "
+            "FROM lineitem l "
+            f"WHERE l.l_shipdate >= TIMESTAMP '{_Q15LO}' "
+            f"AND l.l_shipdate < TIMESTAMP '{_Q15HI}' "
+            "GROUP BY l.l_suppkey) "
+            "SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, "
+            "r.total_revenue_i "
+            "FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey "
+            "WHERE r.total_revenue_i = (SELECT max(total_revenue_i) FROM r) "
+            "ORDER BY s_suppkey"
+        ),
+        # promo_revenue_share: Q14 conditional ratio-of-sums over the
+        # part-type join inside one ship month (e6 fixed point)
+        "promo_revenue_share": (
+            f"WITH j AS (SELECT {_REV_I} AS rev, "
+            f"(p.p_type = '{_Q14T}') AS promo "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            f"WHERE l.l_shipdate >= TIMESTAMP '{_Q14LO}' "
+            f"AND l.l_shipdate < TIMESTAMP '{_Q14HI}') "
+            "SELECT CAST(coalesce(sum(CASE WHEN promo THEN rev END), 0) "
+            "AS BIGINT) AS promo_revenue_i, "
+            "CAST(sum(rev) AS BIGINT) AS total_revenue_i, "
+            "CAST(1000000 * coalesce(sum(CASE WHEN promo THEN rev END), 0) "
+            "// sum(rev) AS BIGINT) AS promo_share_e6 "
+            "FROM j HAVING count(*) > 0 AND sum(rev) <> 0"
+        ),
+        # disjunctive_revenue: Q19 OR-of-ANDs (brand, size band, qty band)
+        "disjunctive_revenue": (
+            f"WITH j AS (SELECT {_REV_I} AS rev, "
+            "CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS qty, "
+            "p.p_brand, p.p_size "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey) "
+            "SELECT CAST(sum(rev) AS BIGINT) AS revenue_i FROM j "
+            f"WHERE {_Q19_PRED} "
+            "HAVING count(*) > 0"
         ),
         # brand_supplier_counts: TPC-H Q16's per-group COUNT(DISTINCT) core
         "brand_supplier_counts": (

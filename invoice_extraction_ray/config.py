@@ -372,3 +372,32 @@ PHRASE_TERMS = ("big", "order", "scan")
 # and its oracle SQL): the two event-type value distributions compared.
 # Shared so engine and gate can never desync.
 KS_EVENT_TYPES = ("click", "error")
+
+# TPC-H Q7 analogue (ops/relational.py::nation_trade_flows and its oracle
+# SQL): bilateral trade-flow report between two nations by ship year.
+# Names + the half-open shipdate window are shared so engine and gate can
+# never desync.
+Q7_NATIONS = ("NATION_3", "NATION_7")
+Q7_SHIP_LO = "1997-01-01"
+Q7_SHIP_HI = "1999-01-01"
+
+# TPC-H Q15 analogue (ops/relational.py::top_supplier_revenue): global
+# argmax-with-ties over per-supplier revenue inside one ship quarter.
+Q15_SHIP_LO = "1997-04-01"
+Q15_SHIP_HI = "1997-07-01"
+
+# TPC-H Q14 analogue (ops/relational.py::promo_revenue_share): promo-type
+# revenue share (e6 fixed point) inside one ship month.
+Q14_SHIP_LO = "1997-09-01"
+Q14_SHIP_HI = "1997-10-01"
+Q14_PROMO_TYPE = "PROMO"
+
+# TPC-H Q19 analogue (ops/relational.py::disjunctive_revenue): OR-of-ANDs
+# (brand, size band, quantity band) clauses — revenue of lineitems whose
+# part satisfies ANY clause.  Tuples are (brand, size_lo, size_hi, qty_lo,
+# qty_hi); all bounds inclusive.
+Q19_CLAUSES = (
+    ("Brand#13", 1, 15, 1, 11),
+    ("Brand#22", 10, 30, 10, 20),
+    ("Brand#25", 25, 50, 20, 30),
+)

@@ -30,6 +30,25 @@ def _pq(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def _safe_isum(a) -> int:
+    """Exact int64-safe sum of a non-negative int64 array: when the cheap
+    ``max * n`` bound says the numpy int64 accumulator COULD wrap, redo the
+    sum in arbitrary-precision python ints; if even the exact sum exceeds
+    int64 (the emitted partial column's width), raise loudly — the fix is
+    more shards, never a silently wrapped revenue."""
+    n = len(a)
+    if n == 0:
+        return 0
+    if int(a.max()) <= (2**63 - 1) // n:
+        return int(a.sum())
+    s = sum(int(x) for x in a)
+    if s >= 2**63:
+        raise ValueError(
+            "per-shard int64 partial would overflow; increase num_shards"
+        )
+    return s
+
+
 def _partial_groupby(
     keys: list[str], sums: list[str] | None = None, count_as: str | None = None
 ):
@@ -6289,4 +6308,790 @@ def user_event_entropy(sf_dir: str, num_shards: int = 64) -> ray.data.Dataset:
         .groupby("ushard")
         .map_groups(merge_shard, batch_format="pyarrow")
         .sort("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 analogue — bilateral trade flows (the deepest dimension chain:
+# supplier-nation AND customer-nation hops on the same fact rows)
+# ---------------------------------------------------------------------------
+
+
+def nation_trade_flows(sf_dir: str, num_shards: int = 64) -> pa.Table:
+    """TPC-H Q7 analogue: revenue flowing between the two
+    ``config.Q7_NATIONS`` (both directions), by supplier nation, customer
+    nation and ship YEAR, inside the ``config.Q7_SHIP_*`` window — the
+    canonical two-independent-dimension-hop star: the SAME fact row needs
+    its supplier's nation (via l_suppkey) and its customer's nation (via
+    l_orderkey -> o_custkey), so no single co-partitioning serves both.
+
+    Scale shape — three chained shard-merge hops, nothing broadcast except
+    the spec-constant 25-row nation table (read once on the driver for the
+    two target nationkeys + names):
+
+      1. suppkey shard: window-filtered lineitem rows union slim
+         NATION-FILTERED supplier rows — the most selective hop runs FIRST,
+         so ~(2/|nations|) of the fact survives to the wide hops.
+         Survivors re-key by orderkey, pre-combined per (okey, snk, year).
+      2. orderkey shard: survivors union slim order rows; probe attaches
+         o_custkey; re-key by custkey, pre-combined per (ck, snk, year).
+      3. custkey shard: union nation-filtered customer rows; probe attaches
+         the customer nation; cross-pair rows (snk != cnk) pre-aggregate to
+         <= 2 x 2 x |years| partials per shard — only those reach the
+         driver.
+
+    Output: (supp_nation, cust_nation, l_year, revenue_i) ordered by the
+    three keys; revenue_i = cents x (10000 - discount_bp), exact integers.
+    Reference semantics: submission/utils/validators.py master-data joins
+    (multi-hop entity resolution) at arbitrary master size."""
+    import datetime as _dt
+
+    import numpy as np
+    import pyarrow.parquet as _pqm
+
+    from ..config import Q7_NATIONS, Q7_SHIP_HI, Q7_SHIP_LO
+    from ._util import absorb_empty_blocks, strip_schema_metadata
+
+    nat = _pqm.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    key_of = dict(
+        zip(nat.column("n_name").to_pylist(), nat.column("n_nationkey").to_pylist())
+    )
+    name_of = {v: k for k, v in key_of.items()}
+    _OUT = pa.schema(
+        [
+            ("supp_nation", pa.string()),
+            ("cust_nation", pa.string()),
+            ("l_year", pa.int64()),
+            ("revenue_i", pa.int64()),
+        ]
+    )
+    if Q7_NATIONS[0] not in key_of or Q7_NATIONS[1] not in key_of:
+        return _OUT.empty_table()
+    nk = [key_of[Q7_NATIONS[0]], key_of[Q7_NATIONS[1]]]
+    lo = _dt.datetime.fromisoformat(Q7_SHIP_LO)
+    hi = _dt.datetime.fromisoformat(Q7_SHIP_HI)
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    def _combine3(k1, k2, k3, w):
+        """Exact integer sum of w per distinct (k1, k2, k3) triple."""
+        order = np.lexsort((k3, k2, k1))
+        k1, k2, k3, w = k1[order], k2[order], k3[order], w[order]
+        new = np.ones(len(k1), dtype=bool)
+        new[1:] = (
+            (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1]) | (k3[1:] != k3[:-1])
+        )
+        starts = np.flatnonzero(new)
+        from ._util import int_segment_sum
+
+        return k1[starts], k2[starts], k3[starts], int_segment_sum(w, starts)
+
+    # ---- stage 1: suppkey shard (nation semijoin + snk attach) ----
+    _S1 = pa.schema(
+        [
+            ("sshard", pa.int32()),
+            ("key", pa.int64()),  # suppkey
+            ("side", pa.int8()),
+            ("okey", pa.int64()),
+            ("year", pa.int64()),
+            ("rev_i", pa.int64()),
+            ("snk", pa.int64()),
+        ]
+    )
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _S1.empty_table()
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * 100.0 + 0.5).astype(np.int64) * (
+            10000 - np.floor(dc * 10000.0 + 0.5).astype(np.int64)
+        )
+        sd = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        year = sd.astype("datetime64[Y]").astype(np.int64) + 1970
+        n = len(sk)
+        return pa.table(
+            {
+                "sshard": pa.array(_shard_of(sk)),
+                "key": pa.array(sk, pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "okey": t.column("l_orderkey").cast(pa.int64()),
+                "year": pa.array(year, pa.int64()),
+                "rev_i": pa.array(rev, pa.int64()),
+                "snk": pa.array(np.zeros(n, np.int64), pa.int64()),
+            },
+            schema=_S1,
+        )
+
+    def supp_rows(t: pa.Table) -> pa.Table:
+        sk = t.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(sk)
+        z = np.zeros(n, np.int64)
+        return pa.table(
+            {
+                "sshard": pa.array(_shard_of(sk)),
+                "key": pa.array(sk, pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "okey": pa.array(z, pa.int64()),
+                "year": pa.array(z, pa.int64()),
+                "rev_i": pa.array(z, pa.int64()),
+                "snk": t.column("s_nationkey").cast(pa.int64()),
+            },
+            schema=_S1,
+        )
+
+    li = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=[
+                "l_orderkey",
+                "l_suppkey",
+                "l_extendedprice",
+                "l_discount",
+                "l_shipdate",
+            ],
+            filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+        )
+    ).map_batches(li_rows, batch_format="pyarrow")
+    supp = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "supplier"),
+            columns=["s_suppkey", "s_nationkey"],
+            filter=pc.field("s_nationkey").isin(nk),
+        )
+    ).map_batches(supp_rows, batch_format="pyarrow")
+
+    _S2 = pa.schema(
+        [
+            ("oshard", pa.int32()),
+            ("key", pa.int64()),  # orderkey
+            ("side", pa.int8()),
+            ("snk", pa.int64()),
+            ("year", pa.int64()),
+            ("rev_i", pa.int64()),
+            ("cust", pa.int64()),
+        ]
+    )
+
+    def merge_supp(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _S2.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        bmask = side == 1
+        bkey = keys[bmask]
+        pk = keys[~bmask]
+        if len(bkey) == 0 or len(pk) == 0:
+            return _S2.empty_table()
+        bsnk = g.column("snk").to_numpy(zero_copy_only=False)[bmask]
+        order = np.argsort(bkey)
+        bkey, bsnk = bkey[order], bsnk[order]
+        pos = np.searchsorted(bkey, pk)
+        hit = (pos < len(bkey)) & (bkey[np.minimum(pos, len(bkey) - 1)] == pk)
+        snk = bsnk[pos[hit]]
+        okey = g.column("okey").to_numpy(zero_copy_only=False)[~bmask][hit]
+        year = g.column("year").to_numpy(zero_copy_only=False)[~bmask][hit]
+        rev = g.column("rev_i").to_numpy(zero_copy_only=False)[~bmask][hit]
+        okey, snk, year, rev = _combine3(okey, snk, year, rev)
+        n = len(okey)
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(okey)),
+                "key": pa.array(okey, pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "snk": pa.array(snk, pa.int64()),
+                "year": pa.array(year, pa.int64()),
+                "rev_i": pa.array(rev, pa.int64()),
+                "cust": pa.array(np.zeros(n, np.int64), pa.int64()),
+            },
+            schema=_S2,
+        )
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ok)
+        z = np.zeros(n, np.int64)
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(ok)),
+                "key": pa.array(ok, pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "snk": pa.array(z, pa.int64()),
+                "year": pa.array(z, pa.int64()),
+                "rev_i": pa.array(z, pa.int64()),
+                "cust": t.column("o_custkey").cast(pa.int64()),
+            },
+            schema=_S2,
+        )
+
+    stage1 = (
+        absorb_empty_blocks(li.union(supp), batch_size=131072)
+        .groupby("sshard")
+        .map_groups(
+            lambda g: merge_supp(_dropg(g, ["sshard"])), batch_format="pyarrow"
+        )
+    )
+    orders = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+        )
+    ).map_batches(ord_rows, batch_format="pyarrow")
+
+    _S3 = pa.schema(
+        [
+            ("cshard", pa.int32()),
+            ("key", pa.int64()),  # custkey
+            ("side", pa.int8()),
+            ("snk", pa.int64()),
+            ("year", pa.int64()),
+            ("rev_i", pa.int64()),
+            ("cnk", pa.int64()),
+        ]
+    )
+
+    def merge_ord(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _S3.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        bmask = side == 1
+        bkey = keys[bmask]
+        pk = keys[~bmask]
+        if len(bkey) == 0 or len(pk) == 0:
+            return _S3.empty_table()
+        bcust = g.column("cust").to_numpy(zero_copy_only=False)[bmask]
+        order = np.argsort(bkey)
+        bkey, bcust = bkey[order], bcust[order]
+        pos = np.searchsorted(bkey, pk)
+        hit = (pos < len(bkey)) & (bkey[np.minimum(pos, len(bkey) - 1)] == pk)
+        cust = bcust[pos[hit]]
+        snk = g.column("snk").to_numpy(zero_copy_only=False)[~bmask][hit]
+        year = g.column("year").to_numpy(zero_copy_only=False)[~bmask][hit]
+        rev = g.column("rev_i").to_numpy(zero_copy_only=False)[~bmask][hit]
+        # pre-combine per (cust, snk, year): snk has 2 values, years few
+        packed_sy = snk * 8192 + year  # year < 8192 by datetime64 range
+        cust, packed, _, rev = _combine3(
+            cust, packed_sy, np.zeros(len(cust), np.int64), rev
+        )
+        n = len(cust)
+        return pa.table(
+            {
+                "cshard": pa.array(_shard_of(cust)),
+                "key": pa.array(cust, pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "snk": pa.array(packed // 8192, pa.int64()),
+                "year": pa.array(packed % 8192, pa.int64()),
+                "rev_i": pa.array(rev, pa.int64()),
+                "cnk": pa.array(np.zeros(n, np.int64), pa.int64()),
+            },
+            schema=_S3,
+        )
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ck)
+        z = np.zeros(n, np.int64)
+        return pa.table(
+            {
+                "cshard": pa.array(_shard_of(ck)),
+                "key": pa.array(ck, pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "snk": pa.array(z, pa.int64()),
+                "year": pa.array(z, pa.int64()),
+                "rev_i": pa.array(z, pa.int64()),
+                "cnk": t.column("c_nationkey").cast(pa.int64()),
+            },
+            schema=_S3,
+        )
+
+    stage2 = (
+        absorb_empty_blocks(stage1.union(orders), batch_size=131072)
+        .groupby("oshard")
+        .map_groups(
+            lambda g: merge_ord(_dropg(g, ["oshard"])), batch_format="pyarrow"
+        )
+    )
+    cust = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "customer"),
+            columns=["c_custkey", "c_nationkey"],
+            filter=pc.field("c_nationkey").isin(nk),
+        )
+    ).map_batches(cust_rows, batch_format="pyarrow")
+
+    _PARTIAL = pa.schema(
+        [("snk", pa.int64()), ("cnk", pa.int64()), ("year", pa.int64()), ("rev_i", pa.int64())]
+    )
+
+    def merge_cust(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PARTIAL.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        bmask = side == 1
+        bkey = keys[bmask]
+        pk = keys[~bmask]
+        if len(bkey) == 0 or len(pk) == 0:
+            return _PARTIAL.empty_table()
+        bcnk = g.column("cnk").to_numpy(zero_copy_only=False)[bmask]
+        order = np.argsort(bkey)
+        bkey, bcnk = bkey[order], bcnk[order]
+        pos = np.searchsorted(bkey, pk)
+        hit = (pos < len(bkey)) & (bkey[np.minimum(pos, len(bkey) - 1)] == pk)
+        cnk = bcnk[pos[hit]]
+        snk = g.column("snk").to_numpy(zero_copy_only=False)[~bmask][hit]
+        year = g.column("year").to_numpy(zero_copy_only=False)[~bmask][hit]
+        rev = g.column("rev_i").to_numpy(zero_copy_only=False)[~bmask][hit]
+        cross = snk != cnk
+        snk, cnk, year, rev = snk[cross], cnk[cross], year[cross], rev[cross]
+        if len(snk) == 0:
+            return _PARTIAL.empty_table()
+        snk, cnk, year2, rev = _combine3(snk, cnk, year, rev)
+        return pa.table(
+            {
+                "snk": pa.array(snk, pa.int64()),
+                "cnk": pa.array(cnk, pa.int64()),
+                "year": pa.array(year2, pa.int64()),
+                "rev_i": pa.array(rev, pa.int64()),
+            },
+            schema=_PARTIAL,
+        )
+
+    rows = (
+        absorb_empty_blocks(stage2.union(cust), batch_size=131072)
+        .groupby("cshard")
+        .map_groups(
+            lambda g: merge_cust(_dropg(g, ["cshard"])), batch_format="pyarrow"
+        )
+        .take_all()
+    )
+    agg: dict[tuple[int, int, int], int] = {}
+    for r in rows:
+        k = (int(r["snk"]), int(r["cnk"]), int(r["year"]))
+        agg[k] = agg.get(k, 0) + int(r["rev_i"])
+    keys = sorted(agg, key=lambda k: (name_of[k[0]], name_of[k[1]], k[2]))
+    return pa.table(
+        {
+            "supp_nation": pa.array([name_of[k[0]] for k in keys], pa.string()),
+            "cust_nation": pa.array([name_of[k[1]] for k in keys], pa.string()),
+            "l_year": pa.array([k[2] for k in keys], pa.int64()),
+            "revenue_i": pa.array([agg[k] for k in keys], pa.int64()),
+        },
+        schema=_OUT,
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 analogue — global argmax WITH TIES over an aggregated view
+# ---------------------------------------------------------------------------
+
+
+def top_supplier_revenue(sf_dir: str, num_shards: int = 64) -> pa.Table:
+    """TPC-H Q15 analogue: the supplier(s) with the MAXIMUM total revenue
+    inside the ``config.Q15_SHIP_*`` quarter — ties all surface, names
+    recovered.  The shape the registry lacked: a GLOBAL argmax over an
+    aggregated view (cheapest_supplier is the groupwise cousin).
+
+    Scale shape: window-filtered lineitem pre-combines (suppkey, rev_i) per
+    batch; ONE suppkey-shard groupby finishes exact per-supplier totals
+    (totals are complete per shard since sharded by key) and emits only its
+    LOCAL max rows — <= ties-per-shard rows reach the driver, never the
+    supplier census.  The global max + ties resolve over <= num_shards
+    candidate groups; name recovery reads supplier with an isin filter on
+    the tie set (result-bounded, typically 1).
+
+    Output: (s_suppkey, s_name, total_revenue_i) ordered by s_suppkey."""
+    import datetime as _dt
+
+    import numpy as np
+    import pyarrow.parquet as _pqm
+
+    from ..config import Q15_SHIP_HI, Q15_SHIP_LO
+    from ._util import absorb_empty_blocks, combine_by_key
+
+    lo = _dt.datetime.fromisoformat(Q15_SHIP_LO)
+    hi = _dt.datetime.fromisoformat(Q15_SHIP_HI)
+    _OUT = pa.schema(
+        [
+            ("s_suppkey", pa.int64()),
+            ("s_name", pa.string()),
+            ("total_revenue_i", pa.int64()),
+        ]
+    )
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    _P = pa.schema(
+        [("sshard", pa.int32()), ("key", pa.int64()), ("rev_i", pa.int64())]
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _P.empty_table()
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * 100.0 + 0.5).astype(np.int64) * (
+            10000 - np.floor(dc * 10000.0 + 0.5).astype(np.int64)
+        )
+        kk, rr = combine_by_key(sk, rev)
+        return pa.table(
+            {
+                "sshard": pa.array(_shard_of(kk)),
+                "key": pa.array(kk, pa.int64()),
+                "rev_i": pa.array(rr, pa.int64()),
+            },
+            schema=_P,
+        )
+
+    _CAND = pa.schema([("key", pa.int64()), ("rev_i", pa.int64())])
+
+    def shard_max(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["sshard"])
+        if g.num_rows == 0:
+            return _CAND.empty_table()
+        k = g.column("key").to_numpy(zero_copy_only=False)
+        r = g.column("rev_i").to_numpy(zero_copy_only=False)
+        kk, rr = combine_by_key(k, r)
+        m = rr.max()
+        keep = rr == m
+        return pa.table(
+            {"key": pa.array(kk[keep], pa.int64()), "rev_i": pa.array(rr[keep], pa.int64())},
+            schema=_CAND,
+        )
+
+    li = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+    ).map_batches(li_partial, batch_format="pyarrow")
+    cands = (
+        absorb_empty_blocks(li, batch_size=131072)
+        .groupby("sshard")
+        .map_groups(shard_max, batch_format="pyarrow")
+        .take_all()
+    )
+    if not cands:
+        return _OUT.empty_table()
+    best = max(int(r["rev_i"]) for r in cands)
+    winners = sorted(int(r["key"]) for r in cands if int(r["rev_i"]) == best)
+    # result-bounded recovery: |winners| is the global tie count
+    names = _pqm.read_table(
+        _pq(sf_dir, "supplier"),
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", winners)],
+    )
+    nmap = dict(
+        zip(names.column("s_suppkey").to_pylist(), names.column("s_name").to_pylist())
+    )
+    return pa.table(
+        {
+            "s_suppkey": pa.array(winners, pa.int64()),
+            "s_name": pa.array([nmap.get(w) for w in winners], pa.string()),
+            "total_revenue_i": pa.array([best] * len(winners), pa.int64()),
+        },
+        schema=_OUT,
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 analogue — conditional ratio aggregate over a dimension join
+# ---------------------------------------------------------------------------
+
+
+def promo_revenue_share(sf_dir: str, num_shards: int = 64) -> pa.Table:
+    """TPC-H Q14 analogue: the share (e6 fixed point) of ship-month revenue
+    coming from parts of type ``config.Q14_PROMO_TYPE`` — the conditional
+    RATIO-of-sums over a join, computed without ever materializing the
+    join: lineitem pre-combines (partkey, rev_i) per batch inside the
+    ``config.Q14_SHIP_*`` window; slim (partkey, is_promo) part rows ride
+    the same partkey-shard groupby; each shard emits ONE (promo_i, total_i)
+    scalar row.  Only rows whose partkey exists in ``part`` count (join
+    semantics, not FK trust).  The driver sums <= num_shards partials in
+    arbitrary-precision ints and divides once.
+
+    Output: one row (promo_revenue_i, total_revenue_i, promo_share_e6);
+    empty table when the window has no joined rows (the oracle's HAVING
+    mirrors this)."""
+    import datetime as _dt
+
+    import numpy as np
+
+    from ..config import Q14_PROMO_TYPE, Q14_SHIP_HI, Q14_SHIP_LO
+    from ._util import absorb_empty_blocks, combine_by_key, strip_schema_metadata
+
+    lo = _dt.datetime.fromisoformat(Q14_SHIP_LO)
+    hi = _dt.datetime.fromisoformat(Q14_SHIP_HI)
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    _M = pa.schema(
+        [
+            ("pshard", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.int8()),
+            ("rev_i", pa.int64()),
+            ("promo", pa.int8()),
+        ]
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _M.empty_table()
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * 100.0 + 0.5).astype(np.int64) * (
+            10000 - np.floor(dc * 10000.0 + 0.5).astype(np.int64)
+        )
+        kk, rr = combine_by_key(pk, rev)
+        n = len(kk)
+        return pa.table(
+            {
+                "pshard": pa.array(_shard_of(kk)),
+                "key": pa.array(kk, pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "rev_i": pa.array(rr, pa.int64()),
+                "promo": pa.array(np.zeros(n, np.int8), pa.int8()),
+            },
+            schema=_M,
+        )
+
+    def part_rows(t: pa.Table) -> pa.Table:
+        pk = t.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        promo = pc.equal(t.column("p_type"), Q14_PROMO_TYPE).to_numpy(
+            zero_copy_only=False
+        )
+        n = len(pk)
+        return pa.table(
+            {
+                "pshard": pa.array(_shard_of(pk)),
+                "key": pa.array(pk, pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "rev_i": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "promo": pa.array(promo.astype(np.int8), pa.int8()),
+            },
+            schema=_M,
+        )
+
+    _S = pa.schema([("promo_i", pa.int64()), ("total_i", pa.int64())])
+
+    def merge_shard(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["pshard"])
+        if g.num_rows == 0:
+            return _S.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        bmask = side == 1
+        bkey = keys[bmask]
+        pk = keys[~bmask]
+        if len(bkey) == 0 or len(pk) == 0:
+            return _S.empty_table()
+        bpromo = g.column("promo").to_numpy(zero_copy_only=False)[bmask]
+        order = np.argsort(bkey)
+        bkey, bpromo = bkey[order], bpromo[order]
+        pos = np.searchsorted(bkey, pk)
+        hit = (pos < len(bkey)) & (bkey[np.minimum(pos, len(bkey) - 1)] == pk)
+        rev = g.column("rev_i").to_numpy(zero_copy_only=False)[~bmask][hit]
+        promo = bpromo[pos[hit]].astype(bool)
+        if len(rev) == 0:
+            return _S.empty_table()
+        return pa.table(
+            {
+                "promo_i": pa.array([_safe_isum(rev[promo])], pa.int64()),
+                "total_i": pa.array([_safe_isum(rev)], pa.int64()),
+            },
+            schema=_S,
+        )
+
+    li = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+            filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+        )
+    ).map_batches(li_partial, batch_format="pyarrow")
+    part = strip_schema_metadata(
+        ray.data.read_parquet(_pq(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    ).map_batches(part_rows, batch_format="pyarrow")
+    rows = (
+        absorb_empty_blocks(li.union(part), batch_size=131072)
+        .groupby("pshard")
+        .map_groups(merge_shard, batch_format="pyarrow")
+        .take_all()
+    )
+    _OUT = pa.schema(
+        [
+            ("promo_revenue_i", pa.int64()),
+            ("total_revenue_i", pa.int64()),
+            ("promo_share_e6", pa.int64()),
+        ]
+    )
+    promo_i = sum(int(r["promo_i"]) for r in rows)
+    total_i = sum(int(r["total_i"]) for r in rows)
+    if not rows or total_i == 0:
+        return _OUT.empty_table()
+    return pa.table(
+        {
+            "promo_revenue_i": pa.array([promo_i], pa.int64()),
+            "total_revenue_i": pa.array([total_i], pa.int64()),
+            "promo_share_e6": pa.array([(1_000_000 * promo_i) // total_i], pa.int64()),
+        },
+        schema=_OUT,
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 analogue — disjunctive (OR-of-ANDs) predicate join
+# ---------------------------------------------------------------------------
+
+
+def disjunctive_revenue(sf_dir: str, num_shards: int = 64) -> pa.Table:
+    """TPC-H Q19 analogue: total revenue of lineitems whose part satisfies
+    ANY of the ``config.Q19_CLAUSES`` (brand, size band, quantity band)
+    conjunctions — the disjunctive multi-clause predicate that defeats
+    single-predicate pushdown.
+
+    Scale shape: the part side collapses each part to a CLAUSE BITMASK
+    (brand+size are part-local) and ships only parts with a nonzero mask —
+    the disjunction's part-side selectivity prunes the shuffle; lineitem
+    pre-combines (partkey, qty) pair partials per batch (qty is a small
+    int, so pairs are bounded per block — Q17's sufficient-statistic
+    trick); each partkey shard probes the mask, applies the qty band PER
+    CLAUSE BIT vectorized, and emits one scalar.  Driver sums
+    <= num_shards rows.
+
+    Output: one row (revenue_i); empty when nothing qualifies."""
+    import numpy as np
+
+    from ..config import Q19_CLAUSES
+    from ._util import absorb_empty_blocks, int_segment_sum, strip_schema_metadata
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    _M = pa.schema(
+        [
+            ("pshard", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.int8()),
+            ("qty", pa.int64()),
+            ("rev_i", pa.int64()),
+            ("mask", pa.int64()),
+        ]
+    )
+
+    def part_rows(t: pa.Table) -> pa.Table:
+        pk = t.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        brand = t.column("p_brand").to_numpy(zero_copy_only=False)
+        size = t.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.zeros(len(pk), np.int64)
+        for b, (cb, slo, shi, _, _) in enumerate(Q19_CLAUSES):
+            mask |= ((brand == cb) & (size >= slo) & (size <= shi)).astype(
+                np.int64
+            ) << b
+        keep = mask != 0
+        pk, mask = pk[keep], mask[keep]
+        n = len(pk)
+        z = np.zeros(n, np.int64)
+        return pa.table(
+            {
+                "pshard": pa.array(_shard_of(pk)),
+                "key": pa.array(pk, pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "qty": pa.array(z, pa.int64()),
+                "rev_i": pa.array(z, pa.int64()),
+                "mask": pa.array(mask, pa.int64()),
+            },
+            schema=_M,
+        )
+
+    def li_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _M.empty_table()
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = np.floor(
+            t.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * 100.0 + 0.5).astype(np.int64) * (
+            10000 - np.floor(dc * 10000.0 + 0.5).astype(np.int64)
+        )
+        order = np.lexsort((qty, pk))
+        pk, qty, rev = pk[order], qty[order], rev[order]
+        new = np.ones(len(pk), dtype=bool)
+        new[1:] = (pk[1:] != pk[:-1]) | (qty[1:] != qty[:-1])
+        starts = np.flatnonzero(new)
+        upk, uq = pk[starts], qty[starts]
+        n = len(upk)
+        return pa.table(
+            {
+                "pshard": pa.array(_shard_of(upk)),
+                "key": pa.array(upk, pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "qty": pa.array(uq, pa.int64()),
+                "rev_i": pa.array(int_segment_sum(rev, starts), pa.int64()),
+                "mask": pa.array(np.zeros(n, np.int64), pa.int64()),
+            },
+            schema=_M,
+        )
+
+    _S = pa.schema([("rev_i", pa.int64())])
+
+    def merge_shard(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["pshard"])
+        if g.num_rows == 0:
+            return _S.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        bmask = side == 1
+        bkey = keys[bmask]
+        pk = keys[~bmask]
+        if len(bkey) == 0 or len(pk) == 0:
+            return _S.empty_table()
+        bm = g.column("mask").to_numpy(zero_copy_only=False)[bmask]
+        order = np.argsort(bkey)
+        bkey, bm = bkey[order], bm[order]
+        pos = np.searchsorted(bkey, pk)
+        hit = (pos < len(bkey)) & (bkey[np.minimum(pos, len(bkey) - 1)] == pk)
+        mask = bm[pos[hit]]
+        qty = g.column("qty").to_numpy(zero_copy_only=False)[~bmask][hit]
+        rev = g.column("rev_i").to_numpy(zero_copy_only=False)[~bmask][hit]
+        ok = np.zeros(len(qty), dtype=bool)
+        for b, (_, _, _, qlo, qhi) in enumerate(Q19_CLAUSES):
+            ok |= (((mask >> b) & 1) == 1) & (qty >= qlo) & (qty <= qhi)
+        if not ok.any():
+            return _S.empty_table()
+        return pa.table(
+            {"rev_i": pa.array([_safe_isum(rev[ok])], pa.int64())}, schema=_S
+        )
+
+    part = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"]
+        )
+    ).map_batches(part_rows, batch_format="pyarrow")
+    li = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+    ).map_batches(li_pairs, batch_format="pyarrow")
+    rows = (
+        absorb_empty_blocks(li.union(part), batch_size=131072)
+        .groupby("pshard")
+        .map_groups(merge_shard, batch_format="pyarrow")
+        .take_all()
+    )
+    _OUT = pa.schema([("revenue_i", pa.int64())])
+    if not rows:
+        return _OUT.empty_table()
+    return pa.table(
+        {"revenue_i": pa.array([sum(int(r["rev_i"]) for r in rows)], pa.int64())},
+        schema=_OUT,
     )

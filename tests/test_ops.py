@@ -5415,3 +5415,88 @@ def test_value_ks_drift_identical_distributions_is_zero():
     # isa mask marks ALL kept rows as side 1 -> n2 == 0 -> empty result
     # (degenerate by contract, mirrored by the oracle's n2 > 0 guard)
     assert out == []
+
+
+def test_tpch_q7_q14_q15_q19_match_duckdb_oracles():
+    """The four round-5 TPC-H shapes (trade flows / promo share / top
+    supplier / disjunctive predicate) replay their registered oracle SQL
+    at sf0.001 inside pytest."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    for tbl in ("lineitem", "orders", "customer", "supplier", "part", "nation"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{SF}/{tbl}.parquet')"
+        )
+    sqls = entry.oracle_sql()
+    qs = entry.queries()
+    for name in (
+        "nation_trade_flows",
+        "top_supplier_revenue",
+        "promo_revenue_share",
+        "disjunctive_revenue",
+    ):
+        got = qs[name](SF)
+        if hasattr(got, "take_all"):
+            got = pa.Table.from_pylist(got.take_all())
+        want = con.execute(sqls[name]).fetch_arrow_table()
+        assert got.to_pylist() == want.to_pylist(), name
+
+
+def test_nation_trade_flows_shard_invariance():
+    """The three chained shard merges give identical flows at any shard
+    count (catches shard-boundary/combine bugs the default can't)."""
+    from invoice_extraction_ray.ops.relational import nation_trade_flows
+
+    a = nation_trade_flows(SF, num_shards=3).to_pylist()
+    b = nation_trade_flows(SF, num_shards=64).to_pylist()
+    assert a == b and len(a) > 0
+
+
+def test_disjunctive_revenue_clause_decomposition():
+    """OR-of-ANDs equals the inclusion-free sum over rows matching ANY
+    clause, recomputed row-at-a-time in python."""
+    import numpy as np
+
+    from invoice_extraction_ray.config import Q19_CLAUSES
+    from invoice_extraction_ray.ops.relational import disjunctive_revenue
+
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).to_pylist()
+    part = {
+        r["p_partkey"]: (r["p_brand"], r["p_size"])
+        for r in pq.read_table(
+            f"{SF}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+        ).to_pylist()
+    }
+    want = 0
+    for r in li:
+        brand, size = part[r["l_partkey"]]
+        qty = int(np.floor(r["l_quantity"] + 0.5))
+        if any(
+            brand == cb and slo <= size <= shi and qlo <= qty <= qhi
+            for (cb, slo, shi, qlo, qhi) in Q19_CLAUSES
+        ):
+            want += int(np.floor(r["l_extendedprice"] * 100.0 + 0.5)) * (
+                10000 - int(np.floor(r["l_discount"] * 10000.0 + 0.5))
+            )
+    got = disjunctive_revenue(SF, num_shards=5).to_pylist()
+    assert got == ([{"revenue_i": want}] if want else [])
+
+
+def test_safe_isum_overflow_paths():
+    """_safe_isum: exact past the numpy wrap bound, loud past int64."""
+    import numpy as np
+    import pytest as _pytest
+
+    from invoice_extraction_ray.ops.relational import _safe_isum
+
+    big = np.array([2**62, 2**61], dtype=np.int64)
+    assert _safe_isum(big) == 2**62 + 2**61  # > max*n bound, still fits
+    with _pytest.raises(ValueError, match="num_shards"):
+        _safe_isum(np.array([2**62] * 3, dtype=np.int64))
+    assert _safe_isum(np.array([], dtype=np.int64)) == 0
