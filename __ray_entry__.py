@@ -515,6 +515,10 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("promo_revenue_share", relational.promo_revenue_share),
             # Q19 disjunctive OR-of-ANDs predicate join
             ("disjunctive_revenue", relational.disjunctive_revenue),
+            # Q10 returned-item top-K customer report with recovery
+            ("returned_item_report", relational.returned_item_report),
+            # Q8 market share: the deepest dimension chain + yearly ratio
+            ("market_share", relational.market_share),
         ],
         # window / interval operators
         "window": [
@@ -695,6 +699,17 @@ def oracle_sql() -> dict[str, str]:
     _REV_I = (
         "CAST(floor(l.l_extendedprice*100.0 + 0.5) AS BIGINT) * "
         "(10000 - CAST(floor(l.l_discount*10000.0 + 0.5) AS BIGINT))"
+    )
+    from invoice_extraction_ray.config import (
+        Q10_ORDER_LO as _Q10LO,
+        Q10_ORDER_HI as _Q10HI,
+        Q10_TOPK as _Q10K,
+        Q8_NATION as _Q8N,
+        Q8_REGION as _Q8R,
+        Q8_PART_TYPE as _Q8T,
+        Q8_SHIP_LO as _Q8LO,
+        Q8_SHIP_HI as _Q8HI,
+        SEMI_JOIN_RETURNFLAG as _RFLAG,
     )
     _Q19_PRED = " OR ".join(
         f"(p_brand = '{cb}' AND p_size BETWEEN {slo} AND {shi} "
@@ -1136,6 +1151,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(sum(rev) AS BIGINT) AS revenue_i FROM j "
             f"WHERE {_Q19_PRED} "
             "HAVING count(*) > 0"
+        ),
+        # returned_item_report: Q10 top-K customers by returned revenue,
+        # joined view cut by LIMIT with the (rev DESC, custkey) tie-break
+        "returned_item_report": (
+            "WITH r AS (SELECT o.o_custkey, "
+            f"CAST(sum({_REV_I}) AS BIGINT) AS revenue_i "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            f"WHERE l.l_returnflag = '{_RFLAG}' "
+            f"AND o.o_orderdate >= TIMESTAMP '{_Q10LO}' "
+            f"AND o.o_orderdate < TIMESTAMP '{_Q10HI}' "
+            "GROUP BY o.o_custkey) "
+            "SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name, "
+            "CAST(floor(c.c_acctbal*100.0 + 0.5) AS BIGINT) AS acctbal_c, "
+            "n.n_name, r.revenue_i "
+            "FROM r JOIN customer c ON r.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            f"ORDER BY r.revenue_i DESC, c_custkey LIMIT {_Q10K}"
+        ),
+        # market_share: Q8 yearly e6 revenue share of the target supplier
+        # nation inside the (region, part-type) market
+        "market_share": (
+            "WITH j AS (SELECT CAST(year(l.l_shipdate) AS BIGINT) AS l_year, "
+            f"{_REV_I} AS rev, "
+            f"(n1.n_name = '{_Q8N}') AS is_target "
+            "FROM lineitem l "
+            "JOIN part p ON l.l_partkey = p.p_partkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
+            "JOIN region rg ON n2.n_regionkey = rg.r_regionkey "
+            f"WHERE rg.r_name = '{_Q8R}' AND p.p_type = '{_Q8T}' "
+            f"AND l.l_shipdate >= TIMESTAMP '{_Q8LO}' "
+            f"AND l.l_shipdate < TIMESTAMP '{_Q8HI}') "
+            "SELECT l_year, "
+            "CAST(coalesce(sum(CASE WHEN is_target THEN rev END), 0) AS BIGINT) "
+            "AS target_revenue_i, "
+            "CAST(sum(rev) AS BIGINT) AS total_revenue_i, "
+            "CAST(1000000 * coalesce(sum(CASE WHEN is_target THEN rev END), 0) "
+            "// sum(rev) AS BIGINT) AS share_e6 "
+            "FROM j GROUP BY l_year HAVING sum(rev) <> 0 ORDER BY l_year"
         ),
         # brand_supplier_counts: TPC-H Q16's per-group COUNT(DISTINCT) core
         "brand_supplier_counts": (

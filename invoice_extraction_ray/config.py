@@ -401,3 +401,21 @@ Q19_CLAUSES = (
     ("Brand#22", 10, 30, 10, 20),
     ("Brand#25", 25, 50, 20, 30),
 )
+
+# TPC-H Q10 analogue (ops/relational.py::returned_item_report): top-K
+# customers by revenue of RETURNED lineitems whose order sits in a
+# one-quarter window.  Flag shared with the semijoin family.
+Q10_ORDER_LO = "1997-07-01"
+Q10_ORDER_HI = "1997-10-01"
+Q10_TOPK = 20
+
+# TPC-H Q8 analogue (ops/relational.py::market_share): the target supplier
+# nation's e6 revenue share per ship year, restricted to orders from
+# customers in the target region and to parts of the target type — the
+# registry's deepest dimension chain (part, supplier, orders, customer,
+# nation, region all participate).
+Q8_NATION = "NATION_3"
+Q8_REGION = "AMERICA"
+Q8_PART_TYPE = "STANDARD"
+Q8_SHIP_LO = "1997-01-01"
+Q8_SHIP_HI = "1999-01-01"

@@ -7095,3 +7095,545 @@ def disjunctive_revenue(sf_dir: str, num_shards: int = 64) -> pa.Table:
         {"revenue_i": pa.array([sum(int(r["rev_i"]) for r in rows)], pa.int64())},
         schema=_OUT,
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 analogue — returned-item customer report (top-K with recovery)
+# ---------------------------------------------------------------------------
+
+
+def returned_item_report(sf_dir: str, num_shards: int = 64) -> pa.Table:
+    """TPC-H Q10 analogue: the ``config.Q10_TOPK`` customers by revenue of
+    RETURNED (``config.SEMI_JOIN_RETURNFLAG``) lineitems whose order falls
+    in the ``config.Q10_ORDER_*`` quarter, with name / account balance /
+    nation recovered — the lost-revenue triage report.
+
+    Scale shape: returnflag-filtered lineitem pre-combines (orderkey,
+    rev_i) per batch and union-merges with window-filtered slim order rows
+    on ONE orderkey shard (both filters pushed to the reads); surviving
+    (custkey, rev_i) partials ride a SECOND custkey-shard groupby whose
+    shards own complete per-customer totals and emit only their LOCAL
+    top-K — <= K x num_shards rows reach the driver, never the customer
+    census.  Recovery reads customer with an isin filter on the K winners
+    (result-bounded); nation is the spec-constant 25-row map.
+
+    Output: (c_custkey, c_name, acctbal_c, n_name, revenue_i) ordered by
+    revenue DESC then custkey (the oracle's deterministic tie-break).
+    The customer-name join runs BEFORE the final cut (a dangling custkey
+    promotes the next candidate, mirroring SQL's LIMIT-on-joined-view);
+    the per-shard candidate cut itself assumes the declared FK contract
+    (``data_quality_report`` audits violations)."""
+    import datetime as _dt
+
+    import numpy as np
+    import pyarrow.parquet as _pqm
+
+    from ..config import Q10_ORDER_HI, Q10_ORDER_LO, Q10_TOPK, SEMI_JOIN_RETURNFLAG
+    from ._util import absorb_empty_blocks, combine_by_key, strip_schema_metadata
+
+    lo = _dt.datetime.fromisoformat(Q10_ORDER_LO)
+    hi = _dt.datetime.fromisoformat(Q10_ORDER_HI)
+    _OUT = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("c_name", pa.string()),
+            ("acctbal_c", pa.int64()),
+            ("n_name", pa.string()),
+            ("revenue_i", pa.int64()),
+        ]
+    )
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    _M = pa.schema(
+        [
+            ("oshard", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.int8()),
+            ("rev_i", pa.int64()),
+            ("cust", pa.int64()),
+        ]
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _M.empty_table()
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * 100.0 + 0.5).astype(np.int64) * (
+            10000 - np.floor(dc * 10000.0 + 0.5).astype(np.int64)
+        )
+        kk, rr = combine_by_key(ok, rev)
+        n = len(kk)
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(kk)),
+                "key": pa.array(kk, pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "rev_i": pa.array(rr, pa.int64()),
+                "cust": pa.array(np.zeros(n, np.int64), pa.int64()),
+            },
+            schema=_M,
+        )
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ok)
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(ok)),
+                "key": pa.array(ok, pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "rev_i": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "cust": t.column("o_custkey").cast(pa.int64()),
+            },
+            schema=_M,
+        )
+
+    _C = pa.schema(
+        [("cshard", pa.int32()), ("key", pa.int64()), ("rev_i", pa.int64())]
+    )
+
+    def merge_orders(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["oshard"])
+        if g.num_rows == 0:
+            return _C.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        bmask = side == 1
+        bkey = keys[bmask]
+        pk = keys[~bmask]
+        if len(bkey) == 0 or len(pk) == 0:
+            return _C.empty_table()
+        bcust = g.column("cust").to_numpy(zero_copy_only=False)[bmask]
+        order = np.argsort(bkey)
+        bkey, bcust = bkey[order], bcust[order]
+        pos = np.searchsorted(bkey, pk)
+        hit = (pos < len(bkey)) & (bkey[np.minimum(pos, len(bkey) - 1)] == pk)
+        cust = bcust[pos[hit]]
+        rev = g.column("rev_i").to_numpy(zero_copy_only=False)[~bmask][hit]
+        kk, rr = combine_by_key(cust, rev)
+        return pa.table(
+            {
+                "cshard": pa.array(_shard_of(kk)),
+                "key": pa.array(kk, pa.int64()),
+                "rev_i": pa.array(rr, pa.int64()),
+            },
+            schema=_C,
+        )
+
+    _T = pa.schema([("key", pa.int64()), ("rev_i", pa.int64())])
+
+    def shard_topk(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["cshard"])
+        if g.num_rows == 0:
+            return _T.empty_table()
+        kk, rr = combine_by_key(
+            g.column("key").to_numpy(zero_copy_only=False),
+            g.column("rev_i").to_numpy(zero_copy_only=False),
+        )
+        order = np.lexsort((kk, -rr))[: Q10_TOPK]
+        return pa.table(
+            {
+                "key": pa.array(kk[order], pa.int64()),
+                "rev_i": pa.array(rr[order], pa.int64()),
+            },
+            schema=_T,
+        )
+
+    li = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+            filter=pc.field("l_returnflag") == SEMI_JOIN_RETURNFLAG,
+        )
+    ).map_batches(li_partial, batch_format="pyarrow")
+    orders = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_orderkey", "o_custkey"],
+            filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+        )
+    ).map_batches(ord_rows, batch_format="pyarrow")
+
+    cands = (
+        absorb_empty_blocks(li.union(orders), batch_size=131072)
+        .groupby("oshard")
+        .map_groups(merge_orders, batch_format="pyarrow")
+        .groupby("cshard")
+        .map_groups(shard_topk, batch_format="pyarrow")
+        .take_all()
+    )
+    if not cands:
+        return _OUT.empty_table()
+    # join BEFORE the cut (the oracle's LIMIT runs on the joined view, so a
+    # dangling custkey must promote the next candidate, not shrink the K):
+    # probe ALL candidates — bounded by K x num_shards, never customer-sized
+    all_keys = sorted({int(r["key"]) for r in cands})
+    cust = _pqm.read_table(
+        _pq(sf_dir, "customer"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filters=[("c_custkey", "in", all_keys)],
+    )
+    nat = _pqm.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    nname = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+    info = {int(r["c_custkey"]): r for r in cust.to_pylist()}
+    joined = [r for r in cands if int(r["key"]) in info]
+    top = sorted(joined, key=lambda r: (-int(r["rev_i"]), int(r["key"])))[:Q10_TOPK]
+    keep = [int(r["key"]) for r in top]
+    rev_of = {int(r["key"]): int(r["rev_i"]) for r in top}
+    return pa.table(
+        {
+            "c_custkey": pa.array(keep, pa.int64()),
+            "c_name": pa.array([info[k]["c_name"] for k in keep], pa.string()),
+            "acctbal_c": pa.array(
+                [int(np.floor(info[k]["c_acctbal"] * 100.0 + 0.5)) for k in keep],
+                pa.int64(),
+            ),
+            "n_name": pa.array(
+                [nname.get(info[k]["c_nationkey"]) for k in keep], pa.string()
+            ),
+            "revenue_i": pa.array([rev_of[k] for k in keep], pa.int64()),
+        },
+        schema=_OUT,
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 analogue — market share (the deepest dimension chain + ratio)
+# ---------------------------------------------------------------------------
+
+
+def market_share(sf_dir: str, num_shards: int = 64) -> pa.Table:
+    """TPC-H Q8 analogue: per ship YEAR, the e6 revenue share supplied by
+    ``config.Q8_NATION`` within the market defined by customers in region
+    ``config.Q8_REGION`` and parts of type ``config.Q8_PART_TYPE``, inside
+    the ``config.Q8_SHIP_*`` window — the registry's deepest chain: every
+    dimension table participates (part, supplier, orders, customer, plus
+    the spec-constant nation/region maps).
+
+    Scale shape — FOUR chained shard-merge hops, most selective first,
+    each hop's survivors pre-combined before re-keying; only
+    (year, is_target) scalar partials reach the driver:
+
+      1. partkey shard: window-filtered lineitem rows semijoin
+         type-filtered part keys (the chain's sharpest filter).
+      2. suppkey shard: survivors union slim supplier rows; the nation
+         test collapses to an is_target BIT at attach (the nation id
+         itself never rides further hops).
+      3. orderkey shard: attach o_custkey; combine per (cust, flag, year).
+      4. custkey shard: semijoin region-filtered customer keys (the
+         nationkey-set filter is the constant 25-row nation->region map
+         pushed INTO the customer read); emit per-shard
+         (year, target_i, total_i) rows.
+
+    Output: (l_year, target_revenue_i, total_revenue_i, share_e6) ordered
+    by year; the share divides once per year in python ints."""
+    import datetime as _dt
+
+    import numpy as np
+    import pyarrow.parquet as _pqm
+
+    from ..config import Q8_NATION, Q8_PART_TYPE, Q8_REGION, Q8_SHIP_HI, Q8_SHIP_LO
+    from ._util import absorb_empty_blocks, int_segment_sum, strip_schema_metadata
+
+    _OUT = pa.schema(
+        [
+            ("l_year", pa.int64()),
+            ("target_revenue_i", pa.int64()),
+            ("total_revenue_i", pa.int64()),
+            ("share_e6", pa.int64()),
+        ]
+    )
+    nat = _pqm.read_table(_pq(sf_dir, "nation"))
+    reg = _pqm.read_table(_pq(sf_dir, "region"))
+    rkeys = [
+        r["r_regionkey"] for r in reg.to_pylist() if r["r_name"] == Q8_REGION
+    ]
+    target_nk = [
+        r["n_nationkey"] for r in nat.to_pylist() if r["n_name"] == Q8_NATION
+    ]
+    region_nks = [
+        r["n_nationkey"] for r in nat.to_pylist() if r["n_regionkey"] in rkeys
+    ]
+    if not target_nk or not region_nks:
+        return _OUT.empty_table()
+    target_nk = target_nk[0]
+    lo = _dt.datetime.fromisoformat(Q8_SHIP_LO)
+    hi = _dt.datetime.fromisoformat(Q8_SHIP_HI)
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    # one wire schema for all four hops: key is the CURRENT hop key; a/b
+    # carry the remaining future keys (suppkey/orderkey, then custkey slot)
+    _W = pa.schema(
+        [
+            ("shard", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.int8()),
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("year", pa.int64()),
+            ("rev_i", pa.int64()),
+            ("flag", pa.int8()),
+        ]
+    )
+
+    def _wire(shard, key, side, a, b, year, rev, flag) -> pa.Table:
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "key": pa.array(key, pa.int64()),
+                "side": pa.array(side, pa.int8()),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "year": pa.array(year, pa.int64()),
+                "rev_i": pa.array(rev, pa.int64()),
+                "flag": pa.array(flag, pa.int8()),
+            },
+            schema=_W,
+        )
+
+    def _zero(n):
+        return np.zeros(n, np.int64)
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _W.empty_table()
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * 100.0 + 0.5).astype(np.int64) * (
+            10000 - np.floor(dc * 10000.0 + 0.5).astype(np.int64)
+        )
+        year = (
+            t.column("l_shipdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        n = len(pk)
+        return _wire(
+            _shard_of(pk),
+            pk,
+            np.zeros(n, np.int8),
+            t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64),
+            t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64),
+            year,
+            rev,
+            np.zeros(n, np.int8),
+        )
+
+    def _dim_keys(col):
+        def rows(t: pa.Table) -> pa.Table:
+            k = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(k)
+            return _wire(
+                _shard_of(k), k, np.ones(n, np.int8), _zero(n), _zero(n),
+                _zero(n), _zero(n), np.zeros(n, np.int8),
+            )
+
+        return rows
+
+    def supp_rows(t: pa.Table) -> pa.Table:
+        k = t.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        flag = (
+            t.column("s_nationkey").to_numpy(zero_copy_only=False) == target_nk
+        ).astype(np.int8)
+        n = len(k)
+        return _wire(
+            _shard_of(k), k, np.ones(n, np.int8), _zero(n), _zero(n),
+            _zero(n), _zero(n), flag,
+        )
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(k)
+        return _wire(
+            _shard_of(k), k, np.ones(n, np.int8),
+            t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64),
+            _zero(n), _zero(n), _zero(n), np.zeros(n, np.int8),
+        )
+
+    def _probe(g: pa.Table):
+        """Split the group into fact/dim, sort-probe fact keys into dim
+        keys; return (hit-row fact arrays dict, dim pos, dim table)."""
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        bmask = side == 1
+        bkey = keys[bmask]
+        pk = keys[~bmask]
+        if len(bkey) == 0 or len(pk) == 0:
+            return None
+        order = np.argsort(bkey)
+        bkey = bkey[order]
+        pos = np.searchsorted(bkey, pk)
+        hit = (pos < len(bkey)) & (bkey[np.minimum(pos, len(bkey) - 1)] == pk)
+        fact = {
+            c: g.column(c).to_numpy(zero_copy_only=False)[~bmask][hit]
+            for c in ("a", "b", "year", "rev_i", "flag")
+        }
+        return fact, order[pos[hit]], bmask
+
+    def merge_part(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["shard"])
+        if g.num_rows == 0:
+            return _W.empty_table()
+        p = _probe(g)
+        if p is None:
+            return _W.empty_table()
+        f, _, _ = p
+        sk = f["a"]
+        n = len(sk)
+        return _wire(
+            _shard_of(sk), sk, np.zeros(n, np.int8), f["b"], _zero(n),
+            f["year"], f["rev_i"], f["flag"],
+        )
+
+    def merge_supp(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["shard"])
+        if g.num_rows == 0:
+            return _W.empty_table()
+        p = _probe(g)
+        if p is None:
+            return _W.empty_table()
+        f, dpos, bmask = p
+        dflag = g.column("flag").to_numpy(zero_copy_only=False)[bmask][dpos]
+        ok = f["a"]
+        n = len(ok)
+        return _wire(
+            _shard_of(ok), ok, np.zeros(n, np.int8), _zero(n), _zero(n),
+            f["year"], f["rev_i"], dflag,
+        )
+
+    def merge_ord(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["shard"])
+        if g.num_rows == 0:
+            return _W.empty_table()
+        p = _probe(g)
+        if p is None:
+            return _W.empty_table()
+        f, dpos, bmask = p
+        cust = g.column("a").to_numpy(zero_copy_only=False)[bmask][dpos]
+        # pre-combine per (cust, flag, year) before the custkey shuffle
+        fy = f["flag"].astype(np.int64) * 8192 + f["year"]
+        order = np.lexsort((fy, cust))
+        cust, fy, rev = cust[order], fy[order], f["rev_i"][order]
+        new = np.ones(len(cust), dtype=bool)
+        new[1:] = (cust[1:] != cust[:-1]) | (fy[1:] != fy[:-1])
+        starts = np.flatnonzero(new)
+        cust, fy = cust[starts], fy[starts]
+        rev = int_segment_sum(rev, starts)
+        n = len(cust)
+        return _wire(
+            _shard_of(cust), cust, np.zeros(n, np.int8), _zero(n), _zero(n),
+            fy % 8192, rev, (fy // 8192).astype(np.int8),
+        )
+
+    _P = pa.schema(
+        [("year", pa.int64()), ("target_i", pa.int64()), ("total_i", pa.int64())]
+    )
+
+    def merge_cust(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["shard"])
+        if g.num_rows == 0:
+            return _P.empty_table()
+        p = _probe(g)
+        if p is None:
+            return _P.empty_table()
+        f, _, _ = p
+        fy = f["flag"].astype(np.int64) * 8192 + f["year"]
+        order = np.argsort(fy)
+        fy, rev = fy[order], f["rev_i"][order]
+        new = np.ones(len(fy), dtype=bool)
+        new[1:] = fy[1:] != fy[:-1]
+        starts = np.flatnonzero(new)
+        fy = fy[starts]
+        rev = int_segment_sum(rev, starts)
+        years = fy % 8192
+        flags = fy // 8192
+        uy = np.unique(years)
+        tgt = np.array(
+            [rev[(years == y) & (flags == 1)].sum() for y in uy], np.int64
+        )
+        tot = np.array([rev[years == y].sum() for y in uy], np.int64)
+        return pa.table(
+            {
+                "year": pa.array(uy, pa.int64()),
+                "target_i": pa.array(tgt, pa.int64()),
+                "total_i": pa.array(tot, pa.int64()),
+            },
+            schema=_P,
+        )
+
+    li = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=[
+                "l_partkey", "l_suppkey", "l_orderkey",
+                "l_extendedprice", "l_discount", "l_shipdate",
+            ],
+            filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+        )
+    ).map_batches(li_rows, batch_format="pyarrow")
+    part = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "part"),
+            columns=["p_partkey"],
+            filter=pc.field("p_type") == Q8_PART_TYPE,
+        )
+    ).map_batches(_dim_keys("p_partkey"), batch_format="pyarrow")
+    supp = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+        )
+    ).map_batches(supp_rows, batch_format="pyarrow")
+    orders = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+        )
+    ).map_batches(ord_rows, batch_format="pyarrow")
+    cust = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "customer"),
+            columns=["c_custkey"],
+            filter=pc.field("c_nationkey").isin(region_nks),
+        )
+    ).map_batches(_dim_keys("c_custkey"), batch_format="pyarrow")
+
+    def _hop(ds, dim, fn):
+        return (
+            absorb_empty_blocks(ds.union(dim), batch_size=131072)
+            .groupby("shard")
+            .map_groups(fn, batch_format="pyarrow")
+        )
+
+    s1 = _hop(li, part, merge_part)
+    s2 = _hop(s1, supp, merge_supp)
+    s3 = _hop(s2, orders, merge_ord)
+    rows = _hop(s3, cust, merge_cust).take_all()
+    agg: dict[int, list[int]] = {}
+    for r in rows:
+        e = agg.setdefault(int(r["year"]), [0, 0])
+        e[0] += int(r["target_i"])
+        e[1] += int(r["total_i"])
+    years = sorted(y for y, (_, tot) in agg.items() if tot != 0)
+    if not years:
+        return _OUT.empty_table()
+    return pa.table(
+        {
+            "l_year": pa.array(years, pa.int64()),
+            "target_revenue_i": pa.array([agg[y][0] for y in years], pa.int64()),
+            "total_revenue_i": pa.array([agg[y][1] for y in years], pa.int64()),
+            "share_e6": pa.array(
+                [(1_000_000 * agg[y][0]) // agg[y][1] for y in years], pa.int64()
+            ),
+        },
+        schema=_OUT,
+    )

@@ -5500,3 +5500,32 @@ def test_safe_isum_overflow_paths():
     with _pytest.raises(ValueError, match="num_shards"):
         _safe_isum(np.array([2**62] * 3, dtype=np.int64))
     assert _safe_isum(np.array([], dtype=np.int64)) == 0
+
+
+def test_tpch_q8_q10_match_duckdb_oracles():
+    """market_share / returned_item_report replay their registered oracle
+    SQL at sf0.001 inside pytest (plus shard invariance for the chain)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    for tbl in (
+        "lineitem", "orders", "customer", "supplier", "part", "nation", "region"
+    ):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{SF}/{tbl}.parquet')"
+        )
+    sqls = entry.oracle_sql()
+    qs = entry.queries()
+    for name in ("returned_item_report", "market_share"):
+        got = qs[name](SF)
+        want = con.execute(sqls[name]).fetch_arrow_table()
+        assert got.to_pylist() == want.to_pylist(), name
+
+    from invoice_extraction_ray.ops.relational import market_share
+
+    assert (
+        market_share(SF, num_shards=3).to_pylist()
+        == market_share(SF, num_shards=64).to_pylist()
+    )
