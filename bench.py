@@ -179,6 +179,20 @@ HEADLINE = [
     "user_event_entropy",
     # positional-index phrase retrieval (adjacency intersection)
     "phrase_search",
+    # exact integer two-sample KS drift (binned prefix shards)
+    "value_ks_drift",
+    # Q7 bilateral trade flows: two independent dimension hops
+    "nation_trade_flows",
+    # Q15 global argmax-with-ties over an aggregated view
+    "top_supplier_revenue",
+    # Q14 conditional ratio aggregate over a dimension join
+    "promo_revenue_share",
+    # Q19 disjunctive OR-of-ANDs predicate join
+    "disjunctive_revenue",
+    # Q10 returned-item top-K customer report with recovery
+    "returned_item_report",
+    # Q8 market share: four chained shard-merge hops + yearly ratio
+    "market_share",
 ]
 
 

@@ -30,6 +30,29 @@ def _pq(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def _read_sized(
+    sf_dir: str,
+    name: str,
+    columns: list[str],
+    filter=None,  # noqa: A002 — mirrors read_parquet's kwarg
+    rows_per_block: int = 131072,
+):
+    """``read_parquet`` with the block count sized from the parquet FOOTER
+    row count (no data read): Ray over-splits small single-file tables
+    into ~hundreds-of-row blocks whose per-read-task dispatch (~15 ms)
+    dwarfs the scan — a 20k-row dimension read measured 1.6 s over-split
+    vs 0.1 s sized.  Scales naturally: a 100-TB table still gets
+    rows/131072 blocks."""
+    from ._util import parquet_num_rows, strip_schema_metadata
+
+    path = _pq(sf_dir, name)
+    nb = max(1, parquet_num_rows(path) // rows_per_block)
+    kw = {"columns": columns, "override_num_blocks": nb}
+    if filter is not None:
+        kw["filter"] = filter
+    return strip_schema_metadata(ray.data.read_parquet(path, **kw))
+
+
 def _safe_isum(a) -> int:
     """Exact int64-safe sum of a non-negative int64 array: when the cheap
     ``max * n`` bound says the numpy int64 accumulator COULD wrap, redo the
@@ -3071,6 +3094,54 @@ def _splitmix_u64(x: "np.ndarray", seed: int) -> "np.ndarray":
     x *= np.uint64(0x94D049BB133111EB)
     x ^= x >> np.uint64(31)
     return x
+
+
+def _bloom_of(ds, col: str, m_bits: int = 1 << 17, k_hashes: int = 4):
+    """OR-mergeable bloom over ``ds[col]`` (int keys): one M/8-byte word
+    row per block, OR-merged on the driver — bounded state at ANY input
+    size (order_details_bloom's shape, factored for the join chains).
+    Returns the plasma ref of the uint64 word array."""
+    import numpy as np
+
+    n_words = m_bits // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        words = np.zeros(n_words, dtype=np.uint64)
+        for j in range(k_hashes):
+            idx = _splitmix_u64(keys, j + 1) % np.uint64(m_bits)
+            np.bitwise_or.at(
+                words, (idx >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (idx & np.uint64(63)),
+            )
+        return pa.table(
+            {"words": pa.array([words.astype(np.int64).tolist()], pa.list_(pa.int64()))}
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    words = (
+        np.bitwise_or.reduce(
+            np.asarray([r["words"] for r in rows], dtype=np.int64).astype(np.uint64),
+            axis=0,
+        )
+        if rows
+        else np.zeros(n_words, dtype=np.uint64)
+    )
+    return ray.put(words)
+
+
+def _bloom_keep(keys, words, m_bits: int = 1 << 17, k_hashes: int = 4):
+    """Vectorized membership probe: True where the key MIGHT be in the set
+    (false positives pass; the exact shard merge drops them)."""
+    import numpy as np
+
+    keep = np.ones(len(keys), dtype=bool)
+    for j in range(k_hashes):
+        idx = _splitmix_u64(keys, j + 1) % np.uint64(m_bits)
+        keep &= (
+            words[(idx >> np.uint64(6)).astype(np.int64)] >> (idx & np.uint64(63))
+        ) & np.uint64(1) != 0
+    return keep
 
 
 def order_details_bloom(
@@ -6455,12 +6526,9 @@ def nation_trade_flows(sf_dir: str, num_shards: int = 64) -> pa.Table:
             filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
         )
     ).map_batches(li_rows, batch_format="pyarrow")
-    supp = strip_schema_metadata(
-        ray.data.read_parquet(
-            _pq(sf_dir, "supplier"),
-            columns=["s_suppkey", "s_nationkey"],
-            filter=pc.field("s_nationkey").isin(nk),
-        )
+    supp = _read_sized(
+        sf_dir, "supplier", ["s_suppkey", "s_nationkey"],
+        filter=pc.field("s_nationkey").isin(nk),
     ).map_batches(supp_rows, batch_format="pyarrow")
 
     _S2 = pa.schema(
@@ -6533,10 +6601,8 @@ def nation_trade_flows(sf_dir: str, num_shards: int = 64) -> pa.Table:
             lambda g: merge_supp(_dropg(g, ["sshard"])), batch_format="pyarrow"
         )
     )
-    orders = strip_schema_metadata(
-        ray.data.read_parquet(
-            _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
-        )
+    orders = _read_sized(
+        sf_dir, "orders", ["o_orderkey", "o_custkey"]
     ).map_batches(ord_rows, batch_format="pyarrow")
 
     _S3 = pa.schema(
@@ -6613,12 +6679,9 @@ def nation_trade_flows(sf_dir: str, num_shards: int = 64) -> pa.Table:
             lambda g: merge_ord(_dropg(g, ["oshard"])), batch_format="pyarrow"
         )
     )
-    cust = strip_schema_metadata(
-        ray.data.read_parquet(
-            _pq(sf_dir, "customer"),
-            columns=["c_custkey", "c_nationkey"],
-            filter=pc.field("c_nationkey").isin(nk),
-        )
+    cust = _read_sized(
+        sf_dir, "customer", ["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(nk),
     ).map_batches(cust_rows, batch_format="pyarrow")
 
     _PARTIAL = pa.schema(
@@ -6915,8 +6978,8 @@ def promo_revenue_share(sf_dir: str, num_shards: int = 64) -> pa.Table:
             filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
         )
     ).map_batches(li_partial, batch_format="pyarrow")
-    part = strip_schema_metadata(
-        ray.data.read_parquet(_pq(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    part = _read_sized(
+        sf_dir, "part", ["p_partkey", "p_type"]
     ).map_batches(part_rows, batch_format="pyarrow")
     rows = (
         absorb_empty_blocks(li.union(part), batch_size=131072)
@@ -7071,10 +7134,8 @@ def disjunctive_revenue(sf_dir: str, num_shards: int = 64) -> pa.Table:
             {"rev_i": pa.array([_safe_isum(rev[ok])], pa.int64())}, schema=_S
         )
 
-    part = strip_schema_metadata(
-        ray.data.read_parquet(
-            _pq(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"]
-        )
+    part = _read_sized(
+        sf_dir, "part", ["p_partkey", "p_brand", "p_size"]
     ).map_batches(part_rows, batch_format="pyarrow")
     li = strip_schema_metadata(
         ray.data.read_parquet(
@@ -7250,12 +7311,9 @@ def returned_item_report(sf_dir: str, num_shards: int = 64) -> pa.Table:
             filter=pc.field("l_returnflag") == SEMI_JOIN_RETURNFLAG,
         )
     ).map_batches(li_partial, batch_format="pyarrow")
-    orders = strip_schema_metadata(
-        ray.data.read_parquet(
-            _pq(sf_dir, "orders"),
-            columns=["o_orderkey", "o_custkey"],
-            filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
-        )
+    orders = _read_sized(
+        sf_dir, "orders", ["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
     ).map_batches(ord_rows, batch_format="pyarrow")
 
     cands = (
@@ -7402,10 +7460,24 @@ def market_share(sf_dir: str, num_shards: int = 64) -> pa.Table:
     def _zero(n):
         return np.zeros(n, np.int64)
 
+    # bloom-prune lineitem by the TYPE-FILTERED part keys BEFORE the first
+    # shuffle (the chain's sharpest filter applied at the probe side):
+    # bounded M/8-byte state at any part size; FPs die in the exact merge
+    part_bloom = _bloom_of(
+        _read_sized(
+            sf_dir, "part", ["p_partkey"],
+            filter=pc.field("p_type") == Q8_PART_TYPE,
+        ),
+        "p_partkey",
+    )
+
     def li_rows(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return _W.empty_table()
         pk = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _bloom_keep(pk, ray.get(part_bloom))
+        t = t.filter(pa.array(keep))
+        pk = pk[keep]
         ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
         dc = t.column("l_discount").to_numpy(zero_copy_only=False)
         rev = np.floor(ep * 100.0 + 0.5).astype(np.int64) * (
@@ -7452,14 +7524,24 @@ def market_share(sf_dir: str, num_shards: int = 64) -> pa.Table:
             _zero(n), _zero(n), flag,
         )
 
-    def ord_rows(t: pa.Table) -> pa.Table:
-        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(k)
-        return _wire(
-            _shard_of(k), k, np.ones(n, np.int8),
-            t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64),
-            _zero(n), _zero(n), _zero(n), np.zeros(n, np.int8),
-        )
+    def _ord_rows_with(bloom_ref):
+        def ord_rows(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            keep = _bloom_keep(k, ray.get(bloom_ref))
+            t = t.filter(pa.array(keep))
+            k = k[keep]
+            n = len(k)
+            return _wire(
+                _shard_of(k), k, np.ones(n, np.int8),
+                t.column("o_custkey")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                _zero(n), _zero(n), _zero(n), np.zeros(n, np.int8),
+            )
+
+        return ord_rows
 
     def _probe(g: pa.Table):
         """Split the group into fact/dim, sort-probe fact keys into dim
@@ -7582,29 +7664,16 @@ def market_share(sf_dir: str, num_shards: int = 64) -> pa.Table:
             filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
         )
     ).map_batches(li_rows, batch_format="pyarrow")
-    part = strip_schema_metadata(
-        ray.data.read_parquet(
-            _pq(sf_dir, "part"),
-            columns=["p_partkey"],
-            filter=pc.field("p_type") == Q8_PART_TYPE,
-        )
+    part = _read_sized(
+        sf_dir, "part", ["p_partkey"],
+        filter=pc.field("p_type") == Q8_PART_TYPE,
     ).map_batches(_dim_keys("p_partkey"), batch_format="pyarrow")
-    supp = strip_schema_metadata(
-        ray.data.read_parquet(
-            _pq(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
-        )
+    supp = _read_sized(
+        sf_dir, "supplier", ["s_suppkey", "s_nationkey"]
     ).map_batches(supp_rows, batch_format="pyarrow")
-    orders = strip_schema_metadata(
-        ray.data.read_parquet(
-            _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
-        )
-    ).map_batches(ord_rows, batch_format="pyarrow")
-    cust = strip_schema_metadata(
-        ray.data.read_parquet(
-            _pq(sf_dir, "customer"),
-            columns=["c_custkey"],
-            filter=pc.field("c_nationkey").isin(region_nks),
-        )
+    cust = _read_sized(
+        sf_dir, "customer", ["c_custkey"],
+        filter=pc.field("c_nationkey").isin(region_nks),
     ).map_batches(_dim_keys("c_custkey"), batch_format="pyarrow")
 
     def _hop(ds, dim, fn):
@@ -7615,7 +7684,13 @@ def market_share(sf_dir: str, num_shards: int = 64) -> pa.Table:
         )
 
     s1 = _hop(li, part, merge_part)
-    s2 = _hop(s1, supp, merge_supp)
+    # materialize the hop-2 survivors once: they feed hop 3 AND the bloom
+    # that prunes the (corpus-scaled) orders stream before its shuffle
+    s2 = _hop(s1, supp, merge_supp).materialize()
+    surv_bloom = _bloom_of(s2, "key")
+    orders = _read_sized(
+        sf_dir, "orders", ["o_orderkey", "o_custkey"]
+    ).map_batches(_ord_rows_with(surv_bloom), batch_format="pyarrow")
     s3 = _hop(s2, orders, merge_ord)
     rows = _hop(s3, cust, merge_cust).take_all()
     agg: dict[int, list[int]] = {}
