@@ -519,6 +519,10 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("returned_item_report", relational.returned_item_report),
             # Q8 market share: the deepest dimension chain + yearly ratio
             ("market_share", relational.market_share),
+            # Q11 group-vs-global-fraction HAVING (cross-multiplied ints)
+            ("value_concentration", relational.value_concentration),
+            # RANK()-with-ties top-N per group (QUALIFY rank() <= K)
+            ("segment_top_orders", relational.segment_top_orders),
         ],
         # window / interval operators
         "window": [
@@ -701,6 +705,8 @@ def oracle_sql() -> dict[str, str]:
         "(10000 - CAST(floor(l.l_discount*10000.0 + 0.5) AS BIGINT))"
     )
     from invoice_extraction_ray.config import (
+        Q11_FRACTION_PPM as _Q11PPM,
+        SEGMENT_TOP_K as _SEGK,
         Q10_ORDER_LO as _Q10LO,
         Q10_ORDER_HI as _Q10HI,
         Q10_TOPK as _Q10K,
@@ -1193,6 +1199,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(1000000 * coalesce(sum(CASE WHEN is_target THEN rev END), 0) "
             "// sum(rev) AS BIGINT) AS share_e6 "
             "FROM j GROUP BY l_year HAVING sum(rev) <> 0 ORDER BY l_year"
+        ),
+        # value_concentration: Q11 group-vs-global-fraction HAVING; the
+        # threshold compares by HUGEINT cross-multiplication (value*1e6 >
+        # ppm*total) so neither engine divides — rounding cannot diverge
+        "value_concentration": (
+            "WITH t AS (SELECT l.l_suppkey, "
+            f"CAST(sum({_REV_I}) AS BIGINT) AS value_i "
+            "FROM lineitem l GROUP BY l.l_suppkey) "
+            "SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey, value_i FROM t "
+            "WHERE CAST(value_i AS HUGEINT) * 1000000 > "
+            f"{_Q11PPM} * (SELECT sum(value_i) FROM t) "
+            "ORDER BY value_i DESC, l_suppkey"
+        ),
+        # segment_top_orders: RANK()-with-ties top-K orders per market
+        # segment over the customer join (QUALIFY rank() <= K)
+        "segment_top_orders": (
+            "WITH j AS (SELECT c.c_mktsegment, o.o_orderkey, "
+            "CAST(floor(o.o_totalprice*100.0 + 0.5) AS BIGINT) AS price_c "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) "
+            "SELECT c_mktsegment, CAST(o_orderkey AS BIGINT) AS o_orderkey, "
+            "price_c, CAST(rank() OVER (PARTITION BY c_mktsegment "
+            "ORDER BY price_c DESC) AS BIGINT) AS rnk "
+            f"FROM j QUALIFY rnk <= {_SEGK} "
+            "ORDER BY c_mktsegment, rnk, o_orderkey"
         ),
         # brand_supplier_counts: TPC-H Q16's per-group COUNT(DISTINCT) core
         "brand_supplier_counts": (

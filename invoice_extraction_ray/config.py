@@ -419,3 +419,14 @@ Q8_REGION = "AMERICA"
 Q8_PART_TYPE = "STANDARD"
 Q8_SHIP_LO = "1997-01-01"
 Q8_SHIP_HI = "1999-01-01"
+
+# TPC-H Q11 analogue (ops/relational.py::value_concentration): suppliers
+# whose total lineitem value exceeds FRACTION_PPM parts-per-million of the
+# global total — the group-vs-global-fraction HAVING.  The threshold
+# compares by integer cross-multiplication (value*1e6 > ppm*total), so
+# engine and gate can never diverge on rounding.
+Q11_FRACTION_PPM = 1000
+
+# RANK()-with-ties top-N per group (ops/relational.py::segment_top_orders):
+# the K used by the bounded distinct-value census and the oracle QUALIFY.
+SEGMENT_TOP_K = 5

@@ -7712,3 +7712,575 @@ def market_share(sf_dir: str, num_shards: int = 64) -> pa.Table:
         },
         schema=_OUT,
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 analogue — group-vs-global-fraction HAVING
+# ---------------------------------------------------------------------------
+
+
+def value_concentration(sf_dir: str, num_shards: int = 64) -> pa.Table:
+    """TPC-H Q11 analogue: suppliers whose total lineitem revenue exceeds
+    ``config.Q11_FRACTION_PPM`` parts-per-million of the GLOBAL total — the
+    group-vs-global-fraction HAVING (Q11's ``> sum(...) * fraction``
+    correlated scalar subquery).  Reference semantics: the master-data
+    share-of-total validation family (submission/utils/validators.py:134).
+
+    Exactness: the HAVING compares by integer cross-multiplication —
+    ``value*1e6 > ppm*total`` is evaluated as ``value > (ppm*total)//1e6``
+    (equivalent for integer ``value`` since ``v > t/1e6  <=>  v > floor``),
+    with the product kept in arbitrary-precision python ints, so engine and
+    gate can never diverge on rounding.
+
+    Scale shape: lineitem pre-combines (suppkey, rev_i) per batch; ONE
+    suppkey-shard groupby finishes exact per-supplier totals, materialized
+    ONCE in the object store (slim supplier-census-sized rows, distributed
+    — never on the driver).  The global total is a streaming scalar Sum
+    over the cached blocks; the filter is a vectorized second pass over the
+    same blocks.  Output is HAVING-bounded: at most 1e6/ppm suppliers can
+    each hold more than ppm/1e6 of the total, so ``take_all`` collects at
+    most 1000 rows at the default ppm — at ANY corpus size.
+
+    Output: (l_suppkey, value_i) ordered by value_i DESC, suppkey."""
+    import numpy as np
+
+    from ..config import Q11_FRACTION_PPM
+    from ._util import absorb_empty_blocks, combine_by_key
+
+    _OUT = pa.schema([("l_suppkey", pa.int64()), ("value_i", pa.int64())])
+    _P = pa.schema(
+        [("sshard", pa.int32()), ("key", pa.int64()), ("value_i", pa.int64())]
+    )
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _P.empty_table()
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * 100.0 + 0.5).astype(np.int64) * (
+            10000 - np.floor(dc * 10000.0 + 0.5).astype(np.int64)
+        )
+        kk, vv = combine_by_key(sk, rev)
+        return pa.table(
+            {
+                "sshard": pa.array(_shard_of(kk)),
+                "key": pa.array(kk, pa.int64()),
+                "value_i": pa.array(vv, pa.int64()),
+            },
+            schema=_P,
+        )
+
+    _TOT = pa.schema([("key", pa.int64()), ("value_i", pa.int64())])
+
+    def shard_totals(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["sshard"])
+        if g.num_rows == 0:
+            return _TOT.empty_table()
+        k = g.column("key").to_numpy(zero_copy_only=False)
+        v = g.column("value_i").to_numpy(zero_copy_only=False)
+        kk, vv = combine_by_key(k, v)
+        return pa.table(
+            {"key": pa.array(kk, pa.int64()), "value_i": pa.array(vv, pa.int64())},
+            schema=_TOT,
+        )
+
+    li = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+    totals = (
+        absorb_empty_blocks(li, batch_size=131072)
+        .groupby("sshard")
+        .map_groups(shard_totals, batch_format="pyarrow")
+        .materialize()  # slim (key, value) rows, cached distributed; read twice
+    )
+    grand = totals.sum("value_i")
+    if not grand:
+        return _OUT.empty_table()
+    # value*1e6 > ppm*grand  <=>  value > (ppm*grand) // 1e6  (integer value)
+    cut = (Q11_FRACTION_PPM * int(grand)) // 1_000_000
+    if cut >= (1 << 63):  # per-supplier int64 totals can never clear it
+        return _OUT.empty_table()
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("value_i"), pa.scalar(cut, pa.int64())))
+
+    rows = totals.map_batches(keep, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-int(r["value_i"]), int(r["key"])))
+    return pa.table(
+        {
+            "l_suppkey": pa.array([int(r["key"]) for r in rows], pa.int64()),
+            "value_i": pa.array([int(r["value_i"]) for r in rows], pa.int64()),
+        },
+        schema=_OUT,
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANK()-with-ties top-N per group (QUALIFY rank() <= K)
+# ---------------------------------------------------------------------------
+
+
+def _seg_price_census(seg: pa.Array, price_c, cnt, k: int) -> pa.Table:
+    """Per-(segment) top-``k`` DISTINCT price census with exact row counts.
+
+    The partial is ASSOCIATIVE-EXACT for the global top-k distinct prices:
+    if price p is among a segment's global top-k distinct values, then every
+    batch holds < k distinct prices above p (else the global order would
+    too), so p survives every batch-local truncation WITH its full count —
+    merging partials and re-truncating loses only prices that were never
+    global candidates.  Ranks derived from the merged census are exact for
+    the kept prefix because every row above a kept price has a price that is
+    itself in the top-k distinct set (hence fully counted)."""
+    import numpy as np
+
+    from ._util import combine_by_key
+
+    _P = pa.schema(
+        [("seg", pa.string()), ("price_c", pa.int64()), ("cnt", pa.int64())]
+    )
+    if len(price_c) == 0:
+        return _P.empty_table()
+    enc = seg.combine_chunks().dictionary_encode() if isinstance(
+        seg, pa.ChunkedArray
+    ) else seg.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    segs, prices, cnts = [], [], []
+    for s in range(len(enc.dictionary)):  # enum-bounded segment loop
+        m = codes == s
+        pk, pn = combine_by_key(price_c[m], cnt[m])
+        tail = slice(max(0, len(pk) - k), None)  # largest k distinct (asc)
+        pk, pn = pk[tail], pn[tail]
+        segs.extend([enc.dictionary[s].as_py()] * len(pk))
+        prices.append(pk)
+        cnts.append(pn)
+    return pa.table(
+        {
+            "seg": pa.array(segs, pa.string()),
+            "price_c": pa.array(np.concatenate(prices), pa.int64()),
+            "cnt": pa.array(np.concatenate(cnts), pa.int64()),
+        },
+        schema=_P,
+    )
+
+
+def _census_keep(g: pa.Table, k: int) -> pa.Table:
+    """Finish one segment's merged census: top-k distinct desc, keep the
+    prefix whose strictly-greater row count <= k-1, rank = that count + 1."""
+    import numpy as np
+
+    from ._util import combine_by_key
+
+    _F = pa.schema(
+        [("seg", pa.string()), ("price_c", pa.int64()), ("rnk", pa.int64())]
+    )
+    g = _dropg(g, [])
+    if g.num_rows == 0 or "price_c" not in g.column_names:
+        return _F.empty_table()
+    pk, pn = combine_by_key(
+        g.column("price_c").to_numpy(zero_copy_only=False),
+        g.column("cnt").to_numpy(zero_copy_only=False),
+    )
+    pk, pn = pk[::-1][:k], pn[::-1][:k]  # desc, top-k distinct
+    above = np.concatenate(([0], np.cumsum(pn)[:-1]))  # rows strictly greater
+    keep = above <= k - 1
+    seg0 = g.column("seg")[0].as_py()
+    return pa.table(
+        {
+            "seg": pa.array([seg0] * int(keep.sum()), pa.string()),
+            "price_c": pa.array(pk[keep], pa.int64()),
+            "rnk": pa.array(above[keep] + 1, pa.int64()),
+        },
+        schema=_F,
+    )
+
+
+_SEG_ROW = pa.schema(
+    [
+        ("seg", pa.string()),
+        ("okey", pa.int64()),
+        ("price_c", pa.int64()),
+        ("rnk", pa.int64()),
+    ]
+)
+
+
+def _kept_tag(seg: pa.Array, okey, price, km: dict) -> pa.Table:
+    """Vectorized kept-set probe: per segment (enum-bounded loop) an
+    equality mask + searchsorted gather against the <=K sorted kept
+    prices; ranks ride the same gather."""
+    import numpy as np
+
+    if isinstance(seg, pa.ChunkedArray):
+        seg = seg.combine_chunks()
+    out = []
+    for s, pm in km.items():
+        m = np.asarray(
+            pc.equal(seg, pa.scalar(s)).to_numpy(zero_copy_only=False), dtype=bool
+        )
+        if not m.any():
+            continue
+        kp = np.array(sorted(pm), dtype=np.int64)
+        kr = np.array([pm[p] for p in sorted(pm)], dtype=np.int64)
+        pv = price[m]
+        pos = np.searchsorted(kp, pv)
+        hit = (pos < len(kp)) & (kp[np.minimum(pos, len(kp) - 1)] == pv)
+        n = int(hit.sum())
+        if n == 0:
+            continue
+        out.append(
+            pa.table(
+                {
+                    "seg": pa.array([s] * n, pa.string()),
+                    "okey": pa.array(okey[m][hit], pa.int64()),
+                    "price_c": pa.array(pv[hit], pa.int64()),
+                    "rnk": pa.array(kr[pos[hit]], pa.int64()),
+                },
+                schema=_SEG_ROW,
+            )
+        )
+    return pa.concat_tables(out) if out else _SEG_ROW.empty_table()
+
+
+def _segment_census_sharded(
+    sf_dir: str, k: int, n_shards: int
+) -> ray.data.Dataset:
+    """Distributed census for :func:`segment_top_orders` past the customer
+    broadcast cap: slim (custkey, price_c) fact rows and (custkey, seg)
+    dimension rows union co-partition by custkey shard; each shard maps
+    key -> segment with one searchsorted and emits its LOCAL top-k distinct
+    census (<= |segments| x k rows per shard) — exact by the same
+    pigeonhole argument with shards as batches."""
+    import numpy as np
+
+    from ._util import absorb_empty_blocks
+
+    _M = pa.schema(
+        [
+            ("cshard", pa.int32()),
+            ("ck", pa.int64()),
+            ("price_c", pa.int64()),
+            ("seg", pa.string()),
+            ("side", pa.int8()),
+        ]
+    )
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        price = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        n = len(ck)
+        return pa.table(
+            {
+                "cshard": pa.array(_shard_of(ck)),
+                "ck": pa.array(ck, pa.int64()),
+                "price_c": pa.array(price, pa.int64()),
+                "seg": pa.nulls(n, pa.string()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            },
+            schema=_M,
+        )
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ck)
+        return pa.table(
+            {
+                "cshard": pa.array(_shard_of(ck)),
+                "ck": pa.array(ck, pa.int64()),
+                "price_c": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "seg": t.column("c_mktsegment").cast(pa.string()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+            },
+            schema=_M,
+        )
+
+    def merge_shard(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["cshard"])
+        _P = pa.schema(
+            [("seg", pa.string()), ("price_c", pa.int64()), ("cnt", pa.int64())]
+        )
+        if g.num_rows == 0 or "side" not in g.column_names:
+            return _P.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        ck = g.column("ck").to_numpy(zero_copy_only=False)
+        bmask = side == 1
+        bkey = ck[bmask]
+        if len(bkey) == 0 or bmask.all():
+            return _P.empty_table()
+        seg = g.column("seg").combine_chunks().filter(pa.array(bmask))
+        order = np.argsort(bkey, kind="stable")
+        bkey = bkey[order]
+        seg = pc.take(seg, pa.array(order))
+        fmask = ~bmask
+        fk = ck[fmask]
+        fp = g.column("price_c").to_numpy(zero_copy_only=False)[fmask]
+        pos = np.searchsorted(bkey, fk)
+        hit = (pos < len(bkey)) & (bkey[np.minimum(pos, len(bkey) - 1)] == fk)
+        if not hit.any():
+            return _P.empty_table()
+        return _seg_price_census(
+            pc.take(seg, pa.array(pos[hit])),
+            fp[hit],
+            np.ones(int(hit.sum()), np.int64),
+            k,
+        )
+
+    orders = ray.data.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(ord_rows, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(cust_rows, batch_format="pyarrow")
+    return (
+        absorb_empty_blocks(orders.union(cust), batch_size=131072)
+        .groupby("cshard")
+        .map_groups(merge_shard, batch_format="pyarrow")
+    )
+
+
+def _segment_recover_sharded(
+    sf_dir: str, kept_ref, read_filter, n_shards: int
+) -> list:
+    """Distributed recovery for :func:`segment_top_orders` past the
+    broadcast cap: price-floor-filtered (footer-pruned) candidate order
+    rows and slim customer rows co-partition by custkey shard; each shard
+    maps key -> segment and probes the broadcast kept set (<= |segments|
+    x K entries) — only output rows reach the driver."""
+    import numpy as np
+
+    from ._util import absorb_empty_blocks
+
+    _M = pa.schema(
+        [
+            ("cshard", pa.int32()),
+            ("ck", pa.int64()),
+            ("okey", pa.int64()),
+            ("price_c", pa.int64()),
+            ("seg", pa.string()),
+            ("side", pa.int8()),
+        ]
+    )
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        price = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        n = len(ck)
+        return pa.table(
+            {
+                "cshard": pa.array(_shard_of(ck)),
+                "ck": pa.array(ck, pa.int64()),
+                "okey": t.column("o_orderkey").cast(pa.int64()),
+                "price_c": pa.array(price, pa.int64()),
+                "seg": pa.nulls(n, pa.string()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            },
+            schema=_M,
+        )
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ck)
+        return pa.table(
+            {
+                "cshard": pa.array(_shard_of(ck)),
+                "ck": pa.array(ck, pa.int64()),
+                "okey": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "price_c": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "seg": t.column("c_mktsegment").cast(pa.string()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+            },
+            schema=_M,
+        )
+
+    def merge_shard(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["cshard"])
+        if g.num_rows == 0 or "side" not in g.column_names:
+            return _SEG_ROW.empty_table()
+        km = ray.get(kept_ref)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        ck = g.column("ck").to_numpy(zero_copy_only=False)
+        bmask = side == 1
+        bkey = ck[bmask]
+        if len(bkey) == 0 or bmask.all():
+            return _SEG_ROW.empty_table()
+        seg = g.column("seg").combine_chunks().filter(pa.array(bmask))
+        order = np.argsort(bkey, kind="stable")
+        bkey = bkey[order]
+        seg = pc.take(seg, pa.array(order))
+        fmask = ~bmask
+        fk = ck[fmask]
+        fo = g.column("okey").to_numpy(zero_copy_only=False)[fmask]
+        fp = g.column("price_c").to_numpy(zero_copy_only=False)[fmask]
+        pos = np.searchsorted(bkey, fk)
+        hit = (pos < len(bkey)) & (bkey[np.minimum(pos, len(bkey) - 1)] == fk)
+        if not hit.any():
+            return _SEG_ROW.empty_table()
+        return _kept_tag(pc.take(seg, pa.array(pos[hit])), fo[hit], fp[hit], km)
+
+    orders = ray.data.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        filter=read_filter,
+    ).map_batches(ord_rows, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(cust_rows, batch_format="pyarrow")
+    return (
+        absorb_empty_blocks(orders.union(cust), batch_size=131072)
+        .groupby("cshard")
+        .map_groups(merge_shard, batch_format="pyarrow")
+        .take_all()
+    )
+
+
+def segment_top_orders(
+    sf_dir: str,
+    k: int | None = None,
+    n_shards: int = 64,
+    dim_cap: int = BROADCAST_DIM_MAX_ROWS,
+) -> pa.Table:
+    """Top-``config.SEGMENT_TOP_K`` orders per customer market segment by
+    o_totalprice with SQL RANK() tie semantics (``QUALIFY rank() <= K`` —
+    ties at the boundary all surface, so a segment can return more than K
+    rows).  The ORDER-BY-window-per-partition shape where the partition key
+    is enum-bounded but the fact is corpus-sized.
+
+    Scale shape, two result-bounded passes — the fact never sorts:
+    1. census: each batch emits <= |segments| x K (seg, price, cnt) rows —
+       the batch-local top-K DISTINCT prices with counts (associative-exact,
+       see :func:`_seg_price_census`); one enum-bounded seg groupby merges
+       them into per-segment kept prices + ranks (<= K rows each).
+    2. recovery: re-read orders with the price floor PUSHED INTO the read
+       (footer/row-group pruning skips everything below the global cut),
+       tag rows with their segment, keep (seg, price) pairs in the kept
+       set — output-bounded rows reach the driver.
+    The custkey->segment hop follows the dimension-broadcast discipline:
+    customer under ``dim_cap`` (parquet FOOTER row count) broadcasts once
+    via ray.put; past it BOTH passes run as union co-partitioned
+    custkey-shard merges (nothing dimension-sized on the driver).
+
+    Output: (c_mktsegment, o_orderkey, price_c, rnk) ordered by
+    (segment, rnk, orderkey)."""
+    import numpy as np
+    import pyarrow.parquet as _pqm
+
+    from ..config import SEGMENT_TOP_K
+    from ._util import absorb_empty_blocks, parquet_num_rows
+
+    if k is None:
+        k = SEGMENT_TOP_K
+    _OUT = pa.schema(
+        [
+            ("c_mktsegment", pa.string()),
+            ("o_orderkey", pa.int64()),
+            ("price_c", pa.int64()),
+            ("rnk", pa.int64()),
+        ]
+    )
+
+    def _price_c(t: pa.Table) -> "np.ndarray":
+        return np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+
+    broadcast = parquet_num_rows(_pq(sf_dir, "customer")) <= dim_cap
+    if broadcast:
+        cust = _pqm.read_table(
+            _pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+        )
+        lookup_ref = ray.put(
+            (
+                cust.column("c_custkey").combine_chunks(),
+                cust.column("c_mktsegment").combine_chunks(),
+            )
+        )
+
+        def census_partial(t: pa.Table) -> pa.Table:
+            keys, vals = ray.get(lookup_ref)
+            idx = pc.index_in(t.column("o_custkey"), value_set=keys)
+            seg = pc.take(vals, idx)
+            ok = pc.is_valid(seg)  # inner-join semantics: unknown custkey drops
+            t2 = t.filter(ok)
+            return _seg_price_census(
+                pc.take(vals, idx).filter(ok),
+                _price_c(t2),
+                np.ones(t2.num_rows, np.int64),
+                k,
+            )
+
+        partials = ray.data.read_parquet(
+            _pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+        ).map_batches(census_partial, batch_format="pyarrow")
+    else:
+        partials = _segment_census_sharded(sf_dir, k, n_shards)
+
+    kept = (
+        absorb_empty_blocks(partials, batch_size=131072)
+        .groupby("seg")
+        .map_groups(lambda g: _census_keep(g, k), batch_format="pyarrow")
+        .take_all()
+    )
+    if not kept:
+        return _OUT.empty_table()
+    kept_map: dict[str, dict[int, int]] = {}
+    for r in kept:
+        kept_map.setdefault(r["seg"], {})[int(r["price_c"])] = int(r["rnk"])
+    lo = min(p for m in kept_map.values() for p in m)
+    # price_c >= lo  <=  o_totalprice >= (lo-1)/100 (slack absorbs rounding)
+    read_filter = pc.field("o_totalprice") >= (lo - 1) / 100.0
+    kept_ref = ray.put(kept_map)
+
+    if broadcast:
+
+        def recover(t: pa.Table) -> pa.Table:
+            keys, vals = ray.get(lookup_ref)
+            km = ray.get(kept_ref)
+            idx = pc.index_in(t.column("o_custkey"), value_set=keys)
+            seg = pc.take(vals, idx)
+            ok = pc.is_valid(seg)
+            t2 = t.filter(ok)
+            if t2.num_rows == 0:
+                return _SEG_ROW.empty_table()
+            return _kept_tag(
+                seg.filter(ok),
+                t2.column("o_orderkey").to_numpy(zero_copy_only=False),
+                _price_c(t2),
+                km,
+            )
+
+        rows = (
+            ray.data.read_parquet(
+                _pq(sf_dir, "orders"),
+                columns=["o_orderkey", "o_custkey", "o_totalprice"],
+                filter=read_filter,
+            )
+            .map_batches(recover, batch_format="pyarrow")
+            .take_all()
+        )
+    else:
+        rows = _segment_recover_sharded(sf_dir, kept_ref, read_filter, n_shards)
+
+    rows.sort(key=lambda r: (r["seg"], int(r["rnk"]), int(r["okey"])))
+    return pa.table(
+        {
+            "c_mktsegment": pa.array([r["seg"] for r in rows], pa.string()),
+            "o_orderkey": pa.array([int(r["okey"]) for r in rows], pa.int64()),
+            "price_c": pa.array([int(r["price_c"]) for r in rows], pa.int64()),
+            "rnk": pa.array([int(r["rnk"]) for r in rows], pa.int64()),
+        },
+        schema=_OUT,
+    )

@@ -26,6 +26,7 @@ def _frame(ds, sort_cols):
         (relational.nation_revenue, ["n_name"]),
         (relational.small_quantity_revenue, ["p_brand"]),
         (relational.top_revenue_orders, ["o_orderkey"]),
+        (relational.segment_top_orders, ["c_mktsegment", "o_orderkey"]),
     ],
     ids=lambda x: getattr(x, "__name__", str(x)),
 )
