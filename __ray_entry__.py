@@ -523,6 +523,10 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("value_concentration", relational.value_concentration),
             # RANK()-with-ties top-N per group (QUALIFY rank() <= K)
             ("segment_top_orders", relational.segment_top_orders),
+            # Q6 pure scan-aggregate: no join, no groupby, one partial/batch
+            ("discounted_revenue", relational.discounted_revenue),
+            # Q4 cross-side-predicate EXISTS (ship > odate + delay)
+            ("late_shipment_orders", relational.late_shipment_orders),
         ],
         # window / interval operators
         "window": [
@@ -716,6 +720,14 @@ def oracle_sql() -> dict[str, str]:
         Q8_SHIP_LO as _Q8LO,
         Q8_SHIP_HI as _Q8HI,
         SEMI_JOIN_RETURNFLAG as _RFLAG,
+        Q6_SHIP_LO as _Q6LO,
+        Q6_SHIP_HI as _Q6HI,
+        Q6_DISC_LO_E4 as _Q6DLO,
+        Q6_DISC_HI_E4 as _Q6DHI,
+        Q6_QTY_MAX as _Q6QMAX,
+        Q4_ORDER_LO as _Q4LO,
+        Q4_ORDER_HI as _Q4HI,
+        Q4_LATE_DAYS as _Q4DAYS,
     )
     _Q19_PRED = " OR ".join(
         f"(p_brand = '{cb}' AND p_size BETWEEN {slo} AND {shi} "
@@ -1223,6 +1235,32 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY price_c DESC) AS BIGINT) AS rnk "
             f"FROM j QUALIFY rnk <= {_SEGK} "
             "ORDER BY c_mktsegment, rnk, o_orderkey"
+        ),
+        # discounted_revenue: Q6 scan-aggregate; the discount band compares
+        # in e4 fixed point on BOTH sides so no float boundary can split the
+        # engines; HAVING mirrors the empty-window empty table
+        "discounted_revenue": (
+            "SELECT CAST(sum(CAST(floor(l_extendedprice*100.0 + 0.5) AS BIGINT)"
+            " * CAST(floor(l_discount*10000.0 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS revenue_i, CAST(count(*) AS BIGINT) AS n_rows FROM lineitem "
+            f"WHERE l_shipdate >= TIMESTAMP '{_Q6LO}' "
+            f"AND l_shipdate < TIMESTAMP '{_Q6HI}' "
+            "AND CAST(floor(l_discount*10000.0 + 0.5) AS BIGINT) "
+            f"BETWEEN {_Q6DLO} AND {_Q6DHI} "
+            f"AND CAST(floor(l_quantity + 0.5) AS BIGINT) < {_Q6QMAX} "
+            "HAVING count(*) > 0"
+        ),
+        # late_shipment_orders: Q4 EXISTS with a cross-side predicate
+        # (lineitem ship vs its order's date + delay)
+        "late_shipment_orders": (
+            "SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_late "
+            "FROM orders o "
+            f"WHERE o.o_orderdate >= TIMESTAMP '{_Q4LO}' "
+            f"AND o.o_orderdate < TIMESTAMP '{_Q4HI}' "
+            "AND EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            f"AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q4DAYS} DAY) "
+            "GROUP BY 1 ORDER BY 1"
         ),
         # brand_supplier_counts: TPC-H Q16's per-group COUNT(DISTINCT) core
         "brand_supplier_counts": (

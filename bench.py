@@ -193,6 +193,14 @@ HEADLINE = [
     "returned_item_report",
     # Q8 market share: four chained shard-merge hops + yearly ratio
     "market_share",
+    # Q11 group-vs-global-fraction HAVING
+    "value_concentration",
+    # RANK()-with-ties top-K per segment
+    "segment_top_orders",
+    # Q6 pure scan-aggregate (the storage-bandwidth floor)
+    "discounted_revenue",
+    # Q4 cross-side-predicate EXISTS semijoin
+    "late_shipment_orders",
 ]
 
 

@@ -430,3 +430,33 @@ Q11_FRACTION_PPM = 1000
 # RANK()-with-ties top-N per group (ops/relational.py::segment_top_orders):
 # the K used by the bounded distinct-value census and the oracle QUALIFY.
 SEGMENT_TOP_K = 5
+
+# TPC-H Q6 analogue (ops/relational.py::discounted_revenue): the
+# forecast-revenue-change scan.  Discount band compared in e4 fixed point
+# (floor(l_discount*1e4 + 0.5)) in BOTH engines; qty bound is strict <.
+Q6_SHIP_LO = "1997-01-01"
+Q6_SHIP_HI = "1998-01-01"
+Q6_DISC_LO_E4 = 400
+Q6_DISC_HI_E4 = 600
+Q6_QTY_MAX = 24
+
+# TPC-H Q4 analogue (ops/relational.py::late_shipment_orders): orders in
+# the window having >= 1 lineitem shipped more than Q4_LATE_DAYS after the
+# order date — the cross-side-predicate EXISTS (compares columns from BOTH
+# join sides, so nothing can be pushed into either read).
+Q4_ORDER_LO = "1997-01-01"
+Q4_ORDER_HI = "1997-07-01"
+Q4_LATE_DAYS = 60
+
+# TPC-H Q9 analogue (ops/relational.py::nation_profit): profit per
+# (supplier nation, ship year) over parts whose name contains the token;
+# p_retailprice is the unit-cost proxy (the testdata has no partsupp), so
+# amount_i = rev_i - qty * retail_cents * 10000 (both in cents*e4 units).
+Q9_PART_TOKEN = "widget"
+
+# TPC-H Q20 analogue (ops/relational.py::dominant_part_suppliers):
+# suppliers shipping MORE THAN Q20_SHARE_PCT percent of some token-matched
+# part's total shipped quantity (integer cross-multiplication:
+# 100*q > pct*total).
+Q20_PART_TOKEN = "bolt"
+Q20_SHARE_PCT = 15

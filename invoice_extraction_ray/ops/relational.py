@@ -8284,3 +8284,253 @@ def segment_top_orders(
         },
         schema=_OUT,
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 analogue — the forecast-revenue-change scan
+# ---------------------------------------------------------------------------
+
+
+def discounted_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q6 analogue: total ``extendedprice * discount`` revenue give-up
+    inside the ``config.Q6_*`` (ship-year, discount-band, qty-cap) window —
+    the pure scan-aggregate with no join and no groupby, the cheapest query
+    shape and the one every engine should run at storage bandwidth.
+
+    Scale shape: the ship window pushes into the read (row-group pruning);
+    the discount band and qty cap evaluate vectorized per batch in e4/unit
+    fixed point (shared with the oracle via config — no float boundary can
+    split the engines); each batch emits ONE (rev_i, n) partial row and the
+    driver sums a block-count-bounded list in python ints.
+
+    Output: one row (revenue_i, n_rows); empty when nothing matches
+    (mirrored by the oracle's HAVING)."""
+    import datetime as _dt
+
+    import numpy as np
+
+    from ..config import (
+        Q6_DISC_HI_E4,
+        Q6_DISC_LO_E4,
+        Q6_QTY_MAX,
+        Q6_SHIP_HI,
+        Q6_SHIP_LO,
+    )
+
+    lo = _dt.datetime.fromisoformat(Q6_SHIP_LO)
+    hi = _dt.datetime.fromisoformat(Q6_SHIP_HI)
+    _OUT = pa.schema([("revenue_i", pa.int64()), ("n_rows", pa.int64())])
+    _P = pa.schema([("rev_i", pa.int64()), ("n", pa.int64())])
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _P.empty_table()
+        disc = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 10000.0 + 0.5
+        ).astype(np.int64)
+        qty = np.floor(
+            t.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        keep = (disc >= Q6_DISC_LO_E4) & (disc <= Q6_DISC_HI_E4) & (qty < Q6_QTY_MAX)
+        if not keep.any():
+            return _P.empty_table()
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        rev = np.floor(ep * 100.0 + 0.5).astype(np.int64) * disc[keep]
+        return pa.table(
+            {
+                "rev_i": pa.array([int(rev.sum())], pa.int64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            },
+            schema=_P,
+        )
+
+    rows = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_extendedprice", "l_discount", "l_quantity"],
+            filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+        )
+        .map_batches(part, batch_format="pyarrow")
+        .take_all()
+    )
+    n = sum(int(r["n"]) for r in rows)
+    if n == 0:
+        return _OUT.empty_table()
+    return pa.table(
+        {
+            "revenue_i": pa.array([sum(int(r["rev_i"]) for r in rows)], pa.int64()),
+            "n_rows": pa.array([n], pa.int64()),
+        },
+        schema=_OUT,
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 analogue — cross-side-predicate EXISTS semijoin
+# ---------------------------------------------------------------------------
+
+
+def late_shipment_orders(sf_dir: str, num_shards: int = 64) -> pa.Table:
+    """TPC-H Q4 analogue: per order priority, how many orders placed in the
+    ``config.Q4_ORDER_*`` window have >= 1 lineitem shipped more than
+    ``config.Q4_LATE_DAYS`` after the order date.  The EXISTS predicate
+    compares columns from BOTH sides (l_shipdate vs o_orderdate), so unlike
+    :func:`order_lineitem_semi` nothing about it can push into either read
+    — the canonical cross-side-predicate semijoin.
+
+    Scale shape: ``EXISTS(ship > cutoff)`` collapses to
+    ``max(ship) > cutoff``, and max is associative — lineitem pre-combines
+    (orderkey, max_ship) per batch, so the orderkey shuffle carries one row
+    per distinct key per block, never the lineitem rows.  Window-filtered
+    order rows ride the same orderkey-shard groupby; each shard combines
+    maxima, probes with one searchsorted, and emits <= |priorities| partial
+    rows; the driver folds shards x 5 rows.
+
+    Output: (o_orderpriority, n_late) ordered by priority."""
+    import datetime as _dt
+
+    import numpy as np
+
+    from ..config import Q4_LATE_DAYS, Q4_ORDER_HI, Q4_ORDER_LO
+    from ._util import absorb_empty_blocks, int_segment_sum
+
+    lo = _dt.datetime.fromisoformat(Q4_ORDER_LO)
+    hi = _dt.datetime.fromisoformat(Q4_ORDER_HI)
+    late_us = Q4_LATE_DAYS * 86_400_000_000
+    _OUT = pa.schema([("o_orderpriority", pa.string()), ("n_late", pa.int64())])
+    _W = pa.schema(
+        [
+            ("oshard", pa.int32()),
+            ("key", pa.int64()),
+            ("ship_us", pa.int64()),
+            ("odate_us", pa.int64()),
+            ("prio", pa.string()),
+            ("side", pa.int8()),
+        ]
+    )
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _W.empty_table()
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ship = (
+            t.column("l_shipdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        order = np.argsort(ok, kind="stable")
+        ok, ship = ok[order], ship[order]
+        new = np.ones(len(ok), dtype=bool)
+        new[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(new)
+        uok = ok[starts]
+        mx = np.maximum.reduceat(ship, starts) if len(starts) else ship[:0]
+        n = len(uok)
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(uok)),
+                "key": pa.array(uok, pa.int64()),
+                "ship_us": pa.array(mx, pa.int64()),
+                "odate_us": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "prio": pa.nulls(n, pa.string()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            },
+            schema=_W,
+        )
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _W.empty_table()
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        od = (
+            t.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        n = len(ok)
+        return pa.table(
+            {
+                "oshard": pa.array(_shard_of(ok)),
+                "key": pa.array(ok, pa.int64()),
+                "ship_us": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "odate_us": pa.array(od, pa.int64()),
+                "prio": t.column("o_orderpriority").cast(pa.string()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+            },
+            schema=_W,
+        )
+
+    _P = pa.schema([("prio", pa.string()), ("n", pa.int64())])
+
+    def merge_shard(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["oshard"])
+        if g.num_rows == 0 or "side" not in g.column_names:
+            return _P.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        lk = key[lmask]
+        if len(lk) == 0 or lmask.all():
+            return _P.empty_table()
+        lship = g.column("ship_us").to_numpy(zero_copy_only=False)[lmask]
+        # combine cross-block maxima per orderkey
+        order = np.argsort(lk, kind="stable")
+        lk, lship = lk[order], lship[order]
+        new = np.ones(len(lk), dtype=bool)
+        new[1:] = lk[1:] != lk[:-1]
+        starts = np.flatnonzero(new)
+        ulk = lk[starts]
+        umax = np.maximum.reduceat(lship, starts)
+        omask = ~lmask
+        okey = key[omask]
+        odate = g.column("odate_us").to_numpy(zero_copy_only=False)[omask]
+        pos = np.searchsorted(ulk, okey)
+        hit = (pos < len(ulk)) & (ulk[np.minimum(pos, len(ulk) - 1)] == okey)
+        late = hit & (umax[np.minimum(pos, len(ulk) - 1)] > odate + late_us)
+        if not late.any():
+            return _P.empty_table()
+        prio = g.column("prio").combine_chunks().filter(pa.array(omask)).filter(
+            pa.array(late)
+        )
+        enc = prio.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(idx, minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table(
+            {"prio": enc.dictionary, "n": pa.array(cnt, pa.int64())}, schema=_P
+        )
+
+    # a qualifying lineitem has ship > odate + delay >= window_lo + delay,
+    # so the bound pushes into the read even though the predicate itself is
+    # cross-side (row-group pruning skips everything shipped early)
+    li = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_shipdate"],
+        filter=pc.field("l_shipdate") > lo + _dt.timedelta(days=Q4_LATE_DAYS),
+    ).map_batches(li_partial, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    ).map_batches(ord_rows, batch_format="pyarrow")
+    rows = (
+        absorb_empty_blocks(li.union(orders), batch_size=131072)
+        .groupby("oshard")
+        .map_groups(merge_shard, batch_format="pyarrow")
+        .take_all()
+    )
+    agg: dict[str, int] = {}
+    for r in rows:
+        agg[r["prio"]] = agg.get(r["prio"], 0) + int(r["n"])
+    prios = sorted(agg)
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(prios, pa.string()),
+            "n_late": pa.array([agg[p] for p in prios], pa.int64()),
+        },
+        schema=_OUT,
+    )
