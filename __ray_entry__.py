@@ -527,6 +527,10 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("discounted_revenue", relational.discounted_revenue),
             # Q4 cross-side-predicate EXISTS (ship > odate + delay)
             ("late_shipment_orders", relational.late_shipment_orders),
+            # Q9 profit by (nation, year): dimension-measure attach chain
+            ("nation_profit", relational.nation_profit),
+            # Q20 share-of-part dominance: group-vs-coarser-group HAVING
+            ("dominant_part_suppliers", relational.dominant_part_suppliers),
         ],
         # window / interval operators
         "window": [
@@ -728,6 +732,9 @@ def oracle_sql() -> dict[str, str]:
         Q4_ORDER_LO as _Q4LO,
         Q4_ORDER_HI as _Q4HI,
         Q4_LATE_DAYS as _Q4DAYS,
+        Q9_PART_TOKEN as _Q9TOK,
+        Q20_PART_TOKEN as _Q20TOK,
+        Q20_SHARE_PCT as _Q20PCT,
     )
     _Q19_PRED = " OR ".join(
         f"(p_brand = '{cb}' AND p_size BETWEEN {slo} AND {shi} "
@@ -1261,6 +1268,37 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l.l_orderkey = o.o_orderkey "
             f"AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q4DAYS} DAY) "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        # nation_profit: Q9 profit per (supplier nation, ship year);
+        # p_retailprice is the unit-cost proxy (no partsupp in the testdata),
+        # amount = rev_i - qty*retail_cents*10000, all cents*e4 integers
+        "nation_profit": (
+            "WITH j AS (SELECT n.n_name, "
+            "CAST(year(l.l_shipdate) AS BIGINT) AS l_year, "
+            f"{_REV_I} "
+            "- CAST(floor(l.l_quantity + 0.5) AS BIGINT) "
+            "* CAST(floor(p.p_retailprice*100.0 + 0.5) AS BIGINT) * 10000 "
+            "AS amt FROM lineitem l "
+            "JOIN part p ON l.l_partkey = p.p_partkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            f"WHERE contains(p.p_name, '{_Q9TOK}')) "
+            "SELECT n_name, l_year, CAST(sum(amt) AS BIGINT) AS profit_i "
+            "FROM j GROUP BY 1, 2 ORDER BY n_name, l_year"
+        ),
+        # dominant_part_suppliers: Q20 suppliers shipping > pct% of some
+        # token-matched part's total quantity (integer cross-multiplication)
+        "dominant_part_suppliers": (
+            "WITH q AS (SELECT l.l_partkey AS pk, l.l_suppkey AS sk, "
+            "sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT)) AS qty "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            f"WHERE contains(p.p_name, '{_Q20TOK}') GROUP BY 1, 2), "
+            "t AS (SELECT pk, sum(qty) AS total FROM q GROUP BY pk) "
+            "SELECT DISTINCT CAST(q.sk AS BIGINT) AS s_suppkey, s.s_name "
+            "FROM q JOIN t ON q.pk = t.pk "
+            "JOIN supplier s ON q.sk = s.s_suppkey "
+            f"WHERE 100 * q.qty > {_Q20PCT} * t.total "
+            "ORDER BY s_suppkey"
         ),
         # brand_supplier_counts: TPC-H Q16's per-group COUNT(DISTINCT) core
         "brand_supplier_counts": (

@@ -201,6 +201,10 @@ HEADLINE = [
     "discounted_revenue",
     # Q4 cross-side-predicate EXISTS semijoin
     "late_shipment_orders",
+    # Q9 profit by nation/year: dimension-measure attach chain
+    "nation_profit",
+    # Q20 share-of-part dominance HAVING
+    "dominant_part_suppliers",
 ]
 
 

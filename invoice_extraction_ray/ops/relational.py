@@ -8534,3 +8534,443 @@ def late_shipment_orders(sf_dir: str, num_shards: int = 64) -> pa.Table:
         },
         schema=_OUT,
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 analogue — product-line profit by nation and year
+# ---------------------------------------------------------------------------
+
+
+def nation_profit(sf_dir: str, num_shards: int = 64) -> pa.Table:
+    """TPC-H Q9 analogue: profit per (supplier nation, ship year) over parts
+    whose name contains ``config.Q9_PART_TOKEN``.  The testdata has no
+    partsupp, so ``p_retailprice`` is the unit-cost proxy:
+    ``amount_i = rev_i - qty * retail_cents * 10000`` (both cents*e4).
+    Unlike Q8's semijoins this chain ATTACHES a dimension measure
+    (retail_cents) to every fact row, so the part hop is a real value join.
+
+    Scale shape: a bloom over the token-matched part keys prunes lineitem
+    before its first shuffle; hop 1 (partkey shard) attaches retail_cents
+    and pre-combines per (suppkey, year) so the suppkey shuffle carries
+    group partials, never lineitem rows; hop 2 attaches the supplier's
+    nationkey and combines per (nationkey, year) — the driver folds
+    shards x |nations x years| scalar rows and maps nationkey -> name via
+    the spec-constant 25-row nation table.
+
+    Output: (n_name, l_year, profit_i) ordered by (n_name, l_year)."""
+    import numpy as np
+    import pyarrow.parquet as _pqm
+
+    from ..config import Q9_PART_TOKEN
+    from ._util import absorb_empty_blocks, int_segment_sum, strip_schema_metadata
+
+    _OUT = pa.schema(
+        [("n_name", pa.string()), ("l_year", pa.int64()), ("profit_i", pa.int64())]
+    )
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    # one wire schema for both hops: key is the CURRENT hop key; aux carries
+    # the next hop key (suppkey) on fact rows and the attached dimension
+    # measure (retail_cents / nationkey) on dim rows
+    _W = pa.schema(
+        [
+            ("shard", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.int8()),
+            ("aux", pa.int64()),
+            ("year", pa.int64()),
+            ("rev_i", pa.int64()),
+            ("qty", pa.int64()),
+        ]
+    )
+
+    def _wire(shard, key, side, aux, year, rev, qty) -> pa.Table:
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "key": pa.array(key, pa.int64()),
+                "side": pa.array(side, pa.int8()),
+                "aux": pa.array(aux, pa.int64()),
+                "year": pa.array(year, pa.int64()),
+                "rev_i": pa.array(rev, pa.int64()),
+                "qty": pa.array(qty, pa.int64()),
+            },
+            schema=_W,
+        )
+
+    part_filter = pc.match_substring(pc.field("p_name"), Q9_PART_TOKEN)
+    part_bloom = _bloom_of(
+        _read_sized(sf_dir, "part", ["p_partkey"], filter=part_filter),
+        "p_partkey",
+    )
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _W.empty_table()
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _bloom_keep(pk, ray.get(part_bloom))
+        if not keep.any():
+            return _W.empty_table()
+        t = t.filter(pa.array(keep))
+        pk = pk[keep]
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * 100.0 + 0.5).astype(np.int64) * (
+            10000 - np.floor(dc * 10000.0 + 0.5).astype(np.int64)
+        )
+        qty = np.floor(
+            t.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        year = (
+            t.column("l_shipdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(pk)
+        return _wire(_shard_of(pk), pk, np.zeros(n, np.int8), sk, year, rev, qty)
+
+    def part_rows(t: pa.Table) -> pa.Table:
+        k = t.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        retail_c = np.floor(
+            t.column("p_retailprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        n = len(k)
+        z = np.zeros(n, np.int64)
+        return _wire(_shard_of(k), k, np.ones(n, np.int8), retail_c, z, z, z)
+
+    def supp_rows(t: pa.Table) -> pa.Table:
+        k = t.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = t.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(k)
+        z = np.zeros(n, np.int64)
+        return _wire(_shard_of(k), k, np.ones(n, np.int8), nk, z, z, z)
+
+    def _probe(g: pa.Table):
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        bmask = side == 1
+        bkey = keys[bmask]
+        fmask = ~bmask
+        fk = keys[fmask]
+        if len(bkey) == 0 or len(fk) == 0:
+            return None
+        order = np.argsort(bkey)
+        bkey = bkey[order]
+        pos = np.searchsorted(bkey, fk)
+        hit = (pos < len(bkey)) & (bkey[np.minimum(pos, len(bkey) - 1)] == fk)
+        fact = {
+            c: g.column(c).to_numpy(zero_copy_only=False)[fmask][hit]
+            for c in ("aux", "year", "rev_i", "qty")
+        }
+        dval = g.column("aux").to_numpy(zero_copy_only=False)[bmask][
+            order[pos[hit]]
+        ]
+        return fact, dval
+
+    def merge_part(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["shard"])
+        if g.num_rows == 0:
+            return _W.empty_table()
+        p = _probe(g)
+        if p is None:
+            return _W.empty_table()
+        f, retail_c = p
+        amt = f["rev_i"] - f["qty"] * retail_c * 10000
+        sk, year = f["aux"], f["year"]
+        # pre-combine per (suppkey, year) before the suppkey shuffle;
+        # the (key<<13)|year pack needs suppkey < 2^50 — fail loudly, never
+        # silently collide (the pagerank guard pattern)
+        if len(sk) and int(sk.max()) >= (1 << 50):
+            raise ValueError("nation_profit: suppkey >= 2^50 breaks the pack")
+        sy = sk * 8192 + year
+        order = np.argsort(sy)
+        sy, amt = sy[order], amt[order]
+        new = np.ones(len(sy), dtype=bool)
+        new[1:] = sy[1:] != sy[:-1]
+        starts = np.flatnonzero(new)
+        sy = sy[starts]
+        amt = int_segment_sum(amt, starts)
+        sk = sy // 8192
+        n = len(sk)
+        z = np.zeros(n, np.int64)
+        return _wire(
+            _shard_of(sk), sk, np.zeros(n, np.int8), z, sy % 8192, amt, z
+        )
+
+    _P = pa.schema(
+        [("nk", pa.int64()), ("year", pa.int64()), ("amt", pa.int64())]
+    )
+
+    def merge_supp(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["shard"])
+        if g.num_rows == 0:
+            return _P.empty_table()
+        p = _probe(g)
+        if p is None:
+            return _P.empty_table()
+        f, nk = p
+        ny = nk * 8192 + f["year"]
+        order = np.argsort(ny)
+        ny, amt = ny[order], f["rev_i"][order]
+        new = np.ones(len(ny), dtype=bool)
+        new[1:] = ny[1:] != ny[:-1]
+        starts = np.flatnonzero(new)
+        ny = ny[starts]
+        amt = int_segment_sum(amt, starts)
+        return pa.table(
+            {
+                "nk": pa.array(ny // 8192, pa.int64()),
+                "year": pa.array(ny % 8192, pa.int64()),
+                "amt": pa.array(amt, pa.int64()),
+            },
+            schema=_P,
+        )
+
+    li = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=[
+                "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate",
+            ],
+        )
+    ).map_batches(li_rows, batch_format="pyarrow")
+    part = _read_sized(
+        sf_dir, "part", ["p_partkey", "p_retailprice"], filter=part_filter
+    ).map_batches(part_rows, batch_format="pyarrow")
+    supp = _read_sized(
+        sf_dir, "supplier", ["s_suppkey", "s_nationkey"]
+    ).map_batches(supp_rows, batch_format="pyarrow")
+
+    def _hop(ds, dim, fn):
+        return (
+            absorb_empty_blocks(ds.union(dim), batch_size=131072)
+            .groupby("shard")
+            .map_groups(fn, batch_format="pyarrow")
+        )
+
+    rows = _hop(_hop(li, part, merge_part), supp, merge_supp).take_all()
+    # nation is the spec-constant 25-row map: name lookup stays driver-side
+    nat = _pqm.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    names = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()))
+    agg: dict[tuple[str, int], int] = {}
+    for r in rows:
+        k = (names[int(r["nk"])], int(r["year"]))
+        agg[k] = agg.get(k, 0) + int(r["amt"])
+    keys = sorted(agg)
+    return pa.table(
+        {
+            "n_name": pa.array([k[0] for k in keys], pa.string()),
+            "l_year": pa.array([k[1] for k in keys], pa.int64()),
+            "profit_i": pa.array([agg[k] for k in keys], pa.int64()),
+        },
+        schema=_OUT,
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 analogue — share-of-part dominance (GROUP-local HAVING semijoin)
+# ---------------------------------------------------------------------------
+
+
+def dominant_part_suppliers(sf_dir: str, num_shards: int = 64) -> pa.Table:
+    """TPC-H Q20 analogue: suppliers shipping MORE THAN
+    ``config.Q20_SHARE_PCT`` percent of some ``config.Q20_PART_TOKEN``-
+    matched part's total shipped quantity.  The qualifier compares a
+    (part, supplier) group sum against its PART group's sum — a
+    group-vs-coarser-group HAVING that co-partitions for free because
+    both groupings share the partkey.
+
+    Scale shape: a bloom over the token-matched part keys prunes lineitem
+    before anything shuffles; per-batch (partkey, suppkey) qty partials
+    ride ONE partkey-shard groupby with the token part keys (exact
+    semijoin kills bloom FPs); inside a shard every part's total is a
+    segment sum over its already-grouped pair rows, and the dominance test
+    is the integer cross-multiplication ``100*q > pct*total`` (no
+    division).  Qualifying suppkeys (deduped per shard) re-key ONCE to a
+    suppkey shard that attaches ``s_name`` — survivors are
+    threshold-bounded (< 100/pct per part), never lineitem-sized.
+
+    Output: (s_suppkey, s_name) distinct, ordered by s_suppkey."""
+    import numpy as np
+
+    from ..config import Q20_PART_TOKEN, Q20_SHARE_PCT
+    from ._util import absorb_empty_blocks, int_segment_sum, strip_schema_metadata
+
+    _OUT = pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string())])
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    _W = pa.schema(
+        [
+            ("shard", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.int8()),
+            ("sk", pa.int64()),
+            ("qty", pa.int64()),
+            ("name", pa.string()),
+        ]
+    )
+
+    def _wire(shard, key, side, sk, qty, name=None) -> pa.Table:
+        n = len(key)
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "key": pa.array(key, pa.int64()),
+                "side": pa.array(side, pa.int8()),
+                "sk": pa.array(sk, pa.int64()),
+                "qty": pa.array(qty, pa.int64()),
+                "name": pa.nulls(n, pa.string()) if name is None else name,
+            },
+            schema=_W,
+        )
+
+    part_filter = pc.match_substring(pc.field("p_name"), Q20_PART_TOKEN)
+    part_bloom = _bloom_of(
+        _read_sized(sf_dir, "part", ["p_partkey"], filter=part_filter),
+        "p_partkey",
+    )
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _W.empty_table()
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _bloom_keep(pk, ray.get(part_bloom))
+        if not keep.any():
+            return _W.empty_table()
+        t = t.filter(pa.array(keep))
+        pk = pk[keep]
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = np.floor(
+            t.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        # per-batch (partkey, suppkey) pre-combine before the shuffle
+        order = np.lexsort((sk, pk))
+        pk, sk, qty = pk[order], sk[order], qty[order]
+        new = np.ones(len(pk), dtype=bool)
+        new[1:] = (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])
+        starts = np.flatnonzero(new)
+        pk, sk = pk[starts], sk[starts]
+        qty = int_segment_sum(qty, starts)
+        n = len(pk)
+        return _wire(_shard_of(pk), pk, np.zeros(n, np.int8), sk, qty)
+
+    def part_rows(t: pa.Table) -> pa.Table:
+        k = t.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(k)
+        z = np.zeros(n, np.int64)
+        return _wire(_shard_of(k), k, np.ones(n, np.int8), z, z)
+
+    def merge_part(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["shard"])
+        if g.num_rows == 0:
+            return _W.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        bmask = side == 1
+        bkey = np.sort(keys[bmask])
+        fmask = ~bmask
+        pk = keys[fmask]
+        if len(bkey) == 0 or len(pk) == 0:
+            return _W.empty_table()
+        pos = np.searchsorted(bkey, pk)
+        hit = (pos < len(bkey)) & (bkey[np.minimum(pos, len(bkey) - 1)] == pk)
+        pk = pk[hit]
+        if len(pk) == 0:
+            return _W.empty_table()
+        sk = g.column("sk").to_numpy(zero_copy_only=False)[fmask][hit]
+        qty = g.column("qty").to_numpy(zero_copy_only=False)[fmask][hit]
+        # combine cross-block partials per (pk, sk), then per-part totals
+        order = np.lexsort((sk, pk))
+        pk, sk, qty = pk[order], sk[order], qty[order]
+        new = np.ones(len(pk), dtype=bool)
+        new[1:] = (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])
+        starts = np.flatnonzero(new)
+        pk, sk = pk[starts], sk[starts]
+        q = int_segment_sum(qty, starts)
+        pnew = np.ones(len(pk), dtype=bool)
+        pnew[1:] = pk[1:] != pk[:-1]
+        pstarts = np.flatnonzero(pnew)
+        totals = np.repeat(
+            int_segment_sum(q, pstarts), np.diff(np.append(pstarts, len(pk)))
+        )
+        dom = 100 * q > Q20_SHARE_PCT * totals
+        usk = np.unique(sk[dom])
+        n = len(usk)
+        z = np.zeros(n, np.int64)
+        return _wire(_shard_of(usk), usk, np.zeros(n, np.int8), z, z)
+
+    def supp_rows(t: pa.Table) -> pa.Table:
+        k = t.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(k)
+        z = np.zeros(n, np.int64)
+        return _wire(
+            _shard_of(k), k, np.ones(n, np.int8), z, z,
+            t.column("s_name").cast(pa.string()),
+        )
+
+    _P = pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string())])
+
+    def merge_supp(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["shard"])
+        if g.num_rows == 0:
+            return _P.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        bmask = side == 1
+        bkey = keys[bmask]
+        # fact suppkeys arrive once per source shard: dedupe here
+        fk = np.unique(keys[~bmask])
+        if len(bkey) == 0 or len(fk) == 0:
+            return _P.empty_table()
+        order = np.argsort(bkey)
+        bkey = bkey[order]
+        pos = np.searchsorted(bkey, fk)
+        hit = (pos < len(bkey)) & (bkey[np.minimum(pos, len(bkey) - 1)] == fk)
+        fk = fk[hit]
+        name = (
+            g.column("name")
+            .combine_chunks()
+            .filter(pa.array(bmask))
+            .take(pa.array(order[pos[hit]]))
+        )
+        return pa.table(
+            {"s_suppkey": pa.array(fk, pa.int64()), "s_name": name}, schema=_P
+        )
+
+    li = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_partkey", "l_suppkey", "l_quantity"],
+        )
+    ).map_batches(li_rows, batch_format="pyarrow")
+    part = _read_sized(
+        sf_dir, "part", ["p_partkey"], filter=part_filter
+    ).map_batches(part_rows, batch_format="pyarrow")
+    supp = _read_sized(
+        sf_dir, "supplier", ["s_suppkey", "s_name"]
+    ).map_batches(supp_rows, batch_format="pyarrow")
+
+    def _hop(ds, dim, fn):
+        return (
+            absorb_empty_blocks(ds.union(dim), batch_size=131072)
+            .groupby("shard")
+            .map_groups(fn, batch_format="pyarrow")
+        )
+
+    rows = _hop(_hop(li, part, merge_part), supp, merge_supp).take_all()
+    rows.sort(key=lambda r: int(r["s_suppkey"]))
+    return pa.table(
+        {
+            "s_suppkey": pa.array([int(r["s_suppkey"]) for r in rows], pa.int64()),
+            "s_name": pa.array([r["s_name"] for r in rows], pa.string()),
+        },
+        schema=_OUT,
+    )
