@@ -531,6 +531,8 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("nation_profit", relational.nation_profit),
             # Q20 share-of-part dominance: group-vs-coarser-group HAVING
             ("dominant_part_suppliers", relational.dominant_part_suppliers),
+            # Q12 one-bit-payload fact-fact join + CASE-split counts
+            ("tax_band_priority", relational.tax_band_priority),
         ],
         # window / interval operators
         "window": [
@@ -735,6 +737,7 @@ def oracle_sql() -> dict[str, str]:
         Q9_PART_TOKEN as _Q9TOK,
         Q20_PART_TOKEN as _Q20TOK,
         Q20_SHARE_PCT as _Q20PCT,
+        Q12_HIGH_PRIORITIES as _Q12HI,
     )
     _Q19_PRED = " OR ".join(
         f"(p_brand = '{cb}' AND p_size BETWEEN {slo} AND {shi} "
@@ -1299,6 +1302,19 @@ def oracle_sql() -> dict[str, str]:
             "JOIN supplier s ON q.sk = s.s_suppkey "
             f"WHERE 100 * q.qty > {_Q20PCT} * t.total "
             "ORDER BY s_suppkey"
+        ),
+        # tax_band_priority: Q12 fact-fact join whose only payload is the
+        # order's is-high-priority bit, CASE-split counts per tax band
+        "tax_band_priority": (
+            "SELECT CAST(floor(l.l_tax*10000.0 + 0.5) AS BIGINT) AS tax_e4, "
+            "CAST(sum(CASE WHEN o.o_orderpriority IN "
+            f"{tuple(sorted(_Q12HI))!r} THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS high_n, "
+            "CAST(sum(CASE WHEN o.o_orderpriority IN "
+            f"{tuple(sorted(_Q12HI))!r} THEN 0 ELSE 1 END) AS BIGINT) "
+            "AS low_n "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY 1 ORDER BY tax_e4"
         ),
         # brand_supplier_counts: TPC-H Q16's per-group COUNT(DISTINCT) core
         "brand_supplier_counts": (

@@ -205,6 +205,8 @@ HEADLINE = [
     "nation_profit",
     # Q20 share-of-part dominance HAVING
     "dominant_part_suppliers",
+    # Q12 one-bit-payload fact-fact join
+    "tax_band_priority",
 ]
 
 

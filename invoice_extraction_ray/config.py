@@ -460,3 +460,9 @@ Q9_PART_TOKEN = "widget"
 # 100*q > pct*total).
 Q20_PART_TOKEN = "bolt"
 Q20_SHARE_PCT = 15
+
+# TPC-H Q12 analogue (ops/relational.py::tax_band_priority): per tax band
+# (e4 fixed point, the testdata's shipmode stand-in), how many lineitems
+# belong to high-priority vs other orders.  Band and the priority split
+# are shared with the oracle.
+Q12_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")

@@ -8974,3 +8974,184 @@ def dominant_part_suppliers(sf_dir: str, num_shards: int = 64) -> pa.Table:
         },
         schema=_OUT,
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 analogue — priority-class counts per tax band
+# ---------------------------------------------------------------------------
+
+
+def tax_band_priority(sf_dir: str, num_shards: int = 64) -> pa.Table:
+    """TPC-H Q12 analogue: per tax band (``floor(l_tax*1e4+0.5)``, the
+    testdata's shipmode stand-in), how many lineitems belong to
+    high-priority (``config.Q12_HIGH_PRIORITIES``) vs other orders — the
+    fact-fact join whose ONLY payload is one bit from the other side,
+    finished by a CASE-split conditional count.
+
+    Scale shape: lineitem pre-combines (orderkey, band) counts per batch
+    (bands are a small discrete set, so partials collapse hard); order rows
+    carry the priority as ONE pre-computed bit; both ride the orderkey-shard
+    groupby and each shard emits <= 2*|bands| aggregate rows — the driver
+    folds shards x bands scalars.  Nothing broadcasts; neither fact table
+    is collected.
+
+    Output: (tax_e4, high_n, low_n) ordered by tax_e4."""
+    import numpy as np
+
+    from ..config import Q12_HIGH_PRIORITIES
+    from ._util import absorb_empty_blocks, int_segment_sum, strip_schema_metadata
+
+    _OUT = pa.schema(
+        [("tax_e4", pa.int64()), ("high_n", pa.int64()), ("low_n", pa.int64())]
+    )
+
+    def _shard_of(keys: "np.ndarray") -> "np.ndarray":
+        return (((keys * 2654435761) % (1 << 32)) % num_shards).astype(np.int32)
+
+    # band slot doubles as the is_high bit on order rows
+    _W = pa.schema(
+        [
+            ("shard", pa.int32()),
+            ("key", pa.int64()),
+            ("side", pa.int8()),
+            ("band", pa.int64()),
+            ("cnt", pa.int64()),
+        ]
+    )
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _W.empty_table()
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        band = np.floor(
+            t.column("l_tax").to_numpy(zero_copy_only=False) * 10000.0 + 0.5
+        ).astype(np.int64)
+        if len(band) and (
+            int(band.max()) >= (1 << 13) or int(ok.max()) >= (1 << 50)
+        ):
+            raise ValueError(
+                "tax_band_priority: band >= 2^13 or orderkey >= 2^50 "
+                "breaks the (key<<13)|band pack"
+            )
+        kb = ok * 8192 + band
+        order = np.argsort(kb)
+        kb = kb[order]
+        new = np.ones(len(kb), dtype=bool)
+        new[1:] = kb[1:] != kb[:-1]
+        starts = np.flatnonzero(new)
+        kb = kb[starts]
+        cnt = int_segment_sum(np.ones(len(order), np.int64), starts)
+        ok = kb // 8192
+        n = len(ok)
+        return pa.table(
+            {
+                "shard": pa.array(_shard_of(ok)),
+                "key": pa.array(ok, pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "band": pa.array(kb % 8192, pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            },
+            schema=_W,
+        )
+
+    high = set(Q12_HIGH_PRIORITIES)
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _W.empty_table()
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        prio = t.column("o_orderpriority")
+        is_high = pc.is_in(
+            prio, value_set=pa.array(sorted(high), pa.string())
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ok)
+        return pa.table(
+            {
+                "shard": pa.array(_shard_of(ok)),
+                "key": pa.array(ok, pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "band": pa.array(is_high, pa.int64()),
+                "cnt": pa.array(np.zeros(n, np.int64), pa.int64()),
+            },
+            schema=_W,
+        )
+
+    _P = pa.schema(
+        [("band", pa.int64()), ("high_n", pa.int64()), ("low_n", pa.int64())]
+    )
+
+    def merge_shard(g: pa.Table) -> pa.Table:
+        g = _dropg(g, ["shard"])
+        if g.num_rows == 0:
+            return _P.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        bmask = side == 1
+        bkey = key[bmask]
+        fmask = ~bmask
+        fk = key[fmask]
+        if len(bkey) == 0 or len(fk) == 0:
+            return _P.empty_table()
+        order = np.argsort(bkey)
+        bkey = bkey[order]
+        bhigh = g.column("band").to_numpy(zero_copy_only=False)[bmask][order]
+        pos = np.searchsorted(bkey, fk)
+        hit = (pos < len(bkey)) & (bkey[np.minimum(pos, len(bkey) - 1)] == fk)
+        band = g.column("band").to_numpy(zero_copy_only=False)[fmask][hit]
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False)[fmask][hit]
+        is_high = bhigh[pos[hit]]
+        if len(band) == 0:
+            return _P.empty_table()
+        bh = band * 2 + is_high
+        so = np.argsort(bh)
+        bh, cnt = bh[so], cnt[so]
+        new = np.ones(len(bh), dtype=bool)
+        new[1:] = bh[1:] != bh[:-1]
+        starts = np.flatnonzero(new)
+        bh = bh[starts]
+        tot = int_segment_sum(cnt, starts)
+        bands = np.unique(bh // 2)
+        hi = np.zeros(len(bands), np.int64)
+        lo = np.zeros(len(bands), np.int64)
+        bpos = np.searchsorted(bands, bh // 2)
+        np.add.at(hi, bpos[bh % 2 == 1], tot[bh % 2 == 1])
+        np.add.at(lo, bpos[bh % 2 == 0], tot[bh % 2 == 0])
+        return pa.table(
+            {
+                "band": pa.array(bands, pa.int64()),
+                "high_n": pa.array(hi, pa.int64()),
+                "low_n": pa.array(lo, pa.int64()),
+            },
+            schema=_P,
+        )
+
+    li = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_tax"]
+        )
+    ).map_batches(li_rows, batch_format="pyarrow")
+    orders = strip_schema_metadata(
+        ray.data.read_parquet(
+            _pq(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+        )
+    ).map_batches(ord_rows, batch_format="pyarrow")
+    rows = (
+        absorb_empty_blocks(li.union(orders), batch_size=131072)
+        .groupby("shard")
+        .map_groups(merge_shard, batch_format="pyarrow")
+        .take_all()
+    )
+    agg: dict[int, list[int]] = {}
+    for r in rows:
+        e = agg.setdefault(int(r["band"]), [0, 0])
+        e[0] += int(r["high_n"])
+        e[1] += int(r["low_n"])
+    bands = sorted(agg)
+    return pa.table(
+        {
+            "tax_e4": pa.array(bands, pa.int64()),
+            "high_n": pa.array([agg[b][0] for b in bands], pa.int64()),
+            "low_n": pa.array([agg[b][1] for b in bands], pa.int64()),
+        },
+        schema=_OUT,
+    )
