@@ -1077,110 +1077,183 @@ def copurchase_components(
 
     _OUTCC = pa.schema([("part_id", pa.int64()), ("component_id", pa.int64())])
 
-    def both_dirs(t: pa.Table) -> pa.Table:
-        a = t.column("a_id").combine_chunks()
-        b = t.column("b_id").combine_chunks()
-        src = pa.chunked_array([a, b]).combine_chunks()
-        dst = pa.chunked_array([b, a]).combine_chunks()
-        shard = pc.cast(pc.bit_wise_and(src, 63), pa.int32())
-        return pa.table({"gnode": src, "peer": dst, "shard": shard})
+    # --- min-label propagation over PINNED per-shard edge tables ---------
+    # bfs_hops' raw-task escape hatch, adapted to labels: the support-
+    # bounded edge set splits ONCE into its src-owner shards (both
+    # directions) and pins in the object store; each round is one fused
+    # fold-expand task per shard and the wire carries only (node, label)
+    # messages for nodes whose label DECREASED — volume shrinks every
+    # round, edges never ride a shuffle again, and no per-round Dataset
+    # op graph (the old union+Aggregate(Min) path cost ~0.5 s/round in
+    # operator dispatch alone).  Convergence: stop when no shard changed
+    # a label (per-shard scalar counts, driver-fetched per round).
 
-    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
-        return ray.data.from_arrow(_OUTCC.empty_table())
+    _EDGES2 = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    _STATE2 = pa.schema([("v", pa.int64()), ("lbl", pa.int64())])
+    _MSG2 = pa.schema([("v", pa.int64()), ("lbl", pa.int64())])
+    _LMASK = (1 << 21) - 1
 
-    def fold(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": t.column("gnode"),
-                "label": pc.min_element_wise(t.column("gnode"), t.column("nbr")),
-            }
-        )
+    def _vshard(v: "np.ndarray") -> "np.ndarray":
+        return (((v * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
 
-    labels = (
-        edges.groupby("gnode")
-        .aggregate(Min("peer", alias_name="nbr"))
-        .map_batches(fold, batch_format="pyarrow")
-        .materialize()
-    )
-
-    def tag_labels(t: pa.Table) -> pa.Table:
-        shard = pc.cast(pc.bit_wise_and(t.column("node"), 63), pa.int32())
-        return pa.table(
-            {
-                "gnode": t.column("node"),
-                "peer": pa.nulls(t.num_rows, pa.int64()),
-                "shard": shard,
-                "lbl": t.column("label"),
-            }
-        )
-
-    def tag_edges(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "gnode": t.column("gnode"),
-                "peer": t.column("peer"),
-                "shard": t.column("shard"),
-                "lbl": pa.nulls(t.num_rows, pa.int64()),
-            }
-        )
-
-    _MSG = pa.schema([("node", pa.int64()), ("label", pa.int64())])
-
-    def deliver(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return _MSG.empty_table()
-        g = g.sort_by([("gnode", "ascending")])
-        gnode = g.column("gnode").to_numpy(zero_copy_only=False)
-        peer_col = g.column("peer").combine_chunks()
-        lbl_col = g.column("lbl").combine_chunks()
-        is_edge = pc.is_valid(peer_col).to_numpy(zero_copy_only=False)
-        lbl_valid = pc.is_valid(lbl_col).to_numpy(zero_copy_only=False)
-        new = np.ones(len(gnode), dtype=bool)
-        new[1:] = gnode[1:] != gnode[:-1]
-        run_id = np.cumsum(new) - 1
-        run_label = np.empty(run_id[-1] + 1, dtype=np.int64)
-        lbl_np = lbl_col.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
-        run_label[run_id[lbl_valid]] = lbl_np[lbl_valid]
-        m = run_label[run_id]
-        peer_np = peer_col.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
-        node = np.concatenate([peer_np[is_edge], gnode[~is_edge]])
-        label = np.concatenate([m[is_edge], m[~is_edge]])
-        return pa.table(
-            {"node": pa.array(node.astype(np.int64)), "label": pa.array(label)}
-        )
-
-    tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
-
-    prev_sum = None
-    for _ in range(max_iters):
-        tagged_labels = labels.map_batches(tag_labels, batch_format="pyarrow")
-        msgs = (
-            tagged_edges.union(tagged_labels)
-            .groupby("shard")
-            .map_groups(deliver, batch_format="pyarrow")
-        )
-        labels = (
-            msgs.groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
-        cur = 0
-        for blk in labels.iter_batches(batch_format="pyarrow", batch_size=65536):
-            cur += int(
-                np.sum(blk.column("label").to_numpy(zero_copy_only=False), dtype=np.int64)
+    def _split_block(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            return tuple(_EDGES2.empty_table() for _ in range(n_shards))
+        a = tbl.column("a_id").to_numpy(zero_copy_only=False)
+        b = tbl.column("b_id").to_numpy(zero_copy_only=False)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        sh = _vshard(src)
+        return tuple(
+            pa.table(
+                {
+                    "src": pa.array(src[sh == s], pa.int64()),
+                    "dst": pa.array(dst[sh == s], pa.int64()),
+                },
+                schema=_EDGES2,
             )
-        if cur == prev_sum:
-            break
-        prev_sum = cur
+            for s in range(n_shards)
+        )
 
-    def project(t: pa.Table) -> pa.Table:
+    def _assemble(*parts: pa.Table):
+        """This shard's edge rows -> (src-sorted dedup'd edges, initial
+        state).  label_0(v) = min(v, min out-neighbor) — one propagation
+        step folded into assembly."""
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return _EDGES2.empty_table(), _STATE2.empty_table()
+        t = pa.concat_tables(parts)
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        pair = np.unique((src << 21) | dst)  # part ids < 2^21 by the guard
+        src, dst = pair >> 21, pair & _LMASK
+        new = np.ones(len(src), dtype=bool)
+        new[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(new)
+        v = src[starts]
+        lbl = np.minimum(v, np.minimum.reduceat(dst, starts))
+        return (
+            pa.table(
+                {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())},
+                schema=_EDGES2,
+            ),
+            pa.table(
+                {"v": pa.array(v, pa.int64()), "lbl": pa.array(lbl, pa.int64())},
+                schema=_STATE2,
+            ),
+        )
+
+    def _minimize(vv: "np.ndarray", ll: "np.ndarray"):
+        """Min label per node via one packed unique (first of each run)."""
+        packed = np.unique((vv << 21) | ll)
+        pv = packed >> 21
+        first = np.ones(len(pv), dtype=bool)
+        first[1:] = pv[1:] != pv[:-1]
+        return pv[first], (packed & _LMASK)[first]
+
+    def _step(edges: pa.Table, state: pa.Table, first: bool, *msgs: pa.Table):
+        """ONE task per shard per round: fold incoming candidate labels
+        into the state (keep decreases), expand the CHANGED nodes'
+        neighbors with the new labels (pre-minimized per destination),
+        ship per-owner-shard messages.  Returns (state, n_changed,
+        msg_0..msg_{n_shards-1})."""
+        empty = tuple(_MSG2.empty_table() for _ in range(n_shards))
+        v = state.column("v").to_numpy(zero_copy_only=False)
+        lbl = state.column("lbl").to_numpy(zero_copy_only=False)
+        if first:
+            ch_v, ch_l = v, lbl
+            n_changed = len(v)
+        else:
+            mv = [m.column("v").to_numpy(zero_copy_only=False) for m in msgs if m.num_rows]
+            if not mv:
+                return (state, 0) + empty
+            cv = np.concatenate(mv)
+            cl = np.concatenate(
+                [m.column("lbl").to_numpy(zero_copy_only=False) for m in msgs if m.num_rows]
+            )
+            pv, pl = _minimize(cv, cl)
+            # every message dst owns its reverse edge here, so pv is a
+            # subset of v and the searchsorted positions are exact
+            pos = np.searchsorted(v, pv)
+            better = pl < lbl[pos]
+            if not better.any():
+                return (state, 0) + empty
+            lbl = lbl.copy()
+            lbl[pos[better]] = pl[better]
+            ch_v, ch_l = pv[better], pl[better]
+            n_changed = int(better.sum())
+            state = pa.table(
+                {"v": pa.array(v, pa.int64()), "lbl": pa.array(lbl, pa.int64())},
+                schema=_STATE2,
+            )
+        if edges.num_rows == 0 or len(ch_v) == 0:
+            return (state, n_changed) + empty
+        src = edges.column("src").to_numpy(zero_copy_only=False)
+        dst = edges.column("dst").to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(src, ch_v, side="left")
+        hi = np.searchsorted(src, ch_v, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return (state, n_changed) + empty
+        out_starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        idx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(out_starts, cnt)
+            + np.repeat(lo, cnt)
+        )
+        d, l = _minimize(dst[idx], np.repeat(ch_l, cnt))
+        dsh = _vshard(d)
+        return (state, n_changed) + tuple(
+            pa.table(
+                {
+                    "v": pa.array(d[dsh == s], pa.int64()),
+                    "lbl": pa.array(l[dsh == s], pa.int64()),
+                },
+                schema=_MSG2,
+            )
+            for s in range(n_shards)
+        )
+
+    def _project(state: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "part_id": t.column("node").cast(pa.int64()),
-                "component_id": t.column("label").cast(pa.int64()),
+                "part_id": state.column("v").cast(pa.int64()),
+                "component_id": state.column("lbl").cast(pa.int64()),
             },
             schema=_OUTCC,
         )
 
-    return labels.map_batches(project, batch_format="pyarrow")
+    split_t = ray.remote(num_returns=n_shards)(_split_block)
+    assemble_t = ray.remote(num_returns=2)(_assemble)
+    step_t = ray.remote(num_returns=n_shards + 2)(_step)
+    project_t = ray.remote(_project)
+
+    blocks = pairs.to_arrow_refs()
+    if not blocks:
+        return ray.data.from_arrow(_OUTCC.empty_table())
+    parts = [split_t.remote(b) for b in blocks]
+    shard_state = [
+        assemble_t.remote(*[parts[b][s] for b in range(len(parts))])
+        for s in range(n_shards)
+    ]
+    edges_ref = [st[0] for st in shard_state]
+    grid = [
+        step_t.remote(edges_ref[s], shard_state[s][1], True)
+        for s in range(n_shards)
+    ]
+    for _ in range(max_iters):
+        grid = [
+            step_t.remote(
+                edges_ref[s],
+                grid[s][0],
+                False,
+                *[grid[sp][s + 2] for sp in range(n_shards)],
+            )
+            for s in range(n_shards)
+        ]
+        if sum(ray.get([grid[s][1] for s in range(n_shards)])) == 0:
+            break
+    return ray.data.from_arrow_refs(
+        [project_t.remote(grid[s][0]) for s in range(n_shards)]
+    )
