@@ -68,6 +68,17 @@ def _op_dataset(op: str):
         # dim_cap=0 forces the DISTRIBUTED shard fallback — the path whose
         # cross-node exchange behavior actually matters at cluster scale
         return lambda: nation_revenue(SF, dim_cap=0)
+    if op == "nation_profit":
+        from invoice_extraction_ray.ops.relational import nation_profit
+
+        # the r5 Q9 chain: bloom-pruned lineitem + two chained shard
+        # exchanges with a dimension-measure attach
+        return lambda: nation_profit(SF)
+    if op == "late_shipment_orders":
+        from invoice_extraction_ray.ops.relational import late_shipment_orders
+
+        # the r5 Q4 cross-side EXISTS: one fact-fact orderkey exchange
+        return lambda: late_shipment_orders(SF)
     if op == "snm_candidate_pairs":
         from invoice_extraction_ray.ops.dedup import snm_candidate_pairs
 
