@@ -2722,8 +2722,13 @@ def test_new_relational_family_random_differential(tmp_path):
             {
                 "o_orderkey": pa.array(okeys),
                 "o_custkey": pa.array(rng.randint(0, 500, n_ord).astype(np.int64)),
+                # 1997-01..03: inside the Q4 order window so the date-
+                # pushed shapes stay non-degenerate on random data
                 "o_orderdate": pa.array(
-                    (rng.randint(0, 90, n_ord) * 86400 * 10**6).astype(np.int64),
+                    (
+                        852_076_800 * 10**6
+                        + rng.randint(0, 90, n_ord) * 86400 * 10**6
+                    ).astype(np.int64),
                     pa.timestamp("us"),
                 ),
                 "o_orderpriority": pa.array(
@@ -2761,6 +2766,9 @@ def test_new_relational_family_random_differential(tmp_path):
             {
                 "s_suppkey": pa.array(np.arange(40, dtype=np.int64)),
                 "s_name": pa.array([f"Supplier#{i:09d}" for i in range(40)]),
+                "s_nationkey": pa.array(
+                    rng.randint(0, 25, 40).astype(np.int32), pa.int32()
+                ),
             }
         ),
         str(tmp_path / "supplier.parquet"),
@@ -2769,6 +2777,8 @@ def test_new_relational_family_random_differential(tmp_path):
     li_ok = li_ok[li_ok % 7 != 1]  # drop lineitems of every 7th order
     li_ok[:: 500] += 1  # plant dangling FK rows (keys between real orders)
     m = len(li_ok)
+    # ship dates span 1997-01..1998-05 so the Q6/Q4 config windows bite
+    _EPOCH_1997_US = 852_076_800 * 10**6
     pq.write_table(
         pa.table(
             {
@@ -2796,6 +2806,14 @@ def test_new_relational_family_random_differential(tmp_path):
                 "l_linestatus": pa.array(
                     [["O", "F"][i] for i in rng.randint(0, 2, m)]
                 ),
+                "l_shipdate": pa.array(
+                    (
+                        _EPOCH_1997_US
+                        + rng.randint(0, 500, m).astype(np.int64) * 86400 * 10**6
+                    ),
+                    pa.timestamp("us"),
+                ),
+                "l_tax": np.round(rng.uniform(0, 0.08, m), 2),
             }
         ),
         str(tmp_path / "lineitem.parquet"),
@@ -2807,9 +2825,32 @@ def test_new_relational_family_random_differential(tmp_path):
                 "p_brand": pa.array(
                     [f"Brand#{i % 7}" for i in rng.randint(0, 25, n_part)]
                 ),
+                # names carry the Q9/Q20 config tokens for ~2/5 of parts
+                "p_name": pa.array(
+                    [
+                        ["red widget", "blue bolt", "green rod", "dim cog",
+                         "hot plate"][i]
+                        for i in rng.randint(0, 5, n_part)
+                    ]
+                ),
+                "p_retailprice": np.round(rng.uniform(900, 1000, n_part), 2),
             }
         ),
         str(tmp_path / "part.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(
+                    np.arange(25, dtype=np.int32), pa.int32()
+                ),
+                "n_name": pa.array([f"NATION_{i:02d}" for i in range(25)]),
+                "n_regionkey": pa.array(
+                    (np.arange(25, dtype=np.int32) % 5), pa.int32()
+                ),
+            }
+        ),
+        str(tmp_path / "nation.parquet"),
     )
     pq.write_table(
         pa.table(
@@ -2861,7 +2902,8 @@ def test_new_relational_family_random_differential(tmp_path):
 
     con = duckdb.connect()
     for tbl in (
-        "orders", "lineitem", "part", "customer", "supplier", "events", "documents"
+        "orders", "lineitem", "part", "customer", "supplier", "nation",
+        "events", "documents",
     ):
         con.sql(
             f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{tmp_path}/{tbl}.parquet')"
@@ -2910,6 +2952,11 @@ def test_new_relational_family_random_differential(tmp_path):
         "value_band_pairs",
         "weighted_quality_median",
         "event_path_topk",
+        "discounted_revenue",
+        "late_shipment_orders",
+        "nation_profit",
+        "dominant_part_suppliers",
+        "tax_band_priority",
     ):
         def norm(v):
             # DuckDB's .df() floats nullable-int columns (NULL -> NaN);
