@@ -243,3 +243,206 @@ def test_user_gap_fill_under_hot_key_skew(tmp_path):
         for r in user_gap_fill(str(d)).take_all()
     }
     assert got == want
+
+
+def test_r5_tpch_ops_under_hot_key_skew(tmp_path):
+    """One ORDER holds half of all lineitems and one PART holds most of
+    them: the orderkey-shard (late_shipment, tax_band) and partkey-shard
+    (nation_profit, dominance) kernels stay exact when a single key's
+    partials arrive split across many blocks of one shard."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.config import (
+        Q4_LATE_DAYS,
+        Q4_ORDER_HI,
+        Q4_ORDER_LO,
+        Q9_PART_TOKEN,
+        Q12_HIGH_PRIORITIES,
+        Q20_PART_TOKEN,
+        Q20_SHARE_PCT,
+    )
+    from invoice_extraction_ray.ops.relational import (
+        dominant_part_suppliers,
+        late_shipment_orders,
+        nation_profit,
+        tax_band_priority,
+    )
+
+    rng = np.random.RandomState(13)
+    n = 20_000
+    n_ord, n_part, n_supp = 600, 60, 30
+    day_us = 86_400_000_000
+    us_1997 = int(dt.datetime(1997, 1, 1).timestamp()) * 10**6
+
+    okey = np.where(
+        rng.rand(n) < 0.5, 99, rng.randint(0, n_ord, n)
+    ).astype(np.int64)
+    pkey = np.where(
+        rng.rand(n) < 0.6, 5, rng.randint(0, n_part, n)
+    ).astype(np.int64)
+    skey = rng.randint(0, n_supp, n).astype(np.int64)
+    qty = rng.randint(1, 51, n).astype(np.float64)
+    ep = np.round(rng.uniform(1, 9999, n), 2)
+    disc = np.round(rng.uniform(0, 0.1, n), 2)
+    tax = np.round(rng.uniform(0, 0.08, n), 2)
+    ship = us_1997 + rng.randint(0, 500, n).astype(np.int64) * day_us
+    d = tmp_path / "skew"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(okey),
+                "l_partkey": pa.array(pkey),
+                "l_suppkey": pa.array(skey),
+                "l_quantity": pa.array(qty),
+                "l_extendedprice": pa.array(ep),
+                "l_discount": pa.array(disc),
+                "l_tax": pa.array(tax),
+                "l_shipdate": pa.array(ship, pa.int64()).cast(pa.timestamp("us")),
+            }
+        ),
+        d / "lineitem.parquet",
+        row_group_size=701,
+    )
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    oprio = [prios[i] for i in rng.randint(0, 5, n_ord)]
+    odate = us_1997 + rng.randint(0, 150, n_ord).astype(np.int64) * day_us
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+                "o_orderdate": pa.array(odate, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(oprio),
+            }
+        ),
+        d / "orders.parquet",
+        row_group_size=97,
+    )
+    pnames = [
+        [f"red {Q9_PART_TOKEN}", f"blue {Q20_PART_TOKEN}", "green rod"][i]
+        for i in rng.randint(0, 3, n_part)
+    ]
+    retail = np.round(rng.uniform(900, 1000, n_part), 2)
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
+                "p_name": pa.array(pnames),
+                "p_retailprice": pa.array(retail),
+            }
+        ),
+        d / "part.parquet",
+    )
+    snat = rng.randint(0, 25, n_supp).astype(np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(np.arange(n_supp, dtype=np.int64)),
+                "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
+                "s_nationkey": pa.array(snat),
+            }
+        ),
+        d / "supplier.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(np.arange(25, dtype=np.int64)),
+                "n_name": pa.array([f"NATION_{i:02d}" for i in range(25)]),
+            }
+        ),
+        d / "nation.parquet",
+    )
+
+    cents = np.floor(ep * 100.0 + 0.5).astype(int)
+    disc_e4 = np.floor(disc * 10000.0 + 0.5).astype(int)
+    rev = cents * (10000 - disc_e4)
+    qty_i = np.floor(qty + 0.5).astype(int)
+    tax_e4 = np.floor(tax * 10000.0 + 0.5).astype(int)
+
+    # late_shipment_orders: per-priority count of window orders whose max
+    # lineitem ship exceeds odate + delay
+    lo = int(dt.datetime.fromisoformat(Q4_ORDER_LO).timestamp()) * 10**6
+    hi = int(dt.datetime.fromisoformat(Q4_ORDER_HI).timestamp()) * 10**6
+    max_ship: dict = {}
+    for o, s in zip(okey.tolist(), ship.tolist()):
+        max_ship[o] = max(max_ship.get(o, 0), s)
+    want_late: dict = {}
+    for o in range(n_ord):
+        od = int(odate[o])
+        if not (lo <= od < hi):
+            continue
+        if max_ship.get(o, 0) > od + Q4_LATE_DAYS * day_us:
+            want_late[oprio[o]] = want_late.get(oprio[o], 0) + 1
+    got = late_shipment_orders(str(d))
+    assert {
+        p: c
+        for p, c in zip(
+            got.column("o_orderpriority").to_pylist(),
+            got.column("n_late").to_pylist(),
+        )
+    } == want_late
+
+    # tax_band_priority: (band -> high/low counts) over the orderkey join
+    high = set(Q12_HIGH_PRIORITIES)
+    want_band: dict = {}
+    for o, b in zip(okey.tolist(), tax_e4.tolist()):
+        e = want_band.setdefault(b, [0, 0])
+        e[0 if oprio[o] in high else 1] += 1
+    got = tax_band_priority(str(d))
+    assert {
+        b: (h, l)
+        for b, h, l in zip(
+            got.column("tax_e4").to_pylist(),
+            got.column("high_n").to_pylist(),
+            got.column("low_n").to_pylist(),
+        )
+    } == {b: tuple(v) for b, v in want_band.items()}
+
+    # nation_profit: sum over token parts of rev - qty*retail_c*1e4
+    retail_c = np.floor(retail * 100.0 + 0.5).astype(int)
+    want_np: dict = {}
+    for i in range(n):
+        p = int(pkey[i])
+        if Q9_PART_TOKEN not in pnames[p]:
+            continue
+        year = dt.datetime.utcfromtimestamp(int(ship[i]) // 10**6).year
+        nk = int(snat[skey[i]])
+        k = (f"NATION_{nk:02d}", year)
+        want_np[k] = want_np.get(k, 0) + int(rev[i]) - int(qty_i[i]) * int(
+            retail_c[p]
+        ) * 10000
+    got = nation_profit(str(d))
+    assert {
+        (nm, y): v
+        for nm, y, v in zip(
+            got.column("n_name").to_pylist(),
+            got.column("l_year").to_pylist(),
+            got.column("profit_i").to_pylist(),
+        )
+    } == want_np
+
+    # dominant_part_suppliers: 100*q > pct*total per token part
+    pair_q: dict = {}
+    part_q: dict = {}
+    for i in range(n):
+        p = int(pkey[i])
+        if Q20_PART_TOKEN not in pnames[p]:
+            continue
+        s = int(skey[i])
+        pair_q[(p, s)] = pair_q.get((p, s), 0) + int(qty_i[i])
+        part_q[p] = part_q.get(p, 0) + int(qty_i[i])
+    want_dom = sorted(
+        {s for (p, s), q in pair_q.items() if 100 * q > Q20_SHARE_PCT * part_q[p]}
+    )
+    got = dominant_part_suppliers(str(d))
+    assert got.column("s_suppkey").to_pylist() == want_dom
+    assert got.column("s_name").to_pylist() == [
+        f"Supplier#{s:09d}" for s in want_dom
+    ]
