@@ -101,6 +101,18 @@ def _ngram_jaccard_neardup(sf_dir: str):
     return ngram_jaccard_neardup(docs, threshold=0.5)
 
 
+def _jaccard_prefix_pairs(sf_dir: str):
+    """PPJoin-style prefix-filtered exact Jaccard pairs — byte-identical
+    output to ngram_jaccard_neardup (prefix filtering is lossless for
+    J >= t), so it shares that query's oracle string verbatim."""
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops.dedup import jaccard_prefix_pairs
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return jaccard_prefix_pairs(docs, threshold=0.5)
+
+
 def _delta_neardup(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -616,6 +628,9 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("semantic_neardup", lambda sf: dedup.semantic_neardup(sf, 8, 0.3)),
             ("dedup_keep_best", dedup.dedup_keep_best),  # argmax-per-digest
             ("snm_candidate_pairs", dedup.snm_candidate_pairs),  # sorted-neighborhood
+            ("editdist_neardup", dedup.editdist_neardup),  # levenshtein verify
+            ("jaccard_prefix_pairs", _jaccard_prefix_pairs),  # PPJoin prefix filter
+            ("neardup_recall_report", dedup.neardup_recall_report),  # LSH eval
         ],
         # corpus curation
         "curation": [
@@ -698,6 +713,12 @@ def oracle_sql() -> dict[str, str]:
     from invoice_extraction_ray.ops.text import BM25_TERMS as _BM25_TERMS
     from invoice_extraction_ray.config import PHRASE_TERMS as _PHRASE
     from invoice_extraction_ray.config import KS_EVENT_TYPES as _KS_T
+    from invoice_extraction_ray.config import (
+        EDITDIST_MAX as _ED_MAX,
+        EDITDIST_PREFIX as _ED_PFX,
+        SNM_KEY_LEN as _SNM_KL,
+        SNM_WINDOW as _SNM_W,
+    )
     from invoice_extraction_ray.config import (
         Q7_NATIONS as _Q7N,
         Q7_SHIP_LO as _Q7LO,
@@ -1354,19 +1375,20 @@ def oracle_sql() -> dict[str, str]:
         # text_normalize: lowercase + \s+ collapse + trim, unicode-aware on
         # both engines (corpus is ASCII; dedup_keep_best shares the rule)
         # snm_candidate_pairs: sorted-neighborhood blocking — every pair
-        # within 4 ranks of the (16-char normalized prefix, doc_id) sort
-        # order; is_dup = exact normalized-text equality
+        # within SNM_WINDOW ranks of the (SNM_KEY_LEN-char normalized
+        # prefix, doc_id) sort order; is_dup = exact normalized-text
+        # equality (window/key length shared with the engine via config)
         "snm_candidate_pairs": (
             r"WITH n AS (SELECT doc_id, "
             r"trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) "
             r"AS norm FROM documents), "
             r"r AS (SELECT doc_id, norm, row_number() OVER "
-            r"(ORDER BY substr(norm, 1, 16), doc_id) AS rnk FROM n) "
+            f"(ORDER BY substr(norm, 1, {_SNM_KL}), doc_id) AS rnk FROM n) "
             r"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
             r"CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap, "
             r"CAST(CASE WHEN a.norm = b.norm THEN 1 ELSE 0 END AS BIGINT) "
             r"AS is_dup "
-            r"FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 4"
+            f"FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_W}"
         ),
         "text_normalize": (
             r"SELECT doc_id, "
@@ -3223,6 +3245,54 @@ def oracle_sql() -> dict[str, str]:
         "CAST((SELECT r FROM anr a WHERE a.doc_id = i.doc_id) AS BIGINT) "
         "AS ann_rank "
         "FROM ids i ORDER BY rrf_e6 DESC, i.doc_id LIMIT 10"
+    )
+
+    # jaccard_prefix_pairs: PPJoin prefix filtering is lossless for
+    # J >= t, so the output is byte-identical to ngram_jaccard_neardup —
+    # the oracle string is shared verbatim (the order_details_bloom
+    # convention: a pruning strategy must not change the answer).
+    out["jaccard_prefix_pairs"] = out["ngram_jaccard_neardup"]
+
+    # editdist_neardup: SNM window pairs verified by exact byte
+    # Levenshtein over the first EDITDIST_PREFIX normalized chars
+    # (DuckDB levenshtein counts BYTES; the engine DP runs over UTF-8
+    # bytes of the same slice). All parameters interpolated from config.
+    out["editdist_neardup"] = (
+        r"WITH n AS (SELECT doc_id, "
+        r"trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) "
+        r"AS norm FROM documents), "
+        f"r AS (SELECT doc_id, substr(norm, 1, {_ED_PFX}) AS npfx, "
+        f"row_number() OVER (ORDER BY substr(norm, 1, {_SNM_KL}), doc_id) "
+        "AS rnk FROM n) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap, "
+        "CAST(levenshtein(a.npfx, b.npfx) AS BIGINT) AS dist "
+        f"FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_W} "
+        f"WHERE levenshtein(a.npfx, b.npfx) <= {_ED_MAX}"
+    )
+
+    # neardup_recall_report: the exact all-pairs side IS the approximate
+    # side's ground truth; banding recall is 1.0 on this corpus (the
+    # pinned minhash_neardup oracle claim), so all three counters equal
+    # the exact pair count and both ratios are the fixed point 1e6.  A
+    # real banding recall loss would break this row — that is the gate.
+    out["neardup_recall_report"] = (
+        f"WITH d AS (SELECT doc_id, coalesce(text,'') AS t, {_TBL} AS tb FROM documents), "
+        r"tk AS (SELECT doc_id, regexp_extract_all(t, '\S+') AS ws, tb FROM d), "
+        "gr AS (SELECT doc_id, tb, CASE "
+        "WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1), "
+        "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) "
+        "WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')] "
+        "ELSE [] END AS grams FROM tk), "
+        f"hs AS (SELECT doc_id, list_distinct(list_transform(grams, g -> {_crc_sql('g')})) AS hset FROM gr), "
+        "p AS (SELECT len(list_intersect(a.hset, b.hset)) AS i, "
+        "len(a.hset) + len(b.hset) - len(list_intersect(a.hset, b.hset)) AS u "
+        "FROM hs a JOIN hs b ON a.doc_id < b.doc_id "
+        "WHERE len(a.hset) > 0 AND len(b.hset) > 0), "
+        "q AS (SELECT count(*) AS n FROM p WHERE i > 0 AND 2*i*10000 >= 15999*u) "
+        "SELECT CAST(n AS BIGINT) AS n_exact, CAST(n AS BIGINT) AS n_approx, "
+        "CAST(n AS BIGINT) AS n_hit, CAST(1000000 AS BIGINT) AS precision_e6, "
+        "CAST(1000000 AS BIGINT) AS recall_e6 FROM q"
     )
     return out
 

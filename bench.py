@@ -134,6 +134,9 @@ HEADLINE = [
     "source_drift_chi2",
     "order_details_bloom",
     "snm_candidate_pairs",
+    "editdist_neardup",
+    "jaccard_prefix_pairs",
+    "neardup_recall_report",
     "mg_heavy_hitters",
     "hybrid_rrf_topk",
     "user_value_ntile",

@@ -466,3 +466,13 @@ Q20_SHARE_PCT = 15
 # belong to high-priority vs other orders.  Band and the priority split
 # are shared with the oracle.
 Q12_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+# Edit-distance near-dup verify (ops/dedup.py::editdist_neardup and its
+# levenshtein() oracle SQL): SNM window pairs are verified by exact BYTE
+# Levenshtein over the first EDITDIST_PREFIX normalized characters
+# (DuckDB's levenshtein counts bytes, so the engine DP runs over UTF-8
+# bytes of the same slice); pairs with distance <= EDITDIST_MAX survive.
+EDITDIST_PREFIX = 64
+EDITDIST_MAX = 40
+SNM_WINDOW = 4      # sorted-neighborhood window (ranks)
+SNM_KEY_LEN = 16    # normalized-prefix blocking key length (chars)

@@ -268,50 +268,33 @@ def minhash_candidate_pairs(
     return _sum_pair_counts(pairs, "n_bands").select_columns(["a_id", "b_id"])
 
 
-def minhash_neardup(
-    source,
-    jaccard_threshold: float = 0.8,
+def _pair_text_verify(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    kernel,
+    out_schema: pa.Schema,
     num_partitions: int = 8,
-    max_bucket: int | None = None,
 ) -> ray.data.Dataset:
-    """Near-duplicate pairs with verified Jaccard >= threshold.
+    """Shared verify stage for every candidate-pair near-dup family: attach
+    both docs' texts to each (a_id, b_id) candidate row and apply ``kernel``.
 
-    ``source``: a Dataset or pa.Table with (doc_id, text).
+    ``kernel(t, a_texts, b_texts) -> pa.Table`` receives the pair table plus
+    the two text lists (aligned to rows) and returns the verified output
+    (already filtered, schema == ``out_schema``).
 
-    Scale shape: candidate pairs (tiny — O(colliding docs)) are hash-join
-    partitioned against the corpus on doc_id, once per pair side, so each
-    verify batch sees only the texts of its own pairs.  Nothing is ever
-    materialized on the driver and no per-task copy of the corpus exists —
-    the corpus streams through the join's hash partitions exactly once per
-    side.  Exact Jaccard is then computed per batch.
-    """
-    from invoice_extraction_ray.ops._util import as_docs_dataset
+    Scale shape (hoisted verbatim from the original minhash_neardup verify):
+    candidate pairs are tiny — O(colliding docs); a semi-join pre-filter
+    broadcasts the distinct pair-involved doc ids (8 bytes/side, capped at
+    ``_SEMI_FILTER_CAP``) and stream-filters the corpus BEFORE any join, so
+    only the texts the verify needs ever move.  If the filtered texts also
+    fit ``_PAIR_TEXT_BROADCAST_BYTES``, BOTH hash joins are skipped (each
+    pays ~0.75 s of aggregator-actor startup regardless of size) and one
+    stateless map verifies against a ray.put text table (plasma zero-copy,
+    one physical copy per node).  Otherwise the pairs hash-join against the
+    (filtered) corpus once per side — the 100 TB path.  ``pairs`` must be
+    materialized and non-empty (callers branch on emptiness first)."""
+    from ._util import absorb_empty_blocks, strip_schema_metadata
 
-    docs = as_docs_dataset(source)
-
-    from ._util import strip_schema_metadata
-
-    # pairs are small by construction; materialize to branch on emptiness —
-    # Ray's hash-join aggregators crash on an empty join side
-    pairs = minhash_candidate_pairs(docs, max_bucket).materialize()
-    out_schema = pa.schema(
-        [("a_id", pa.int64()), ("b_id", pa.int64()), ("jaccard", pa.float64())]
-    )
-    if pairs.count() == 0:
-        return ray.data.from_arrow(out_schema.empty_table())
-    thr = jaccard_threshold
-
-    from ._util import absorb_empty_blocks
-
-    # Semi-join pre-filter: broadcast the distinct pair-involved doc ids
-    # (8 bytes/pair-side — orders of magnitude smaller than the texts) and
-    # stream-filter the corpus BEFORE the hash joins, so the join shuffles
-    # only the texts the verify actually needs instead of the whole corpus.
-    # The joins themselves stay — they are the 100 TB path; this just cuts
-    # their input to O(pairs).  If the pair set is so large that the id
-    # broadcast itself would be heavy (> _SEMI_FILTER_CAP ids ≈ 8 bytes
-    # each), skip the filter and let the hash join do the work unaided —
-    # the filter is a constant-factor optimization, never load-bearing.
     id_chunks = [np.empty(0, np.int64)]
     n_ids = 0
     for b in pairs.select_columns(["a_id", "b_id"]).iter_batches(
@@ -341,13 +324,9 @@ def minhash_neardup(
 
         texts = texts.map_batches(only_needed, batch_format="pyarrow")
 
-        # Broadcast-verify fast path: the filtered texts are O(pair ids); if
-        # they also fit a byte budget, skip BOTH hash joins (each pays
-        # ~0.75s of aggregator-actor startup regardless of size — CLAUDE.md)
-        # and verify with one stateless map over the pair rows against a
-        # ray.put text table (plasma zero-copy, one physical copy per node).
-        # The byte check streams the filtered texts once and falls back to
-        # the join path if the budget is exceeded — never load-bearing.
+        # Broadcast-verify fast path (see docstring).  The byte check
+        # streams the filtered texts once and falls back to the join path
+        # if the budget is exceeded — never load-bearing.
         chunks: list[pa.Table] = []
         total_bytes = 0
         fits = True
@@ -361,11 +340,16 @@ def minhash_neardup(
             tbl = (
                 pa.concat_tables(chunks)
                 if chunks
-                else pa.schema([("doc_id", pa.int64()), ("text", pa.string())]).empty_table()
+                else pa.schema(
+                    [("doc_id", pa.int64()), ("text", pa.string())]
+                ).empty_table()
             )
             tbl = tbl.sort_by([("doc_id", "ascending")])
             text_ref = ray.put(
-                (tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64), tbl)
+                (
+                    tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+                    tbl,
+                )
             )
 
             def verify_direct(t: pa.Table) -> pa.Table:
@@ -377,15 +361,7 @@ def minhash_neardup(
                 txt = txt_tbl.column("text")
                 a_txt = pc.take(txt, pa.array(np.searchsorted(ids_s, a))).to_pylist()
                 b_txt = pc.take(txt, pa.array(np.searchsorted(ids_s, b_))).to_pylist()
-                ja = [round(jaccard(x, y), 4) for x, y in zip(a_txt, b_txt)]
-                out = pa.table(
-                    {
-                        "a_id": pa.array(a),
-                        "b_id": pa.array(b_),
-                        "jaccard": pa.array(ja, pa.float64()),
-                    }
-                )
-                return out.filter(pc.greater_equal(out.column("jaccard"), thr))
+                return kernel(t, a_txt, b_txt)
 
             return pairs.map_batches(verify_direct, batch_format="pyarrow")
     texts = absorb_empty_blocks(strip_schema_metadata(texts))
@@ -393,17 +369,53 @@ def minhash_neardup(
     joined = absorb_empty_blocks(
         pairs.join(texts, "inner", num_partitions, on=("a_id",), right_on=("doc_id",))
         .rename_columns({"text": "a_text"})
-    ).join(texts, "inner", num_partitions, on=("b_id",), right_on=("doc_id",)).rename_columns(
-        {"text": "b_text"}
-    )
+    ).join(
+        texts, "inner", num_partitions, on=("b_id",), right_on=("doc_id",)
+    ).rename_columns({"text": "b_text"})
 
     def verify(t: pa.Table) -> pa.Table:
+        return kernel(
+            t, t.column("a_text").to_pylist(), t.column("b_text").to_pylist()
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_neardup(
+    source,
+    jaccard_threshold: float = 0.8,
+    num_partitions: int = 8,
+    max_bucket: int | None = None,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs with verified Jaccard >= threshold.
+
+    ``source``: a Dataset or pa.Table with (doc_id, text).
+
+    Scale shape: candidate pairs (tiny — O(colliding docs)) are hash-join
+    partitioned against the corpus on doc_id, once per pair side, so each
+    verify batch sees only the texts of its own pairs.  Nothing is ever
+    materialized on the driver and no per-task copy of the corpus exists —
+    the corpus streams through the join's hash partitions exactly once per
+    side.  Exact Jaccard is then computed per batch.
+    """
+    from invoice_extraction_ray.ops._util import as_docs_dataset
+
+    docs = as_docs_dataset(source)
+
+    # pairs are small by construction; materialize to branch on emptiness —
+    # Ray's hash-join aggregators crash on an empty join side
+    pairs = minhash_candidate_pairs(docs, max_bucket).materialize()
+    out_schema = pa.schema(
+        [("a_id", pa.int64()), ("b_id", pa.int64()), ("jaccard", pa.float64())]
+    )
+    if pairs.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    thr = jaccard_threshold
+
+    def mh_kernel(t: pa.Table, a_txt: list, b_txt: list) -> pa.Table:
         import pyarrow.compute as pc
 
-        ja = [
-            round(jaccard(x, y), 4)
-            for x, y in zip(t.column("a_text").to_pylist(), t.column("b_text").to_pylist())
-        ]
+        ja = [round(jaccard(x, y), 4) for x, y in zip(a_txt, b_txt)]
         out = pa.table(
             {
                 "a_id": t.column("a_id").cast(pa.int64()),
@@ -413,7 +425,7 @@ def minhash_neardup(
         )
         return out.filter(pc.greater_equal(out.column("jaccard"), thr))
 
-    return joined.map_batches(verify, batch_format="pyarrow")
+    return _pair_text_verify(pairs, docs, mh_kernel, out_schema, num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -552,6 +564,210 @@ def ngram_jaccard_neardup(
         )
 
     return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+def jaccard_prefix_pairs(
+    source, threshold: float = 0.5, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """EXACT word-trigram Jaccard pairs >= threshold via PREFIX FILTERING —
+    the AllPairs/PPJoin candidate-pruning strategy (Chaudhuri et al. SSJoin;
+    Bayardo et al. WWW'07; Xiao et al. WWW'08): byte-identical output to
+    ``ngram_jaccard_neardup`` (it shares that query's oracle string), but
+    the quadratic pair-expansion step sees only each doc's PREFIX postings
+    instead of its full posting list.
+
+    Under a global token order, J(A,B) >= t implies |A∩B| >= α with
+    α = max(⌈t|A|⌉, ⌈t|B|⌉), and any two sets with |A∩B| >= α must share a
+    token within their (|x| - α + 1)-prefixes (if the prefixes were
+    disjoint, order the two prefix-max tokens: every intersection element
+    <= the larger one would lie in BOTH prefixes, so all of A∩B sits in one
+    suffix of size α - 1 < α).  Indexing the per-set (|x| - ⌈t|x|⌉ + 1)-
+    prefix — a superset of the needed prefix — is therefore lossless.
+    The global order is (df ASC, gram ASC): rare-first, the standard choice
+    that keeps prefix posting lists short, so the K²-per-gram expansion
+    that dominates ``ngram_jaccard_neardup`` on boilerplate-heavy corpora
+    shrinks to the rare-token prefix index.
+
+    Distributed plan (three slim shuffles + the shared verify):
+    1. explode distinct (gram, doc_id, ng) postings, co-partition by gram;
+    2. each gram shard holds every posting of its grams, so the run length
+       IS the global df — attach it and re-shard by doc_id;
+    3. each doc shard sorts its docs' grams by (df, gram) and keeps each
+       doc's prefix; prefix postings re-shard by gram and expand to
+       candidate pairs (``_expand_runs`` + the pair-partial combiner);
+    4. candidates (output-bounded) verify with exact trigram-set Jaccard
+       via the shared ``_pair_text_verify`` broadcast-or-join stage —
+       the same integer threshold test as the ngram op.
+    Texts never ride a shuffle; only gram/posting/pair rows move."""
+    import pyarrow.compute as pc
+
+    from invoice_extraction_ray.ops._util import as_docs_dataset
+
+    docs = as_docs_dataset(source)
+    thr_e4 = int(round(threshold * 10_000))
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, grams, ngs = [], [], []
+        for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            gs = word_trigrams(s)
+            for g in gs:
+                ids.append(d)
+                grams.append(g)
+                ngs.append(len(gs))
+        shard = np.array(
+            [zlib.crc32(g.encode()) & (N_BUCKET_SHARDS - 1) for g in grams],
+            dtype=np.int32,
+        )
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "ng": pa.array(ngs, pa.int64()),
+                "shard": pa.array(shard),
+            }
+        )
+
+    _DF = pa.schema(
+        [
+            ("gram", pa.string()),
+            ("doc_id", pa.int64()),
+            ("df", pa.int64()),
+            ("ng", pa.int64()),
+            ("dshard", pa.int32()),
+        ]
+    )
+
+    def attach_df(t: pa.Table) -> pa.Table:
+        t = _dropg(t, ["shard"])
+        if t.num_rows == 0:
+            return _DF.empty_table()
+        t = t.sort_by([("gram", "ascending"), ("doc_id", "ascending")])
+        g = t.column("gram")
+        new = np.ones(t.num_rows, dtype=bool)
+        new[1:] = ~pc.equal(g.slice(1), g.slice(0, len(g) - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.append(starts, t.num_rows))
+        df = run_len[np.cumsum(new) - 1]
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "gram": g,
+                "doc_id": t.column("doc_id"),
+                "df": pa.array(df.astype(np.int64), pa.int64()),
+                "ng": t.column("ng"),
+                "dshard": pa.array((did & (N_BUCKET_SHARDS - 1)).astype(np.int32)),
+            },
+            schema=_DF,
+        )
+
+    _PFX = pa.schema(
+        [
+            ("gram", pa.string()),
+            ("doc_id", pa.int64()),
+            ("ng", pa.int64()),
+            ("shard", pa.int32()),
+        ]
+    )
+
+    def emit_prefix(t: pa.Table) -> pa.Table:
+        t = _dropg(t, ["dshard"])
+        if t.num_rows == 0:
+            return _PFX.empty_table()
+        t = t.sort_by(
+            [("doc_id", "ascending"), ("df", "ascending"), ("gram", "ascending")]
+        )
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        new = np.ones(len(did), dtype=bool)
+        new[1:] = did[1:] != did[:-1]
+        starts = np.flatnonzero(new)
+        pos = np.arange(len(did)) - starts[np.cumsum(new) - 1]
+        ng = t.column("ng").to_numpy(zero_copy_only=False)
+        c = -(-(thr_e4 * ng) // 10_000)  # ceil(t * |x|)
+        keep = pos < (ng - c + 1)
+        sub = t.filter(pa.array(keep))
+        grams = sub.column("gram").to_pylist()
+        shard = np.array(
+            [zlib.crc32(g.encode()) & (N_BUCKET_SHARDS - 1) for g in grams],
+            dtype=np.int32,
+        )
+        return pa.table(
+            {
+                "gram": sub.column("gram"),
+                "doc_id": sub.column("doc_id"),
+                "ng": sub.column("ng"),
+                "shard": pa.array(shard),
+            },
+            schema=_PFX,
+        )
+
+    def emit_candidates(t: pa.Table) -> pa.Table:
+        t = _dropg(t, ["shard"])
+        t = t.sort_by([("gram", "ascending"), ("doc_id", "ascending")])
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ng = t.column("ng").to_numpy(zero_copy_only=False)
+        g = t.column("gram")
+        new = np.ones(len(did), dtype=bool)
+        if len(did) > 1:
+            new[1:] = ~pc.equal(g.slice(1), g.slice(0, len(g) - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(did))
+        ia, ib = _expand_runs(did, starts, ends, None)
+        return _pair_partials(did[ia], did[ib], {"a_n": ng[ia], "b_n": ng[ib]})
+
+    prefix_postings = (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(attach_df, batch_format="pyarrow")
+        .groupby("dshard")
+        .map_groups(emit_prefix, batch_format="pyarrow")
+    )
+    cand = _sum_pair_counts(
+        prefix_postings.groupby("shard").map_groups(
+            emit_candidates, batch_format="pyarrow"
+        ),
+        "n_pfx",
+        ("a_n", "b_n"),
+    ).materialize()  # output-bounded by construction
+
+    out_schema = pa.schema(
+        [
+            ("a_id", pa.int64()),
+            ("b_id", pa.int64()),
+            ("n_inter", pa.int64()),
+            ("n_union", pa.int64()),
+        ]
+    )
+    if cand.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def pj_kernel(t: pa.Table, a_txt: list, b_txt: list) -> pa.Table:
+        n = t.num_rows
+        ii = np.empty(n, np.int64)
+        uu = np.empty(n, np.int64)
+        for r, (x, y) in enumerate(zip(a_txt, b_txt)):
+            ga, gb = word_trigrams(x), word_trigrams(y)
+            i_ = len(ga & gb)
+            ii[r] = i_
+            uu[r] = len(ga) + len(gb) - i_
+        keep = (ii > 0) & (ii * 10_000 >= thr_e4 * uu)
+        return pa.table(
+            {
+                "a_id": t.column("a_id").cast(pa.int64()).filter(pa.array(keep)),
+                "b_id": t.column("b_id").cast(pa.int64()).filter(pa.array(keep)),
+                "n_inter": pa.array(ii[keep], pa.int64()),
+                "n_union": pa.array(uu[keep], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return _pair_text_verify(
+        cand.select_columns(["a_id", "b_id"]), docs, pj_kernel, out_schema,
+        num_partitions,
+    )
 
 
 def contamination_check(source, eval_mod: int = 10) -> ray.data.Dataset:
@@ -1699,7 +1915,7 @@ def dedup_keep_best(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
 
 
 def snm_candidate_pairs(
-    sf_dir: str, window: int = 4, key_len: int = 16
+    sf_dir: str, window: int | None = None, key_len: int | None = None
 ) -> ray.data.Dataset:
     """SORTED-NEIGHBORHOOD (SNM) candidate generation — the classic
     record-linkage blocking method (Hernandez & Stolfo): sort the corpus by
@@ -1721,8 +1937,15 @@ def snm_candidate_pairs(
     from the following blocks' heads (lengths known driver-side; only
     <= window boundary rows are ever fetched twice) — the documented
     raw-task escape hatch, same as pagerank's supersteps.  Pairs are
-    generated exactly once, by the task owning the lower-ranked row."""
+    generated exactly once, by the task owning the lower-ranked row.
+    Defaults come from config.SNM_WINDOW / SNM_KEY_LEN (shared with the
+    oracle SQL)."""
     import pyarrow.compute as pc
+
+    from invoice_extraction_ray import config
+
+    window = config.SNM_WINDOW if window is None else window
+    key_len = config.SNM_KEY_LEN if key_len is None else key_len
 
     ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
 
@@ -1757,15 +1980,6 @@ def snm_candidate_pairs(
     sorted_ds = ds.map_batches(keyed, batch_format="pyarrow").sort(
         ["key", "doc_id"]
     )
-    refs = sorted_ds.to_arrow_refs()
-
-    @ray.remote
-    def _len(t: pa.Table) -> int:
-        return t.num_rows
-
-    @ray.remote
-    def _head(t: pa.Table, k: int) -> pa.Table:
-        return t.slice(0, k)
 
     _OUT = pa.schema(
         [
@@ -1776,36 +1990,73 @@ def snm_candidate_pairs(
         ]
     )
 
+    def pair_fn(t: pa.Table, ia: np.ndarray, ib: np.ndarray, gap: np.ndarray):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dig = t.column("dig").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ia], pa.int64()),
+                "doc_b": pa.array(ids[ib], pa.int64()),
+                "rank_gap": pa.array(gap, pa.int64()),
+                "is_dup": pa.array((dig[ia] == dig[ib]).astype(np.int64), pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    return _snm_window_pairs(sorted_ds, window, _OUT, pair_fn)
+
+
+def _snm_window_pairs(
+    sorted_ds: ray.data.Dataset,
+    window: int,
+    out_schema: pa.Schema,
+    pair_fn,
+) -> ray.data.Dataset:
+    """Shared tail of the sorted-neighborhood family: given a GLOBALLY
+    sorted slim dataset, run one raw task per sorted block that sees its
+    block plus the next ``window`` rows assembled from the following
+    blocks' heads (the boundary-straddling windows Ray Data's map_batches
+    cannot express — the documented raw-task escape hatch, same as
+    pagerank's supersteps).  Each task builds the (lower-rank, higher-rank)
+    index pairs for every gap 1..window and hands them to
+    ``pair_fn(concat_table, ia, ib, gap) -> pa.Table`` (schema must equal
+    ``out_schema``).  Pairs are generated exactly once, by the task owning
+    the lower-ranked row; only <= window boundary rows are ever fetched
+    twice."""
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _len(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def _head(t: pa.Table, k: int) -> pa.Table:
+        return t.slice(0, k)
+
     @ray.remote
     def _pairs(block: pa.Table, *ctx: pa.Table) -> pa.Table:
         if block.num_rows == 0:  # owner block empty (may be zero-column)
-            return _OUT.empty_table()
+            return out_schema.empty_table()
         parts = [block] + [c for c in ctx if c.num_rows]
         t = pa.concat_tables(parts) if len(parts) > 1 else block
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        dig = t.column("dig").to_numpy(zero_copy_only=False)
         n, m = block.num_rows, t.num_rows
-        outs = []
+        ia_parts, ib_parts, gap_parts = [], [], []
         for d in range(1, window + 1):
             k = min(n, m - d)
             if k <= 0:
                 break
             a = np.arange(k)
-            b = a + d
-            outs.append(
-                pa.table(
-                    {
-                        "doc_a": pa.array(ids[a], pa.int64()),
-                        "doc_b": pa.array(ids[b], pa.int64()),
-                        "rank_gap": pa.array(np.full(k, d, np.int64), pa.int64()),
-                        "is_dup": pa.array(
-                            (dig[a] == dig[b]).astype(np.int64), pa.int64()
-                        ),
-                    },
-                    schema=_OUT,
-                )
-            )
-        return pa.concat_tables(outs) if outs else _OUT.empty_table()
+            ia_parts.append(a)
+            ib_parts.append(a + d)
+            gap_parts.append(np.full(k, d, np.int64))
+        if not ia_parts:
+            return out_schema.empty_table()
+        return pair_fn(
+            t,
+            np.concatenate(ia_parts),
+            np.concatenate(ib_parts),
+            np.concatenate(gap_parts),
+        )
 
     lens = ray.get([_len.remote(r) for r in refs])
     live = [(r, ln) for r, ln in zip(refs, lens) if ln > 0]
@@ -1821,8 +2072,345 @@ def snm_candidate_pairs(
             j += 1
         outs.append(_pairs.remote(r, *ctx))
     if not outs:
-        return ray.data.from_arrow(_OUT.empty_table())
+        return ray.data.from_arrow(out_schema.empty_table())
     return ray.data.from_arrow_refs(outs)
+
+
+# ---------------------------------------------------------------------------
+# edit-distance verified near-dup: SNM blocking + exact byte-Levenshtein —
+# the record-linkage VERIFY stage the blocking families above feed (fuzzy
+# matching where Jaccard is too coarse: transpositions, small in-place
+# edits).  Reference analogue: validators.py's fuzzy master-data match
+# (rapidfuzz ratio >= threshold) — reimplemented as exact distance.
+# ---------------------------------------------------------------------------
+
+
+def _lev_batch(M: np.ndarray, lens: np.ndarray, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+    """Batched exact Levenshtein over padded byte matrices, vectorized
+    ACROSS pairs: ``M`` is (rows, W) int16 with UTF-8 byte values and an
+    out-of-alphabet pad sentinel; ``lens`` the true byte lengths.  Each
+    pair's true distance is the DP value at cell (len_a, len_b) — columns
+    <= len_b never see B's padding and rows > len_a are never read, so the
+    batch runs the full W rows and each pair's answer is harvested at its
+    own row (sentinel values only ever occupy the ignored region).  The
+    column-order dependency of the classic DP row is broken with the
+    min-plus prefix-scan identity ``D[j] = min_{j'<=j} (T[j'] + (j - j'))``
+    — a cummin of ``T - arange`` plus ``arange`` — so the whole batch
+    advances one DP row per iteration with no per-pair Python.  Cost
+    O(W^2) per pair, W = byte width of the compared prefix (bounded by
+    config.EDITDIST_PREFIX * 4)."""
+    A, B = M[ia], M[ib]
+    n, W = A.shape
+    la = lens[ia].astype(np.int64)
+    lb = lens[ib].astype(np.int64)
+    ar = np.arange(W + 1, dtype=np.int32)
+    # equal-rows fast path (duplicate-heavy corpora): distance 0, skip DP
+    neq = ~(A == B).all(axis=1)
+    out = np.zeros(n, dtype=np.int64)
+    if not neq.any():
+        return out
+    A, B, la_n, lb_n = A[neq], B[neq], la[neq], lb[neq]
+    m = len(A)
+    res = np.empty(m, dtype=np.int64)
+    res[la_n == 0] = lb_n[la_n == 0]  # empty A: distance = len(B)
+    rows = np.arange(m)
+    D = np.broadcast_to(ar, (m, W + 1)).copy()
+    T = np.empty((m, W + 1), np.int32)
+    for i in range(1, W + 1):
+        sub = (A[:, i - 1 : i] != B).astype(np.int32)
+        T[:, 0] = i
+        np.minimum(D[:, 1:] + 1, D[:, :-1] + sub, out=T[:, 1:])
+        T -= ar
+        np.minimum.accumulate(T, axis=1, out=T)
+        np.add(T, ar, out=D)
+        sel = la_n == i  # harvest pairs whose A ends at this DP row
+        if sel.any():
+            res[sel] = D[rows[sel], lb_n[sel]].astype(np.int64)
+    out[neq] = res
+    return out
+
+
+def editdist_neardup(
+    sf_dir: str,
+    window: int | None = None,
+    key_len: int | None = None,
+    prefix: int | None = None,
+    max_dist: int | None = None,
+) -> ray.data.Dataset:
+    """Edit-distance verified near-duplicates: sorted-neighborhood (SNM)
+    blocking (same sort + boundary-window machinery as
+    ``snm_candidate_pairs``) followed by exact byte-level Levenshtein over
+    the first ``prefix`` NORMALIZED characters; pairs within ``max_dist``
+    survive.  Output (doc_a, doc_b, rank_gap, dist).
+
+    Conventions shared with the DuckDB oracle via config.py: normalization
+    is lower + whitespace-collapse + trim (the snm/text_normalize rule);
+    the distance is over UTF-8 BYTES of the char slice because DuckDB's
+    ``levenshtein`` counts bytes ('héllo' -> 'hello' = 2); defaults come
+    from config.SNM_WINDOW / SNM_KEY_LEN / EDITDIST_PREFIX / EDITDIST_MAX.
+
+    Scale shape: the sort moves only slim (key, doc_id, bounded prefix)
+    rows — full texts never shuffle; the verify is fully vectorized across
+    pairs (``_lev_batch``) inside the same per-block task that generates
+    the window pairs, so candidates are never materialized anywhere."""
+    import pyarrow.compute as pc
+
+    from invoice_extraction_ray import config
+
+    window = config.SNM_WINDOW if window is None else window
+    key_len = config.SNM_KEY_LEN if key_len is None else key_len
+    prefix = config.EDITDIST_PREFIX if prefix is None else prefix
+    max_dist = config.EDITDIST_MAX if max_dist is None else max_dist
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        x = pc.fill_null(t.column("text"), "")
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(x), r"\s+", " ")
+        )
+        if isinstance(norm, pa.ChunkedArray):
+            norm = norm.combine_chunks()
+        return pa.table(
+            {
+                "key": pc.utf8_slice_codeunits(norm, 0, key_len),
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "npfx": pc.utf8_slice_codeunits(norm, 0, prefix),
+            }
+        )
+
+    sorted_ds = ds.map_batches(keyed, batch_format="pyarrow").sort(["key", "doc_id"])
+
+    _OUT = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("rank_gap", pa.int64()),
+            ("dist", pa.int64()),
+        ]
+    )
+
+    def pair_fn(t: pa.Table, ia: np.ndarray, ib: np.ndarray, gap: np.ndarray):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        # encode each ROW once (a row joins <= 2*window pairs), gather per pair
+        enc = [s.encode() for s in t.column("npfx").to_pylist()]
+        lens = np.fromiter((len(b) for b in enc), np.int64, len(enc))
+        W = int(lens.max()) if len(lens) else 0
+        M = np.full((len(enc), max(W, 1)), 256, np.int16)
+        for r, bs in enumerate(enc):
+            if bs:
+                M[r, : len(bs)] = np.frombuffer(bs, np.uint8)
+        # pairs whose byte lengths differ by more than max_dist cannot pass
+        okl = np.abs(lens[ia] - lens[ib]) <= max_dist
+        ia, ib, gap = ia[okl], ib[okl], gap[okl]
+        dist = _lev_batch(M, lens, ia, ib)
+        keep = dist <= max_dist
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ia[keep]], pa.int64()),
+                "doc_b": pa.array(ids[ib[keep]], pa.int64()),
+                "rank_gap": pa.array(gap[keep], pa.int64()),
+                "dist": pa.array(dist[keep], pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    return _snm_window_pairs(sorted_ds, window, _OUT, pair_fn)
+
+
+# ---------------------------------------------------------------------------
+# approximate-dedup evaluation: precision/recall of the MinHash+LSH pipeline
+# against the exact all-pairs ground truth — the audit a 100-TB curation run
+# performs on a sample BEFORE committing to a banding configuration (the
+# ann_recall_report twin for the dedup family)
+# ---------------------------------------------------------------------------
+
+
+def _exact_shingle_pairs(docs, threshold: float) -> ray.data.Dataset:
+    """EXACT pairs with crc32-shingle-set Jaccard >= threshold under the
+    minhash verify's rounding rule (round4(i/u) >= t, integer-mirrored as
+    2*i*10^4 >= (2*t*10^4 - 1)*u) — the ground truth ``minhash_neardup``
+    approximates.  Same inverted-index plan as ``ngram_jaccard_neardup``
+    but over int64 shingle hashes (cheaper rows, numeric sort).  Docs with
+    ZERO shingles (empty text) emit no postings and are excluded — the
+    report's documented contract (data_quality_report audits empties)."""
+    thr_e4 = int(round(threshold * 10_000))
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, hs, nhs = [], [], []
+        for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            h = shingle_hashes(s)
+            if h.size == 0:
+                continue
+            ids.append(np.full(h.size, d, np.int64))
+            hs.append(h)
+            nhs.append(np.full(h.size, h.size, np.int64))
+        if not ids:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "nh": pa.array([], pa.int64()),
+                    "shard": pa.array([], pa.int32()),
+                }
+            )
+        hv = np.concatenate(hs)
+        return pa.table(
+            {
+                "h": pa.array(hv, pa.int64()),
+                "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+                "nh": pa.array(np.concatenate(nhs), pa.int64()),
+                "shard": pa.array((hv & (N_BUCKET_SHARDS - 1)).astype(np.int32)),
+            }
+        )
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        t = _dropg(t, ["shard"])
+        hv = t.column("h").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nh = t.column("nh").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, hv))
+        hv, did, nh = hv[order], did[order], nh[order]
+        new = np.ones(len(hv), dtype=bool)
+        new[1:] = hv[1:] != hv[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(hv))
+        ia, ib = _expand_runs(did, starts, ends, None)
+        return _pair_partials(did[ia], did[ib], {"a_n": nh[ia], "b_n": nh[ib]})
+
+    pairs = _sum_pair_counts(
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(emit_pairs, batch_format="pyarrow"),
+        "n_inter",
+        ("a_n", "b_n"),
+    )
+
+    _OUT = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())])
+
+    def finish(t: pa.Table) -> pa.Table:
+        i = t.column("n_inter").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = (
+            t.column("a_n").to_numpy(zero_copy_only=False).astype(np.int64)
+            + t.column("b_n").to_numpy(zero_copy_only=False).astype(np.int64)
+            - i
+        )
+        keep = (i > 0) & (2 * i * 10_000 >= (2 * thr_e4 - 1) * u)
+        return pa.table(
+            {
+                "a_id": pa.array(
+                    t.column("a_id").to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+                "b_id": pa.array(
+                    t.column("b_id").to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+            },
+            schema=_OUT,
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+def neardup_recall_report(
+    sf_dir: str, jaccard_threshold: float = 0.8
+) -> ray.data.Dataset:
+    """Evaluation harness for the approximate dedup pipeline: run BOTH
+    ``minhash_neardup`` (LSH banding + exact verify) and the exact
+    all-pairs ground truth (``_exact_shingle_pairs``) at the same threshold
+    and report one row (n_exact, n_approx, n_hit, precision_e6, recall_e6)
+    — the dedup twin of ``ann_recall_report``, the number a 100-TB run
+    measures on a sample before trusting a banding configuration (16 bands
+    x 4 rows here).  Ratios are floor(x + 0.5) e6 fixed point computed in
+    python ints; an empty denominator reports the vacuous 1.0.
+
+    Scale shape: both pair sets are output-bounded; they union with a side
+    bit onto the standard pair-shard and each shard reduces to THREE
+    counters, so only ~n_shards counter rows reach the driver.  Banding
+    recall is 1.0 on this corpus (the pinned minhash_neardup oracle claim),
+    which the gate re-proves through this query's composed oracle."""
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.ops._util import as_docs_dataset
+
+    # small single-file table read driver-side (the registry's documented
+    # convention for this corpus — Ray over-splits tiny files); at real
+    # scale feed ray.data.read_parquet output instead.
+    docs_tbl = pq.read_table(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = as_docs_dataset(docs_tbl)
+
+    approx = minhash_neardup(docs_tbl, jaccard_threshold=jaccard_threshold)
+    exact = _exact_shingle_pairs(docs, jaccard_threshold)
+
+    def tag(side_bit: int):
+        def f(t: pa.Table) -> pa.Table:
+            a = t.column("a_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t.column("b_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            with np.errstate(over="ignore"):
+                h = a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + b.astype(
+                    np.uint64
+                )
+                h ^= h >> np.uint64(33)
+            return pa.table(
+                {
+                    "a_id": pa.array(a, pa.int64()),
+                    "b_id": pa.array(b, pa.int64()),
+                    "bit": pa.array(np.full(len(a), side_bit, np.int64), pa.int64()),
+                    "pshard": pa.array(
+                        (h & np.uint64(N_BUCKET_SHARDS - 1)).astype(np.int32)
+                    ),
+                }
+            )
+
+        return f
+
+    _CNT = pa.schema([("n_e", pa.int64()), ("n_a", pa.int64()), ("n_h", pa.int64())])
+
+    def count_shard(t: pa.Table) -> pa.Table:
+        t = _dropg(t, ["pshard"])
+        if t.num_rows == 0:
+            return _CNT.empty_table()
+        a = t.column("a_id").to_numpy(zero_copy_only=False)
+        b = t.column("b_id").to_numpy(zero_copy_only=False)
+        bit = t.column("bit").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, bit = a[order], b[order], bit[order]
+        new = np.ones(len(a), dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        bits = np.bitwise_or.reduceat(bit, starts)
+        return pa.table(
+            {
+                "n_e": pa.array([int((bits & 1).astype(bool).sum())], pa.int64()),
+                "n_a": pa.array([int((bits & 2).astype(bool).sum())], pa.int64()),
+                "n_h": pa.array([int((bits == 3).sum())], pa.int64()),
+            },
+            schema=_CNT,
+        )
+
+    tagged = exact.map_batches(tag(1), batch_format="pyarrow").union(
+        approx.map_batches(
+            lambda t: tag(2)(t.select(["a_id", "b_id"])), batch_format="pyarrow"
+        )
+    )
+    rows = tagged.groupby("pshard").map_groups(
+        count_shard, batch_format="pyarrow"
+    ).take_all()
+    n_e = sum(r["n_e"] for r in rows)
+    n_a = sum(r["n_a"] for r in rows)
+    n_h = sum(r["n_h"] for r in rows)
+    prec = (2 * n_h * 10**6 + n_a) // (2 * n_a) if n_a else 10**6
+    rec = (2 * n_h * 10**6 + n_e) // (2 * n_e) if n_e else 10**6
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_exact": pa.array([n_e], pa.int64()),
+                "n_approx": pa.array([n_a], pa.int64()),
+                "n_hit": pa.array([n_h], pa.int64()),
+                "precision_e6": pa.array([prec], pa.int64()),
+                "recall_e6": pa.array([rec], pa.int64()),
+            }
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

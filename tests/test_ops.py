@@ -5576,3 +5576,186 @@ def test_tpch_q8_q10_match_duckdb_oracles():
         market_share(SF, num_shards=3).to_pylist()
         == market_share(SF, num_shards=64).to_pylist()
     )
+
+
+# ---------------------------------------------------------------------------
+# edit-distance verified near-dup (SNM + batched byte-Levenshtein)
+# ---------------------------------------------------------------------------
+
+
+def _ref_lev(a: bytes, b: bytes) -> int:
+    la, lb = len(a), len(b)
+    D = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, D[0] = D[0], i
+        for j in range(1, lb + 1):
+            cur = D[j]
+            D[j] = min(D[j] + 1, D[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return D[lb]
+
+
+def test_lev_batch_matches_reference():
+    """The batched min-plus-scan DP equals the classic per-pair DP on an
+    all-pairs sweep of random byte strings (incl. empty, equal, multi-byte
+    UTF-8 and length-skewed cases)."""
+    import random
+
+    from invoice_extraction_ray.ops.dedup import _lev_batch
+
+    random.seed(7)
+    strs = [
+        bytes(random.choices(b"abcde \xc3\xa9", k=random.randint(0, 20)))
+        for _ in range(30)
+    ]
+    strs += [b"", b"a", b"abcabc", strs[0]]
+    lens = np.array([len(s) for s in strs], np.int64)
+    W = max(1, int(lens.max()))
+    M = np.full((len(strs), W), 256, np.int16)
+    for r, bs in enumerate(strs):
+        if bs:
+            M[r, : len(bs)] = np.frombuffer(bs, np.uint8)
+    ia = np.repeat(np.arange(len(strs)), len(strs))
+    ib = np.tile(np.arange(len(strs)), len(strs))
+    got = _lev_batch(M, lens, ia, ib)
+    exp = np.array([_ref_lev(strs[i], strs[j]) for i, j in zip(ia, ib)])
+    assert (got == exp).all()
+
+
+def test_editdist_neardup_matches_recompute():
+    """Engine output equals the python sort + window + byte-DP recompute
+    (UTF-8 byte distance over the normalized EDITDIST_PREFIX-char slice),
+    and thresholds at config.EDITDIST_MAX."""
+    import re
+
+    from invoice_extraction_ray import config
+    from invoice_extraction_ray.ops.dedup import editdist_neardup
+
+    docs = _docs()
+    rows = []
+    for d, tx in zip(
+        docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+    ):
+        norm = re.sub(r"\s+", " ", (tx or "").lower()).strip()
+        rows.append((norm[:16], d, norm[: config.EDITDIST_PREFIX].encode()))
+    rows.sort(key=lambda r: (r[0].encode(), r[1]))
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, min(i + 1 + config.SNM_WINDOW, len(rows))):
+            dist = _ref_lev(rows[i][2], rows[j][2])
+            if dist <= config.EDITDIST_MAX:
+                want.add((rows[i][1], rows[j][1], j - i, dist))
+    got = {
+        (r["doc_a"], r["doc_b"], r["rank_gap"], r["dist"])
+        for r in editdist_neardup(SF).take_all()
+    }
+    assert got == want
+    assert any(d > 0 for *_, d in got)  # nonzero distances are exercised
+
+
+def test_editdist_neardup_planted(tmp_path):
+    """Planted small edits land within max_dist with the exact distance;
+    unrelated texts in the same window are dropped."""
+    texts = [
+        "alpha report on quarterly numbers",
+        "alpha report on quartrly numbers",  # 1 deletion
+        "alpha report on the quarterly numbers",  # 4-byte insertion
+        "zzz totally different content here",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    from invoice_extraction_ray.ops.dedup import editdist_neardup
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in editdist_neardup(str(tmp_path), max_dist=10).take_all()
+    }
+    assert got[(0, 1)] == 1
+    assert got[(0, 2)] == 4
+    assert got[(1, 2)] == 5
+    assert all(3 not in k for k in got)
+
+
+# ---------------------------------------------------------------------------
+# PPJoin prefix filtering (jaccard_prefix_pairs == ngram_jaccard_neardup)
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_prefix_pairs_equals_ngram():
+    from invoice_extraction_ray.ops.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_neardup,
+    )
+
+    docs = _docs()
+    a = sorted(jaccard_prefix_pairs(docs, threshold=0.5).take_all(), key=str)
+    b = sorted(ngram_jaccard_neardup(docs, threshold=0.5).take_all(), key=str)
+    assert a == b
+    assert len(a) > 0
+
+
+def test_jaccard_prefix_pairs_random_differential():
+    """Prefix filtering is lossless at ANY threshold: planted-dup random
+    corpora agree with the full-inverted-index op at 0.3 / 0.5 / 0.7."""
+    from invoice_extraction_ray.ops.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_neardup,
+    )
+
+    docs, _ = _planted(_docs().slice(0, 120), every=5)
+    for thr in (0.3, 0.5, 0.7):
+        a = sorted(jaccard_prefix_pairs(docs, threshold=thr).take_all(), key=str)
+        b = sorted(ngram_jaccard_neardup(docs, threshold=thr).take_all(), key=str)
+        assert a == b, thr
+    assert len(jaccard_prefix_pairs(docs, threshold=0.3).take_all()) > 0
+
+
+# ---------------------------------------------------------------------------
+# neardup_recall_report (LSH banding evaluation vs exact ground truth)
+# ---------------------------------------------------------------------------
+
+
+def test_neardup_recall_report_recompute():
+    """Counters equal a local all-pairs recompute of shingle-set Jaccard
+    under the verify's rounding rule; minhash output is a verified subset
+    of exact, so precision is 1.0 and recall measures banding loss."""
+    from invoice_extraction_ray.ops.dedup import (
+        minhash_neardup,
+        neardup_recall_report,
+        shingle_hashes,
+    )
+
+    docs = _docs()
+    sets = {
+        d: set(shingle_hashes(s).tolist())
+        for d, s in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())
+    }
+    ids = sorted(sets)
+    exact = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if inter > 0 and 2 * inter * 10_000 >= 15_999 * union:
+                exact.add((a, b))
+    approx = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_neardup(
+            pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        ).take_all()
+    }
+    row = neardup_recall_report(SF).take_all()[0]
+    assert row["n_exact"] == len(exact)
+    assert row["n_approx"] == len(approx)
+    assert row["n_hit"] == len(exact & approx)
+    assert row["precision_e6"] == 1_000_000  # verify stage is exact
