@@ -428,6 +428,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
         curate,
         dedup,
         graph,
+        interval,
         relational,
         sketch,
         text,
@@ -564,6 +565,8 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("user_value_trend", window.user_value_trend),  # grouped OLS slope
             ("user_decayed_value", window.user_decayed_value),  # integer EWMA
             ("user_gap_fill", window.user_gap_fill),  # dense resample + ffill
+            ("user_active_spans", interval.user_active_spans),  # interval union
+            ("scd2_user_bands", window.scd2_user_bands),  # SCD2 versions
         ],
         # mergeable sketches
         "sketch": [
@@ -619,6 +622,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("substring_scrub", _substring_scrub),  # exact rebuild
             ("delta_neardup", _delta_neardup),  # exact, cross-side
             ("snapshot_diff", dedup.snapshot_diff),  # versioned-corpus diff
+            ("apply_changelog", dedup.apply_changelog),  # CDC last-writer-wins
             ("neardup_clusters", _neardup_clusters),  # recursive CTE oracle
             ("contamination_check", _contamination_check),  # exact integers
             ("prepare_corpus", _prepare_corpus),  # composed pipeline
@@ -915,6 +919,14 @@ def oracle_sql() -> dict[str, str]:
         ZORDER_DAY_BACK_LO as _ZO_DLO,
         ZORDER_USER_HI as _ZO_UHI,
         ZORDER_USER_LO as _ZO_ULO,
+        CDC_DEL2_MOD as _CDC_D2,
+        CDC_DEL_MOD as _CDC_D1,
+        CDC_INS_MOD as _CDC_IN,
+        CDC_INS_OFFSET as _CDC_OFF,
+        CDC_UPD_MOD as _CDC_UP,
+        SCD2_BAND_EDGES_C as _SCD2_EDGES,
+        SPAN_GAP_BY_TYPE as _SPAN_GAPS,
+        SPAN_GAP_DEFAULT as _SPAN_DEF,
     )
 
     def _mul64(a: str, b: int) -> str:
@@ -2674,6 +2686,71 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'changed' END AS status "
             "FROM a FULL JOIN b ON a.doc_id = b.doc_id "
             "WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.d <> b.d"
+        ),
+        # apply_changelog: CDC last-writer-wins merge — the config-derived
+        # changelog (delete / upsert / delete-again / insert, seq-ordered)
+        # resolved per id; final snapshot as (doc_id, n_chars)
+        "apply_changelog": (
+            "WITH b0 AS (SELECT doc_id, length(coalesce(text,'')) AS nc "
+            "FROM documents), "
+            "log AS ("
+            "SELECT doc_id, nc, 0 AS is_del, 0 AS seq FROM b0 "
+            f"UNION ALL SELECT doc_id, 0, 1, 1 FROM b0 WHERE doc_id % {_CDC_D1} = 0 "
+            f"UNION ALL SELECT doc_id, nc + 4, 0, 2 FROM b0 WHERE doc_id % {_CDC_UP} = 0 "
+            f"UNION ALL SELECT doc_id, 0, 1, 3 FROM b0 WHERE doc_id % {_CDC_D2} = 0 "
+            f"UNION ALL SELECT doc_id + {_CDC_OFF}, nc + 4, 0, 4 FROM b0 "
+            f"WHERE doc_id % {_CDC_IN} = 0), "
+            "lastv AS (SELECT doc_id, nc, is_del FROM log "
+            "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1) "
+            "SELECT doc_id, CAST(nc AS BIGINT) AS n_chars FROM lastv "
+            "WHERE is_del = 0"
+        ),
+        # user_active_spans: interval UNION coverage — merge
+        # overlapping-or-touching per-user [ts, ts+gap) intervals (gap by
+        # event type from config) via the window-max island trick
+        "user_active_spans": (
+            "WITH iv AS (SELECT user_id, epoch_us(ts) // 1000000 AS s, "
+            "epoch_us(ts) // 1000000 + CASE event_type "
+            + " ".join(
+                f"WHEN '{k}' THEN {v}" for k, v in sorted(_SPAN_GAPS.items())
+            )
+            + f" ELSE {_SPAN_DEF} END AS e FROM events), "
+            "m AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id "
+            "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "AS pm FROM iv), "
+            "g AS (SELECT user_id, s, e, CASE WHEN pm IS NULL OR s > pm "
+            "THEN 1 ELSE 0 END AS nw FROM m), "
+            "i AS (SELECT user_id, s, e, sum(nw) OVER (PARTITION BY user_id "
+            "ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl FROM g), "
+            "sp AS (SELECT user_id, min(s) AS ss, max(e) AS ee FROM i "
+            "GROUP BY user_id, isl) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans, "
+            "CAST(sum(ee - ss) AS BIGINT) AS covered_sec, "
+            "CAST(max(ee - ss) AS BIGINT) AS max_span_sec "
+            "FROM sp GROUP BY user_id"
+        ),
+        # scd2_user_bands: SCD Type-2 dimension build — daily cents band
+        # versions with (valid_from, valid_to) validity intervals
+        "scd2_user_bands": (
+            "WITH d AS (SELECT user_id, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_i, "
+            "CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS vc FROM events GROUP BY 1, 2), "
+            f"b AS (SELECT user_id, day_i, CASE WHEN vc < {_SCD2_EDGES[0]} "
+            f"THEN 0 WHEN vc < {_SCD2_EDGES[1]} THEN 1 ELSE 2 END AS band "
+            "FROM d), "
+            "c AS (SELECT user_id, day_i, band, CASE WHEN lag(band) OVER "
+            "(PARTITION BY user_id ORDER BY day_i) IS DISTINCT FROM band "
+            "THEN 1 ELSE 0 END AS chg FROM b), "
+            "v AS (SELECT user_id, day_i, band, sum(chg) OVER "
+            "(PARTITION BY user_id ORDER BY day_i ROWS UNBOUNDED PRECEDING) "
+            "AS ver FROM c), "
+            "s AS (SELECT user_id, ver, CAST(min(band) AS INTEGER) AS band, "
+            "min(day_i) AS valid_from, CAST(count(*) AS BIGINT) AS n_days "
+            "FROM v GROUP BY 1, 2) "
+            "SELECT user_id, band, valid_from, lead(valid_from) OVER "
+            "(PARTITION BY user_id ORDER BY valid_from) AS valid_to, n_days "
+            "FROM s"
         ),
         # kanon_suppress: k-anonymity group gate — kept rows with group size
         "kanon_suppress": (

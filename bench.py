@@ -210,6 +210,12 @@ HEADLINE = [
     "dominant_part_suppliers",
     # Q12 one-bit-payload fact-fact join
     "tax_band_priority",
+    # CDC last-writer-wins changelog merge (MERGE INTO / LSM compaction)
+    "apply_changelog",
+    # interval UNION coverage (merge overlapping per-user activity spans)
+    "user_active_spans",
+    # SCD Type-2 versioned-dimension build (band-change validity intervals)
+    "scd2_user_bands",
 ]
 
 

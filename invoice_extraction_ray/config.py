@@ -476,3 +476,30 @@ EDITDIST_PREFIX = 64
 EDITDIST_MAX = 40
 SNM_WINDOW = 4      # sorted-neighborhood window (ranks)
 SNM_KEY_LEN = 16    # normalized-prefix blocking key length (chars)
+
+# CDC changelog apply (ops/dedup.py::apply_changelog): the deterministic
+# changelog derived from the base documents table — seq 1 deletes every
+# CDC_DEL_MOD-th doc, seq 2 upserts ('upd:'+text) every CDC_UPD_MOD-th
+# (resurrecting ids divisible by both — last writer wins), seq 3 deletes
+# every CDC_DEL2_MOD-th (update-then-delete), seq 4 inserts a new doc
+# (id + CDC_INS_OFFSET, 'ins:'+text) for every CDC_INS_MOD-th.  Shared
+# with the oracle SQL.  The mods are chosen so every lifecycle class is
+# NON-EMPTY: ids % 18 == 0 (and not % 15) are deleted then resurrected by
+# the later upsert; ids % 30 == 0 are updated then deleted.
+CDC_DEL_MOD = 9
+CDC_UPD_MOD = 6
+CDC_DEL2_MOD = 15
+CDC_INS_MOD = 17
+CDC_INS_OFFSET = 90_000_000
+
+# Activity-span coverage (ops/interval.py::user_active_spans): each event
+# opens an interval [ts, ts + gap) whose length depends on the event type;
+# overlapping-or-touching intervals of one user merge into spans.  Shared
+# with the oracle SQL's CASE expression.
+SPAN_GAP_BY_TYPE = {"view": 600, "click": 1800, "purchase": 3600}
+SPAN_GAP_DEFAULT = 900
+
+# SCD Type-2 dimension build (ops/window.py::scd2_user_bands): a user's
+# daily cents total maps to band 0/1/2 by these edges; consecutive
+# observed days with the same band collapse into one validity version.
+SCD2_BAND_EDGES_C = (5000, 15000)

@@ -2576,3 +2576,131 @@ def snapshot_diff(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
     )
     v2 = base.map_batches(derive_v2, batch_format="pyarrow")
     return dataset_diff(base, v2, n_shards=n_shards)
+
+
+def apply_changelog(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """CDC / LSM last-writer-wins merge: apply an ordered changelog of
+    upserts and deletes to a base snapshot and emit the resulting snapshot
+    (the MERGE INTO / compaction archetype — :func:`dataset_diff`'s inverse:
+    diff produces a changelog, this consumes one).  The changelog is the
+    deterministic config-derived one (``config.CDC_*``): seq 1 deletes,
+    seq 2 upserts (resurrecting ids hit by both — last writer wins), seq 3
+    deletes again (update-then-delete), seq 4 inserts brand-new ids.
+    Output is the final snapshot as slim ``(doc_id, n_chars)`` rows.
+
+    Scale shape: ONE scan of the base table emits every log record as a
+    slim (shard, doc_id, seq, is_del, n_chars) row — texts never shuffle
+    (n_chars is computed at the scan; a production changelog would carry a
+    payload pointer the same way).  Equal ids co-locate in the single
+    id-shard groupby, where a vectorized lexsort-by-(id, seq) + last-of-run
+    gather resolves each id to its final version; deletes drop.  Per-shard
+    work is O(rows log rows) numpy; nothing id- or corpus-sized on the
+    driver."""
+    import pyarrow.compute as pc
+
+    from ..config import (
+        CDC_DEL2_MOD,
+        CDC_DEL_MOD,
+        CDC_INS_MOD,
+        CDC_INS_OFFSET,
+        CDC_UPD_MOD,
+    )
+    from ._util import absorb_empty_blocks
+
+    _SLIM = pa.schema(
+        [
+            ("shard", pa.int32()),
+            ("doc_id", pa.int64()),
+            ("seq", pa.int8()),
+            ("is_del", pa.int8()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    _OUT = pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SLIM.empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = (
+            pc.utf8_length(pc.fill_null(t.column("text"), ""))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        del1 = ids % CDC_DEL_MOD == 0
+        upd = ids % CDC_UPD_MOD == 0
+        del2 = ids % CDC_DEL2_MOD == 0
+        ins = ids % CDC_INS_MOD == 0
+        out_ids = np.concatenate(
+            [ids, ids[del1], ids[upd], ids[del2], ids[ins] + CDC_INS_OFFSET]
+        )
+        out_seq = np.concatenate(
+            [
+                np.zeros(len(ids), np.int8),
+                np.full(int(del1.sum()), 1, np.int8),
+                np.full(int(upd.sum()), 2, np.int8),
+                np.full(int(del2.sum()), 3, np.int8),
+                np.full(int(ins.sum()), 4, np.int8),
+            ]
+        )
+        out_del = np.concatenate(
+            [
+                np.zeros(len(ids), np.int8),
+                np.ones(int(del1.sum()), np.int8),
+                np.zeros(int(upd.sum()), np.int8),
+                np.ones(int(del2.sum()), np.int8),
+                np.zeros(int(ins.sum()), np.int8),
+            ]
+        )
+        out_nc = np.concatenate(
+            [
+                nc,
+                np.zeros(int(del1.sum()), np.int64),
+                nc[upd] + 4,  # 'upd:' prefix
+                np.zeros(int(del2.sum()), np.int64),
+                nc[ins] + 4,  # 'ins:' prefix
+            ]
+        )
+        return pa.table(
+            {
+                "shard": pa.array(
+                    (((out_ids * 2654435761) % (1 << 32)) % n_shards).astype(
+                        np.int32
+                    )
+                ),
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "seq": pa.array(out_seq, pa.int8()),
+                "is_del": pa.array(out_del, pa.int8()),
+                "n_chars": pa.array(out_nc, pa.int64()),
+            },
+            schema=_SLIM,
+        )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        seq = g.column("seq").to_numpy(zero_copy_only=False)
+        isd = g.column("is_del").to_numpy(zero_copy_only=False)
+        nc = g.column("n_chars").to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, ids))
+        ids, seq, isd, nc = ids[order], seq[order], isd[order], nc[order]
+        new = np.ones(len(ids), dtype=bool)
+        new[1:] = ids[1:] != ids[:-1]
+        last = np.append(np.flatnonzero(new)[1:], len(ids)) - 1
+        live = isd[last] == 0
+        keep = last[live]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_chars": pa.array(nc[keep], pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(slim, batch_format="pyarrow")
+    return absorb_empty_blocks(ds, batch_size=131072).groupby("shard").map_groups(
+        lambda g: resolve(_dropg(g, ["shard"])), batch_format="pyarrow"
+    )

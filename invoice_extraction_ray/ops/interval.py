@@ -201,3 +201,159 @@ def event_interval_overlaps(sf_dir: str) -> ray.data.Dataset:
         )
 
     return joined.map_batches(to_fixed, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Interval UNION / coverage (the merge-overlaps sibling of interval_join):
+# activity-span consolidation, the classic sessionization-by-interval shape.
+
+_SPAN_SLIM = pa.schema(
+    [
+        ("ushard", pa.int32()),
+        ("user", pa.int64()),
+        ("s", pa.int64()),
+        ("e", pa.int64()),
+    ]
+)
+_SPAN_OUT = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("n_spans", pa.int64()),
+        ("covered_sec", pa.int64()),
+        ("max_span_sec", pa.int64()),
+    ]
+)
+
+
+def _merge_user_spans(user, s, e):
+    """Merge overlapping-OR-touching ``[s, e)`` int64 intervals per user.
+
+    Fully vectorized: one lexsort by (user, s, e), then a single global
+    ``np.maximum.accumulate`` computes the per-user running max end via the
+    rank-offset trick (each user's keys live in a disjoint ``rank * width``
+    band, so the global prefix max never leaks across users).  A new span
+    starts where ``s > running_max_end`` of the same user's prefix; the
+    running max at a span's last row equals the span's max end (every
+    earlier span's max end is < this span's first start).  Returns
+    ``(user, start, end)`` per merged span, sorted by (user, start).
+
+    The offset pack is guarded loudly (repo convention): it needs
+    ``n_users_in_shard * time_width_sec < 2^62``."""
+    if len(user) == 0:
+        return user, s, e
+    order = np.lexsort((e, s, user))
+    u, ss, ee = user[order], s[order], e[order]
+    new_user = np.ones(len(u), dtype=bool)
+    new_user[1:] = u[1:] != u[:-1]
+    rank = np.cumsum(new_user) - 1
+    base = int(ss.min())
+    width = int(ee.max()) - base + 1
+    n_ranks = int(rank[-1]) + 1
+    if n_ranks * width >= (1 << 62):
+        raise ValueError(
+            "user_active_spans: rank-offset pack exceeds int64 "
+            f"(users_in_shard={n_ranks}, time_width_sec={width}) — "
+            "raise n_shards"
+        )
+    keyed = (ee - base) + rank * width
+    rm = np.maximum.accumulate(keyed) - rank * width + base
+    new_span = new_user.copy()
+    new_span[1:] |= ss[1:] > rm[:-1]
+    starts = np.flatnonzero(new_span)
+    last = np.append(starts[1:], len(u)) - 1
+    return u[starts], ss[starts], rm[last]
+
+
+def user_active_spans(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """Per-user activity-span coverage: each event opens an interval
+    ``[ts, ts + gap)`` whose length depends on the event type
+    (``config.SPAN_GAP_BY_TYPE`` / ``SPAN_GAP_DEFAULT``);
+    overlapping-or-touching intervals of one user merge, and the output is
+    one row per user: span count, total covered seconds, longest span.
+    (Interval UNION — the coverage complement of :func:`interval_join`'s
+    overlap JOIN; reference parity: the bbox-region consolidation step of
+    the OCR fusion, reference utils/extractor.py region grouping, mapped
+    to 1-D time.)
+
+    Scale shape: interval union is associative, so each input batch
+    pre-merges its own intervals with the same vectorized kernel before
+    anything shuffles — only merged (user, start, end) span rows ride the
+    ONE user-shard groupby, where the shard re-merges and aggregates.
+    Texts/payloads never move; per-shard work is O(rows log rows) numpy."""
+    import pyarrow.compute as pc
+
+    from ..config import SPAN_GAP_BY_TYPE, SPAN_GAP_DEFAULT
+    from ._util import absorb_empty_blocks, int_segment_sum
+
+    def _pq(name: str) -> str:
+        return f"{sf_dir}/{name}.parquet"
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SPAN_SLIM.empty_table()
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        s = ts // 10**6
+        et = t.column("event_type")
+        d = (
+            et.combine_chunks().dictionary_encode()
+            if isinstance(et, pa.ChunkedArray)
+            else et.dictionary_encode()
+        )
+        gap_of = np.array(
+            [
+                SPAN_GAP_BY_TYPE.get(v, SPAN_GAP_DEFAULT)
+                for v in d.dictionary.to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        e = s + gap_of[d.indices.to_numpy(zero_copy_only=False)]
+        mu, ms, me = _merge_user_spans(u, s, e)
+        return pa.table(
+            {
+                "ushard": pa.array(
+                    (((mu * 2654435761) % (1 << 32)) % n_shards).astype(np.int32)
+                ),
+                "user": pa.array(mu, pa.int64()),
+                "s": pa.array(ms, pa.int64()),
+                "e": pa.array(me, pa.int64()),
+            },
+            schema=_SPAN_SLIM,
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _SPAN_OUT.empty_table()
+        mu, ms, me = _merge_user_spans(
+            g.column("user").to_numpy(zero_copy_only=False),
+            g.column("s").to_numpy(zero_copy_only=False),
+            g.column("e").to_numpy(zero_copy_only=False),
+        )
+        new_user = np.ones(len(mu), dtype=bool)
+        new_user[1:] = mu[1:] != mu[:-1]
+        starts = np.flatnonzero(new_user)
+        lengths = me - ms
+        return pa.table(
+            {
+                "user_id": pa.array(mu[starts], pa.int64()),
+                "n_spans": pa.array(
+                    np.append(starts[1:], len(mu)) - starts, pa.int64()
+                ),
+                "covered_sec": pa.array(
+                    int_segment_sum(lengths, starts), pa.int64()
+                ),
+                "max_span_sec": pa.array(
+                    np.maximum.reduceat(lengths, starts), pa.int64()
+                ),
+            },
+            schema=_SPAN_OUT,
+        )
+
+    from ._util import drop_if_present as _dropg2
+
+    ds = ray.data.read_parquet(
+        _pq("events"), columns=["user_id", "ts", "event_type"]
+    ).map_batches(slim, batch_format="pyarrow")
+    return absorb_empty_blocks(ds, batch_size=131072).groupby("ushard").map_groups(
+        lambda g: finish(_dropg2(g, ["ushard"])), batch_format="pyarrow"
+    )

@@ -1369,3 +1369,111 @@ def user_gap_fill(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
             lambda g: shard_fill(_dropg(g, ["ushard"])), batch_format="pyarrow"
         )
     )
+
+
+_SCD2_OUT = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("band", pa.int32()),
+        ("valid_from", pa.int64()),
+        ("valid_to", pa.int64()),
+        ("n_days", pa.int64()),
+    ]
+)
+
+
+def scd2_user_bands(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """SCD Type-2 dimension build: a user's daily cents total maps to a
+    value band (``config.SCD2_BAND_EDGES_C``); consecutive observed days in
+    the same band collapse into ONE validity version row
+    ``(user_id, band, valid_from, valid_to, n_days)`` — ``valid_to`` is the
+    next version's ``valid_from`` (NULL on the current version), the
+    data-warehouse versioned-dimension contract.
+
+    Scale shape: identical to :func:`user_gap_fill`'s — per-batch
+    ``(user << 20 | day, cents)`` partials pre-combine raw events before
+    the one user-shard shuffle; the shard kernel is a vectorized run
+    detection over the globally sorted packed key (band-change OR
+    user-change starts a version), so per-shard work is O(cells log cells)
+    with no per-user Python.  Pack widths guarded as in user_gap_fill."""
+    from ._util import absorb_empty_blocks, combine_by_key
+
+    from ..config import SCD2_BAND_EDGES_C
+
+    edges = np.asarray(SCD2_BAND_EDGES_C, dtype=np.int64)
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "ts", "value"]
+    )
+
+    _PART = pa.schema(
+        [("ushard", pa.int32()), ("key", pa.int64()), ("vc", pa.int64())]
+    )
+    _DAY_US = 86400 * 10**6
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // _DAY_US
+        vc = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        if len(u):
+            assert u.max() < (1 << 43) and u.min() >= 0, "user_id exceeds pack width"
+            assert day.max() < (1 << _GAP_DAY_BITS) and day.min() >= 0, (
+                "epoch-day exceeds pack width"
+            )
+        packed = (u << _GAP_DAY_BITS) | day
+        k, s = combine_by_key(packed, vc)
+        return pa.table(
+            {
+                "ushard": pa.array(
+                    ((((k >> _GAP_DAY_BITS) * 2654435761) % (1 << 32)) % n_shards
+                     ).astype(np.int32)
+                ),
+                "key": pa.array(k, pa.int64()),
+                "vc": pa.array(s, pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    def shard_scd2(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _SCD2_OUT.empty_table()
+        k, vc = combine_by_key(
+            g.column("key").to_numpy(zero_copy_only=False),
+            g.column("vc").to_numpy(zero_copy_only=False),
+        )
+        user = k >> _GAP_DAY_BITS
+        day = k & ((1 << _GAP_DAY_BITS) - 1)
+        band = np.digitize(vc, edges).astype(np.int32)
+        new_ver = np.ones(len(user), dtype=bool)
+        new_ver[1:] = (user[1:] != user[:-1]) | (band[1:] != band[:-1])
+        starts = np.flatnonzero(new_ver)
+        vu = user[starts]
+        vfrom = day[starts]
+        n_days = np.append(starts[1:], len(user)) - starts
+        same_next = np.zeros(len(starts), dtype=bool)
+        same_next[:-1] = vu[1:] == vu[:-1]
+        vto = np.zeros(len(starts), dtype=np.int64)
+        vto[:-1] = vfrom[1:]
+        return pa.table(
+            {
+                "user_id": pa.array(vu, pa.int64()),
+                "band": pa.array(band[starts], pa.int32()),
+                "valid_from": pa.array(vfrom, pa.int64()),
+                "valid_to": pa.array(vto, pa.int64(), mask=~same_next),
+                "n_days": pa.array(n_days, pa.int64()),
+            },
+            schema=_SCD2_OUT,
+        )
+
+    return (
+        absorb_empty_blocks(
+            ds.map_batches(partial, batch_format="pyarrow"), batch_size=131072
+        )
+        .groupby("ushard")
+        .map_groups(
+            lambda g: shard_scd2(_dropg(g, ["ushard"])), batch_format="pyarrow"
+        )
+    )

@@ -2957,6 +2957,9 @@ def test_new_relational_family_random_differential(tmp_path):
         "nation_profit",
         "dominant_part_suppliers",
         "tax_band_priority",
+        "apply_changelog",
+        "user_active_spans",
+        "scd2_user_bands",
     ):
         def norm(v):
             # DuckDB's .df() floats nullable-int columns (NULL -> NaN);
@@ -5759,3 +5762,156 @@ def test_neardup_recall_report_recompute():
     assert row["n_approx"] == len(approx)
     assert row["n_hit"] == len(exact & approx)
     assert row["precision_e6"] == 1_000_000  # verify stage is exact
+
+
+def test_user_active_spans_matches_local_recompute():
+    """Distributed interval-union coverage equals the per-user sorted merge."""
+    from invoice_extraction_ray.config import SPAN_GAP_BY_TYPE, SPAN_GAP_DEFAULT
+    from invoice_extraction_ray.ops.interval import user_active_spans
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts", "event_type"])
+    per: dict[int, list] = {}
+    for u, us, et in zip(
+        ev.column("user_id").to_pylist(),
+        ev.column("ts").cast(pa.int64()).to_pylist(),
+        ev.column("event_type").to_pylist(),
+    ):
+        s = us // 10**6
+        per.setdefault(u, []).append(
+            (s, s + SPAN_GAP_BY_TYPE.get(et, SPAN_GAP_DEFAULT))
+        )
+    want = {}
+    for u, iv in per.items():
+        iv.sort()
+        spans = []
+        cs, ce = iv[0]
+        for s, e in iv[1:]:
+            if s > ce:
+                spans.append((cs, ce))
+                cs, ce = s, e
+            else:
+                ce = max(ce, e)
+        spans.append((cs, ce))
+        want[u] = (
+            len(spans),
+            sum(e - s for s, e in spans),
+            max(e - s for s, e in spans),
+        )
+    got = {
+        r["user_id"]: (r["n_spans"], r["covered_sec"], r["max_span_sec"])
+        for r in user_active_spans(SF, n_shards=5).take_all()
+    }
+    assert got == want and len(got) > 1
+    # at least one user actually merged intervals (spans < events)
+    assert any(want[u][0] < len(per[u]) for u in want)
+
+
+def test_user_active_spans_offset_guard_raises():
+    """The rank-offset pack fails loudly, never silently, when
+    users_in_shard * time_width would leave int64 (repo guard convention)."""
+    from invoice_extraction_ray.ops.interval import _merge_user_spans
+
+    n = 8
+    u = np.arange(n, dtype=np.int64)
+    s = np.zeros(n, dtype=np.int64)
+    e = np.full(n, (1 << 61), dtype=np.int64)
+    with pytest.raises(ValueError, match="rank-offset"):
+        _merge_user_spans(u, s, e)
+
+
+def test_apply_changelog_lifecycle_classes():
+    """CDC last-writer-wins: full-table recompute equality PLUS explicit
+    assertions on each lifecycle class — delete-then-upsert resurrects,
+    update-then-delete drops, inserts land at offset ids."""
+    from invoice_extraction_ray.config import (
+        CDC_DEL2_MOD,
+        CDC_DEL_MOD,
+        CDC_INS_MOD,
+        CDC_INS_OFFSET,
+        CDC_UPD_MOD,
+    )
+    from invoice_extraction_ray.ops.dedup import apply_changelog
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    base = {
+        i: len(t or "")
+        for i, t in zip(
+            docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+        )
+    }
+    want = {}
+    for i, nc in base.items():
+        final = (0, nc)
+        if i % CDC_DEL_MOD == 0:
+            final = (1, 0)
+        if i % CDC_UPD_MOD == 0:
+            final = (0, nc + 4)
+        if i % CDC_DEL2_MOD == 0:
+            final = (1, 0)
+        if final[0] == 0:
+            want[i] = final[1]
+        if i % CDC_INS_MOD == 0:
+            want[i + CDC_INS_OFFSET] = nc + 4
+    got = {
+        r["doc_id"]: r["n_chars"]
+        for r in apply_changelog(SF, n_shards=7).take_all()
+    }
+    assert got == want
+    resurrected = [i for i in base if i % 18 == 0 and i % 15 != 0]
+    upd_then_del = [i for i in base if i % 30 == 0]
+    inserted = [i for i in base if i % CDC_INS_MOD == 0]
+    assert resurrected and upd_then_del and inserted  # classes non-empty
+    assert all(got[i] == base[i] + 4 for i in resurrected)
+    assert all(i not in got for i in upd_then_del)
+    assert all(got[i + CDC_INS_OFFSET] == base[i] + 4 for i in inserted)
+
+
+def test_scd2_user_bands_matches_local_recompute():
+    """SCD2 version rows equal the per-user band-run recompute; versions
+    tile each user's observed days and valid_to chains to the next
+    valid_from."""
+    from invoice_extraction_ray.config import SCD2_BAND_EDGES_C
+    from invoice_extraction_ray.ops.window import scd2_user_bands
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+    daily: dict[tuple, int] = {}
+    for u, us, v in zip(
+        ev.column("user_id").to_pylist(),
+        ev.column("ts").cast(pa.int64()).to_pylist(),
+        ev.column("value").to_pylist(),
+    ):
+        d = us // 86_400_000_000
+        daily[(u, d)] = daily.get((u, d), 0) + int(np.floor(v * 100.0 + 0.5))
+    per: dict[int, list] = {}
+    for (u, d), vc in daily.items():
+        per.setdefault(u, []).append((d, vc))
+    e0, e1 = SCD2_BAND_EDGES_C
+    want = set()
+    for u, cells in per.items():
+        cells.sort()
+        runs: list[list] = []
+        for d, vc in cells:
+            b = 0 if vc < e0 else (1 if vc < e1 else 2)
+            if runs and runs[-1][0] == b:
+                runs[-1][2] += 1
+            else:
+                runs.append([b, d, 1])
+        for i, (b, vf, nd) in enumerate(runs):
+            vt = runs[i + 1][1] if i + 1 < len(runs) else None
+            want.add((u, b, vf, vt, nd))
+    rows = scd2_user_bands(SF, n_shards=5).take_all()
+    got = set(
+        (r["user_id"], r["band"], r["valid_from"], r["valid_to"], r["n_days"])
+        for r in rows
+    )
+    assert got == want and len(got) > 1
+    # structural invariants: per user, n_days sums to observed days and
+    # exactly one open (valid_to NULL) version exists
+    per_user_days: dict[int, int] = {}
+    open_count: dict[int, int] = {}
+    for u, _b, _vf, vt, nd in got:
+        per_user_days[u] = per_user_days.get(u, 0) + nd
+        if vt is None:
+            open_count[u] = open_count.get(u, 0) + 1
+    assert per_user_days == {u: len(c) for u, c in per.items()}
+    assert all(v == 1 for v in open_count.values()) and set(open_count) == set(per)
