@@ -250,3 +250,38 @@ def test_continuation_ops_shard_count_invariant(tmp_path, monkeypatch):
         for r in bfs_hops(SF, n_shards=n).take_all()
     )
     assert bfs(2) == bfs(8)
+
+
+def test_lifecycle_ops_shard_count_invariant():
+    """CDC apply / interval union / SCD2: output is invariant to the shard
+    count (1 vs 16) — equal keys co-locate at any n_shards and the kernels
+    are order-independent within a shard."""
+    from invoice_extraction_ray.ops.dedup import apply_changelog
+    from invoice_extraction_ray.ops.interval import user_active_spans
+    from invoice_extraction_ray.ops.window import scd2_user_bands
+
+    SF = "/root/testdata/sf0.001"
+
+    cdc = lambda n: sorted(
+        (r["doc_id"], r["n_chars"])
+        for r in apply_changelog(SF, n_shards=n).take_all()
+    )
+    assert cdc(1) == cdc(16)
+
+    spans = lambda n: sorted(
+        (r["user_id"], r["n_spans"], r["covered_sec"], r["max_span_sec"])
+        for r in user_active_spans(SF, n_shards=n).take_all()
+    )
+    assert spans(1) == spans(16)
+
+    scd = lambda n: sorted(
+        (
+            r["user_id"],
+            r["band"],
+            r["valid_from"],
+            -1 if r["valid_to"] is None else r["valid_to"],
+            r["n_days"],
+        )
+        for r in scd2_user_bands(SF, n_shards=n).take_all()
+    )
+    assert scd(1) == scd(16)

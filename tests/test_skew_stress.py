@@ -446,3 +446,102 @@ def test_r5_tpch_ops_under_hot_key_skew(tmp_path):
     assert got.column("s_name").to_pylist() == [
         f"Supplier#{s:09d}" for s in want_dom
     ]
+
+
+def test_active_spans_and_scd2_under_hot_key_skew(tmp_path):
+    """One user = half the events and one day = most of them: the
+    interval-union rank-offset kernel and the SCD2 run detection stay
+    exact when a single user dominates its shard."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from invoice_extraction_ray.config import (
+        SCD2_BAND_EDGES_C,
+        SPAN_GAP_BY_TYPE,
+        SPAN_GAP_DEFAULT,
+    )
+    from invoice_extraction_ray.ops.interval import user_active_spans
+    from invoice_extraction_ray.ops.window import scd2_user_bands
+
+    rng = np.random.RandomState(31)
+    n = 10_000
+    day = 86_400_000_000
+    user = np.where(rng.rand(n) < 0.5, 7, rng.randint(0, 100, n)).astype(np.int64)
+    days = np.where(rng.rand(n) < 0.7, 4, rng.randint(0, 30, n)).astype(np.int64)
+    ts = days * day + rng.randint(0, day, n)
+    types = np.array(["view", "click", "purchase", "error", "signup"])[
+        rng.randint(0, 5, n)
+    ]
+    value = np.round(rng.uniform(0, 500, n), 2)
+    t = pa.table(
+        {
+            "user_id": pa.array(user),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array(types.tolist(), pa.string()),
+            "value": pa.array(value, pa.float64()),
+        }
+    )
+    d = tmp_path / "skewspan"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet", row_group_size=397)
+
+    # interval-union recompute
+    per: dict = {}
+    for u, us, et in zip(user.tolist(), ts.tolist(), types.tolist()):
+        s = us // 10**6
+        per.setdefault(u, []).append(
+            (s, s + SPAN_GAP_BY_TYPE.get(et, SPAN_GAP_DEFAULT))
+        )
+    want_spans = {}
+    for u, iv in per.items():
+        iv.sort()
+        spans = []
+        cs, ce = iv[0]
+        for s, e in iv[1:]:
+            if s > ce:
+                spans.append((cs, ce))
+                cs, ce = s, e
+            else:
+                ce = max(ce, e)
+        spans.append((cs, ce))
+        want_spans[u] = (
+            len(spans),
+            sum(e - s for s, e in spans),
+            max(e - s for s, e in spans),
+        )
+    got_spans = {
+        r["user_id"]: (r["n_spans"], r["covered_sec"], r["max_span_sec"])
+        for r in user_active_spans(str(d)).take_all()
+    }
+    assert got_spans == want_spans
+    # the hot user really is skewed AND really merged
+    assert want_spans[7][0] < sum(1 for u in user if u == 7)
+
+    # SCD2 recompute
+    cents = np.floor(value * 100.0 + 0.5).astype(np.int64)
+    daily: dict = {}
+    for u, dd, c in zip(user.tolist(), days.tolist(), cents.tolist()):
+        daily[(u, dd)] = daily.get((u, dd), 0) + c
+    pu: dict = {}
+    for (u, dd), vc in daily.items():
+        pu.setdefault(u, []).append((dd, vc))
+    e0, e1 = SCD2_BAND_EDGES_C
+    want_scd = set()
+    for u, cells in pu.items():
+        cells.sort()
+        runs: list = []
+        for dd, vc in cells:
+            b = 0 if vc < e0 else (1 if vc < e1 else 2)
+            if runs and runs[-1][0] == b:
+                runs[-1][2] += 1
+            else:
+                runs.append([b, dd, 1])
+        for i, (b, vf, nd) in enumerate(runs):
+            vt = runs[i + 1][1] if i + 1 < len(runs) else None
+            want_scd.add((u, b, vf, vt, nd))
+    got_scd = set(
+        (r["user_id"], r["band"], r["valid_from"], r["valid_to"], r["n_days"])
+        for r in scd2_user_bands(str(d)).take_all()
+    )
+    assert got_scd == want_scd
