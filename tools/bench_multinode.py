@@ -89,6 +89,17 @@ def _op_dataset(op: str):
         from invoice_extraction_ray.ops.graph import copurchase_triangles
 
         return lambda: copurchase_triangles(SF)
+    if op == "user_active_spans":
+        from invoice_extraction_ray.ops.interval import user_active_spans
+
+        # the interval-union coverage op: per-batch pre-merge, one
+        # user-shard exchange of merged span rows
+        return lambda: user_active_spans(SF)
+    if op == "apply_changelog":
+        from invoice_extraction_ray.ops.dedup import apply_changelog
+
+        # the CDC merge: one id-shard exchange of slim log rows
+        return lambda: apply_changelog(SF)
     if op == "order_details_bucketed":
         # the SMB zero-query-shuffle join: pre-materialize the bucketed
         # layout OUTSIDE the timed region (it is a one-time amortized
