@@ -567,6 +567,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("user_gap_fill", window.user_gap_fill),  # dense resample + ffill
             ("user_active_spans", interval.user_active_spans),  # interval union
             ("scd2_user_bands", window.scd2_user_bands),  # SCD2 versions
+            ("rolling_median_value", window.rolling_median_value),  # order-stat frame
         ],
         # mergeable sketches
         "sketch": [
@@ -612,6 +613,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("surprisal_buckets", text.surprisal_buckets),  # CCNet tertiles
             ("tokenizer_fertility", text.tokenizer_fertility),  # BPE per word
             ("source_drift_chi2", text.source_drift_chi2),  # dist-shift audit
+            ("top_tokens_per_lang", text.top_tokens_per_lang),  # grouped top-k census
         ],
         # dedup family
         "dedup": [
@@ -927,6 +929,8 @@ def oracle_sql() -> dict[str, str]:
         SCD2_BAND_EDGES_C as _SCD2_EDGES,
         SPAN_GAP_BY_TYPE as _SPAN_GAPS,
         SPAN_GAP_DEFAULT as _SPAN_DEF,
+        ROLLMED_WINDOW as _ROLLMED_W,
+        TOPTOK_K as _TOPTOK_K,
     )
 
     def _mul64(a: str, b: int) -> str:
@@ -2751,6 +2755,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, band, valid_from, lead(valid_from) OVER "
             "(PARTITION BY user_id ORDER BY valid_from) AS valid_to, n_days "
             "FROM s"
+        ),
+        # top_tokens_per_lang: grouped frequency top-k — K most frequent
+        # tokens per language, exact counts, ties token-ascending
+        "top_tokens_per_lang": (
+            "WITH toks AS (SELECT lang, "
+            "unnest(regexp_extract_all(coalesce(text, ''), '\\S+')) AS token "
+            "FROM documents), "
+            "c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n "
+            "FROM toks GROUP BY 1, 2) "
+            "SELECT lang, token, n, rnk FROM "
+            "(SELECT lang, token, n, CAST(row_number() OVER "
+            "(PARTITION BY lang ORDER BY n DESC, token) AS BIGINT) AS rnk "
+            f"FROM c) WHERE rnk <= {_TOPTOK_K}"
+        ),
+        # rolling_median_value: per-user rolling exact median over the last
+        # W values (2x cents so even-width prefix frames stay integral)
+        "rolling_median_value": (
+            "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, "
+            "CAST(floor(value*100.0 + 0.5) AS BIGINT) AS c FROM events) "
+            "SELECT event_id, user_id, "
+            "CAST(2 * median(c) OVER (PARTITION BY user_id "
+            f"ORDER BY us, event_id ROWS BETWEEN {_ROLLMED_W - 1} PRECEDING "
+            "AND CURRENT ROW) AS BIGINT) AS med2_c FROM e"
         ),
         # kanon_suppress: k-anonymity group gate — kept rows with group size
         "kanon_suppress": (

@@ -216,6 +216,10 @@ HEADLINE = [
     "user_active_spans",
     # SCD Type-2 versioned-dimension build (band-change validity intervals)
     "scd2_user_bands",
+    # per-user rolling exact median (order-statistic moving frame)
+    "rolling_median_value",
+    # grouped frequency top-k: K most frequent tokens per language
+    "top_tokens_per_lang",
 ]
 
 

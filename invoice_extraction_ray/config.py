@@ -503,3 +503,13 @@ SPAN_GAP_DEFAULT = 900
 # daily cents total maps to band 0/1/2 by these edges; consecutive
 # observed days with the same band collapse into one validity version.
 SCD2_BAND_EDGES_C = (5000, 15000)
+
+# Grouped token census (ops/text.py::top_tokens_per_lang): top-K tokens per
+# language by exact count, ties broken token-ascending (shared with the
+# oracle's ROW_NUMBER ORDER BY n DESC, token).
+TOPTOK_K = 10
+
+# Rolling exact median (ops/window.py::rolling_median_value): per-user
+# moving ROWS frame width (current row + ROLLMED_WINDOW-1 preceding); the
+# output is 2x the median in cents so even-width prefixes stay integers.
+ROLLMED_WINDOW = 7

@@ -2208,3 +2208,129 @@ def phrase_search(
         .map_groups(count_matches, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+def top_tokens_per_lang(sf_dir: str, k: int | None = None) -> ray.data.Dataset:
+    """Grouped frequency top-k: the K most frequent whitespace tokens PER
+    LANGUAGE with exact counts and within-language rank — the per-subcorpus
+    vocabulary census (token_frequencies' grouped sibling; the "top terms
+    per slice" report every mixture audit wants).
+
+    Scale shape: each batch collapses to its own (lang, token, count)
+    partials (one Arrow group_by per batch — only distinct cells shuffle),
+    cells co-partition by a 256-way TOKEN hash shard (a (lang, token) cell
+    lives wholly in one shard, so each shard's totals are exact and the
+    global per-lang top-k is a subset of the union of per-shard per-lang
+    top-ks), each shard keeps its top-k per lang, and the final exact
+    rank runs over <= 256*k rows per language in one enum-bounded lang
+    groupby.  Nothing vocabulary-sized reaches the driver."""
+    from ..config import TOPTOK_K
+
+    if k is None:
+        k = TOPTOK_K
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["lang", "text"])
+
+    _OUT = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("token", pa.string()),
+            ("n", pa.int64()),
+            ("rnk", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent = _ws_tokens(t.column("text"))
+        lang = t.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        g = (
+            pa.table({"lang": lang.take(pa.array(parent)), "token": flat})
+            .group_by(["lang", "token"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "token": g.column("token"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+                "tshard": _crc32_shard(g.column("token"), 255),
+            }
+        )
+
+    _MID = pa.schema(
+        [("lang", pa.string()), ("token", pa.string()), ("n", pa.int64())]
+    )
+
+    def _lang_runs(tbl: pa.Table) -> np.ndarray:
+        """Boolean new-run marks over adjacent (lang, token) rows."""
+        la = tbl.column("lang").combine_chunks()
+        to = tbl.column("token").combine_chunks()
+        n = tbl.num_rows
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            same_l = pc.equal(la.slice(1), la.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            same_t = pc.equal(to.slice(1), to.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            new[1:] = ~(same_l & same_t)
+        return new
+
+    def reduce_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _MID.empty_table()
+        g = g.sort_by([("lang", "ascending"), ("token", "ascending")])
+        new = _lang_runs(g)
+        starts = np.flatnonzero(new)
+        totals = int_segment_sum(
+            g.column("n").to_numpy(zero_copy_only=False), starts
+        )
+        idx = pa.array(starts)
+        out = pa.table(
+            {
+                "lang": pc.take(g.column("lang").combine_chunks(), idx),
+                "token": pc.take(g.column("token").combine_chunks(), idx),
+                "n": pa.array(totals, pa.int64()),
+            },
+            schema=_MID,
+        )
+        # per-shard per-lang top-k (the global order: n DESC, token ASC)
+        out = out.sort_by(
+            [("lang", "ascending"), ("n", "descending"), ("token", "ascending")]
+        )
+        la = out.column("lang").combine_chunks()
+        m = out.num_rows
+        newl = np.ones(m, dtype=bool)
+        if m > 1:
+            newl[1:] = ~pc.equal(la.slice(1), la.slice(0, m - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        seg = np.flatnonzero(newl)
+        pos = np.arange(m) - seg[np.cumsum(newl) - 1]
+        return out.filter(pa.array(pos < k))
+
+    def final_rank(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        g = g.sort_by([("n", "descending"), ("token", "ascending")]).slice(0, k)
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "token": g.column("token"),
+                "n": g.column("n"),
+                "rnk": pa.array(np.arange(1, g.num_rows + 1), pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tshard")
+        .map_groups(
+            lambda g: reduce_shard(_dropg(g, ["tshard"])), batch_format="pyarrow"
+        )
+        .groupby("lang")
+        .map_groups(final_rank, batch_format="pyarrow")
+    )

@@ -1477,3 +1477,96 @@ def scd2_user_bands(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
             lambda g: shard_scd2(_dropg(g, ["ushard"])), batch_format="pyarrow"
         )
     )
+
+
+_ROLLMED_OUT = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("med2_c", pa.int64()),
+    ]
+)
+
+
+def rolling_median_value(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """Per-user rolling EXACT median: for every event, the median of the
+    user's last ``config.ROLLMED_WINDOW`` values (cents) in (ts, event_id)
+    order — the order-statistic moving frame, the one ROWS-window shape a
+    running-sum kernel cannot express (median is not mergeable; the frame
+    must be re-ranked at every row).  Output is 2x the median
+    (``med2_c``), so the even-width prefix frames (frame grows 1..W at a
+    user's start) stay exact integers on both engines.
+
+    Scale shape: the expanding-window family's user-shard groupby (slim
+    (user, ts, event_id, cents) rows; one lexsort per shard), then ONE
+    vectorized pass per frame width L in 1..W: rows whose frame has
+    exactly L values gather their L-column window matrix with index
+    arithmetic and take the two middle order statistics via one
+    ``np.sort(axis=1)`` — W small-constant passes, no per-row Python.
+    Frames never cross user boundaries (the frame start is clamped to the
+    user's segment start)."""
+    import pyarrow.compute as pc
+
+    from ..config import ROLLMED_WINDOW
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        cents = pa.array(
+            np.floor(
+                t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+        )
+        shard = pc.cast(pc.bit_wise_and(t.column("user_id"), n_shards - 1), pa.int32())
+        return pa.table(
+            {
+                "shard": shard,
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "us": t.column("ts").cast(pa.int64()),
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "cents": cents,
+            }
+        )
+
+    def per_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _ROLLMED_OUT.empty_table()
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        us = g.column("us").to_numpy(zero_copy_only=False)
+        ev = g.column("event_id").to_numpy(zero_copy_only=False)
+        c = g.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, us, u))
+        u, ev, c = u[order], ev[order], c[order]
+        n = len(u)
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        seg_start = np.flatnonzero(new)[np.cumsum(new) - 1]
+        pos = np.arange(n)
+        width = np.minimum(pos - seg_start + 1, ROLLMED_WINDOW)
+        med2 = np.empty(n, dtype=np.int64)
+        for L in range(1, ROLLMED_WINDOW + 1):
+            rows = np.flatnonzero(width == L)
+            if not len(rows):
+                continue
+            # (m, L) window matrix: columns are the frame's last L values
+            win = c[rows[:, None] - (L - 1) + np.arange(L)[None, :]]
+            win.sort(axis=1)
+            med2[rows] = win[:, (L - 1) // 2] + win[:, L // 2]
+        return pa.table(
+            {
+                "event_id": pa.array(ev, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "med2_c": pa.array(med2, pa.int64()),
+            },
+            schema=_ROLLMED_OUT,
+        )
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: per_shard(_dropg(g, ["shard"])), batch_format="pyarrow"
+        )
+    )

@@ -2960,6 +2960,8 @@ def test_new_relational_family_random_differential(tmp_path):
         "apply_changelog",
         "user_active_spans",
         "scd2_user_bands",
+        "top_tokens_per_lang",
+        "rolling_median_value",
     ):
         def norm(v):
             # DuckDB's .df() floats nullable-int columns (NULL -> NaN);
@@ -5915,3 +5917,62 @@ def test_scd2_user_bands_matches_local_recompute():
             open_count[u] = open_count.get(u, 0) + 1
     assert per_user_days == {u: len(c) for u, c in per.items()}
     assert all(v == 1 for v in open_count.values()) and set(open_count) == set(per)
+
+
+def test_rolling_median_value_matches_local_recompute():
+    """Distributed rolling exact median equals the per-user deque sweep,
+    including the growing prefix frames at each user's start."""
+    from invoice_extraction_ray.config import ROLLMED_WINDOW
+    from invoice_extraction_ray.ops.window import rolling_median_value
+
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    per: dict[int, list] = {}
+    for e, us, u, v in zip(
+        ev.column("event_id").to_pylist(),
+        ev.column("ts").cast(pa.int64()).to_pylist(),
+        ev.column("user_id").to_pylist(),
+        ev.column("value").to_pylist(),
+    ):
+        per.setdefault(u, []).append((us, e, int(np.floor(v * 100.0 + 0.5))))
+    want = {}
+    for u, rows in per.items():
+        rows.sort()
+        vals: list[int] = []
+        for _us, e, c in rows:
+            vals.append(c)
+            win = sorted(vals[-ROLLMED_WINDOW:])
+            L = len(win)
+            want[e] = (u, win[(L - 1) // 2] + win[L // 2])
+    got = {
+        r["event_id"]: (r["user_id"], r["med2_c"])
+        for r in rolling_median_value(SF, n_shards=5).take_all()
+    }
+    assert got == want and len(got) == ev.num_rows
+
+
+def test_top_tokens_per_lang_matches_local_recompute():
+    """Grouped top-k token census equals the Counter recompute with the
+    (n DESC, token ASC) tie-break."""
+    from collections import Counter
+
+    from invoice_extraction_ray.config import TOPTOK_K
+    from invoice_extraction_ray.ops.text import top_tokens_per_lang
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["lang", "text"])
+    per: dict[str, Counter] = {}
+    for lang, t in zip(
+        docs.column("lang").to_pylist(), docs.column("text").to_pylist()
+    ):
+        per.setdefault(lang, Counter()).update((t or "").split())
+    want = set()
+    for lang, cnt in per.items():
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:TOPTOK_K]
+        for i, (tok, n) in enumerate(ranked, 1):
+            want.add((lang, tok, n, i))
+    got = set(
+        (r["lang"], r["token"], r["n"], r["rnk"])
+        for r in top_tokens_per_lang(SF).take_all()
+    )
+    assert got == want and len({lang for lang, *_ in got}) > 1
