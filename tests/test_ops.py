@@ -2144,7 +2144,8 @@ def test_embedding_project_matches_local_recompute():
     assert got == want
 
 
-def test_window_family_random_differential(tmp_path):
+@pytest.mark.parametrize("seed", [20260818, 20260820])
+def test_window_family_random_differential(tmp_path, seed):
     """Seeded-random differential gate for the window family: random events
     with duplicate timestamps (tie-order stress), negative values, and
     single-event users — lag_features / rolling_event_stats /
@@ -2157,7 +2158,7 @@ def test_window_family_random_differential(tmp_path):
         user_cumulative_value,
     )
 
-    rng = np.random.RandomState(20260818)
+    rng = np.random.RandomState(seed)
     n = 2000
     ev = pa.table(
         {
@@ -2702,18 +2703,20 @@ def test_tokenizer_fertility_matches_local_recompute():
     assert any(v[2] and v[2] > 10000 for v in got.values())  # some frag > 1.0
 
 
-def test_new_relational_family_random_differential(tmp_path):
+@pytest.mark.parametrize("seed", [42, 20260820])
+def test_new_relational_family_random_differential(tmp_path, seed):
     """Seeded-random differential gate for the round-4 relational/sketch
     additions: random star-schema + event tables (dangling order keys,
     skewed brands, duplicate timestamps, multi-day spans) driven through
     the REGISTERED oracle_sql() strings — the same SQL the driver gate
     runs — so any drift between engine and oracle semantics on
-    non-fixture data is caught here."""
+    non-fixture data is caught here.  Two seeds: independent draws of
+    every degenerate shape."""
     import duckdb
 
     import __ray_entry__ as E
 
-    rng = np.random.RandomState(42)
+    rng = np.random.RandomState(seed)
     n_ord, n_li, n_part, n_ev = 3000, 9000, 120, 4000
     # every 7th order has no lineitems (anti-join rows)
     okeys = np.arange(n_ord, dtype=np.int64) * 3 + 1
