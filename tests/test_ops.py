@@ -5979,3 +5979,38 @@ def test_top_tokens_per_lang_matches_local_recompute():
         for r in top_tokens_per_lang(SF).take_all()
     )
     assert got == want and len({lang for lang, *_ in got}) > 1
+
+
+def test_registry_oracle_bijection_and_sql_parses():
+    """Registry meta-gate: every queries() entry has an oracle_sql() entry
+    and vice versa (the driver's correctness gate covers 100% of the
+    registry by construction), every oracle is syntactically valid DuckDB
+    against schema-only views of the ten tables, and names are unique."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    sqls = E.oracle_sql()
+    assert set(qs) == set(sqls), (
+        sorted(set(qs) ^ set(sqls)) or "never"
+    )
+    assert len(qs) >= 197
+
+    con = duckdb.connect()
+    for tbl in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.sql(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"read_parquet('{SF}/{tbl}.parquet') LIMIT 0"
+        )
+    pinned = set(getattr(E, "SF001_PINNED", []))
+    for name, sql in sqls.items():
+        if name in pinned:
+            continue  # embed sf0.01-derived asset paths; gated at sf0.01
+        try:
+            con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+        except Exception as ex:  # pragma: no cover - the assert is the point
+            raise AssertionError(f"oracle SQL for {name} failed: {ex}") from ex
