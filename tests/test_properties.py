@@ -229,3 +229,79 @@ def test_interval_sweep_sub_ulp_sliver_pairs():
     )
     got = {(r["key"], r["a_id"], r["b_id"]) for r in _sweep_shard(t).to_pylist()}
     assert {(k, 1000 + k, 2000 + k) for k in (0, 259, 1174)} <= got
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),        # user
+            st.integers(0, 10_000),   # start
+            st.integers(1, 500),      # length
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_merge_user_spans_matches_bruteforce(rows):
+    """The rank-offset interval-union kernel equals the per-user sorted
+    sweep on arbitrary (possibly duplicated / nested / touching)
+    intervals."""
+    import numpy as np
+
+    from invoice_extraction_ray.ops.interval import _merge_user_spans
+
+    u = np.array([r[0] for r in rows], dtype=np.int64)
+    s = np.array([r[1] for r in rows], dtype=np.int64)
+    e = s + np.array([r[2] for r in rows], dtype=np.int64)
+    mu, ms, me = _merge_user_spans(u, s, e)
+
+    per: dict[int, list] = {}
+    for uu, ss, ee in zip(u.tolist(), s.tolist(), e.tolist()):
+        per.setdefault(uu, []).append((ss, ee))
+    want = []
+    for uu in sorted(per):
+        iv = sorted(per[uu])
+        cs, ce = iv[0]
+        for ss, ee in iv[1:]:
+            if ss > ce:
+                want.append((uu, cs, ce))
+                cs, ce = ss, ee
+            else:
+                ce = max(ce, ee)
+        want.append((uu, cs, ce))
+    got = list(zip(mu.tolist(), ms.tolist(), me.tolist()))
+    assert got == want
+    # structural invariants: spans are disjoint-with-gaps per user
+    for (u1, s1, e1), (u2, s2, e2) in zip(want, want[1:]):
+        if u1 == u2:
+            assert s2 > e1
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(-10_000, 10_000), min_size=1, max_size=40),
+    st.integers(1, 9),
+)
+def test_rolling_median_pairs_are_order_stats(vals, w):
+    """The two-middle-order-statistics gather used by rolling_median_value
+    equals sorted()[mid] + sorted()[mid2] of every trailing window."""
+    import numpy as np
+
+    c = np.array(vals, dtype=np.int64)
+    n = len(c)
+    seg_start = np.zeros(n, dtype=np.int64)
+    pos = np.arange(n)
+    width = np.minimum(pos - seg_start + 1, w)
+    med2 = np.empty(n, dtype=np.int64)
+    for L in range(1, w + 1):
+        rows = np.flatnonzero(width == L)
+        if not len(rows):
+            continue
+        win = c[rows[:, None] - (L - 1) + np.arange(L)[None, :]]
+        win.sort(axis=1)
+        med2[rows] = win[:, (L - 1) // 2] + win[:, L // 2]
+    for i in range(n):
+        win = sorted(vals[max(0, i - w + 1) : i + 1])
+        L = len(win)
+        assert med2[i] == win[(L - 1) // 2] + win[L // 2]
