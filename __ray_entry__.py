@@ -614,6 +614,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("tokenizer_fertility", text.tokenizer_fertility),  # BPE per word
             ("source_drift_chi2", text.source_drift_chi2),  # dist-shift audit
             ("top_tokens_per_lang", text.top_tokens_per_lang),  # grouped top-k census
+            ("langid_confusion", text.langid_confusion),  # classifier-eval matrix
         ],
         # dedup family
         "dedup": [
@@ -931,6 +932,29 @@ def oracle_sql() -> dict[str, str]:
         SPAN_GAP_DEFAULT as _SPAN_DEF,
         ROLLMED_WINDOW as _ROLLMED_W,
         TOPTOK_K as _TOPTOK_K,
+    )
+
+    # mirror of ops.text._predict_lang: CJK integer ratio, then the
+    # alphabetically-earliest profile with strictly-max stopword hits —
+    # shared by the langid query and the langid_confusion audit
+    _LANGID_SQL = (
+        "WITH f AS (SELECT doc_id, coalesce(text,'') AS t FROM documents), "
+        "h AS (SELECT doc_id, t, length(t) AS n, "
+        "  len(regexp_extract_all(t, '[\\x{4E00}-\\x{9FFF}]')) AS cjk, "
+        "  regexp_extract_all(lower(t), '[a-z'']+') AS ws FROM f), "
+        "c AS (SELECT doc_id, n, cjk, len(ws) AS n_words, "
+        "  len(list_filter(ws, x -> x IN ('der','die','das','und','ist','von','mit','den','nicht','ein'))) AS h_de, "
+        "  len(list_filter(ws, x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS h_en, "
+        "  len(list_filter(ws, x -> x IN ('el','la','de','que','y','en','un','los','se','no'))) AS h_es, "
+        "  len(list_filter(ws, x -> x IN ('le','la','de','et','les','des','est','un','une','que'))) AS h_fr "
+        "FROM h) "
+        "SELECT doc_id, CASE "
+        "WHEN n = 0 THEN 'und' "
+        "WHEN 5*cjk > n THEN 'zh' "
+        "WHEN n_words = 0 OR greatest(h_de,h_en,h_es,h_fr) = 0 THEN 'und' "
+        "WHEN h_de >= greatest(h_en,h_es,h_fr) THEN 'de' "
+        "WHEN h_en >= greatest(h_es,h_fr) THEN 'en' "
+        "WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_pred FROM c"
     )
 
     def _mul64(a: str, b: int) -> str:
@@ -2381,26 +2405,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c "
             "FROM events, UNNEST([0,1,2,3]) AS u(i) GROUP BY 1, 2"
         ),
-        "langid": (
-            # mirror of ops.text._predict_lang: CJK integer ratio, then the
-            # alphabetically-earliest profile with strictly-max stopword hits
-            "WITH f AS (SELECT doc_id, coalesce(text,'') AS t FROM documents), "
-            "h AS (SELECT doc_id, t, length(t) AS n, "
-            "  len(regexp_extract_all(t, '[\\x{4E00}-\\x{9FFF}]')) AS cjk, "
-            "  regexp_extract_all(lower(t), '[a-z'']+') AS ws FROM f), "
-            "c AS (SELECT doc_id, n, cjk, len(ws) AS n_words, "
-            "  len(list_filter(ws, x -> x IN ('der','die','das','und','ist','von','mit','den','nicht','ein'))) AS h_de, "
-            "  len(list_filter(ws, x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS h_en, "
-            "  len(list_filter(ws, x -> x IN ('el','la','de','que','y','en','un','los','se','no'))) AS h_es, "
-            "  len(list_filter(ws, x -> x IN ('le','la','de','et','les','des','est','un','une','que'))) AS h_fr "
-            "FROM h) "
-            "SELECT doc_id, CASE "
-            "WHEN n = 0 THEN 'und' "
-            "WHEN 5*cjk > n THEN 'zh' "
-            "WHEN n_words = 0 OR greatest(h_de,h_en,h_es,h_fr) = 0 THEN 'und' "
-            "WHEN h_de >= greatest(h_en,h_es,h_fr) THEN 'de' "
-            "WHEN h_en >= greatest(h_es,h_fr) THEN 'en' "
-            "WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_pred FROM c"
+        "langid": _LANGID_SQL,
+        # langid_confusion: classifier-eval confusion matrix — the langid
+        # predictions crossed with the labeled lang column; composed from
+        # the SAME _LANGID_SQL kernel so predictor and audit never desync
+        "langid_confusion": (
+            "WITH p AS (" + _LANGID_SQL + ") "
+            "SELECT d.lang AS lang_true, p.lang_pred, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM p JOIN documents d USING (doc_id) GROUP BY 1, 2"
         ),
         "quality_features": _QUALITY_SQL,
         # boolean_and_search: postings-list intersection — docs containing

@@ -220,6 +220,8 @@ HEADLINE = [
     "rolling_median_value",
     # grouped frequency top-k: K most frequent tokens per language
     "top_tokens_per_lang",
+    # classifier-eval confusion matrix (langid predictions vs labels)
+    "langid_confusion",
 ]
 
 

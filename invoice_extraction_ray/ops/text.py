@@ -2334,3 +2334,85 @@ def top_tokens_per_lang(sf_dir: str, k: int | None = None) -> ray.data.Dataset:
         .groupby("lang")
         .map_groups(final_rank, batch_format="pyarrow")
     )
+
+
+def langid_confusion(sf_dir: str) -> ray.data.Dataset:
+    """Classifier-evaluation confusion matrix: the langid heuristic's
+    predictions crossed with the labeled ``lang`` column —
+    ``(lang_true, lang_pred, n)`` per non-empty cell, the standard model
+    audit every labeling pipeline ships with (precision/recall per class
+    are row/column ratios of these exact counts).
+
+    Scale shape: prediction happens inside the scan batch (the same
+    vectorized ``langid_batch`` kernel the langid query uses — one is_in +
+    bincount per profile, no per-row Python), each batch collapses to its
+    own enum-bounded (true, pred) count cells, and ONE tiny lang-keyed
+    groupby segment-sums the <= |langs| x (|langs|+2) cells.  Nothing
+    corpus-sized shuffles."""
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "documents"), columns=["doc_id", "lang", "text"]
+    )
+
+    _OUT = pa.schema(
+        [
+            ("lang_true", pa.string()),
+            ("lang_pred", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        preds = langid_batch(t)
+        g = (
+            pa.table(
+                {
+                    "lang_true": t.column("lang"),
+                    "lang_pred": preds.column("lang_pred"),
+                }
+            )
+            .group_by(["lang_true", "lang_pred"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "lang_true": g.column("lang_true"),
+                "lang_pred": g.column("lang_pred"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        g = g.sort_by([("lang_pred", "ascending")])
+        p = g.column("lang_pred").combine_chunks()
+        m = g.num_rows
+        new = np.ones(m, dtype=bool)
+        if m > 1:
+            new[1:] = ~pc.equal(p.slice(1), p.slice(0, m - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        starts = np.flatnonzero(new)
+        idx = pa.array(starts)
+        return pa.table(
+            {
+                "lang_true": pc.take(g.column("lang_true").combine_chunks(), idx),
+                "lang_pred": pc.take(p, idx),
+                "n": pa.array(
+                    int_segment_sum(
+                        g.column("n").to_numpy(zero_copy_only=False), starts
+                    ),
+                    pa.int64(),
+                ),
+            },
+            schema=_OUT,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang_true")
+        .map_groups(finish, batch_format="pyarrow")
+    )

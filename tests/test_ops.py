@@ -2965,6 +2965,7 @@ def test_new_relational_family_random_differential(tmp_path, seed):
         "scd2_user_bands",
         "top_tokens_per_lang",
         "rolling_median_value",
+        "langid_confusion",
     ):
         def norm(v):
             # DuckDB's .df() floats nullable-int columns (NULL -> NaN);
@@ -6014,3 +6015,24 @@ def test_registry_oracle_bijection_and_sql_parses():
             con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
         except Exception as ex:  # pragma: no cover - the assert is the point
             raise AssertionError(f"oracle SQL for {name} failed: {ex}") from ex
+
+
+def test_langid_confusion_matches_local_recompute():
+    """The confusion matrix equals the scalar-predictor recompute and its
+    row sums tile the corpus."""
+    from collections import Counter
+
+    from invoice_extraction_ray.ops.text import _predict_lang, langid_confusion
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["lang", "text"])
+    want: Counter = Counter()
+    for lang, t in zip(
+        docs.column("lang").to_pylist(), docs.column("text").to_pylist()
+    ):
+        want[(lang, _predict_lang(t or ""))] += 1
+    got = {
+        (r["lang_true"], r["lang_pred"]): r["n"]
+        for r in langid_confusion(SF).take_all()
+    }
+    assert got == dict(want)
+    assert sum(got.values()) == docs.num_rows
