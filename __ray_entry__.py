@@ -653,6 +653,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("text_normalize", curate.text_normalize),  # stateless canon map
             ("token_budget_mix", curate.token_budget_mix),  # per-source budgets
             ("kanon_suppress", curate.kanon_suppress),  # group-privacy gate
+            ("split_leakage_audit", curate.split_leakage_audit),  # dup leakage
         ],
         # similarity search
         "ann": [
@@ -1963,6 +1964,27 @@ def oracle_sql() -> dict[str, str]:
             + " SELECT doc_id, CAST(h % 100 AS BIGINT) AS bucket, "
             "CASE WHEN h % 100 < 5 THEN 'test' WHEN h % 100 < 10 THEN 'val' "
             "ELSE 'train' END AS split FROM h ORDER BY doc_id"
+        ),
+        # split_leakage_audit: exact-content groups straddling a split
+        # boundary — composes split_assign's splitmix64 bucket CTE with the
+        # sha256 content key, so the audit can never desync from the split
+        "split_leakage_audit": (
+            _SPLITMIX_DOC
+            + ", sp AS (SELECT h.doc_id, CASE WHEN h % 100 < 5 THEN 'test' "
+            "WHEN h % 100 < 10 THEN 'val' ELSE 'train' END AS split, "
+            "sha256(coalesce(d.text,'')) AS dg FROM h "
+            "JOIN documents d ON h.doc_id = d.doc_id), "
+            "g AS (SELECT dg, "
+            "max(CASE WHEN split='train' THEN 1 ELSE 0 END) AS tr, "
+            "max(CASE WHEN split='val' THEN 1 ELSE 0 END) AS va, "
+            "max(CASE WHEN split='test' THEN 1 ELSE 0 END) AS te "
+            "FROM sp GROUP BY dg) "
+            "SELECT 'train' AS split_a, 'val' AS split_b, "
+            "CAST(coalesce(sum(tr*va), 0) AS BIGINT) AS n_groups FROM g "
+            "UNION ALL SELECT 'train', 'test', "
+            "CAST(coalesce(sum(tr*te), 0) AS BIGINT) FROM g "
+            "UNION ALL SELECT 'val', 'test', "
+            "CAST(coalesce(sum(va*te), 0) AS BIGINT) FROM g"
         ),
         "mixture_sample": (
             _SPLITMIX_DOC

@@ -222,6 +222,8 @@ HEADLINE = [
     "top_tokens_per_lang",
     # classifier-eval confusion matrix (langid predictions vs labels)
     "langid_confusion",
+    # duplicate-driven train/val/test leakage audit (split x content digest)
+    "split_leakage_audit",
 ]
 
 

@@ -918,3 +918,128 @@ def kanon_suppress(sf_dir: str, k: int = KANON_MIN_GROUP) -> ray.data.Dataset:
         )
 
     return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def split_leakage_audit(
+    sf_dir: str, test_pct: int = 5, val_pct: int = 5, n_shards: int = 64
+) -> ray.data.Dataset:
+    """Train/val/test LEAKAGE audit: how many exact-content groups straddle
+    a split boundary — the duplicate-driven eval-contamination check that
+    motivates corpus dedup (a doc byte-identical to a training doc sitting
+    in val/test silently inflates eval).  Composes :func:`split_assign`'s
+    splitmix64 bucket with exact_dedup's sha256-16-byte content key; emits
+    exactly three rows, one per unordered split pair, with the count of
+    digest groups present on BOTH sides (0 when clean).
+
+    Scale shape: one documents scan emits slim (digest-shard, h1, h2,
+    split-bit) rows — texts never shuffle; equal digests co-locate in the
+    single digest-shard groupby, each shard ORs its groups' split bitmasks
+    vectorized and emits three partial counts; a tiny pair groupby
+    finishes.  Nothing digest- or corpus-sized reaches the driver."""
+    import hashlib
+
+    from ._util import absorb_empty_blocks, int_segment_sum
+    from ._util import drop_if_present as _dropg
+
+    cut_val = test_pct + val_pct
+
+    _SLIM = pa.schema(
+        [
+            ("dshard", pa.int32()),
+            ("h1", pa.int64()),
+            ("h2", pa.int64()),
+            ("sbit", pa.int64()),
+        ]
+    )
+    _PART = pa.schema([("pair", pa.int32()), ("n", pa.int64())])
+    _OUT = pa.schema(
+        [
+            ("split_a", pa.string()),
+            ("split_b", pa.string()),
+            ("n_groups", pa.int64()),
+        ]
+    )
+    _PAIRS = [("train", "val"), ("train", "test"), ("val", "test")]
+    # split bits: train=1, val=2, test=4; pair masks in _PAIRS order
+    _MASKS = [1 | 2, 1 | 4, 2 | 4]
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SLIM.empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (_hash64(ids) % np.uint64(100)).astype(np.int64)
+        sbit = np.where(bucket < test_pct, 4, np.where(bucket < cut_val, 2, 1))
+        digests = b"".join(
+            hashlib.sha256((s or "").encode()).digest()[:16]
+            for s in t.column("text").to_pylist()
+        )
+        h = np.frombuffer(digests, dtype="<i8").reshape(-1, 2)
+        return pa.table(
+            {
+                "dshard": pa.array(
+                    ((h[:, 0] & 0x7FFFFFFF) % n_shards).astype(np.int32)
+                ),
+                "h1": pa.array(h[:, 0], pa.int64()),
+                "h2": pa.array(h[:, 1], pa.int64()),
+                "sbit": pa.array(sbit.astype(np.int64), pa.int64()),
+            },
+            schema=_SLIM,
+        )
+
+    def shard_counts(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PART.empty_table()
+        h1 = g.column("h1").to_numpy(zero_copy_only=False)
+        h2 = g.column("h2").to_numpy(zero_copy_only=False)
+        sb = g.column("sbit").to_numpy(zero_copy_only=False)
+        order = np.lexsort((h2, h1))
+        h1, h2, sb = h1[order], h2[order], sb[order]
+        new = np.ones(len(h1), dtype=bool)
+        new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        starts = np.flatnonzero(new)
+        # OR of split bits per digest group == max of per-bit segment max;
+        # bits are disjoint powers of two, so segment max of each masked
+        # bit reconstructs the OR exactly
+        masks = np.zeros(len(starts), dtype=np.int64)
+        for bit in (1, 2, 4):
+            present = int_segment_sum((sb == bit).astype(np.int64), starts) > 0
+            masks |= np.where(present, bit, 0)
+        ns = [
+            int(((masks & m) == m).sum()) for m in _MASKS
+        ]
+        return pa.table(
+            {
+                "pair": pa.array(np.arange(3, dtype=np.int32)),
+                "n": pa.array(np.array(ns, dtype=np.int64), pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        pair = int(g.column("pair")[0].as_py())
+        total = int(
+            np.sum(g.column("n").to_numpy(zero_copy_only=False), dtype=np.int64)
+        )
+        a, b = _PAIRS[pair]
+        return pa.table(
+            {
+                "split_a": pa.array([a], pa.string()),
+                "split_b": pa.array([b], pa.string()),
+                "n_groups": pa.array([total], pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(slim, batch_format="pyarrow")
+    parts = (
+        absorb_empty_blocks(ds, batch_size=131072)
+        .groupby("dshard")
+        .map_groups(
+            lambda g: shard_counts(_dropg(g, ["dshard"])), batch_format="pyarrow"
+        )
+    )
+    return parts.groupby("pair").map_groups(finish, batch_format="pyarrow")

@@ -2966,6 +2966,7 @@ def test_new_relational_family_random_differential(tmp_path, seed):
         "top_tokens_per_lang",
         "rolling_median_value",
         "langid_confusion",
+        "split_leakage_audit",
     ):
         def norm(v):
             # DuckDB's .df() floats nullable-int columns (NULL -> NaN);
@@ -6036,3 +6037,63 @@ def test_langid_confusion_matches_local_recompute():
     }
     assert got == dict(want)
     assert sum(got.values()) == docs.num_rows
+
+
+def test_split_leakage_audit_detects_forced_leaks(tmp_path):
+    """A corpus with constructed cross-split duplicate groups reports the
+    exact per-pair group counts (and a clean corpus reports zeros)."""
+    from invoice_extraction_ray.ops.curate import split_leakage_audit
+    from invoice_extraction_ray.ops.sketch import _hash64
+
+    ids = np.arange(400, dtype=np.int64)
+    bucket = (_hash64(ids) % np.uint64(100)).astype(np.int64)
+    split = np.where(bucket < 5, "test", np.where(bucket < 10, "val", "train"))
+    by_split = {s: ids[split == s].tolist() for s in ("train", "val", "test")}
+    assert all(len(v) >= 2 for v in by_split.values())
+
+    texts = [f"unique text {i}" for i in range(400)]
+    # group A straddles train/test, group B train/val, group C val/test,
+    # group D duplicates WITHIN train only (must not count anywhere)
+    texts[by_split["train"][0]] = texts[by_split["test"][0]] = "dup A"
+    texts[by_split["train"][1]] = texts[by_split["val"][0]] = "dup B"
+    texts[by_split["val"][1]] = texts[by_split["test"][1]] = "dup C"
+    texts[by_split["train"][2]] = texts[by_split["train"][3]] = "dup D"
+
+    d = tmp_path / "leak"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)}),
+        d / "documents.parquet",
+        row_group_size=37,
+    )
+    got = {
+        (r["split_a"], r["split_b"]): r["n_groups"]
+        for r in split_leakage_audit(str(d), n_shards=7).take_all()
+    }
+    assert got == {
+        ("train", "val"): 1,
+        ("train", "test"): 1,
+        ("val", "test"): 1,
+    }
+
+    # clean corpus: all-unique texts -> three zero rows, never missing rows
+    d2 = tmp_path / "clean"
+    d2.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": pa.array([f"only {i}" for i in range(400)]),
+            }
+        ),
+        d2 / "documents.parquet",
+    )
+    got2 = {
+        (r["split_a"], r["split_b"]): r["n_groups"]
+        for r in split_leakage_audit(str(d2)).take_all()
+    }
+    assert got2 == {
+        ("train", "val"): 0,
+        ("train", "test"): 0,
+        ("val", "test"): 0,
+    }
