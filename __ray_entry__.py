@@ -586,6 +586,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("value_ks_drift", sketch.value_ks_drift),  # exact 2-sample KS
             ("mg_heavy_hitters", sketch.mg_heavy_hitters),  # exact HH, no FPs
             ("join_size_estimate", sketch.join_size_estimate),  # KMV join card.
+            ("sketch_error_report", sketch.sketch_error_report),  # accuracy eval
         ],
         # text analysis
         "text": [
@@ -956,6 +957,17 @@ def oracle_sql() -> dict[str, str]:
         "WHEN h_de >= greatest(h_en,h_es,h_fr) THEN 'de' "
         "WHEN h_en >= greatest(h_es,h_fr) THEN 'en' "
         "WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_pred FROM c"
+    )
+
+    # exact per-type quantiles — shared by value_quantiles and the
+    # sketch_error_report composition
+    _VQ_SQL = (
+        "SELECT event_type, "
+        "CAST(floor(quantile_disc(value, 0.25)*100 + 0.5) AS BIGINT) AS p25_c, "
+        "CAST(floor(quantile_disc(value, 0.5)*100 + 0.5) AS BIGINT) AS p50_c, "
+        "CAST(floor(quantile_disc(value, 0.75)*100 + 0.5) AS BIGINT) AS p75_c, "
+        "CAST(floor(quantile_disc(value, 0.95)*100 + 0.5) AS BIGINT) AS p95_c, "
+        "count(*) AS n FROM events GROUP BY event_type"
     )
 
     def _mul64(a: str, b: int) -> str:
@@ -2373,13 +2385,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM e JOIN m USING (event_type) JOIN md USING (event_type) "
             "GROUP BY 1, 2, 3"
         ),
-        "value_quantiles": (
-            "SELECT event_type, "
-            "CAST(floor(quantile_disc(value, 0.25)*100 + 0.5) AS BIGINT) AS p25_c, "
-            "CAST(floor(quantile_disc(value, 0.5)*100 + 0.5) AS BIGINT) AS p50_c, "
-            "CAST(floor(quantile_disc(value, 0.75)*100 + 0.5) AS BIGINT) AS p75_c, "
-            "CAST(floor(quantile_disc(value, 0.95)*100 + 0.5) AS BIGINT) AS p95_c, "
-            "count(*) AS n FROM events GROUP BY event_type"
+        "value_quantiles": _VQ_SQL,
+        # sketch_error_report: accuracy eval of the log-bin quantile sketch
+        # against the exact quantiles (the sketch-family twin of
+        # ann_recall_report / neardup_recall_report) — relative error in e6
+        # fixed point per quantile, composed from the SAME two oracle
+        # kernels so the report can never desync from either side
+        "sketch_error_report": (
+            "WITH ex AS (" + _VQ_SQL + "), sk AS (" + _QSK_SQL + ") "
+            "SELECT ex.event_type, "
+            + ", ".join(
+                f"CAST(abs(sk.p{q}_c - ex.p{q}_c) * 1000000 // "
+                f"greatest(ex.p{q}_c, 1) AS BIGINT) AS err{q}_e6"
+                for q in (25, 50, 75, 95)
+            )
+            + " FROM ex JOIN sk USING (event_type)"
         ),
         # value_winsorize: per-type [p05, p95] clamp on integer cents —
         # quantile_disc boundaries match the engine's ceil(q*n)-1 cumsum index

@@ -224,6 +224,8 @@ HEADLINE = [
     "langid_confusion",
     # duplicate-driven train/val/test leakage audit (split x content digest)
     "split_leakage_audit",
+    # quantile-sketch accuracy eval (relative error vs exact, e6 fixed point)
+    "sketch_error_report",
 ]
 
 

@@ -1461,3 +1461,39 @@ def value_ks_drift(
             "n2": pa.array([n2], pa.int64()),
         }
     )
+
+
+def sketch_error_report(sf_dir: str) -> pa.Table:
+    """Accuracy evaluation of the log-bin quantile sketch against the exact
+    per-type quantiles — the sketch-family member of the engine's eval-trio
+    (ANN has ann_recall_report, dedup has neardup_recall_report): per
+    event type, the relative error of each sketched quantile in e6 fixed
+    point (``abs(sk - exact) * 1e6 // max(exact, 1)``, exact integers on
+    both engines).
+
+    Scale shape: both inputs are the already-registered distributed
+    pipelines (exact quantiles from bounded per-type cent histograms, the
+    sketch from 3072 mergeable log bins); their outputs are enum-bounded
+    (one row per event type), so the comparison join is a driver-side zip
+    of two tiny tables — the 100-TB cost lives in the two streaming scans,
+    not here."""
+    ex = {r["event_type"]: r for r in value_quantiles(sf_dir).take_all()}
+    sk = {r["event_type"]: r for r in value_quantiles_sketch(sf_dir).take_all()}
+    etypes = sorted(set(ex) & set(sk))
+    cols: dict[str, list] = {"event_type": list(etypes)}
+    for q in (25, 50, 75, 95):
+        errs = []
+        for t in etypes:
+            exact = int(ex[t][f"p{q}_c"])
+            approx = int(sk[t][f"p{q}_c"])
+            errs.append(abs(approx - exact) * 1_000_000 // max(exact, 1))
+        cols[f"err{q}_e6"] = errs
+    return pa.table(
+        {
+            "event_type": pa.array(cols["event_type"], pa.string()),
+            **{
+                f"err{q}_e6": pa.array(cols[f"err{q}_e6"], pa.int64())
+                for q in (25, 50, 75, 95)
+            },
+        }
+    )

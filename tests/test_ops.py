@@ -2967,6 +2967,7 @@ def test_new_relational_family_random_differential(tmp_path, seed):
         "rolling_median_value",
         "langid_confusion",
         "split_leakage_audit",
+        "sketch_error_report",
     ):
         def norm(v):
             # DuckDB's .df() floats nullable-int columns (NULL -> NaN);
@@ -6097,3 +6098,23 @@ def test_split_leakage_audit_detects_forced_leaks(tmp_path):
         ("train", "test"): 0,
         ("val", "test"): 0,
     }
+
+
+def test_sketch_error_report_recompute_and_bound():
+    """The error report equals the recompute from its two source queries
+    and every sketched quantile is within the log-bin design bound
+    (one 256-per-decade bin ~ 0.9% relative)."""
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    ex = {r["event_type"]: r for r in qs["value_quantiles"](SF).take_all()}
+    sk = {r["event_type"]: r for r in qs["value_quantiles_sketch"](SF).take_all()}
+    rep = qs["sketch_error_report"](SF).to_pylist()
+    assert len(rep) == len(ex) > 1
+    for row in rep:
+        t = row["event_type"]
+        for q in (25, 50, 75, 95):
+            exact = ex[t][f"p{q}_c"]
+            want = abs(sk[t][f"p{q}_c"] - exact) * 1_000_000 // max(exact, 1)
+            assert row[f"err{q}_e6"] == want
+            assert row[f"err{q}_e6"] <= 10_000  # <= 1% relative
