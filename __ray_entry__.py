@@ -587,6 +587,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("mg_heavy_hitters", sketch.mg_heavy_hitters),  # exact HH, no FPs
             ("join_size_estimate", sketch.join_size_estimate),  # KMV join card.
             ("sketch_error_report", sketch.sketch_error_report),  # accuracy eval
+            ("hll_error_report", sketch.hll_error_report),  # cardinality eval
         ],
         # text analysis
         "text": [
@@ -3153,6 +3154,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "value_quantiles_sketch": _QSK_SQL,
         "hll_distinct_users": _HLL_SQL,
+        # hll_error_report: HLL cardinality estimate vs the exact per-type
+        # distinct-user count — composed from the SAME _HLL_SQL kernel
+        "hll_error_report": (
+            "WITH ap AS (" + _HLL_SQL + "), "
+            "exd AS (SELECT event_type, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n "
+            "FROM events GROUP BY 1) "
+            "SELECT exd.event_type, exd.exact_n, "
+            "ap.approx_distinct AS approx_n, "
+            "CAST(abs(ap.approx_distinct - exd.exact_n) * 1000000 // "
+            "greatest(exd.exact_n, 1) AS BIGINT) AS err_e6 "
+            "FROM exd JOIN ap USING (event_type)"
+        ),
         "corpus_stats_report": _CARD_SQL,
         # bloom-filter contamination: eval doc flagged iff its CRC32 bucket
         # is in the train split's bucket set for ALL 4 hash rows

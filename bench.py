@@ -226,6 +226,8 @@ HEADLINE = [
     "split_leakage_audit",
     # quantile-sketch accuracy eval (relative error vs exact, e6 fixed point)
     "sketch_error_report",
+    # HLL cardinality eval (estimate vs exact distinct, e6 fixed point)
+    "hll_error_report",
 ]
 
 

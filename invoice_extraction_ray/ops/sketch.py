@@ -1497,3 +1497,115 @@ def sketch_error_report(sf_dir: str) -> pa.Table:
             },
         }
     )
+
+
+def hll_error_report(sf_dir: str, n_shards: int = 64) -> pa.Table:
+    """Accuracy evaluation of the HLL distinct-count sketch against the
+    exact per-type distinct-user counts — the cardinality member of the
+    sketch eval family (:func:`sketch_error_report` covers quantiles):
+    per event type, exact count, HLL estimate, and relative error in e6
+    fixed point.
+
+    Scale shape: the exact side is the two-stage distinct idiom — each
+    batch emits its DISTINCT (user-shard, user, type) triples, each user
+    shard re-distincts and emits per-type count partials, a tiny
+    enum-bounded type groupby sums; the sketch side is the registered
+    mergeable-register pipeline.  Both outputs are one row per event
+    type, so the comparison is a driver-side zip of two tiny tables."""
+    import pyarrow.compute as pc
+
+    from ._util import drop_if_present as _dropg
+    from ._util import int_segment_sum
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_type", "user_id"]
+    )
+
+    _PART = pa.schema([("event_type", pa.string()), ("n", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["event_type", "user_id"])
+            .group_by(["event_type", "user_id"])
+            .aggregate([])
+        )
+        shard = pc.cast(
+            pc.bit_wise_and(g.column("user_id"), n_shards - 1), pa.int32()
+        )
+        return g.append_column("ushard", shard)
+
+    def shard_counts(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PART.empty_table()
+        g = (
+            g.select(["event_type", "user_id"])
+            .group_by(["event_type", "user_id"])
+            .aggregate([])
+            .sort_by([("event_type", "ascending")])
+        )
+        et = g.column("event_type").combine_chunks()
+        m = g.num_rows
+        new = np.ones(m, dtype=bool)
+        if m > 1:
+            new[1:] = ~pc.equal(et.slice(1), et.slice(0, m - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "event_type": pc.take(et, pa.array(starts)),
+                "n": pa.array(
+                    int_segment_sum(np.ones(m, dtype=np.int64), starts),
+                    pa.int64(),
+                ),
+            },
+            schema=_PART,
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PART.empty_table()
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [g.column("event_type")[0].as_py()], pa.string()
+                ),
+                "n": pa.array(
+                    [int(np.sum(g.column("n").to_numpy(zero_copy_only=False),
+                                dtype=np.int64))],
+                    pa.int64(),
+                ),
+            },
+            schema=_PART,
+        )
+
+    exact_rows = (
+        ds.map_batches(slim, batch_format="pyarrow")
+        .groupby("ushard")
+        .map_groups(
+            lambda g: shard_counts(_dropg(g, ["ushard"])), batch_format="pyarrow"
+        )
+        .groupby("event_type")
+        .map_groups(finish, batch_format="pyarrow")
+        .take_all()
+    )
+    exact = {r["event_type"]: int(r["n"]) for r in exact_rows}
+    approx = {
+        r["event_type"]: int(r["approx_distinct"])
+        for r in hll_distinct_users(sf_dir).take_all()
+    }
+    etypes = sorted(set(exact) & set(approx))
+    return pa.table(
+        {
+            "event_type": pa.array(etypes, pa.string()),
+            "exact_n": pa.array([exact[t] for t in etypes], pa.int64()),
+            "approx_n": pa.array([approx[t] for t in etypes], pa.int64()),
+            "err_e6": pa.array(
+                [
+                    abs(approx[t] - exact[t]) * 1_000_000 // max(exact[t], 1)
+                    for t in etypes
+                ],
+                pa.int64(),
+            ),
+        }
+    )

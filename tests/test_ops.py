@@ -2968,6 +2968,7 @@ def test_new_relational_family_random_differential(tmp_path, seed):
         "langid_confusion",
         "split_leakage_audit",
         "sketch_error_report",
+        "hll_error_report",
     ):
         def norm(v):
             # DuckDB's .df() floats nullable-int columns (NULL -> NaN);
@@ -6118,3 +6119,23 @@ def test_sketch_error_report_recompute_and_bound():
             want = abs(sk[t][f"p{q}_c"] - exact) * 1_000_000 // max(exact, 1)
             assert row[f"err{q}_e6"] == want
             assert row[f"err{q}_e6"] <= 10_000  # <= 1% relative
+
+
+def test_hll_error_report_recompute():
+    """The cardinality eval equals the exact-set recompute and the HLL
+    estimate stays within the 2^10-register design band (~5%)."""
+    from invoice_extraction_ray.ops.sketch import hll_error_report
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+    exact: dict[str, set] = {}
+    for t, u in zip(
+        ev.column("event_type").to_pylist(), ev.column("user_id").to_pylist()
+    ):
+        exact.setdefault(t, set()).add(u)
+    rep = hll_error_report(SF).to_pylist()
+    assert {r["event_type"] for r in rep} == set(exact)
+    for r in rep:
+        n = len(exact[r["event_type"]])
+        assert r["exact_n"] == n
+        assert r["err_e6"] == abs(r["approx_n"] - n) * 1_000_000 // max(n, 1)
+        assert r["err_e6"] <= 50_000  # <= 5% relative
