@@ -38,6 +38,20 @@ def _flagship(sf_dir: str):
     return ds.select_columns(FLAT_COLUMNS)
 
 
+def _turn_dedup_groups(sf_dir: str):
+    """Exact-duplicate group-size histogram at TURN granularity over the
+    transcript corpus — the duplication profile a 10^12-turn dedup plan
+    starts from (dedup applied to the engine's own payload, not just the
+    documents table)."""
+    import ray.data
+
+    from invoice_extraction_ray.corpus import transcripts_for
+    from invoice_extraction_ray.ops.dedup import dup_group_histogram
+
+    ds = ray.data.read_parquet(transcripts_for(sf_dir), columns=["text"])
+    return dup_group_histogram(ds)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale; driver checks rows>=0."""
     return _flagship("/root/testdata/sf0.001")
@@ -450,6 +464,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("extract_worst_turns", _worst_turns),
             ("extract_failure_summary", _failure_summary),
             ("conversation_pack", _conversation_pack),  # SFT doc assembly
+            ("turn_dedup_groups", _turn_dedup_groups),  # turn-dup profile
         ],
         # relational operator library (all SQL-oracled)
         "relational": [
@@ -3476,6 +3491,7 @@ def oracle_sql() -> dict[str, str]:
 # callers (tools/check_queries.py) compare these rows-only
 SF001_PINNED = [
     "conversation_stats",
+    "turn_dedup_groups",
     "conversation_pack",
     "tokenizer_fertility",
     "boilerplate_scrub",
@@ -3674,6 +3690,15 @@ def _sf001_pinned_oracles(sf001: str) -> dict[str, str]:
             "CAST(b AS BIGINT) AS n_bpe_tokens, "
             "CASE WHEN w > 0 THEN CAST((20000 * b + w) // (2 * w) AS BIGINT) "
             "ELSE NULL END AS fertility_e4 FROM c"
+        ),
+        # turn_dedup_groups: exact-dup group-size histogram over raw turn
+        # text (NULL conflates with '' on both engines via coalesce/digest)
+        "turn_dedup_groups": (
+            "WITH t AS (SELECT coalesce(text, '') AS tx "
+            f"FROM read_parquet('{_conv_glob}')), "
+            "c AS (SELECT tx, count(*) AS k FROM t GROUP BY tx) "
+            "SELECT CAST(k AS BIGINT) AS group_size, "
+            "CAST(count(*) AS BIGINT) AS n_groups FROM c GROUP BY k"
         ),
         "conversation_stats": (
             "SELECT conv_id, count(*) AS n_turns, min(ts) AS first_ts, "

@@ -228,6 +228,8 @@ HEADLINE = [
     "sketch_error_report",
     # HLL cardinality eval (estimate vs exact distinct, e6 fixed point)
     "hll_error_report",
+    # turn-granularity exact-dup profile over the transcript corpus
+    "turn_dedup_groups",
 ]
 
 

@@ -2704,3 +2704,97 @@ def apply_changelog(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
     return absorb_empty_blocks(ds, batch_size=131072).groupby("shard").map_groups(
         lambda g: resolve(_dropg(g, ["shard"])), batch_format="pyarrow"
     )
+
+
+def dup_group_histogram(
+    ds, text_col: str = "text", n_shards: int = 64
+) -> ray.data.Dataset:
+    """Exact-duplicate GROUP-SIZE histogram: how many distinct contents
+    appear exactly k times — the corpus-duplication profile (the first
+    number a 10^12-turn dedup plan needs: how much of the corpus is
+    boilerplate repetition vs unique content).  ``(group_size, n_groups)``
+    rows, ascending.
+
+    Scale shape: contents reduce to sha256-16-byte digest pairs at the
+    scan (texts never shuffle; NULL conflates with '' — the oracle
+    mirrors via coalesce); equal digests co-locate in ONE digest-shard
+    groupby; each shard run-counts its digests and collapses immediately
+    to its own (k, count) histogram partials, so the final groupby sees
+    only histogram rows — nothing content- or group-scaled moves twice."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from ._util import absorb_empty_blocks, int_bincount
+
+    _SLIM = pa.schema(
+        [("dshard", pa.int32()), ("h1", pa.int64()), ("h2", pa.int64())]
+    )
+    _PART = pa.schema([("group_size", pa.int64()), ("n", pa.int64())])
+    _OUT = pa.schema([("group_size", pa.int64()), ("n_groups", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SLIM.empty_table()
+        texts = pc.fill_null(t.column(text_col), "").to_pylist()
+        digests = b"".join(
+            hashlib.sha256(s.encode()).digest()[:16] for s in texts
+        )
+        h = np.frombuffer(digests, dtype="<i8").reshape(-1, 2)
+        return pa.table(
+            {
+                "dshard": pa.array(
+                    ((h[:, 0] & 0x7FFFFFFF) % n_shards).astype(np.int32)
+                ),
+                "h1": pa.array(h[:, 0], pa.int64()),
+                "h2": pa.array(h[:, 1], pa.int64()),
+            },
+            schema=_SLIM,
+        )
+
+    def shard_hist(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PART.empty_table()
+        h1 = g.column("h1").to_numpy(zero_copy_only=False)
+        h2 = g.column("h2").to_numpy(zero_copy_only=False)
+        order = np.lexsort((h2, h1))
+        h1, h2 = h1[order], h2[order]
+        new = np.ones(len(h1), dtype=bool)
+        new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        starts = np.flatnonzero(new)
+        k = np.append(starts[1:], len(h1)) - starts
+        dense = int_bincount(k, np.ones(len(k), dtype=np.int64))
+        sizes = np.flatnonzero(dense)
+        return pa.table(
+            {
+                "group_size": pa.array(sizes.astype(np.int64), pa.int64()),
+                "n": pa.array(dense[sizes], pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        return pa.table(
+            {
+                "group_size": pa.array(
+                    [int(g.column("group_size")[0].as_py())], pa.int64()
+                ),
+                "n_groups": pa.array(
+                    [int(np.sum(g.column("n").to_numpy(zero_copy_only=False),
+                                dtype=np.int64))],
+                    pa.int64(),
+                ),
+            },
+            schema=_OUT,
+        )
+
+    s = ds.map_batches(slim, batch_format="pyarrow")
+    return (
+        absorb_empty_blocks(s, batch_size=131072)
+        .groupby("dshard")
+        .map_groups(lambda g: shard_hist(_dropg(g, ["dshard"])), batch_format="pyarrow")
+        .groupby("group_size")
+        .map_groups(finish, batch_format="pyarrow")
+    )

@@ -6139,3 +6139,27 @@ def test_hll_error_report_recompute():
         assert r["exact_n"] == n
         assert r["err_e6"] == abs(r["approx_n"] - n) * 1_000_000 // max(n, 1)
         assert r["err_e6"] <= 50_000  # <= 5% relative
+
+
+def test_dup_group_histogram_constructed_groups():
+    """The group-size histogram is exact on a corpus with known duplicate
+    group sizes (3 singletons, two pairs, one triple, one 5-group) and
+    NULL conflates with '' (the documented digest convention)."""
+    import ray.data
+
+    from invoice_extraction_ray.ops.dedup import dup_group_histogram
+
+    texts = (
+        ["u1", "u2", "u3"]
+        + ["pair a"] * 2
+        + ["pair b"] * 2
+        + ["triple"] * 3
+        + ["five"] * 5
+        + [None, ""]  # conflate: one group of size 2
+    )
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    got = {
+        r["group_size"]: r["n_groups"]
+        for r in dup_group_histogram(ds, n_shards=5).take_all()
+    }
+    assert got == {1: 3, 2: 3, 3: 1, 5: 1}
