@@ -583,6 +583,7 @@ def _query_families() -> dict[str, list[tuple[str, Callable[[str], Any]]]]:
             ("user_active_spans", interval.user_active_spans),  # interval union
             ("scd2_user_bands", window.scd2_user_bands),  # SCD2 versions
             ("rolling_median_value", window.rolling_median_value),  # order-stat frame
+            ("user_bands_asof", window.user_bands_asof),  # bitemporal point-in-time
         ],
         # mergeable sketches
         "sketch": [
@@ -984,6 +985,31 @@ def oracle_sql() -> dict[str, str]:
         "CAST(floor(quantile_disc(value, 0.75)*100 + 0.5) AS BIGINT) AS p75_c, "
         "CAST(floor(quantile_disc(value, 0.95)*100 + 0.5) AS BIGINT) AS p95_c, "
         "count(*) AS n FROM events GROUP BY event_type"
+    )
+
+    from invoice_extraction_ray.config import SCD2_ASOF_DAY as _SCD2_DAY
+
+    # SCD Type-2 build — shared by scd2_user_bands and the as-of lookup
+    _SCD2_SQL = (
+        "WITH d AS (SELECT user_id, "
+        "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_i, "
+        "CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS vc FROM events GROUP BY 1, 2), "
+        f"b AS (SELECT user_id, day_i, CASE WHEN vc < {_SCD2_EDGES[0]} "
+        f"THEN 0 WHEN vc < {_SCD2_EDGES[1]} THEN 1 ELSE 2 END AS band "
+        "FROM d), "
+        "c AS (SELECT user_id, day_i, band, CASE WHEN lag(band) OVER "
+        "(PARTITION BY user_id ORDER BY day_i) IS DISTINCT FROM band "
+        "THEN 1 ELSE 0 END AS chg FROM b), "
+        "v AS (SELECT user_id, day_i, band, sum(chg) OVER "
+        "(PARTITION BY user_id ORDER BY day_i ROWS UNBOUNDED PRECEDING) "
+        "AS ver FROM c), "
+        "s AS (SELECT user_id, ver, CAST(min(band) AS INTEGER) AS band, "
+        "min(day_i) AS valid_from, CAST(count(*) AS BIGINT) AS n_days "
+        "FROM v GROUP BY 1, 2) "
+        "SELECT user_id, band, valid_from, lead(valid_from) OVER "
+        "(PARTITION BY user_id ORDER BY valid_from) AS valid_to, n_days "
+        "FROM s"
     )
 
     def _mul64(a: str, b: int) -> str:
@@ -2806,26 +2832,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         # scd2_user_bands: SCD Type-2 dimension build — daily cents band
         # versions with (valid_from, valid_to) validity intervals
-        "scd2_user_bands": (
-            "WITH d AS (SELECT user_id, "
-            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_i, "
-            "CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT)) AS BIGINT) "
-            "AS vc FROM events GROUP BY 1, 2), "
-            f"b AS (SELECT user_id, day_i, CASE WHEN vc < {_SCD2_EDGES[0]} "
-            f"THEN 0 WHEN vc < {_SCD2_EDGES[1]} THEN 1 ELSE 2 END AS band "
-            "FROM d), "
-            "c AS (SELECT user_id, day_i, band, CASE WHEN lag(band) OVER "
-            "(PARTITION BY user_id ORDER BY day_i) IS DISTINCT FROM band "
-            "THEN 1 ELSE 0 END AS chg FROM b), "
-            "v AS (SELECT user_id, day_i, band, sum(chg) OVER "
-            "(PARTITION BY user_id ORDER BY day_i ROWS UNBOUNDED PRECEDING) "
-            "AS ver FROM c), "
-            "s AS (SELECT user_id, ver, CAST(min(band) AS INTEGER) AS band, "
-            "min(day_i) AS valid_from, CAST(count(*) AS BIGINT) AS n_days "
-            "FROM v GROUP BY 1, 2) "
-            "SELECT user_id, band, valid_from, lead(valid_from) OVER "
-            "(PARTITION BY user_id ORDER BY valid_from) AS valid_to, n_days "
-            "FROM s"
+        "scd2_user_bands": _SCD2_SQL,
+        # user_bands_asof: bitemporal point-in-time lookup against the
+        # SCD2 dimension — composed from the SAME _SCD2_SQL kernel
+        "user_bands_asof": (
+            "SELECT * FROM (" + _SCD2_SQL + ") "
+            f"WHERE valid_from <= {_SCD2_DAY} "
+            f"AND (valid_to IS NULL OR valid_to > {_SCD2_DAY})"
         ),
         # top_tokens_per_lang: grouped frequency top-k — K most frequent
         # tokens per language, exact counts, ties token-ascending

@@ -230,6 +230,8 @@ HEADLINE = [
     "hll_error_report",
     # turn-granularity exact-dup profile over the transcript corpus
     "turn_dedup_groups",
+    # bitemporal point-in-time lookup against the SCD2 dimension
+    "user_bands_asof",
 ]
 
 

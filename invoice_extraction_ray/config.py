@@ -513,3 +513,9 @@ TOPTOK_K = 10
 # moving ROWS frame width (current row + ROLLMED_WINDOW-1 preceding); the
 # output is 2x the median in cents so even-width prefixes stay integers.
 ROLLMED_WINDOW = 7
+
+# Bitemporal point-in-time query (ops/window.py::user_bands_asof): the
+# epoch day whose valid version is selected from the SCD2 dimension.
+# Chosen inside the testdata's ~30-day window so all three version states
+# (open, closed-before, closed-after) occur.
+SCD2_ASOF_DAY = 19_735

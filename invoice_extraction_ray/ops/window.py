@@ -1570,3 +1570,34 @@ def rolling_median_value(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
             lambda g: per_shard(_dropg(g, ["shard"])), batch_format="pyarrow"
         )
     )
+
+
+def user_bands_asof(sf_dir: str, n_shards: int = 64) -> ray.data.Dataset:
+    """Bitemporal point-in-time lookup against the SCD2 dimension: each
+    user's band version valid AS OF ``config.SCD2_ASOF_DAY``
+    (``valid_from <= d < valid_to``, open versions unbounded) — the query
+    half of the versioned-dimension contract :func:`scd2_user_bands`
+    builds.  Users whose first observed day is after d correctly drop out.
+
+    Scale shape: the filter is pushed into the SCD2 build's own shard
+    kernel output (a vectorized mask per shard — the dimension never
+    re-shuffles), so the as-of read costs one streaming pass over version
+    rows."""
+    import pyarrow.compute as pc
+
+    from ..config import SCD2_ASOF_DAY
+
+    d = SCD2_ASOF_DAY
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        lo_ok = pc.less_equal(t.column("valid_from"), d)
+        hi_ok = pc.or_kleene(
+            pc.is_null(t.column("valid_to")), pc.greater(t.column("valid_to"), d)
+        )
+        return t.filter(pc.and_(lo_ok, pc.fill_null(hi_ok, False)))
+
+    return scd2_user_bands(sf_dir, n_shards=n_shards).map_batches(
+        pick, batch_format="pyarrow"
+    )

@@ -2969,6 +2969,7 @@ def test_new_relational_family_random_differential(tmp_path, seed):
         "split_leakage_audit",
         "sketch_error_report",
         "hll_error_report",
+        "user_bands_asof",
     ):
         def norm(v):
             # DuckDB's .df() floats nullable-int columns (NULL -> NaN);
@@ -6163,3 +6164,31 @@ def test_dup_group_histogram_constructed_groups():
         for r in dup_group_histogram(ds, n_shards=5).take_all()
     }
     assert got == {1: 3, 2: 3, 3: 1, 5: 1}
+
+
+def test_user_bands_asof_point_in_time_semantics():
+    """The as-of lookup returns EXACTLY one version per user whose
+    observed history starts on-or-before the as-of day, and that version's
+    validity interval covers the day."""
+    from invoice_extraction_ray.config import SCD2_ASOF_DAY
+    from invoice_extraction_ray.ops.window import scd2_user_bands, user_bands_asof
+
+    dim = scd2_user_bands(SF, n_shards=5).take_all()
+    rows = user_bands_asof(SF, n_shards=5).take_all()
+    per_user = {}
+    for r in rows:
+        assert r["valid_from"] <= SCD2_ASOF_DAY
+        assert r["valid_to"] is None or r["valid_to"] > SCD2_ASOF_DAY
+        assert r["user_id"] not in per_user  # exactly one version per user
+        per_user[r["user_id"]] = r
+    eligible = {r["user_id"] for r in dim if r["valid_from"] <= SCD2_ASOF_DAY}
+    assert set(per_user) == eligible and len(per_user) > 1
+    # every selected row is a real dimension version
+    dim_set = {
+        (r["user_id"], r["band"], r["valid_from"], r["valid_to"], r["n_days"])
+        for r in dim
+    }
+    for r in per_user.values():
+        assert (
+            r["user_id"], r["band"], r["valid_from"], r["valid_to"], r["n_days"]
+        ) in dim_set
